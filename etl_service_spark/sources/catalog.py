@@ -1,0 +1,57 @@
+"""Catalog of the synthetic test tables + schema normalization.
+
+Plays the role of the reference's connection/config resolution chain
+(`Step.GetRealizationConnections`, Step.cs:1285-1767): given a "source
+directory" (one parquet file per table), expose typed DataFrames and
+registered temp views.
+
+Normalization rules (applied identically on the DuckDB-oracle side by
+`oracle_prelude()` in plans/queries.py):
+
+- ``events.ts`` is stored as parquet TIMESTAMP(NANOS); Spark reads it
+  as a long (nanosAsLong). We expose BOTH:
+    * ``ts_us``  — bigint microseconds since epoch (nanos // 1000,
+      truncation) — the cross-engine-stable representation;
+    * ``ts``     — TIMESTAMP_NTZ built from ts_us.
+  DuckDB's ``epoch_us(ts)`` performs the same truncation, so values
+  hash-match.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # nanos → micros (truncating), keep both representations
+        df = df.withColumn("ts_us", (F.col("ts") / F.lit(1000)).cast("long")).withColumn(
+            "ts", F.to_timestamp_ntz(F.timestamp_micros(F.col("ts_us")))
+        )
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every test table as a temp view; returns name → DataFrame."""
+    out: dict[str, DataFrame] = {}
+    for name in TABLES:
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
