@@ -1,38 +1,71 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: the reference's core pipeline (E1
+placeholder resolution → D2 time-sliced incremental COPY of
+orders⋈lineitem → D10 schema alignment + audit columns → per-slice
+metrics) on sf0.001.
+
+``queries()`` / ``oracle_sql()`` — one entry per implemented operator
+from SURVEY.md §2 plus the training-data-pipeline operators; built in
+etl_service_spark/plans/queries.py.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from etl_service_spark.plans.queries import registry, views  # noqa: E402
+
+_REGISTRY = None
+
+
+def _cases():
+    global _REGISTRY
+    if _REGISTRY is None:
+        _REGISTRY = registry()
+    return _REGISTRY
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from datetime import datetime
+
+    from etl_service_spark.operators.align import AuditContext
+    from etl_service_spark.operators.copy import TakeoverWindow, copy_data_timesliced
+
+    sf_dir = "/root/testdata/sf0.001"
+    v = views(spark, sf_dir)
+    window = TakeoverWindow(datetime(1995, 1, 1), datetime(1996, 12, 31))
+    sliced = copy_data_timesliced(v["orders"], "o_orderdate", window)
+    joined = sliced.join(v["lineitem"], sliced["o_orderkey"] == F.col("l_orderkey"))
+    return (
+        joined.groupBy("Zeitscheibe_Monat")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(12,2)")
+                * (F.lit(1).cast("decimal(12,2)") - F.col("l_discount").cast("decimal(12,2)"))
+            )
+            .cast("double")
+            .alias("revenue"),
+        )
+        .withColumn("Nutzer", F.lit("etl_user"))
+        .withColumn("Abfragezeitpunkt", F.lit("2026-01-01 00:00:00").cast("timestamp_ntz"))
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    return {name: case.spark for name, case in _cases().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL oracle per query (omitted → rows-only check)."""
+    return {name: case.oracle for name, case in _cases().items() if case.oracle is not None}

@@ -88,22 +88,50 @@ def duck_shingles(tokens_expr: str, n: int = 3) -> str:
 
 
 # ------------------------------------------------------ decimal money agg
-def spark_money_sum(expr: str, alias: str, scale: int = 2) -> str:
-    """Spark SQL aggregate: exact decimal sum of a money expression,
-    rounded and surfaced as DOUBLE. ``expr`` must already be decimal
-    (use dec())."""
-    return f"CAST(ROUND(SUM({expr}), {scale}) AS DOUBLE) AS {alias}"
+# Determinism policy: NEVER round doubles (engines may tie-break
+# differently). Aggregate money in DECIMAL (exact + associative →
+# shuffle-order independent), then CAST the exact sum to DOUBLE
+# (correctly-rounded conversion, identical in both engines). Scalar
+# double expressions over identical operands are bit-identical by IEEE
+# 754 and need no treatment; where truncation is wanted use floor6.
+
+
+def money_sum(expr: str, alias: str) -> str:
+    """Engine-shared aggregate: exact decimal sum surfaced as DOUBLE.
+    ``expr`` must already be decimal (use dec())."""
+    return f"CAST(SUM({expr}) AS DOUBLE) AS {alias}"
 
 
 def dec(col: str, p: int = 18, s: int = 4) -> str:
     return f"CAST({col} AS DECIMAL({p},{s}))"
 
 
-# Same text works in DuckDB: CAST/ROUND/SUM/DECIMAL are shared syntax.
-duck_money_sum = spark_money_sum
-duck_dec = dec
+def ratio(num: str, den: str) -> str:
+    """Engine-shared: int/int division as double (identical operands →
+    identical IEEE result; no rounding)."""
+    return f"CAST({num} AS DOUBLE) / CAST({den} AS DOUBLE)"
 
 
-def ratio(num: str, den: str, ndigits: int = 6) -> str:
-    """Engine-shared: exact-int division surfaced as rounded double."""
-    return f"ROUND(CAST({num} AS DOUBLE) / CAST({den} AS DOUBLE), {ndigits})"
+def floor6(expr: str) -> str:
+    """Deterministic 6-digit truncation (floor is tie-free, unlike
+    round): identical inputs → identical outputs in any engine."""
+    return f"FLOOR(({expr}) * 1e6) / 1e6"
+
+
+# ----------------------------------------------------- bi-engine templates
+def bi_sql(template: str, **frags: tuple[str, str] | str) -> tuple[str, str]:
+    """Render one SQL template for both engines. Each fragment is either
+    a (spark_text, duck_text) pair or a single shared string. Returns
+    (spark_sql, duckdb_sql). Keeping ONE template per query is what
+    guarantees the Spark plan and the oracle stay structurally in sync.
+    """
+    s = {k: (v if isinstance(v, str) else v[0]) for k, v in frags.items()}
+    d = {k: (v if isinstance(v, str) else v[1]) for k, v in frags.items()}
+    return template.format(**s), template.format(**d)
+
+
+def bit_probe(hash_expr: str, j: int) -> str:
+    """Engine-shared bit extraction via pure integer arithmetic (no
+    engine-specific shift/div operators): 1 if bit j of hash set else 0.
+    Valid for non-negative hashes."""
+    return f"(CASE WHEN ({hash_expr}) % {2 ** (j + 1)} >= {2 ** j} THEN 1 ELSE 0 END)"

@@ -1,0 +1,169 @@
+"""Similarity search over an embedding column (array<float>).
+
+Two paths, as a 100 TB pipeline needs both:
+
+- ``cosine_topk``  — brute-force exact top-k: broadcast the (small)
+  query set against the full corpus; one map-side pass + a per-query
+  top-k (window). Baseline and ground truth.
+- ``lsh_ann``      — random-hyperplane (sign) LSH: 12 deterministic
+  hyperplanes → 12-bit bucket; exact cosine only WITHIN buckets. Cost
+  drops from O(Q·N) to O(collisions); on a cluster the bucket id is the
+  shuffle key, so each bucket is processed co-located.
+
+Determinism: the dot product is emitted as an EXPLICIT 64-term
+left-associated expression chain — both engines evaluate the identical
+IEEE-754 operation sequence, so cosine values are bit-identical and no
+tolerance is needed. The hyperplane coefficients come from an integer
+LCG, exact in both engines. Everything is whole-stage-codegen'd JVM
+work — no Python in the loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions import portable as P
+
+DIM = 64
+
+
+def _dot(a: str, b: str, *, one_based: bool) -> str:
+    """Explicit left-associated dot-product chain. Spark arrays are
+    0-based, DuckDB lists 1-based."""
+    off = 1 if one_based else 0
+    return " + ".join(
+        f"CAST({a}[{i + off}] AS DOUBLE) * CAST({b}[{i + off}] AS DOUBLE)"
+        for i in range(DIM)
+    )
+
+
+def _norm(a: str, *, one_based: bool) -> str:
+    return f"sqrt({_dot(a, a, one_based=one_based)})"
+
+
+def _hyperplane(j: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane from an integer LCG —
+    reproducible as an exact literal list in any engine."""
+    out = []
+    for d in range(DIM):
+        x = (1103515245 * (j * DIM + d + 1) + 12345) % 2147483648
+        out.append(x / 2147483648.0 - 0.5)
+    return out
+
+
+def _plane_dot(vec: str, j: int, *, one_based: bool) -> str:
+    off = 1 if one_based else 0
+    plane = _hyperplane(j)
+    return " + ".join(
+        f"CAST({vec}[{i + off}] AS DOUBLE) * {plane[i]!r}" for i in range(DIM)
+    )
+
+
+# ------------------------------------------------------ brute-force top-k
+TOPK_TEMPLATE = """
+WITH q AS (
+  SELECT vec_id AS q_id, embedding AS qv FROM {view} WHERE vec_id < {n_queries}
+),
+scored AS (
+  SELECT q.q_id, e.vec_id AS n_id,
+         ({dot}) / (({qnorm}) * ({enorm})) AS cosine
+  FROM q JOIN {view} e ON e.vec_id <> q.q_id
+),
+ranked AS (
+  SELECT q_id, n_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rnk
+  FROM scored
+)
+SELECT q_id, n_id, rnk, cosine FROM ranked WHERE rnk <= {k}
+"""
+
+
+def cosine_topk_sql(k: int = 10, n_queries: int = 5, view: str = "embeddings") -> tuple[str, str]:
+    return P.bi_sql(
+        TOPK_TEMPLATE,
+        dot=(_dot("qv", "e.embedding", one_based=False), _dot("qv", "e.embedding", one_based=True)),
+        qnorm=(_norm("qv", one_based=False), _norm("qv", one_based=True)),
+        enorm=(
+            _norm("e.embedding", one_based=False),
+            _norm("e.embedding", one_based=True),
+        ),
+        view=view,
+        k=str(k),
+        n_queries=str(n_queries),
+    )
+
+
+def cosine_topk(spark: SparkSession, k: int = 10, n_queries: int = 5) -> DataFrame:
+    return spark.sql(cosine_topk_sql(k, n_queries)[0])
+
+
+# ---------------------------------------------------- embedding near-dup
+NEARDUP_TEMPLATE = """
+WITH n AS (
+  SELECT vec_id, embedding, ({norm}) AS nrm FROM {view}
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ({dot}) / (a.nrm * b.nrm) AS cosine
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE ({dot}) / (a.nrm * b.nrm) >= {tau}
+"""
+
+
+def embedding_neardup_sql(tau: float = 0.4, view: str = "embeddings") -> tuple[str, str]:
+    """Exact all-pairs cosine near-dup (the correctness baseline; the
+    LSH path below is the scale path for the same question)."""
+    return P.bi_sql(
+        NEARDUP_TEMPLATE,
+        dot=(
+            _dot("a.embedding", "b.embedding", one_based=False),
+            _dot("a.embedding", "b.embedding", one_based=True),
+        ),
+        norm=(_norm("embedding", one_based=False), _norm("embedding", one_based=True)),
+        view=view,
+        tau=str(tau),
+    )
+
+
+def embedding_neardup(spark: SparkSession, tau: float = 0.4) -> DataFrame:
+    return spark.sql(embedding_neardup_sql(tau)[0])
+
+
+# --------------------------------------------------------------- LSH ANN
+def _bucket_expr(vec: str, planes: int, *, one_based: bool) -> str:
+    bits = [
+        f"(CASE WHEN ({_plane_dot(vec, j, one_based=one_based)}) >= 0 THEN {2 ** j} ELSE 0 END)"
+        for j in range(planes)
+    ]
+    return " + ".join(bits)
+
+
+LSH_TEMPLATE = """
+WITH b AS (
+  SELECT vec_id, embedding, ({bucket}) AS bucket, ({norm}) AS nrm FROM {view}
+)
+SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b, a.bucket,
+       ({dot}) / (a.nrm * b2.nrm) AS cosine
+FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+WHERE ({dot}) / (a.nrm * b2.nrm) >= {tau}
+"""
+
+
+def lsh_ann_sql(planes: int = 12, tau: float = 0.2, view: str = "embeddings") -> tuple[str, str]:
+    return P.bi_sql(
+        LSH_TEMPLATE,
+        bucket=(
+            _bucket_expr("embedding", planes, one_based=False),
+            _bucket_expr("embedding", planes, one_based=True),
+        ),
+        norm=(_norm("embedding", one_based=False), _norm("embedding", one_based=True)),
+        dot=(
+            _dot("a.embedding", "b2.embedding", one_based=False),
+            _dot("a.embedding", "b2.embedding", one_based=True),
+        ),
+        view=view,
+        tau=str(tau),
+    )
+
+
+def lsh_ann(spark: SparkSession, planes: int = 12, tau: float = 0.2) -> DataFrame:
+    return spark.sql(lsh_ann_sql(planes, tau)[0])

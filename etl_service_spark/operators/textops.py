@@ -1,0 +1,170 @@
+"""Text-analysis operators for a training-data pipeline.
+
+Beyond the reference's own surface (it has no text analytics), these
+are the document-corpus operators a 100 TB data pipeline needs:
+language-ID (stopword-hit heuristic), quality scoring, token counting
+(whitespace + BPE-ish regex), and document fingerprinting (polynomial
+rolling hash + min-shingle-hash).
+
+All of it is pure JVM expression work (``F.expr`` over the portable
+fragment library — no Python UDFs): a single map-side projection per
+document, embarrassingly parallel, no shuffle at any scale. Every
+function has a byte-identical DuckDB oracle builder next to it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions import portable as P
+
+# BPE-ish token pattern: letter runs, digit runs, single punctuation
+BPE_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+PUNCT_RE = "[^a-z0-9 ]"
+
+STOPWORDS = {
+    "en": ("the", "and", "of", "to", "in", "is", "that", "it", "for", "a"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den"),
+    "fr": ("le", "la", "les", "et", "un", "une", "est", "pour", "dans", "que"),
+    "es": ("el", "los", "las", "y", "que", "en", "un", "por", "con", "del"),
+}
+
+
+def _sql_list(words: tuple[str, ...]) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+def _stop_hits_spark(lang: str) -> str:
+    return f"size(filter({P.spark_tokens('text')}, t -> t IN ({_sql_list(STOPWORDS[lang])})))"
+
+
+def _stop_hits_duck(lang: str) -> str:
+    return f"len(list_filter({P.duck_tokens('text')}, t -> t IN ({_sql_list(STOPWORDS[lang])})))"
+
+
+# ------------------------------------------------------------ token stats
+def token_stats(docs: DataFrame) -> DataFrame:
+    """doc_id, n_chars, n_ws_tokens, n_bpe_tokens, approx_llm_tokens."""
+    tok = P.spark_tokens("text")
+    return docs.selectExpr(
+        "doc_id",
+        "length(text) AS n_chars",
+        f"size({tok}) AS n_ws_tokens",
+        f"size(regexp_extract_all(lower(text), '{BPE_RE}', 0)) AS n_bpe_tokens",
+        "CAST(ceil(length(text) / 4.0) AS BIGINT) AS approx_llm_tokens",
+    )
+
+
+def oracle_token_stats(view: str = "documents") -> str:
+    tok = P.duck_tokens("text")
+    return f"""
+    SELECT doc_id,
+           length(text) AS n_chars,
+           len({tok}) AS n_ws_tokens,
+           len(regexp_extract_all(lower(text), '{BPE_RE}')) AS n_bpe_tokens,
+           CAST(ceil(length(text) / 4.0) AS BIGINT) AS approx_llm_tokens
+    FROM {view}
+    """
+
+
+# ---------------------------------------------------------- quality score
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Deterministic quality heuristics: stopword ratio, alpha ratio,
+    length factor → weighted score. Ratios are int/int divisions of
+    identical operands in both engines → bit-identical doubles."""
+    tok = P.spark_tokens("text")
+    ntok = f"size({tok})"
+    stop = _stop_hits_spark("en")
+    alpha = f"length(regexp_replace(lower(text), '{PUNCT_RE}', ''))"
+    return docs.selectExpr(
+        "doc_id",
+        f"{ntok} AS n_tokens",
+        f"{P.ratio(stop, f'greatest({ntok}, 1)')} AS stop_ratio",
+        f"{P.ratio(alpha, 'greatest(length(text), 1)')} AS alpha_ratio",
+        "FLOOR((0.4 * CAST(" + stop + " AS DOUBLE) / greatest(" + ntok + ", 1)"
+        " + 0.3 * least(CAST(" + ntok + " AS DOUBLE) / 100.0, 1.0)"
+        " + 0.3 * CAST(" + alpha + " AS DOUBLE) / greatest(length(text), 1)) * 1e6)"
+        " / 1e6 AS quality",
+    )
+
+
+def oracle_quality_score(view: str = "documents") -> str:
+    tok = P.duck_tokens("text")
+    ntok = f"len({tok})"
+    stop = _stop_hits_duck("en")
+    alpha = f"length(regexp_replace(lower(text), '{PUNCT_RE}', '', 'g'))"
+    return f"""
+    SELECT doc_id,
+           {ntok} AS n_tokens,
+           {P.ratio(stop, f'greatest({ntok}, 1)')} AS stop_ratio,
+           {P.ratio(alpha, 'greatest(length(text), 1)')} AS alpha_ratio,
+           FLOOR((0.4 * CAST({stop} AS DOUBLE) / greatest({ntok}, 1)
+             + 0.3 * least(CAST({ntok} AS DOUBLE) / 100.0, 1.0)
+             + 0.3 * CAST({alpha} AS DOUBLE) / greatest(length(text), 1)) * 1e6)
+             / 1e6 AS quality
+    FROM {view}
+    """
+
+
+# ----------------------------------------------------------- language ID
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Stopword-hit argmax with fixed tie order en>de>fr>es; no hits → 'und'."""
+    hits = {lg: _stop_hits_spark(lg) for lg in STOPWORDS}
+    pred = _lang_case(hits)
+    return docs.selectExpr(
+        "doc_id",
+        "lang AS lang_true",
+        *[f"{h} AS hits_{lg}" for lg, h in hits.items()],
+        f"{pred} AS lang_pred",
+    )
+
+
+def _lang_case(hits: dict[str, str]) -> str:
+    e, d, f_, s = hits["en"], hits["de"], hits["fr"], hits["es"]
+    return (
+        f"CASE WHEN {e} + {d} + {f_} + {s} = 0 THEN 'und' "
+        f"WHEN {e} >= {d} AND {e} >= {f_} AND {e} >= {s} THEN 'en' "
+        f"WHEN {d} >= {f_} AND {d} >= {s} THEN 'de' "
+        f"WHEN {f_} >= {s} THEN 'fr' ELSE 'es' END"
+    )
+
+
+def oracle_lang_id(view: str = "documents") -> str:
+    hits = {lg: _stop_hits_duck(lg) for lg in STOPWORDS}
+    pred = _lang_case(hits)
+    cols = ",\n           ".join(f"{h} AS hits_{lg}" for lg, h in hits.items())
+    return f"""
+    SELECT doc_id,
+           lang AS lang_true,
+           {cols},
+           {pred} AS lang_pred
+    FROM {view}
+    """
+
+
+# ---------------------------------------------------------- fingerprints
+def fingerprint(docs: DataFrame) -> DataFrame:
+    """Full-text polynomial hash + min-shingle-hash (a 1-perm minhash):
+    the rolling-hash document fingerprint for incremental dedup."""
+    full = P.spark_poly_hash("lower(text)")
+    shingles = P.spark_shingles(P.spark_tokens("text"))
+    minsh = (
+        f"array_min(transform({shingles}, s -> {P.spark_poly_hash('s')}))"
+    )
+    return docs.selectExpr(
+        "doc_id",
+        f"{full} AS text_hash",
+        f"coalesce({minsh}, -1) AS min_shingle_hash",
+    )
+
+
+def oracle_fingerprint(view: str = "documents") -> str:
+    full = P.duck_poly_hash("lower(text)")
+    shingles = P.duck_shingles(P.duck_tokens("text"))
+    minsh = f"list_min(list_transform({shingles}, s -> {P.duck_poly_hash('s')}))"
+    return f"""
+    SELECT doc_id,
+           {full} AS text_hash,
+           coalesce({minsh}, -1) AS min_shingle_hash
+    FROM {view}
+    """

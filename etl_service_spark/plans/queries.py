@@ -1,0 +1,556 @@
+"""The query registry: every operator from SURVEY.md §2 (plus the
+training-data-pipeline operators) as a (Spark callable, DuckDB oracle)
+pair for the driver's correctness gate.
+
+Conventions that make the gate exact (see functions/portable.py):
+
+- money aggregation in DECIMAL, surfaced as DOUBLE (order-independent);
+- event timestamps as ``ts_us`` bigint micros (Spark converts stored
+  nanos by truncation; DuckDB ``epoch_us`` truncates identically);
+- every computed column aliased identically on both sides;
+- no ROUND on doubles anywhere.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import NamedTuple
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampNTZType,
+)
+
+from ..functions import portable as P
+from ..functions.placeholders import resolve_placeholders
+from ..operators import dedup, multimodal, similarity, textops
+from ..operators.align import AuditContext, align_to_schema
+from ..operators.copy import TakeoverWindow, copy_data_timesliced
+from ..operators.file_ingest import IngestContext, apply_mapping, inject_audit_columns
+from ..operators.csv_export import CsvOptions, format_lines
+from ..operators.sql_exec import execute_sql_target
+from ..sources.catalog import register_views
+
+SparkQuery = Callable[[SparkSession, str], DataFrame]
+
+
+class Case(NamedTuple):
+    spark: SparkQuery
+    oracle: str | None  # None → driver records rows-only check
+
+
+_VIEW_CACHE: dict[tuple[int, str], dict[str, DataFrame]] = {}
+
+
+def views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    key = (id(spark), sf_dir)
+    if key not in _VIEW_CACHE:
+        _VIEW_CACHE[key] = register_views(spark, sf_dir)
+    return _VIEW_CACHE[key]
+
+
+# events.ts fragments (see sources/catalog.py for the Spark-side conversion)
+TS_US = ("ts_us", "epoch_us(ts)")
+
+
+def _sql_case(spark_sql: str, duck_sql: str) -> Case:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        views(spark, sf_dir)
+        return spark.sql(spark_sql)
+
+    return Case(run, duck_sql)
+
+
+def _bi_case(template: str, **frags) -> Case:
+    s, d = P.bi_sql(template, **frags)
+    return _sql_case(s, d)
+
+
+# =====================================================================
+# ETL data plane (SURVEY §2.2)
+# =====================================================================
+_AUDIT = AuditContext(user="etl_user", query_time="2026-01-01 00:00:00", producer="spark_engine")
+
+_COPY_DST_SCHEMA = StructType(
+    [
+        StructField("o_orderkey", LongType()),
+        StructField("o_custkey", LongType()),
+        StructField("o_totalprice", DoubleType()),
+        StructField("o_orderdate", TimestampNTZType()),
+        StructField("Nutzer", StringType()),
+        StructField("Abfragezeitpunkt", TimestampNTZType()),
+        StructField("Datenproduzent", StringType()),
+        StructField("Bemerkung", StringType()),  # destination-only → NULL default
+    ]
+)
+
+
+def _q_copy_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1+D10: COPY with schema alignment + audit columns
+    (CommandExecuter.cs:322-544, :603-678)."""
+    v = views(spark, sf_dir)
+    src = v["orders"].filter(F.col("o_totalprice") > 150000.0)
+    return align_to_schema(src, _COPY_DST_SCHEMA, _AUDIT)
+
+
+ETL_COPY_ORACLE = """
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate,
+       'etl_user' AS "Nutzer",
+       TIMESTAMP '2026-01-01 00:00:00' AS "Abfragezeitpunkt",
+       'spark_engine' AS "Datenproduzent",
+       CAST(NULL AS VARCHAR) AS "Bemerkung"
+FROM orders WHERE o_totalprice > 150000.0
+"""
+
+
+def _q_copy_timesliced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2: time-sliced incremental copy (CommandExecuter.cs:50-304) —
+    one pushed-down window filter + month-slice tag, aggregated to the
+    per-slice ErwarteteDaten metric."""
+    from datetime import datetime
+
+    v = views(spark, sf_dir)
+    w = TakeoverWindow(datetime(1995, 1, 1), datetime(1995, 12, 31))
+    sliced = copy_data_timesliced(v["orders"], "o_orderdate", w)
+    return sliced.groupBy("Zeitscheibe_Monat").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)")).cast("double").alias("slice_value"),
+    )
+
+
+ETL_TIMESLICED_ORACLE = """
+SELECT strftime(o_orderdate, '%Y%m') AS "Zeitscheibe_Monat",
+       COUNT(*) AS n_rows,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS slice_value
+FROM orders
+WHERE o_orderdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+                      AND TIMESTAMP '1995-12-31 23:59:59.999999'
+GROUP BY 1
+"""
+
+_SQL_TARGET_COMMAND = """
+SELECT TOP 10 n.n_name AS nation,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+       ISNULL(NULL, '-') AS [Fehler Text]
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+ORDER BY revenue DESC, nation
+"""
+
+
+def _q_sql_target(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3: push an MS-SQL-flavored command through the dialect shim and
+    execute on the target catalog (CommandExecuter.cs:997-1075)."""
+    views(spark, sf_dir)
+    return execute_sql_target(spark, _SQL_TARGET_COMMAND)
+
+
+SQL_TARGET_ORACLE = """
+SELECT n.n_name AS nation,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+       coalesce(NULL, '-') AS "Fehler Text"
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+ORDER BY revenue DESC, nation
+LIMIT 10
+"""
+
+_PLACEHOLDER_TEMPLATE = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+WHERE o_orderdate BETWEEN '##Uebernahme_von##' AND '##Uebernahme_bis##'
+  AND o_orderkey % ##Workflow_ID## = 0
+"""
+
+
+def _q_placeholder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1: ##token## substitution (Helper.cs:3152-3239) feeding a query."""
+    views(spark, sf_dir)
+    sql = resolve_placeholders(
+        _PLACEHOLDER_TEMPLATE,
+        {"Uebernahme_von": "1996-01-01", "Uebernahme_bis": "1996-06-30 23:59:59", "Workflow_ID": "7"},
+    )
+    return spark.sql(sql)
+
+
+PLACEHOLDER_ORACLE = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+WHERE o_orderdate BETWEEN '1996-01-01' AND '1996-06-30 23:59:59'
+  AND o_orderkey % 7 = 0
+"""
+
+
+def _q_dedup_filename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D7: dedup-by-filename as a broadcast left-anti join
+    (CommandExecuter.cs:1736-1786)."""
+    from ..operators.file_ingest import dedup_new_files
+
+    v = views(spark, sf_dir)
+    fname = F.concat(F.col("source"), F.lit("_"), (F.col("doc_id") % 20).cast("string"))
+    docs = v["documents"].withColumn("Dateiname", fname)
+    incoming = docs.filter(F.col("doc_id") % 2 == 1)
+    loaded = docs.filter(F.col("doc_id") % 2 == 0).select("Dateiname")
+    fresh = dedup_new_files(incoming, loaded)
+    return fresh.groupBy("Dateiname").agg(F.count("*").alias("n_rows"))
+
+
+DEDUP_FILENAME_ORACLE = """
+WITH named AS (
+  SELECT doc_id, concat(source, '_', CAST(doc_id % 20 AS VARCHAR)) AS "Dateiname"
+  FROM documents
+),
+incoming AS (SELECT * FROM named WHERE doc_id % 2 = 1),
+loaded AS (SELECT DISTINCT "Dateiname" FROM named WHERE doc_id % 2 = 0)
+SELECT i."Dateiname", COUNT(*) AS n_rows
+FROM incoming i
+WHERE NOT EXISTS (SELECT 1 FROM loaded l WHERE l."Dateiname" = i."Dateiname")
+GROUP BY i."Dateiname"
+"""
+
+
+def _q_csv_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D8: the CSV serialization matrix (delimiter/qualifier/escape/null
+    token/date format — CommandExecuter.cs:2252-2345) as data."""
+    v = views(spark, sf_dir)
+    src = (
+        v["orders"]
+        .filter(F.col("o_orderkey") % 100 == 0)
+        .select(
+            "o_orderkey",
+            F.concat(F.col("o_orderpriority"), F.lit(';'), F.col("o_orderstatus")).alias("tricky"),
+            F.col("o_orderdate"),
+            F.when(F.col("o_totalprice") < 50000, None).otherwise(F.col("o_totalprice")).alias("maybe_null"),
+        )
+    )
+    return format_lines(src, CsvOptions(null_token="NULL"), order_col="o_orderkey")
+
+
+CSV_EXPORT_ORACLE = r"""
+SELECT o_orderkey,
+       concat(
+         CAST(o_orderkey AS VARCHAR), ';',
+         '"', replace(concat(o_orderpriority, ';', o_orderstatus), '"', '""'), '"', ';',
+         strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S'), ';',
+         CASE WHEN o_totalprice < 50000 THEN 'NULL' ELSE CAST(o_totalprice AS VARCHAR) END
+       ) AS line
+FROM orders WHERE o_orderkey % 100 = 0
+"""
+
+
+def _q_excel_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D6: sheet ingest — mapping.csv column renames + the 8 audit
+    columns (CommandExecuter.cs:1854-1868, :1974-1982)."""
+    v = views(spark, sf_dir)
+    mapping = {"p_name": "Produktname", "p_brand": "Marke", "p_retailprice": "Preis"}
+    ctx = IngestContext(
+        mandant_id=1,
+        datenherkunft="sheet-import",
+        producer="spark_engine",
+        query_time="2026-01-01 00:00:00",
+        export_date="2026-01-01",
+    )
+    df = apply_mapping(v["part"].select("p_partkey", "p_name", "p_brand", "p_retailprice"), mapping)
+    df = inject_audit_columns(df, "parts_2026.xlsx", ctx, pk_col="p_partkey")
+    # DATE columns surface as strings for the cross-engine compare
+    return df.withColumn("Exportdatum", F.date_format("Exportdatum", "yyyy-MM-dd")).withColumn(
+        "LoeschDatum", F.col("LoeschDatum").cast("string")
+    )
+
+
+EXCEL_INGEST_ORACLE = """
+SELECT p_partkey,
+       p_name AS "Produktname",
+       p_brand AS "Marke",
+       p_retailprice AS "Preis",
+       'parts_2026.xlsx' AS "Dateiname",
+       '2026-01-01' AS "Exportdatum",
+       CAST(1 AS BIGINT) AS "Mandanten_ID",
+       CAST(NULL AS VARCHAR) AS "LoeschDatum",
+       'sheet-import' AS "Datenherkunft",
+       CAST(p_partkey AS BIGINT) AS "DataVorsystemPK",
+       'spark_engine' AS "Datenproduzent",
+       TIMESTAMP '2026-01-01 00:00:00' AS "Abfragezeitpunkt"
+FROM part
+"""
+
+
+# =====================================================================
+# Config-plane query shapes (SURVEY §2.4)
+# =====================================================================
+CFG_FILTER_TEMPLATE = """
+SELECT event_id, user_id, {ts_us} AS ts_us
+FROM events
+WHERE event_type = 'signup' AND value IS NOT NULL
+"""
+
+CFG_JOIN_TEMPLATE = """
+SELECT o.o_orderpriority, c.c_mktsegment,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE o.o_orderstatus IN ('O', 'F')
+GROUP BY o.o_orderpriority, c.c_mktsegment
+"""
+
+CFG_LEFT_JOIN_TEMPLATE = """
+SELECT c.c_custkey,
+       COUNT(o.o_orderkey) AS n_orders,
+       MIN(o.o_orderdate) AS first_order
+FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+GROUP BY c.c_custkey
+"""
+
+
+# =====================================================================
+# Run-log analytics shapes (SURVEY §2.5) over the test tables
+# =====================================================================
+ANA_UNION_TEMPLATE = """
+SELECT 'workflow' AS level, CAST(r_regionkey AS BIGINT) AS entity_id,
+       r_name AS name, '-' AS detail
+FROM region
+UNION ALL
+SELECT 'package' AS level, CAST(n_nationkey AS BIGINT), n_name,
+       concat('region_', n_regionkey)
+FROM nation
+UNION ALL
+SELECT 'realization' AS level, c_custkey, c_name, coalesce(c_mktsegment, '-')
+FROM customer WHERE c_custkey % 10 = 0
+UNION ALL
+SELECT 'step' AS level, o_orderkey, o_orderstatus, coalesce(o_orderpriority, '-')
+FROM orders WHERE o_orderkey % 100 = 0
+"""
+
+ANA_DURATION_TEMPLATE = """
+SELECT user_id,
+       COUNT(*) AS n_events,
+       CASE WHEN COUNT(*) < 2 THEN -1
+            ELSE CAST((MAX({ts_us}) - MAX({ts_us}) % 60000000) / 60000000 AS BIGINT)
+               - CAST((MIN({ts_us}) - MIN({ts_us}) % 60000000) / 60000000 AS BIGINT)
+       END AS duration_min
+FROM events
+GROUP BY user_id
+"""
+
+ANA_ARGMAX_TEMPLATE = """
+SELECT user_id, event_id, event_type, ts_us FROM (
+  SELECT user_id, event_id, event_type, {ts_us} AS ts_us,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY {ts_us} DESC, event_id DESC) AS rn
+  FROM events
+) t WHERE rn = 1
+"""
+
+ANA_TREE_TEMPLATE = """
+SELECT concat('R', r_regionkey) AS node, 'ROOT' AS parent,
+       r_name AS name, 1 AS lvl
+FROM region
+UNION ALL
+SELECT concat('N', n_nationkey), concat('R', n_regionkey),
+       n_name, 2
+FROM nation
+UNION ALL
+SELECT concat('C', c_custkey), concat('N', c_nationkey),
+       c_name, 3
+FROM customer
+UNION ALL
+SELECT concat('O', o_orderkey), concat('C', o_custkey),
+       o_orderstatus, 4
+FROM orders WHERE o_orderkey % 20 = 0
+"""
+
+ANA_TIMELINE_TEMPLATE = """
+SELECT 'order' AS item_type, o_orderkey AS item_id,
+       {fmt_order} AS start_day
+FROM orders WHERE o_orderkey % 50 = 0
+UNION ALL
+SELECT event_type AS item_type, event_id AS item_id,
+       {fmt_event} AS start_day
+FROM events WHERE event_id % 10 = 0
+"""
+
+ANA_TODAY_TEMPLATE = """
+SELECT o.o_orderkey, c.c_name, {dfmt} AS run_date, o.o_totalprice
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE o.o_orderdate >= TIMESTAMP '1998-06-01 00:00:00'
+"""
+
+
+# =====================================================================
+# TPC-H-style headline queries (bench + gate)
+# =====================================================================
+TPCH_Q1_TEMPLATE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))) * (CAST(1 AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE) AS sum_charge,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_price,
+       CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+TPCH_Q3_TEMPLATE = """
+SELECT l.l_orderkey,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l.l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+       {dfmt} AS orderdate
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY l.l_orderkey, o.o_orderdate
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+CHAIN_JOIN_TEMPLATE = """
+SELECT r.r_name AS region, n.n_name AS nation,
+       COUNT(*) AS n_items,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l.l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE o.o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1995-01-01 00:00:00'
+GROUP BY r.r_name, n.n_name
+"""
+
+TOP_PARTS_TEMPLATE = """
+SELECT p_brand, p_partkey, revenue FROM (
+  SELECT p_brand, p_partkey, revenue,
+         ROW_NUMBER() OVER (PARTITION BY p_brand ORDER BY revenue DESC, p_partkey) AS rnk
+  FROM (
+    SELECT p.p_brand, p.p_partkey,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l.l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand, p.p_partkey
+  ) agg
+) t WHERE rnk <= 3
+"""
+
+
+# =====================================================================
+# Events (stream-shaped) queries
+# =====================================================================
+EVENTS_WINDOW_TEMPLATE = """
+SELECT event_type,
+       CAST(({ts_us} - {ts_us} % 3600000000) / 3600000000 AS BIGINT) AS hour_bucket,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY event_type, CAST(({ts_us} - {ts_us} % 3600000000) / 3600000000 AS BIGINT)
+"""
+
+EVENTS_JSON_TEMPLATE = """
+SELECT {json_k} AS k_value, COUNT(*) AS n
+FROM events
+GROUP BY {json_k}
+"""
+
+
+# =====================================================================
+# Registry assembly
+# =====================================================================
+def _text_case(fn, oracle_fn) -> Case:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        v = views(spark, sf_dir)
+        return fn(v["documents"])
+
+    return Case(run, oracle_fn())
+
+
+def _pair_case(sql_builder: tuple[str, str]) -> Case:
+    s, d = sql_builder
+    return _sql_case(s, d)
+
+
+def registry() -> dict[str, Case]:
+    cases: dict[str, Case] = {}
+
+    # --- ETL data plane
+    cases["etl_copy_align_audit"] = Case(_q_copy_align, ETL_COPY_ORACLE)
+    cases["etl_copy_timesliced"] = Case(_q_copy_timesliced, ETL_TIMESLICED_ORACLE)
+    cases["etl_sql_target_dialect"] = Case(_q_sql_target, SQL_TARGET_ORACLE)
+    cases["etl_placeholder_window"] = Case(_q_placeholder, PLACEHOLDER_ORACLE)
+    cases["etl_dedup_filename"] = Case(_q_dedup_filename, DEDUP_FILENAME_ORACLE)
+    cases["etl_csv_export_lines"] = Case(_q_csv_export, CSV_EXPORT_ORACLE)
+    cases["etl_excel_ingest_audit"] = Case(_q_excel_ingest, EXCEL_INGEST_ORACLE)
+
+    # --- config-plane shapes
+    cases["cfg_filter_due"] = _bi_case(CFG_FILTER_TEMPLATE, ts_us=TS_US)
+    cases["cfg_join_priority"] = _bi_case(CFG_JOIN_TEMPLATE)
+    cases["cfg_left_join_steps"] = _bi_case(CFG_LEFT_JOIN_TEMPLATE)
+
+    # --- run-log analytics shapes
+    cases["ana_union_report"] = _bi_case(ANA_UNION_TEMPLATE)
+    cases["ana_duration_datediff"] = _bi_case(ANA_DURATION_TEMPLATE, ts_us=TS_US)
+    cases["ana_argmax_last_run"] = _bi_case(ANA_ARGMAX_TEMPLATE, ts_us=TS_US)
+    cases["ana_hierarchy_tree"] = _bi_case(ANA_TREE_TEMPLATE)
+    cases["ana_timeline_union"] = _bi_case(
+        ANA_TIMELINE_TEMPLATE,
+        fmt_order=("date_format(o_orderdate, 'yyyy-MM-dd')", "strftime(o_orderdate, '%Y-%m-%d')"),
+        fmt_event=("date_format(ts, 'yyyy-MM-dd')", "strftime(ts, '%Y-%m-%d')"),
+    )
+    cases["ana_today_runs"] = _bi_case(
+        ANA_TODAY_TEMPLATE,
+        dfmt=("date_format(o.o_orderdate, 'yyyy-MM-dd')", "strftime(o.o_orderdate, '%Y-%m-%d')"),
+    )
+
+    # --- TPC-H-style headliners
+    cases["tpch_q1_pricing"] = _bi_case(TPCH_Q1_TEMPLATE)
+    cases["tpch_q3_shipping"] = _bi_case(
+        TPCH_Q3_TEMPLATE,
+        dfmt=("date_format(o.o_orderdate, 'yyyy-MM-dd')", "strftime(o.o_orderdate, '%Y-%m-%d')"),
+    )
+    cases["chain_join_revenue"] = _bi_case(CHAIN_JOIN_TEMPLATE)
+    cases["top_parts_by_revenue"] = _bi_case(TOP_PARTS_TEMPLATE)
+
+    # --- events
+    cases["events_window_agg"] = _bi_case(EVENTS_WINDOW_TEMPLATE, ts_us=TS_US)
+    cases["events_json_extract"] = _bi_case(
+        EVENTS_JSON_TEMPLATE,
+        json_k=(
+            "CAST(get_json_object(props, '$.k') AS INT)",
+            "CAST(json_extract_string(props, '$.k') AS INT)",
+        ),
+    )
+
+    # --- text analysis
+    cases["text_token_stats"] = _text_case(textops.token_stats, textops.oracle_token_stats)
+    cases["text_quality_score"] = _text_case(textops.quality_score, textops.oracle_quality_score)
+    cases["text_lang_id"] = _text_case(textops.lang_id, textops.oracle_lang_id)
+    cases["text_fingerprint"] = _text_case(textops.fingerprint, textops.oracle_fingerprint)
+
+    # --- dedup family
+    cases["dedup_exact"] = _pair_case(dedup.exact_dedup_sql())
+    cases["dedup_ngram_jaccard"] = _pair_case(dedup.ngram_jaccard_sql())
+    cases["dedup_minhash_lsh"] = _pair_case(dedup.minhash_lsh_sql())
+    cases["dedup_simhash"] = _pair_case(dedup.simhash_sql())
+
+    # --- similarity search
+    cases["ann_cosine_topk"] = _pair_case(similarity.cosine_topk_sql())
+    cases["emb_cosine_neardup"] = _pair_case(similarity.embedding_neardup_sql())
+    cases["ann_lsh_bucketed"] = _pair_case(similarity.lsh_ann_sql())
+
+    # --- multimodal plumbing
+    cases["media_binary_stats"] = _pair_case(multimodal.media_stats_sql())
+
+    return cases

@@ -41,8 +41,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # nanos → micros (truncating), keep both representations
-        df = df.withColumn("ts_us", (F.col("ts") / F.lit(1000)).cast("long")).withColumn(
-            "ts", F.to_timestamp_ntz(F.timestamp_micros(F.col("ts_us")))
+        # integer DIV, not `/`: epoch-nanos ≈ 1.7e18 exceeds double's 2^53
+        df = df.withColumn("ts_us", F.expr("ts DIV 1000")).withColumn(
+            "ts", F.timestamp_micros(F.col("ts_us")).cast("timestamp_ntz")
         )
     return df
 
