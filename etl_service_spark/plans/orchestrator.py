@@ -1,0 +1,298 @@
+"""DAG orchestrator (SURVEY §2.8 O1-O9) — the Spark-idiomatic
+replacement for the reference's hand-rolled semaphores/queues.
+
+The reference coordinates .NET tasks sharing mutable DataTables, so it
+needs exclusive locks, FIFO queues and table-access mutual exclusion
+(ParallelLockManager.cs, QueueManager.cs, Processor.cs:978-1105).
+Spark jobs share nothing mutable — the only real conflict is two steps
+writing the same target table. Disposition (SURVEY §2.8):
+
+- O1 global thread cap        → ThreadPoolExecutor(max_workers)
+- O2 per-realization step cap → per-realization semaphore
+- O3 Parallelsperre           → drain-then-run exclusive phase (an
+  exclusive item waits for running peers, runs alone, releases)
+- O5 table-access mutex       → per-target-table threading.Lock
+  (serializes conflicting writes, preserving observable semantics;
+  source reads need no lock — parquet/Delta reads are snapshot-safe)
+- O6 package dependency DAG   → topological waves over the Vorlauf
+  edge list (Package.cs:844-1069)
+- O7 priority barriers        → realizations grouped by
+  Paket_Priorisierung; equal priorities run concurrently, a priority
+  change is a barrier (Package.cs:1076-1120)
+- O8 step ordering            → steps launch in Schritt_Reihenfolge
+  order (Realization.cs:809-843)
+- O9 cancellation + fallback  → first failure cancels the run and
+  executes the fallback package (Workflow.cs:1387-1735)
+"""
+
+from __future__ import annotations
+
+import threading
+from collections import defaultdict, deque
+from concurrent.futures import ThreadPoolExecutor, wait
+from dataclasses import dataclass, field
+from typing import Callable
+
+from .statemachine import Stage, WorkflowState
+
+
+class CycleError(ValueError):
+    pass
+
+
+class RunAborted(RuntimeError):
+    pass
+
+
+@dataclass(frozen=True)
+class Step:
+    """pc.ETL_Paketschritte row essentials (res/pc/ETL_Paketschritte.sql:
+    13-20): the action plus its declared table access (Quelltabelle/
+    Zieltabelle comma lists, Realization.cs:704-707)."""
+
+    name: str
+    action: Callable[[], object]
+    order: int = 0  # Schritt_Reihenfolge
+    target_tables: tuple[str, ...] = ()
+    exclusive: bool = False  # Parallelsperre
+
+
+@dataclass(frozen=True)
+class Realization:
+    name: str
+    steps: tuple[Step, ...]
+    priority: int = 1  # Paket_Priorisierung
+    max_parallel_steps: int = 0  # Anzahl_Parallele_Schritte; 0 = unlimited
+
+
+@dataclass(frozen=True)
+class Package:
+    name: str
+    realizations: tuple[Realization, ...] = ()
+    depends_on: tuple[str, ...] = ()  # Vorlauf package names
+
+
+@dataclass
+class RunReport:
+    succeeded: list[str] = field(default_factory=list)
+    failed: list[str] = field(default_factory=list)
+    skipped: list[str] = field(default_factory=list)
+    fallback_ran: bool = False
+    package_order: list[str] = field(default_factory=list)
+
+
+def topological_waves(packages: dict[str, Package]) -> list[list[str]]:
+    """O6: Kahn's algorithm returning dependency 'waves' — every package
+    in wave i only depends on waves < i, so a wave runs concurrently."""
+    indeg = {n: 0 for n in packages}
+    out: dict[str, list[str]] = defaultdict(list)
+    for p in packages.values():
+        for dep in p.depends_on:
+            if dep not in packages:
+                raise CycleError(f"unknown dependency {dep!r} of {p.name!r}")
+            indeg[p.name] += 1
+            out[dep].append(p.name)
+    wave = sorted(n for n, d in indeg.items() if d == 0)
+    waves: list[list[str]] = []
+    seen = 0
+    while wave:
+        waves.append(wave)
+        seen += len(wave)
+        nxt: set[str] = set()
+        for n in wave:
+            for m in out[n]:
+                indeg[m] -= 1
+                if indeg[m] == 0:
+                    nxt.add(m)
+        wave = sorted(nxt)
+    if seen != len(packages):
+        raise CycleError("dependency cycle among packages")
+    return waves
+
+
+class TableLockManager:
+    """O5: serialize writes per target table (the one conflict that
+    survives the move to Spark)."""
+
+    def __init__(self) -> None:
+        self._locks: dict[str, threading.Lock] = {}
+        self._guard = threading.Lock()
+
+    def acquire_all(self, tables: tuple[str, ...]) -> list[threading.Lock]:
+        # deterministic order prevents deadlock between steps
+        got = []
+        for t in sorted(set(tables)):
+            with self._guard:
+                lock = self._locks.setdefault(t, threading.Lock())
+            lock.acquire()
+            got.append(lock)
+        return got
+
+    @staticmethod
+    def release_all(locks: list[threading.Lock]) -> None:
+        for lock in reversed(locks):
+            lock.release()
+
+
+class ExclusiveGate:
+    """O3 Parallelsperre: an exclusive step announces, waits for running
+    normal steps to drain, runs alone; normal steps wait while an
+    exclusive one is announced/running (ParallelLockManager.cs:86-557,
+    grant rule Processor.cs:450-470)."""
+
+    def __init__(self) -> None:
+        self._cond = threading.Condition()
+        self._running_normal = 0
+        self._exclusive_waiting = 0
+        self._exclusive_running = False
+
+    def enter(self, exclusive: bool) -> None:
+        with self._cond:
+            if exclusive:
+                self._exclusive_waiting += 1
+                self._cond.wait_for(lambda: not self._exclusive_running and self._running_normal == 0)
+                self._exclusive_waiting -= 1
+                self._exclusive_running = True
+            else:
+                self._cond.wait_for(lambda: not self._exclusive_running and self._exclusive_waiting == 0)
+                self._running_normal += 1
+
+    def leave(self, exclusive: bool) -> None:
+        with self._cond:
+            if exclusive:
+                self._exclusive_running = False
+            else:
+                self._running_normal -= 1
+            self._cond.notify_all()
+
+
+@dataclass
+class Workflow:
+    name: str
+    packages: dict[str, Package]
+    master: str
+    fallback: str | None = None  # ETL_Fallback_Pakete_ID analogue
+
+
+class Orchestrator:
+    """Runs one workflow: state machine + DAG + admission + locks."""
+
+    def __init__(self, max_threads: int = 10) -> None:
+        # O1: Anzahl_ETL_Threads (Processor.cs:66, default 10)
+        self.max_threads = max_threads
+        self.tables = TableLockManager()
+        self.gate = ExclusiveGate()
+
+    # ------------------------------------------------------------ steps
+    def _run_step(self, step: Step, realization_sem: threading.Semaphore | None,
+                  cancel: threading.Event, report: RunReport) -> None:
+        if cancel.is_set():
+            report.skipped.append(step.name)
+            return
+        self.gate.enter(step.exclusive)
+        try:
+            if realization_sem:
+                realization_sem.acquire()
+            locks = self.tables.acquire_all(step.target_tables)
+            try:
+                if cancel.is_set():
+                    report.skipped.append(step.name)
+                    return
+                step.action()
+                report.succeeded.append(step.name)
+            finally:
+                self.tables.release_all(locks)
+                if realization_sem:
+                    realization_sem.release()
+        except Exception:
+            report.failed.append(step.name)
+            cancel.set()
+            raise
+        finally:
+            self.gate.leave(step.exclusive)
+
+    def _run_realization(self, pool: ThreadPoolExecutor, r: Realization,
+                         cancel: threading.Event, report: RunReport,
+                         errors: list[BaseException]) -> None:
+        # O2: per-realization cap; O8: launch in Schritt_Reihenfolge order
+        sem = threading.Semaphore(r.max_parallel_steps) if r.max_parallel_steps else None
+        futures = [
+            pool.submit(self._run_step, s, sem, cancel, report)
+            for s in sorted(r.steps, key=lambda s: s.order)
+        ]
+        done, _ = wait(futures)
+        for f in done:
+            exc = f.exception()
+            if exc is not None:
+                errors.append(exc)
+
+    def _run_package(self, pool: ThreadPoolExecutor, p: Package,
+                     cancel: threading.Event, report: RunReport,
+                     errors: list[BaseException]) -> None:
+        report.package_order.append(p.name)
+        # O7: group by priority; equal priorities concurrent, change = barrier.
+        # Coordination runs on plain threads — only STEPS consume the
+        # bounded pool (the reference's thread cap gates steps, O1).
+        by_prio: dict[int, list[Realization]] = defaultdict(list)
+        for r in p.realizations:
+            by_prio[r.priority].append(r)
+        for prio in sorted(by_prio):
+            if cancel.is_set() and errors:
+                return
+            threads = [
+                threading.Thread(
+                    target=self._run_realization, args=(pool, r, cancel, report, errors)
+                )
+                for r in by_prio[prio]
+            ]
+            for t in threads:
+                t.start()
+            for t in threads:
+                t.join()  # priority barrier (Task.WaitAll, Package.cs:1076-1120)
+
+    # ------------------------------------------------------------- runs
+    def run(self, wf: Workflow, state: WorkflowState | None = None) -> RunReport:
+        report = RunReport()
+        cancel = threading.Event()
+        errors: list[BaseException] = []
+        if state:
+            state.transition(Stage.INITIALIZING)
+        # restrict to the master package's dependency closure (O6)
+        needed: set[str] = set()
+        stack = deque([wf.master])
+        while stack:
+            n = stack.pop()
+            if n in needed:
+                continue
+            needed.add(n)
+            stack.extend(wf.packages[n].depends_on)
+        waves = topological_waves({n: wf.packages[n] for n in needed})
+        if state:
+            state.transition(Stage.EXECUTING)
+        with ThreadPoolExecutor(max_workers=self.max_threads) as pool:
+            for wave in waves:
+                if errors:
+                    break
+                threads = [
+                    threading.Thread(
+                        target=self._run_package,
+                        args=(pool, wf.packages[n], cancel, report, errors),
+                    )
+                    for n in wave
+                ]
+                for t in threads:
+                    t.start()
+                for t in threads:
+                    t.join()
+            if errors:
+                # O9: abort cascade happened via the cancel event; run the
+                # fallback package, then mark Failed (Workflow.cs:1465-1538)
+                if wf.fallback and wf.fallback in wf.packages:
+                    fb_errors: list[BaseException] = []
+                    self._run_package(
+                        pool, wf.packages[wf.fallback], threading.Event(), report, fb_errors
+                    )
+                    report.fallback_ran = not fb_errors
+        if state:
+            state.transition(Stage.FAILED if errors else Stage.FINISHED)
+        return report

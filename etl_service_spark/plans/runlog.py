@@ -1,0 +1,194 @@
+"""Run-log model + analytics (SURVEY §2.5, FIXTURES.md §C).
+
+The reference writes hierarchical run logs into four ``Logging.*
+Prozesslaeufe`` tables (workflow → package → realization → step,
+parent-FK chain; Helper.cs:2312 InitializeLogging, :2492 UpdateLog)
+plus messages/errors/query-log tables, and answers analytics A1-A8
+over them. Here the run log is an append-only parquet table per level
+(Delta-ready layout: partition by run date at scale) and the analytics
+are Spark SQL.
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+from dataclasses import dataclass, field
+from datetime import datetime
+from itertools import count
+
+from pyspark.sql import DataFrame, SparkSession
+
+LEVELS = ("workflow", "package", "realization", "step")
+
+_LIFECYCLE_COLS = (
+    "Anforderungszeitpunkt",
+    "Startzeitpunkt",
+    "Endzeitpunkt",
+    "Ist_gestartet",
+    "Ist_abgeschlossen",
+    "Erfolgreich",
+)
+
+
+@dataclass
+class RunLog:
+    """In-driver run-log accumulator, flushed to parquet per level.
+
+    The reference UPDATEs log rows in place (UpdateLog); an analytics
+    store wants append-only — we append lifecycle events and let the
+    queries take the LAST event per run id (argmax — exactly the A6
+    pattern). At 100 TB-scale logging this is the standard
+    event-sourced layout; compaction = groupBy run id.
+    """
+
+    base_path: str
+    _rows: dict[str, list[dict]] = field(default_factory=lambda: {lv: [] for lv in LEVELS})
+    _ids: "count[int]" = field(default_factory=lambda: count(1))
+    _lock: threading.Lock = field(default_factory=threading.Lock)
+
+    def open(self, level: str, name: str, parent_id: int | None, requested: datetime) -> int:
+        with self._lock:
+            run_id = next(self._ids)
+            self._rows[level].append(
+                dict(
+                    run_id=run_id,
+                    name=name,
+                    parent_id=parent_id,
+                    Anforderungszeitpunkt=requested.isoformat(),
+                    Startzeitpunkt=datetime.now().isoformat(),
+                    Endzeitpunkt=None,
+                    Ist_gestartet=True,
+                    Ist_abgeschlossen=False,
+                    Erfolgreich=None,
+                    ErwarteteDaten=None,
+                )
+            )
+            return run_id
+
+    def close(self, level: str, run_id: int, *, success: bool, expected_rows: int | None = None) -> None:
+        with self._lock:
+            base = next(r for r in self._rows[level] if r["run_id"] == run_id)
+            row = dict(base)
+            row.update(
+                Endzeitpunkt=datetime.now().isoformat(),
+                Ist_abgeschlossen=True,
+                Erfolgreich=success,
+                ErwarteteDaten=expected_rows,
+            )
+            self._rows[level].append(row)
+
+    SCHEMA = (
+        "run_id BIGINT, name STRING, parent_id BIGINT, "
+        "Anforderungszeitpunkt STRING, Startzeitpunkt STRING, Endzeitpunkt STRING, "
+        "Ist_gestartet BOOLEAN, Ist_abgeschlossen BOOLEAN, Erfolgreich BOOLEAN, "
+        "ErwarteteDaten BIGINT"
+    )
+
+    def flush(self, spark: SparkSession) -> dict[str, DataFrame]:
+        out = {}
+        for lv in LEVELS:
+            if not self._rows[lv]:
+                continue
+            df = spark.createDataFrame(
+                [tuple(r[k] for k in (
+                    "run_id", "name", "parent_id", "Anforderungszeitpunkt",
+                    "Startzeitpunkt", "Endzeitpunkt", "Ist_gestartet",
+                    "Ist_abgeschlossen", "Erfolgreich", "ErwarteteDaten",
+                )) for r in self._rows[lv]],
+                schema=self.SCHEMA,
+            )
+            path = os.path.join(self.base_path, f"runlog_{lv}.parquet")
+            df.write.mode("append").parquet(path)
+            out[lv] = spark.read.parquet(path)
+        return out
+
+
+def register_runlog_views(spark: SparkSession, base_path: str) -> None:
+    for lv in LEVELS:
+        p = os.path.join(base_path, f"runlog_{lv}.parquet")
+        if os.path.exists(p):
+            df = spark.read.parquet(p)
+        else:  # level never logged → empty relation keeps A1/A7/A8 unions total
+            df = spark.createDataFrame([], schema=RunLog.SCHEMA)
+        df.createOrReplaceTempView(f"runlog_{lv}")
+
+
+# ------------------------------------------------------------- analytics
+def current_state_sql(level: str) -> str:
+    """Collapse the event-sourced log to current state per run (A6
+    argmax pattern, app.R:331-379)."""
+    return f"""
+    SELECT * FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY run_id ORDER BY coalesce(Endzeitpunkt, Startzeitpunkt) DESC
+      ) AS _rn FROM runlog_{level}
+    ) WHERE _rn = 1
+    """
+
+
+def error_report_sql() -> str:
+    """A1 (Helper.cs:922-1025): 4-branch union over the levels with
+    NULL-coalesced projections."""
+    branches = []
+    for lv in LEVELS:
+        branches.append(
+            f"""
+        SELECT '{lv}' AS level, run_id, name,
+               coalesce(CAST(parent_id AS STRING), '-') AS parent,
+               Startzeitpunkt, Endzeitpunkt
+        FROM ({current_state_sql(lv)})
+        WHERE Erfolgreich = false"""
+        )
+    return "\nUNION ALL\n".join(branches)
+
+
+def run_duration_sql(level: str = "workflow") -> str:
+    """A2 (Helper.cs:687-702): DATEDIFF with NULL-end fallback to now."""
+    return f"""
+    SELECT run_id, name,
+           CAST((unix_timestamp(coalesce(CAST(Endzeitpunkt AS TIMESTAMP), current_timestamp()))
+               - unix_timestamp(CAST(Startzeitpunkt AS TIMESTAMP))) / 60 AS BIGINT) AS duration_min
+    FROM ({current_state_sql(level)})
+    """
+
+
+def last_run_per_workflow_sql() -> str:
+    """A6 (app.R:331-379): argmax Endzeitpunkt per workflow name."""
+    return f"""
+    SELECT name, run_id, Startzeitpunkt, Endzeitpunkt FROM (
+      SELECT name, run_id, Startzeitpunkt, Endzeitpunkt,
+             ROW_NUMBER() OVER (PARTITION BY name ORDER BY Endzeitpunkt DESC NULLS LAST, run_id DESC) AS rn
+      FROM ({current_state_sql('workflow')})
+    ) WHERE rn = 1
+    """
+
+
+def run_tree_sql() -> str:
+    """A7 (app.R:767-816): the recursive CTE materialized as the bounded
+    4-level union (Spark has no WITH RECURSIVE; the hierarchy depth is
+    fixed by the schema, so iteration is exact, not an approximation)."""
+    parts = []
+    parent = {"workflow": None, "package": "workflow", "realization": "package", "step": "realization"}
+    for lv in LEVELS:
+        pfx = lv[0].upper()
+        ppfx = parent[lv][0].upper() if parent[lv] else None
+        parent_expr = f"concat('{ppfx}', parent_id)" if ppfx else "'ROOT'"
+        parts.append(
+            f"""
+        SELECT concat('{pfx}', run_id) AS node, {parent_expr} AS parent, name, '{lv}' AS level
+        FROM ({current_state_sql(lv)})"""
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+def timeline_sql() -> str:
+    """A8 (app.R:824+): Gantt input — one row per run per level."""
+    parts = [
+        f"""
+        SELECT '{lv}' AS level, run_id, name, Startzeitpunkt AS start_ts,
+               coalesce(Endzeitpunkt, Startzeitpunkt) AS end_ts
+        FROM ({current_state_sql(lv)})"""
+        for lv in LEVELS
+    ]
+    return "\nUNION ALL\n".join(parts)

@@ -1,0 +1,184 @@
+"""Orchestrator semantics: DAG order (O6), priority barriers (O7), step
+order (O8), admission caps (O1/O2), table-write serialization (O5),
+Parallelsperre (O3), cancellation + fallback (O9), D9 dummy steps."""
+
+from __future__ import annotations
+
+import threading
+import time
+
+import pytest
+
+from etl_service_spark.plans.orchestrator import (
+    CycleError,
+    Orchestrator,
+    Package,
+    Realization,
+    Step,
+    Workflow,
+    topological_waves,
+)
+from etl_service_spark.plans.statemachine import Stage, WorkflowState
+
+
+def _wf(packages, master, fallback=None):
+    return Workflow("wf", {p.name: p for p in packages}, master, fallback)
+
+
+def test_topological_waves_order():
+    pkgs = {
+        "a": Package("a"),
+        "b": Package("b", depends_on=("a",)),
+        "c": Package("c", depends_on=("a",)),
+        "d": Package("d", depends_on=("b", "c")),
+    }
+    assert topological_waves(pkgs) == [["a"], ["b", "c"], ["d"]]
+
+
+def test_cycle_detection():
+    pkgs = {"a": Package("a", depends_on=("b",)), "b": Package("b", depends_on=("a",))}
+    with pytest.raises(CycleError):
+        topological_waves(pkgs)
+
+
+def test_dependencies_run_before_package():
+    order = []
+    mk = lambda n: Step(n, lambda n=n: order.append(n))
+    wf = _wf(
+        [
+            Package("stage", (Realization("r1", (mk("s_stage"),)),)),
+            Package("master", (Realization("r2", (mk("s_master"),)),), depends_on=("stage",)),
+        ],
+        "master",
+    )
+    state = WorkflowState("wf")
+    state.transition(Stage.SCHEDULED)
+    report = Orchestrator(4).run(wf, state)
+    assert order == ["s_stage", "s_master"]
+    assert state.stage is Stage.FINISHED
+    assert report.package_order == ["stage", "master"]
+
+
+def test_priority_barrier():
+    events = []
+    lock = threading.Lock()
+
+    def act(tag):
+        def _():
+            with lock:
+                events.append(("start", tag))
+            time.sleep(0.05)
+            with lock:
+                events.append(("end", tag))
+
+        return _
+
+    pkg = Package(
+        "p",
+        (
+            Realization("low_a", (Step("a", act("a")),), priority=1),
+            Realization("low_b", (Step("b", act("b")),), priority=1),
+            Realization("high", (Step("c", act("c")),), priority=2),
+        ),
+    )
+    Orchestrator(8).run(_wf([pkg], "p"))
+    # c must start only after both priority-1 steps ended
+    c_start = events.index(("start", "c"))
+    assert ("end", "a") in events[:c_start] and ("end", "b") in events[:c_start]
+
+
+def test_per_realization_cap():
+    running = 0
+    peak = 0
+    lock = threading.Lock()
+
+    def act():
+        nonlocal running, peak
+        with lock:
+            running += 1
+            peak = max(peak, running)
+        time.sleep(0.03)
+        with lock:
+            running -= 1
+
+    steps = tuple(Step(f"s{i}", act, order=i) for i in range(6))
+    pkg = Package("p", (Realization("r", steps, max_parallel_steps=2),))
+    Orchestrator(8).run(_wf([pkg], "p"))
+    assert peak <= 2
+
+
+def test_table_lock_serializes_writers():
+    active_per_table: dict[str, int] = {"t": 0}
+    violations = []
+    lock = threading.Lock()
+
+    def writer():
+        with lock:
+            active_per_table["t"] += 1
+            if active_per_table["t"] > 1:
+                violations.append(True)
+        time.sleep(0.02)
+        with lock:
+            active_per_table["t"] -= 1
+
+    steps = tuple(Step(f"w{i}", writer, target_tables=("t",)) for i in range(5))
+    pkg = Package("p", (Realization("r", steps),))
+    Orchestrator(8).run(_wf([pkg], "p"))
+    assert not violations
+
+
+def test_exclusive_step_runs_alone():
+    active = 0
+    excl_overlap = []
+    lock = threading.Lock()
+
+    def normal():
+        nonlocal active
+        with lock:
+            active += 1
+        time.sleep(0.02)
+        with lock:
+            active -= 1
+
+    def exclusive():
+        with lock:
+            if active > 0:
+                excl_overlap.append(active)
+        time.sleep(0.02)
+
+    steps = tuple(Step(f"n{i}", normal) for i in range(4)) + (
+        Step("x", exclusive, exclusive=True),
+    )
+    pkg = Package("p", (Realization("r", steps),))
+    Orchestrator(8).run(_wf([pkg], "p"))
+    assert not excl_overlap
+
+
+def test_failure_cancels_and_runs_fallback():
+    ran = []
+
+    def boom():
+        raise RuntimeError("step failed")
+
+    wf = _wf(
+        [
+            Package("main", (Realization("r", (Step("bad", boom),)),)),
+            Package("cleanup", (Realization("fb", (Step("fallback_step", lambda: ran.append("fb")),)),)),
+        ],
+        "main",
+        fallback="cleanup",
+    )
+    state = WorkflowState("wf")
+    state.transition(Stage.SCHEDULED)
+    report = Orchestrator(4).run(wf, state)
+    assert state.stage is Stage.FAILED
+    assert report.failed == ["bad"]
+    assert report.fallback_ran and ran == ["fb"]
+
+
+def test_dummy_step_d9():
+    """D9 TEST command: sleep N seconds (CommandExecuter.cs:28-33)."""
+    t0 = time.monotonic()
+    pkg = Package("p", (Realization("r", (Step("sleep", lambda: time.sleep(0.1)),)),))
+    Orchestrator(2).run(_wf([pkg], "p"))
+    assert time.monotonic() - t0 >= 0.1

@@ -1,0 +1,159 @@
+"""Scheduler calculus edge cases (SURVEY §7.3.4): interval advance,
+nth-week, last-of-month, k-per-week mapping, immediate run, backoff."""
+
+from __future__ import annotations
+
+from datetime import datetime, time
+
+import pytest
+
+from etl_service_spark.plans.schedule import (
+    FailureBackoff,
+    ScheduleError,
+    SchedulePlan,
+    advance_interval,
+    next_calendar_run,
+    should_run_immediately,
+    week_of_month,
+)
+
+
+def test_daily_advance():
+    plan = SchedulePlan(interval="Täglich", anfangsdatum=datetime(2026, 1, 1), startzeit=time(2, 0))
+    assert advance_interval(plan, datetime(2026, 8, 13, 1, 0)) == datetime(2026, 8, 13, 2, 0)
+    assert advance_interval(plan, datetime(2026, 8, 13, 2, 0)) == datetime(2026, 8, 14, 2, 0)
+
+
+def test_before_start_returns_start():
+    plan = SchedulePlan(interval="Stunde", anfangsdatum=datetime(2026, 9, 1), startzeit=time(5, 30))
+    assert advance_interval(plan, datetime(2026, 8, 1)) == datetime(2026, 9, 1, 5, 30)
+
+
+def test_minute_intervals():
+    plan = SchedulePlan(interval="DreiMinuten", anfangsdatum=datetime(2026, 1, 1), startzeit=time(0, 0))
+    nxt = advance_interval(plan, datetime(2026, 1, 1, 0, 4))
+    assert nxt == datetime(2026, 1, 1, 0, 6)
+
+
+def test_monthly_end_of_month_clamp():
+    plan = SchedulePlan(interval="Monat", anfangsdatum=datetime(2026, 1, 31), startzeit=time(1, 0))
+    nxt = advance_interval(plan, datetime(2026, 2, 1))
+    assert nxt == datetime(2026, 2, 28, 1, 0)  # clamped (2026 not a leap year)
+
+
+def test_yearly():
+    plan = SchedulePlan(interval="Jährlich", anfangsdatum=datetime(2024, 2, 29), startzeit=time(0, 0))
+    assert advance_interval(plan, datetime(2024, 3, 1)) == datetime(2025, 2, 28, 0, 0)
+
+
+def test_unknown_interval_raises():
+    with pytest.raises(ScheduleError):
+        advance_interval(SchedulePlan(interval="Never"), datetime(2026, 1, 1))
+
+
+def test_calendar_weekday_mask():
+    # only Wednesdays (index 2)
+    plan = SchedulePlan(
+        interval="Manuell",
+        anfangsdatum=datetime(2026, 8, 1),
+        startzeit=time(9, 0),
+        weekdays=tuple(i == 2 for i in range(7)),
+        an_jedem_tag=False,
+    )
+    nxt = next_calendar_run(plan, datetime(2026, 8, 13))  # a Thursday
+    assert nxt == datetime(2026, 8, 19, 9, 0)
+    assert nxt.weekday() == 2
+
+
+def test_calendar_last_day_of_month():
+    plan = SchedulePlan(
+        interval="Manuell",
+        anfangsdatum=datetime(2026, 1, 1),
+        startzeit=time(23, 0),
+        monatsletzter=True,
+    )
+    assert next_calendar_run(plan, datetime(2026, 2, 10)) == datetime(2026, 2, 28, 23, 0)
+
+
+def test_calendar_nth_week():
+    # second week of the month, Mondays only
+    plan = SchedulePlan(
+        interval="Manuell",
+        anfangsdatum=datetime(2026, 8, 1),
+        startzeit=time(6, 0),
+        weekdays=tuple(i == 0 for i in range(7)),
+        an_jedem_tag=False,
+        woche_des_monats=2,
+    )
+    nxt = next_calendar_run(plan, datetime(2026, 8, 11))
+    assert nxt.weekday() == 0 and week_of_month(nxt.date()) == 2
+
+
+def test_calendar_week5_means_last_week():
+    plan = SchedulePlan(
+        interval="Manuell",
+        anfangsdatum=datetime(2026, 8, 1),
+        startzeit=time(6, 0),
+        woche_des_monats=5,
+    )
+    nxt = next_calendar_run(plan, datetime(2026, 8, 1))
+    # in the last 7 days of its month (Scheduler.cs:1841-1847 guard)
+    from datetime import timedelta
+
+    assert (nxt + timedelta(days=7)).month != nxt.month
+
+
+def test_tageswiederholung_spreads_day():
+    plan = SchedulePlan(
+        interval="Manuell",
+        anfangsdatum=datetime(2026, 8, 1),
+        startzeit=time(0, 0),
+        tageswiederholung=4,
+    )
+    runs = []
+    now = datetime(2026, 8, 13, 0, 0)
+    for _ in range(4):
+        now = next_calendar_run(plan, now)
+        runs.append(now)
+    assert [r.time() for r in runs] == [time(6, 0), time(12, 0), time(18, 0), time(0, 0)]
+
+
+def test_wochenwiederholung_maps_first_n_weekdays():
+    plan = SchedulePlan(
+        interval="Manuell",
+        anfangsdatum=datetime(2026, 8, 1),
+        startzeit=time(8, 0),
+        wochenwiederholung=2,  # → Monday + Tuesday (first 2 allowed weekdays)
+    )
+    seen = set()
+    now = datetime(2026, 8, 10)
+    for _ in range(4):
+        now = next_calendar_run(plan, now)
+        seen.add(now.weekday())
+    assert seen == {0, 1}
+
+
+def test_endedatum_bound():
+    plan = SchedulePlan(
+        interval="Manuell",
+        anfangsdatum=datetime(2026, 1, 1),
+        endedatum=datetime(2026, 1, 5),
+        startzeit=time(12, 0),
+    )
+    with pytest.raises(ScheduleError):
+        next_calendar_run(plan, datetime(2026, 1, 6))
+
+
+def test_sofort_ausfuehrung():
+    plan = SchedulePlan(sofort_ausfuehrung=True)
+    assert should_run_immediately(plan, ever_executed=False)
+    assert not should_run_immediately(plan, ever_executed=True)
+
+
+def test_failure_backoff_deactivates_after_10():
+    b = FailureBackoff()
+    for _ in range(9):
+        b.record_failure("wf")
+    assert b.active
+    b.record_failure("wf")
+    assert not b.active and len(b.notifications) == 1
