@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Benchmark the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+{"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced end-to-end with a noop sink (full computation, no
+driver collect overhead) after one warm-up of the session.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from etl_service_spark.plans.queries import registry, views  # noqa: E402
+from etl_service_spark.session import get_spark  # noqa: E402
+
+HEADLINERS = [
+    "tpch_q1_pricing",
+    "tpch_q3_shipping",
+    "chain_join_revenue",
+    "top_parts_by_revenue",
+    "events_window_agg",
+    "ana_argmax_last_run",
+    "etl_copy_timesliced",
+    "etl_copy_align_audit",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "text_quality_score",
+    "text_fingerprint",
+    "ann_cosine_topk",
+    "emb_cosine_neardup",
+    "ann_lsh_bucketed",
+    "media_binary_stats",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("etl_service_spark_bench")
+    cases = registry()
+    views(spark, sf_dir)  # pay view registration once, like a real session
+
+    # JVM/codegen warm-up on an unrelated trivial job
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINERS:
+        case = cases[name]
+        t0 = time.perf_counter()
+        df = case.spark(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,107 @@
+"""Structured Streaming over the events table (SURVEY §7.3.6).
+
+The reference's only temporal machinery is a 10-second scheduler poll
+(Processor.cs:24,1138-1152). Its honest Spark modernization is a
+micro-batch stream: ``readStream`` over the landing directory →
+watermarked windowed aggregation → sink. New event files appearing in
+the directory are exactly the reference's "poll for new work" loop,
+minus the hand-rolled timer.
+
+At scale: the file source tracks processed files in the checkpoint;
+watermark bounds state so the agg store stays O(windows in flight),
+not O(history). ``Trigger.AvailableNow`` drains the backlog in tests;
+production would use ``processingTime='10 seconds'`` — the reference's
+own tick.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+EVENT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        # The events table stores TIMESTAMP(NANOS); under the session's
+        # nanosAsLong config this surfaces as epoch-nanos int64 — declare
+        # it that way so raw table files stream without rewriting.
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def with_event_time(events: DataFrame) -> DataFrame:
+    """Convert the raw epoch-nanos ``ts`` to a proper event-time column."""
+    return events.withColumn("ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long")))
+
+
+def read_event_stream(spark: SparkSession, landing_dir: str) -> DataFrame:
+    """File-source stream of raw event parquet drops (events-table layout)."""
+    return with_event_time(spark.readStream.schema(EVENT_SCHEMA).parquet(landing_dir))
+
+
+def windowed_event_counts(events: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
+    """Watermarked tumbling-window aggregation per event type.
+
+    The watermark bounds state: late events beyond 2h are dropped, so
+    the state store holds only open windows — the property that keeps
+    this runnable forever on an unbounded stream.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("event_type"),
+            F.col("n_events"),
+            F.col("total_value"),
+        )
+    )
+
+
+def run_available_now(result: DataFrame, checkpoint_dir: str, table_name: str) -> None:
+    """Drain the current backlog into an in-memory sink.
+
+    Demo/assertion path only: the memory sink cannot recover a
+    checkpoint, so each call needs a fresh ``checkpoint_dir``. For the
+    restartable poll loop use :func:`run_available_now_to_parquet`.
+    """
+    q = (
+        result.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(table_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def run_available_now_to_parquet(result: DataFrame, checkpoint_dir: str, out_dir: str) -> None:
+    """Drain the backlog into a parquet sink — the durable production
+    path. Re-invoking with the same checkpoint processes only files that
+    arrived since the last drain: this IS the reference's 10-second poll
+    tick (Processor.cs:1138-1152), restart-safe and exactly-once."""
+    q = (
+        result.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -183,8 +183,10 @@ def test_runlog_lifecycle_and_analytics(spark, tmp_path):
     log = RunLog(str(tmp_path))
     wf = log.open("workflow", "WF_TEST", None, datetime(2026, 1, 1, 2, 0))
     pkg = log.open("package", "P_MAIN", wf, datetime(2026, 1, 1, 2, 0))
-    step = log.open("step", "S_COPY", pkg, datetime(2026, 1, 1, 2, 0))
+    real = log.open("realization", "R_MAIN", pkg, datetime(2026, 1, 1, 2, 0))
+    step = log.open("step", "S_COPY", real, datetime(2026, 1, 1, 2, 0))
     log.close("step", step, success=False)
+    log.close("realization", real, success=True)
     log.close("package", pkg, success=False)
     log.close("workflow", wf, success=False, expected_rows=0)
     wf2 = log.open("workflow", "WF_TEST", None, datetime(2026, 1, 2, 2, 0))
@@ -198,4 +200,4 @@ def test_runlog_lifecycle_and_analytics(spark, tmp_path):
     assert len(last) == 1 and last[0]["run_id"] == wf2
     tree = spark.sql(run_tree_sql()).collect()
     nodes = {r["node"]: r["parent"] for r in tree}
-    assert nodes[f"P{pkg}"] == f"W{wf}" and nodes[f"S{step}"] == f"P{pkg}"
+    assert nodes[f"P{pkg}"] == f"W{wf}" and nodes[f"R{real}"] == f"P{pkg}" and nodes[f"S{step}"] == f"R{real}"

@@ -1,0 +1,66 @@
+"""Structured Streaming: file-source micro-batches, watermarked window
+agg, append-mode memory sink; batch/stream parity check."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+
+from etl_service_spark.streaming.events_stream import (
+    read_event_stream,
+    run_available_now,
+    windowed_event_counts,
+    with_event_time,
+)
+
+
+def test_stream_matches_batch(spark, sf_dir, tmp_path):
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    # raw events-table layout (ts = epoch nanos bigint) — what actually lands
+    events = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    # two "drops" arriving in the landing dir = two poll ticks
+    events.filter(F.col("event_id") % 2 == 0).write.mode("append").parquet(landing)
+    events.filter(F.col("event_id") % 2 == 1).write.mode("append").parquet(landing)
+
+    stream = read_event_stream(spark, landing)
+    result = windowed_event_counts(stream)
+    run_available_now(result, str(tmp_path / "ckpt"), "stream_out")
+
+    got = spark.table("stream_out")
+    expect = windowed_event_counts(with_event_time(events))  # same plan over the batch relation
+    g = {(r["window_start"], r["event_type"]): (r["n_events"], r["total_value"]) for r in got.collect()}
+    e = {(r["window_start"], r["event_type"]): (r["n_events"], r["total_value"]) for r in expect.collect()}
+    # watermark may hold back the tail window in append mode; everything
+    # emitted must match the batch answer exactly
+    assert g, "stream produced no output"
+    for k, v in g.items():
+        assert e[k] == v
+    assert len(g) >= len(e) - 4
+
+def test_stream_restart_incremental_parquet_sink(spark, sf_dir, tmp_path):
+    """Re-running availableNow with the same checkpoint = one poll tick:
+    only newly-arrived files are read; already-emitted windows stay put."""
+    import shutil
+
+    from etl_service_spark.streaming.events_stream import run_available_now_to_parquet
+
+    landing, ckpt, out = [str(tmp_path / d) for d in ("landing", "ckpt", "out")]
+    os.makedirs(landing)
+    src = os.path.join(sf_dir, "events.parquet")
+    shutil.copy(src, os.path.join(landing, "drop1.parquet"))
+    run_available_now_to_parquet(
+        windowed_event_counts(read_event_stream(spark, landing)), ckpt, out
+    )
+    first = spark.read.parquet(out).count()
+    assert first > 0
+    # identical file again: all events are behind the watermark -> dropped
+    shutil.copy(src, os.path.join(landing, "drop2.parquet"))
+    run_available_now_to_parquet(
+        windowed_event_counts(read_event_stream(spark, landing)), ckpt, out
+    )
+    assert spark.read.parquet(out).count() == first
