@@ -47,6 +47,82 @@ def duck_poly_hash(col: str) -> str:
     )
 
 
+def pd_poly_hash_series(s):
+    """Vectorized poly_hash over a pandas Series of strings — the SAME
+    function as spark_poly_hash/duck_poly_hash, computed in exact
+    integer arithmetic (no floats anywhere), so values are identical by
+    construction. Used from Arrow-batched pandas UDFs where the SQL
+    fold (an interpreted per-character lambda in Spark) is the
+    bottleneck.
+
+    Closed form of the fold h = (h*31 + c_i) mod p, h_0 = 7:
+        h = (7·31^n + Σ c_i · 31^(n-1-i)) mod p
+    Terms are reduced mod p (< 1e9) before a cumulative-sum segment
+    reduction, so the int64 accumulator cannot overflow below ~1.8e10
+    characters per batch."""
+    import numpy as np
+    import pandas as pd
+
+    strings = s.fillna("").astype(str).tolist()
+    lens = np.array([len(x) for x in strings], dtype=np.int64)
+    if len(strings) == 0:
+        return pd.Series([], dtype="int64")
+    joined = "".join(strings)
+    codes = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+    maxn = int(lens.max())
+    pw = np.empty(maxn + 1, dtype=np.int64)
+    pw[0] = 1
+    for i in range(1, maxn + 1):
+        pw[i] = (pw[i - 1] * HASH_MULT) % HASH_MOD
+    ends = np.cumsum(lens)
+    starts = ends - lens
+    idx = np.repeat(np.arange(len(lens)), lens)
+    pos = np.arange(len(codes)) - starts[idx]
+    terms = (codes % HASH_MOD) * pw[lens[idx] - 1 - pos] % HASH_MOD
+    csum = np.concatenate([[0], np.cumsum(terms)])
+    sums = csum[ends] - csum[starts]
+    out = (HASH_SEED * pw[lens] + sums) % HASH_MOD
+    res = pd.Series(out, dtype="Int64")
+    if s.isna().any():  # SQL semantics: hash(NULL) is NULL
+        res[s.isna().to_numpy()] = pd.NA
+    return res
+
+
+def pd_shingle_hash_sets(texts, n: int = 3):
+    """Pandas series of document texts → series of SORTED DISTINCT
+    shingle-hash lists (int64). Exactly the composition
+    list_sort(list_distinct(list_transform(shingles(tokens(text)),
+    poly_hash))) from the SQL/duck side: same tokenizer regex, same
+    n-gram join, same integer hash — values match the oracle by
+    construction (pure integer math, no floats).
+
+    One Arrow batch in, one out. Exists because every SQL formulation
+    of this pipeline drags Spark into interpreted higher-order-function
+    evaluation — and Catalyst's project-collapsing/pushdown keeps
+    re-inlining the tokenizer into shingle lambdas (observed 20x
+    slowdowns); a single vectorized UDF sidesteps the whole hazard
+    class."""
+    import re
+
+    import numpy as np
+    import pandas as pd
+
+    splitter = re.compile(TOKEN_SPLIT_RE)
+    all_shingles: list[str] = []
+    offsets = [0]
+    for txt in texts:
+        toks = [t for t in splitter.split(("" if txt is None else txt).lower()) if t]
+        if len(toks) >= n:
+            all_shingles.extend(
+                " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+            )
+        offsets.append(len(all_shingles))
+    hashes = pd_poly_hash_series(pd.Series(all_shingles, dtype=object)).to_numpy(dtype=np.int64) if all_shingles else np.array([], dtype=np.int64)
+    return pd.Series(
+        [np.unique(hashes[offsets[i] : offsets[i + 1]]) for i in range(len(texts))]
+    )
+
+
 def minhash_params(k: int) -> list[tuple[int, int]]:
     """Deterministic (a, b) pairs for k minhash permutations
     h_i(x) = (a_i*x + b_i) mod HASH_MOD."""

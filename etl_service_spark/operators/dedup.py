@@ -35,20 +35,59 @@ from ..functions import portable as P
 
 # ------------------------------------------------------------ fragments
 TOKENS = (P.spark_tokens("text"), P.duck_tokens("text"))
-SHINGLES = (
-    P.spark_shingles(P.spark_tokens("text")),
-    P.duck_shingles(P.duck_tokens("text")),
-)
+# Shingles over a MATERIALIZED token column `t` — never inline the
+# tokenizer into the shingle lambda: element_at(<full tokenizer>, i)
+# re-tokenizes the document once per gram access (~600× per doc).
+SHINGLES_T = (P.spark_shingles("t"), P.duck_shingles("t"))
 TEXT_HASH = (P.spark_poly_hash("lower(text)"), P.duck_poly_hash("lower(text)"))
-# hash every shingle of an in-scope array column `s`: array<string> → array<bigint>
+# hash every shingle of an in-scope array column `s0`: array<string> → array<bigint>
 # (outer lambda var `q` avoids colliding with the poly-hash's inner `x`)
 HASHED_SHINGLES = (
-    f"transform(s, q -> {P.spark_poly_hash('q')})",
-    f"list_transform(s, q -> {P.duck_poly_hash('q')})",
+    f"transform(s0, q -> {P.spark_poly_hash('q')})",
+    f"list_transform(s0, q -> {P.duck_poly_hash('q')})",
 )
 ARR_LEN = ("size", "len")
 EXPLODE = ("explode", "unnest")
 ARR_MIN = ("array_min", "list_min")
+ARR_SORT = ("array_sort", "list_sort")
+ARR_DISTINCT = ("array_distinct", "list_distinct")
+ARR_INTERSECT = ("array_intersect", "list_intersect")
+IDIV = ("DIV", "//")
+
+# Shared CTE prologue: documents → distinct sorted shingle-hash sets.
+# All pair math downstream happens in 64-bit hash space (bigint join
+# keys, set ops on sorted bigint arrays) — strings never leave the
+# first projection. Hash collisions (~1e-9/pair) can perturb a
+# jaccard value, but identically in both engines (same hash fn).
+_HASHSET_PROLOGUE = """
+WITH tok AS (
+  SELECT doc_id, {tokens} AS t FROM {view}
+),
+sh AS (
+  SELECT doc_id, {shingles} AS s0 FROM tok
+),
+sized AS (
+  SELECT doc_id, {arr_sort}({arr_distinct}({hashed_shingles})) AS hs
+  FROM sh WHERE {arr_len}(s0) > 0
+),
+hs AS (
+  SELECT doc_id, hs, {arr_len}(hs) AS n FROM sized
+)"""
+
+
+def _hashset_frags(view: str) -> dict:
+    return dict(
+        tokens=TOKENS,
+        shingles=SHINGLES_T,
+        hashed_shingles=HASHED_SHINGLES,
+        arr_len=ARR_LEN,
+        arr_sort=ARR_SORT,
+        arr_distinct=ARR_DISTINCT,
+        arr_intersect=ARR_INTERSECT,
+        explode=EXPLODE,
+        idiv=IDIV,
+        view=view,
+    )
 
 
 # ---------------------------------------------------------- exact dedup
@@ -69,54 +108,189 @@ def exact_dedup(spark: SparkSession) -> DataFrame:
     return spark.sql(exact_dedup_sql()[0])
 
 
-# ------------------------------------------- n-gram Jaccard (inverted index)
-JACCARD_TEMPLATE = """
-WITH sh AS (
-  SELECT doc_id, {shingles} AS s FROM {view}
+# ----------------------- n-gram Jaccard (PPJoin-style prefix filtering)
+# For J(A,B) >= tau, the prefixes of length n - ceil(tau*n) + 1 of the
+# GLOBALLY-ORDERED shingle sets must intersect (Chaudhuri et al.,
+# "A Primitive Operator for Similarity Joins", ICDE'06). So we index
+# only ~(1-tau)*n shingle hashes per doc instead of all of them:
+# ~5x fewer posting rows at tau=0.8 and a quadratically smaller
+# candidate blowup on hot shingles. The verify step computes exact
+# Jaccard over the full sets, so the result is identical to the naive
+# inverted-index join. ceil(tau*n) is evaluated in pure integer math
+# ((num*n + den - 1) DIV den) — no float ceil edge cases, identical in
+# both engines.
+JACCARD_BODY = """posting AS (
+  SELECT doc_id, {slice_prefix} AS pre FROM {hs_rel}
 ),
-sized AS (
-  SELECT doc_id, s, {arr_len}(s) AS n FROM sh WHERE {arr_len}(s) > 0
+pexp AS (
+  SELECT doc_id, {explode}(pre) AS h FROM posting
 ),
-posting AS (
-  SELECT doc_id, n, {explode}(s) AS shingle FROM sized
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM pexp a JOIN pexp b ON a.h = b.h AND a.doc_id < b.doc_id
 ),
-common AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         a.n AS na, b.n AS nb, COUNT(*) AS c
-  FROM posting a JOIN posting b
-    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY a.doc_id, b.doc_id, a.n, b.n
+verified AS (
+  SELECT c.doc_a, c.doc_b,
+         {arr_len}({arr_intersect}(x.hs, y.hs)) AS c2, x.n AS nx, y.n AS ny
+  FROM cand c
+  JOIN {hs_rel} x ON x.doc_id = c.doc_a
+  JOIN {hs_rel} y ON y.doc_id = c.doc_b
 )
 SELECT doc_a, doc_b,
-       CAST(c AS DOUBLE) / (na + nb - c) AS jaccard
-FROM common
-WHERE CAST(c AS DOUBLE) / (na + nb - c) >= {tau}
+       CAST(c2 AS DOUBLE) / (nx + ny - c2) AS jaccard
+FROM verified
+WHERE CAST(c2 AS DOUBLE) / (nx + ny - c2) >= {tau}
 """
 
 
-def ngram_jaccard_sql(tau: float = 0.8, view: str = "documents") -> tuple[str, str]:
-    return P.bi_sql(
-        JACCARD_TEMPLATE,
-        shingles=SHINGLES,
-        arr_len=ARR_LEN,
-        explode=EXPLODE,
-        view=view,
-        tau=str(tau),
+def _jaccard_slice_prefix(tau_frac: tuple[int, int]) -> tuple[str, str]:
+    num, den = tau_frac
+    plen = f"n - (({num} * n + {den - 1}) {{idiv}} {den}) + 1"
+    return (
+        f"slice(hs, 1, {plen.format(idiv='DIV')})",
+        f"list_slice(hs, 1, {plen.format(idiv='//')})",
     )
 
 
+def ngram_jaccard_sql(
+    tau: float = 0.8, view: str = "documents", tau_frac: tuple[int, int] = (4, 5)
+) -> tuple[str, str]:
+    """Single-statement form (the oracle; DuckDB materializes reused
+    CTEs itself). The Spark execution path is :func:`ngram_jaccard_staged`."""
+    return P.bi_sql(
+        _HASHSET_PROLOGUE + ",\n" + JACCARD_BODY,
+        slice_prefix=_jaccard_slice_prefix(tau_frac),
+        hs_rel="hs",
+        tau=str(tau),
+        **_hashset_frags(view),
+    )
+
+
+def materialize_hashsets(spark: SparkSession, view: str = "documents") -> str:
+    """Compute the shingle-hash-set relation ONCE and expose it as a
+    temp view over a lineage-truncated (localCheckpoint) DataFrame.
+
+    Why not persist() + CTE: (a) Spark inlines CTEs, so a CTE
+    referenced by the posting stage and both verify sides re-runs the
+    shingling pipeline 3x; (b) cache-manager plan matching fails on
+    plans containing lambda functions (the cached relation is silently
+    recomputed — observed: identical 27s warm and cold runs), so
+    persist() alone does NOT fix (a). localCheckpoint cuts the lineage:
+    downstream plans physically cannot re-derive the pipeline. At
+    100 TB this relation is the document-fingerprint table you write to
+    storage once and self-join from there.
+
+    The whole tokenize->shingle->hash pipeline runs inside ONE
+    Arrow-batched pandas UDF (portable.pd_shingle_hash_sets): every SQL
+    formulation is interpreted higher-order-function evaluation, and
+    Catalyst's pushdown/project-collapsing keeps re-inlining the
+    tokenizer into the shingle lambdas (measured 20x blowups). The UDF
+    is a single map-side pass — at cluster scale it's
+    embarrassingly parallel over document partitions.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    name = f"__hashsets_{view}"
+
+    @pandas_udf("array<bigint>")
+    def _hashsets(texts):  # pragma: no cover - executed on workers
+        return P.pd_shingle_hash_sets(texts)
+
+    hs = (
+        spark.table(view)
+        .select("doc_id", _hashsets("text").alias("hs"))
+        .withColumn("n", F.size("hs"))
+        .filter(F.col("n") > 0)
+    )
+    df = hs.localCheckpoint(eager=True)
+    df.createOrReplaceTempView(name)
+    return name
+
+
+def ngram_jaccard_staged(
+    spark: SparkSession,
+    tau: float = 0.8,
+    view: str = "documents",
+    tau_frac: tuple[int, int] = (4, 5),
+) -> DataFrame:
+    hs_rel = materialize_hashsets(spark, view)
+    body = P.bi_sql(
+        "WITH " + JACCARD_BODY,
+        slice_prefix=_jaccard_slice_prefix(tau_frac),
+        hs_rel=hs_rel,
+        tau=str(tau),
+        **_hashset_frags(view),
+    )[0]
+    return spark.sql(body)
+
+
 def ngram_jaccard_pairs(spark: SparkSession, tau: float = 0.8) -> DataFrame:
-    return spark.sql(ngram_jaccard_sql(tau)[0])
+    return ngram_jaccard_staged(spark, tau)
 
 
 # ------------------------------------------------------------ minhash LSH
-def _sig_exprs(k: int) -> str:
-    outs = []
-    for i, (a, b) in enumerate(P.minhash_params(k)):
-        outs.append(
-            f"coalesce({{arr_min}}({{transform}}(hs, h -> ({a} * h + {b}) % {P.HASH_MOD})), -1) AS sig_{i}"
+# Full minhash+LSH pipeline; the oracle replicates the MECHANISM (not
+# just exhaustive Jaccard), so the match is exact regardless of LSH
+# recall.
+#
+# Physical shape, chosen for scale: the K signature mins are computed
+# by EXPLODING the shingle-hash sets and running K MIN aggregates in
+# ONE hash aggregation (map-side partial combine, whole-stage codegen)
+# — not K higher-order-function passes per row, which Spark evaluates
+# interpreted. Bands are a single explode of a K/bands-entry array
+# (band index baked into the key), not a bands-way UNION ALL — a UNION
+# ALL of CTE references re-executes the whole signature subtree once
+# per band under Spark's CTE inlining.
+def _band_arr(k: int, bands: int) -> tuple[str, str]:
+    rows = k // bands
+    band_keys = ", ".join(
+        "concat('{b}_', {cols})".format(
+            b=b,
+            cols=", '_', ".join(f"sig_{b * rows + r}" for r in range(rows)),
         )
-    return ",\n         ".join(outs)
+        for b in range(bands)
+    )
+    return (f"array({band_keys})", f"list_value({band_keys})")
+
+
+def _minhash_body(k: int, bands: int) -> str:
+    sig_cols = ",\n         ".join(
+        f"MIN(({a} * h + {b}) % {P.HASH_MOD}) AS sig_{i}"
+        for i, (a, b) in enumerate(P.minhash_params(k))
+    )
+    body = (
+        """ex AS (
+  SELECT doc_id, {explode}(hs) AS h FROM {hs_rel}
+),
+sig AS (
+  SELECT doc_id,
+         """
+        + sig_cols
+        + """
+  FROM ex
+  GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, {explode}({band_arr}) AS band_key FROM sig
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+verified AS (
+  SELECT c.doc_a, c.doc_b,
+         CAST({arr_len}({arr_intersect}(x.hs, y.hs)) AS DOUBLE)
+           / (x.n + y.n - {arr_len}({arr_intersect}(x.hs, y.hs))) AS jaccard
+  FROM cand c
+  JOIN {hs_rel} x ON x.doc_id = c.doc_a
+  JOIN {hs_rel} y ON y.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= {tau}
+"""
+    )
+    return body
 
 
 def minhash_lsh_sql(
@@ -125,70 +299,37 @@ def minhash_lsh_sql(
     tau: float = 0.8,
     view: str = "documents",
 ) -> tuple[str, str]:
-    """Full minhash+LSH pipeline; the oracle replicates the MECHANISM
-    (not just exhaustive Jaccard), so the match is exact regardless of
-    LSH recall."""
-    rows = k // bands
-    band_selects = "\nUNION ALL\n".join(
-        "SELECT doc_id, {b} AS band_id, concat({cols}) AS band_key FROM sig".format(
-            b=b,
-            cols=", '_', ".join(f"sig_{b * rows + r}" for r in range(rows)),
-        )
-        for b in range(bands)
-    )
-    template = (
-        """
-WITH sh AS (
-  SELECT doc_id, {shingles} AS s FROM {view}
-),
-hashed AS (
-  SELECT doc_id, s, {hashed_shingles} AS hs, {arr_len}(s) AS n
-  FROM sh WHERE {arr_len}(s) > 0
-),
-sig AS (
-  SELECT doc_id,
-         """
-        + _sig_exprs(k)
-        + """
-  FROM hashed
-),
-bands AS (
-"""
-        + band_selects
-        + """
-),
-cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a JOIN bands b
-    ON a.band_id = b.band_id AND a.band_key = b.band_key
-   AND a.doc_id < b.doc_id
-),
-verified AS (
-  SELECT c.doc_a, c.doc_b,
-         CAST({arr_len}({arr_intersect}(x.s, y.s)) AS DOUBLE)
-           / (x.n + y.n - {arr_len}({arr_intersect}(x.s, y.s))) AS jaccard
-  FROM cand c
-  JOIN hashed x ON x.doc_id = c.doc_a
-  JOIN hashed y ON y.doc_id = c.doc_b
-)
-SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= {tau}
-"""
-    )
+    """Single-statement form (the oracle). Spark path: minhash_lsh_staged."""
+    body = _minhash_body(k, bands)
     return P.bi_sql(
-        template,
-        shingles=SHINGLES,
-        hashed_shingles=HASHED_SHINGLES,
-        arr_len=ARR_LEN,
-        arr_min=ARR_MIN,
-        arr_intersect=("array_intersect", "list_intersect"),
-        transform=("transform", "list_transform"),
-        view=view,
+        _HASHSET_PROLOGUE + ",\n" + body,
+        band_arr=_band_arr(k, bands),
+        hs_rel="hs",
         tau=str(tau),
+        **_hashset_frags(view),
     )
+
+
+def minhash_lsh_staged(
+    spark: SparkSession,
+    k: int = 16,
+    bands: int = 8,
+    tau: float = 0.8,
+    view: str = "documents",
+) -> DataFrame:
+    hs_rel = materialize_hashsets(spark, view)
+    body = P.bi_sql(
+        "WITH " + _minhash_body(k, bands),
+        band_arr=_band_arr(k, bands),
+        hs_rel=hs_rel,
+        tau=str(tau),
+        **_hashset_frags(view),
+    )[0]
+    return spark.sql(body)
 
 
 def minhash_lsh_pairs(spark: SparkSession, k: int = 16, bands: int = 8, tau: float = 0.8) -> DataFrame:
-    return spark.sql(minhash_lsh_sql(k, bands, tau)[0])
+    return minhash_lsh_staged(spark, k, bands, tau)
 
 
 # --------------------------------------------------------------- simhash

@@ -21,6 +21,7 @@ work — no Python in the loop.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
 from ..functions import portable as P
 
@@ -126,6 +127,75 @@ def embedding_neardup_sql(tau: float = 0.4, view: str = "embeddings") -> tuple[s
 
 def embedding_neardup(spark: SparkSession, tau: float = 0.4) -> DataFrame:
     return spark.sql(embedding_neardup_sql(tau)[0])
+
+
+def embedding_neardup_pandas(spark: SparkSession, tau: float = 0.4, view: str = "embeddings") -> DataFrame:
+    """All-pairs cosine near-dup, Arrow-batched numpy execution.
+
+    Same values as :func:`embedding_neardup_sql` to the last bit: numpy
+    replays the oracle's EXACT IEEE-754 operation sequence — float32
+    inputs widened to float64 (exact), a left-associated 64-term
+    multiply-add chain (one vectorized `acc += a[:,i] * b[:,i]` per
+    term, which is per-pair left association), then dot/(nrm_a*nrm_b).
+    The giant explicit SQL chain defeats whole-stage codegen (Spark
+    falls back to interpreted projection over N² rows, ~60x slower);
+    this path keeps the N² loop in BLAS-grade vector code.
+
+    Scale shape: one side is broadcast (the whole corpus matrix — this
+    operator is the small-N exact baseline; beyond broadcast size use
+    ``lsh_ann``), the other side streams per-partition through
+    mapInPandas, so the pair space is partitioned across executors with
+    no shuffle at all.
+    """
+    import numpy as np
+    import pandas as pd
+
+    emb = spark.table(view).select("vec_id", "embedding")
+    rows = emb.collect()  # corpus matrix is the broadcast side
+    ids_all = np.array([r.vec_id for r in rows], dtype=np.int64)
+    m_all = np.array([r.embedding for r in rows], dtype=np.float64)  # f32→f64 exact
+    order = np.argsort(ids_all)
+    ids_all, m_all = ids_all[order], m_all[order]
+    bc = spark.sparkContext.broadcast((ids_all, m_all))
+
+    def _norms(m: "np.ndarray") -> "np.ndarray":
+        acc = m[:, 0] * m[:, 0]
+        for i in range(1, DIM):
+            acc = acc + m[:, i] * m[:, i]
+        return np.sqrt(acc)
+
+    out_schema = StructType(
+        [
+            StructField("vec_a", LongType()),
+            StructField("vec_b", LongType()),
+            StructField("cosine", DoubleType()),
+        ]
+    )
+
+    def compute(batches):
+        ids_b, m_b = bc.value
+        nrm_b = _norms(m_b)
+        for pdf in batches:
+            ids_a = pdf["vec_id"].to_numpy(dtype=np.int64)
+            m_a = np.array(list(pdf["embedding"]), dtype=np.float64)
+            if len(ids_a) == 0:
+                continue
+            nrm_a = _norms(m_a)
+            # all-pairs dot as 64 outer-product accumulations: each step
+            # is one correctly-rounded multiply + add per pair, i.e. the
+            # left-associated chain, without gathering O(pairs x DIM)
+            # intermediates (4M pairs would gather ~4 GB).
+            acc = np.multiply.outer(m_a[:, 0], m_b[:, 0])
+            for i in range(1, DIM):
+                acc += np.multiply.outer(m_a[:, i], m_b[:, i])
+            cos = acc / np.multiply.outer(nrm_a, nrm_b)
+            # pair mask: vec_id_a < vec_id_b (dedup across partitions)
+            ia, ib = np.nonzero((ids_a[:, None] < ids_b[None, :]) & (cos >= tau))
+            yield pd.DataFrame(
+                {"vec_a": ids_a[ia], "vec_b": ids_b[ib], "cosine": cos[ia, ib]}
+            )
+
+    return emb.mapInPandas(compute, schema=out_schema)
 
 
 # --------------------------------------------------------------- LSH ANN

@@ -145,16 +145,20 @@ def oracle_lang_id(view: str = "documents") -> str:
 # ---------------------------------------------------------- fingerprints
 def fingerprint(docs: DataFrame) -> DataFrame:
     """Full-text polynomial hash + min-shingle-hash (a 1-perm minhash):
-    the rolling-hash document fingerprint for incremental dedup."""
+    the rolling-hash document fingerprint for incremental dedup.
+
+    Tokens are materialized as a column BEFORE shingling: inlining the
+    tokenizer into the shingle lambda makes every element_at re-tokenize
+    the whole document (~600 re-tokenizations per doc, interpreted)."""
     full = P.spark_poly_hash("lower(text)")
-    shingles = P.spark_shingles(P.spark_tokens("text"))
-    minsh = (
-        f"array_min(transform({shingles}, s -> {P.spark_poly_hash('s')}))"
-    )
-    return docs.selectExpr(
-        "doc_id",
-        f"{full} AS text_hash",
-        f"coalesce({minsh}, -1) AS min_shingle_hash",
+    minsh = f"array_min(transform({P.spark_shingles('t')}, s -> {P.spark_poly_hash('s')}))"
+    return (
+        docs.selectExpr("doc_id", "text", f"{P.spark_tokens('text')} AS t")
+        .selectExpr(
+            "doc_id",
+            f"{full} AS text_hash",
+            f"coalesce({minsh}, -1) AS min_shingle_hash",
+        )
     )
 
 

@@ -541,13 +541,34 @@ def registry() -> dict[str, Case]:
 
     # --- dedup family
     cases["dedup_exact"] = _pair_case(dedup.exact_dedup_sql())
-    cases["dedup_ngram_jaccard"] = _pair_case(dedup.ngram_jaccard_sql())
-    cases["dedup_minhash_lsh"] = _pair_case(dedup.minhash_lsh_sql())
+
+    # Spark side: staged execution (shingle-hash sets materialized once,
+    # cached, then self-joined) — Spark's CTE inlining would otherwise
+    # re-run the interpreted shingling pipeline 3x. Oracle: the
+    # single-statement form of the SAME pipeline.
+    def _jaccard_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
+        views(spark, sf_dir)
+        return dedup.ngram_jaccard_staged(spark)
+
+    def _minhash_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
+        views(spark, sf_dir)
+        return dedup.minhash_lsh_staged(spark)
+
+    cases["dedup_ngram_jaccard"] = Case(_jaccard_staged, dedup.ngram_jaccard_sql()[1])
+    cases["dedup_minhash_lsh"] = Case(_minhash_staged, dedup.minhash_lsh_sql()[1])
     cases["dedup_simhash"] = _pair_case(dedup.simhash_sql())
 
     # --- similarity search
     cases["ann_cosine_topk"] = _pair_case(similarity.cosine_topk_sql())
-    cases["emb_cosine_neardup"] = _pair_case(similarity.embedding_neardup_sql())
+
+    def _neardup_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+        views(spark, sf_dir)
+        return similarity.embedding_neardup_pandas(spark)
+
+    # Spark side: Arrow/numpy replay of the oracle's exact FP sequence
+    # (the N²×64-term SQL chain is interpreted, ~60x slower); oracle
+    # stays the explicit-chain SQL.
+    cases["emb_cosine_neardup"] = Case(_neardup_pandas, similarity.embedding_neardup_sql()[1])
     cases["ann_lsh_bucketed"] = _pair_case(similarity.lsh_ann_sql())
 
     # --- multimodal plumbing
