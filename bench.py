@@ -27,6 +27,7 @@ HEADLINERS = [
     "chain_join_revenue",
     "top_parts_by_revenue",
     "events_window_agg",
+    "events_sessionize",
     "ana_argmax_last_run",
     "etl_copy_timesliced",
     "etl_copy_align_audit",
@@ -39,6 +40,7 @@ HEADLINERS = [
     "ann_cosine_topk",
     "emb_cosine_neardup",
     "ann_lsh_bucketed",
+    "ann_ivf_topk",
     "media_binary_stats",
 ]
 

@@ -198,6 +198,87 @@ def embedding_neardup_pandas(spark: SparkSession, tau: float = 0.4, view: str = 
     return emb.mapInPandas(compute, schema=out_schema)
 
 
+# --------------------------------------------------------------- IVF ANN
+IVF_TEMPLATE = """
+WITH nv AS (
+  SELECT vec_id, embedding, ({norm}) AS nrm FROM {view}
+),
+c AS (
+  SELECT vec_id AS c_id, embedding AS cv, nrm AS cnrm FROM nv WHERE vec_id < {n_cells}
+),
+assign AS (
+  SELECT v.vec_id, c.c_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY v.vec_id
+           ORDER BY ({adot}) / (v.nrm * c.cnrm) DESC, c.c_id
+         ) AS rn
+  FROM nv v JOIN c ON 1 = 1
+),
+cells AS (
+  SELECT vec_id, c_id FROM assign WHERE rn = 1
+),
+qprobe AS (
+  SELECT vec_id AS q_id, c_id FROM assign WHERE vec_id < {n_queries} AND rn <= {nprobe}
+),
+cand AS (
+  SELECT DISTINCT q.q_id, m.vec_id AS n_id
+  FROM qprobe q JOIN cells m ON m.c_id = q.c_id AND m.vec_id <> q.q_id
+),
+ranked AS (
+  SELECT cand.q_id, cand.n_id,
+         ({sdot}) / (qv.nrm * nv2.nrm) AS cosine,
+         ROW_NUMBER() OVER (
+           PARTITION BY cand.q_id
+           ORDER BY ({sdot}) / (qv.nrm * nv2.nrm) DESC, cand.n_id
+         ) AS rnk
+  FROM cand
+  JOIN nv qv ON qv.vec_id = cand.q_id
+  JOIN nv nv2 ON nv2.vec_id = cand.n_id
+)
+SELECT q_id, n_id, rnk, cosine FROM ranked WHERE rnk <= {k}
+"""
+
+
+def ivf_ann_sql(
+    n_cells: int = 16,
+    nprobe: int = 4,
+    k: int = 10,
+    n_queries: int = 5,
+    view: str = "embeddings",
+) -> tuple[str, str]:
+    """IVF-style ANN: coarse quantizer = the first ``n_cells`` vectors
+    (deterministic, no RNG → exactly reproducible in the oracle), each
+    vector assigned to its nearest centroid's inverted list, queries
+    probe their ``nprobe`` nearest cells, exact cosine re-ranks within
+    the probed lists only.
+
+    Scale shape: the centroid table is tiny → broadcast; assignment is
+    one map-side pass; the probe join shuffles on c_id so each inverted
+    list is processed co-located — candidate cost is O(probed lists),
+    never O(N) per query. Recall is tunable via nprobe."""
+    return P.bi_sql(
+        IVF_TEMPLATE,
+        norm=(_norm("embedding", one_based=False), _norm("embedding", one_based=True)),
+        adot=(
+            _dot("v.embedding", "c.cv", one_based=False),
+            _dot("v.embedding", "c.cv", one_based=True),
+        ),
+        sdot=(
+            _dot("qv.embedding", "nv2.embedding", one_based=False),
+            _dot("qv.embedding", "nv2.embedding", one_based=True),
+        ),
+        view=view,
+        n_cells=str(n_cells),
+        nprobe=str(nprobe),
+        k=str(k),
+        n_queries=str(n_queries),
+    )
+
+
+def ivf_ann(spark: SparkSession, **kw) -> DataFrame:
+    return spark.sql(ivf_ann_sql(**kw)[0])
+
+
 # --------------------------------------------------------------- LSH ANN
 def _bucket_expr(vec: str, planes: int, *, one_based: bool) -> str:
     bits = [

@@ -450,6 +450,39 @@ SELECT p_brand, p_partkey, revenue FROM (
 # =====================================================================
 # Events (stream-shaped) queries
 # =====================================================================
+# Sessionization (training-pipeline operator; streaming twin in
+# streaming/sessionize.py): gap > 30 min starts a new session. One
+# shuffle on user_id; both window functions run inside that partition.
+# Ties on ts are harmless: a 0-gap never starts a session regardless of
+# tie order, and the per-session aggregates are order-independent.
+EVENTS_SESSIONIZE_TEMPLATE = """
+WITH e AS (
+  SELECT user_id, {ts_us} AS tu FROM events
+  WHERE {ts_us} IS NOT NULL AND user_id IS NOT NULL
+),
+flagged AS (
+  SELECT user_id, tu,
+         CASE WHEN LAG(tu) OVER (PARTITION BY user_id ORDER BY tu) IS NULL
+                   OR tu - LAG(tu) OVER (PARTITION BY user_id ORDER BY tu) > {gap_us}
+              THEN 1 ELSE 0 END AS is_new
+  FROM e
+),
+sess AS (
+  SELECT user_id, tu,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY tu
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM flagged
+)
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+       COUNT(*) AS n_events,
+       MIN(tu) AS session_start_us,
+       MAX(tu) AS session_end_us
+FROM sess
+GROUP BY user_id, session_seq
+"""
+
+SESSION_GAP_US = 30 * 60 * 1_000_000
+
 EVENTS_WINDOW_TEMPLATE = """
 SELECT event_type,
        CAST(({ts_us} - {ts_us} % 3600000000) / 3600000000 AS BIGINT) AS hour_bucket,
@@ -525,6 +558,9 @@ def registry() -> dict[str, Case]:
 
     # --- events
     cases["events_window_agg"] = _bi_case(EVENTS_WINDOW_TEMPLATE, ts_us=TS_US)
+    cases["events_sessionize"] = _bi_case(
+        EVENTS_SESSIONIZE_TEMPLATE, ts_us=TS_US, gap_us=str(SESSION_GAP_US)
+    )
     cases["events_json_extract"] = _bi_case(
         EVENTS_JSON_TEMPLATE,
         json_k=(
@@ -570,6 +606,7 @@ def registry() -> dict[str, Case]:
     # stays the explicit-chain SQL.
     cases["emb_cosine_neardup"] = Case(_neardup_pandas, similarity.embedding_neardup_sql()[1])
     cases["ann_lsh_bucketed"] = _pair_case(similarity.lsh_ann_sql())
+    cases["ann_ivf_topk"] = _pair_case(similarity.ivf_ann_sql())
 
     # --- multimodal plumbing
     cases["media_binary_stats"] = _pair_case(multimodal.media_stats_sql())

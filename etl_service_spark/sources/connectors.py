@@ -1,0 +1,184 @@
+"""Connection registry + resolution chain (SURVEY §2.1).
+
+Models the reference's connector metadata plane:
+
+- ``conf.Datenquellentypen``  (res/conf/Datenquellentypen.sql:11-20) —
+  the source-type enumeration (MS-SQL Server, Oracle, PostgreSQL,
+  Caché, Excel, CSV, …, plus the declared-NYI types).
+- ``conf.Datenverbindungen``  (res/conf/Datenverbindungen.sql:11-35) —
+  per-connection host/port/db/user/secret-ref/schema/timeouts.
+- ``pc.ETL_Mandanten_Verbindungen`` (res/pc/ETL_Mandanten_Verbindungen
+  .sql:11-21) — client (Mandant) → connection mapping, one for the
+  source role and one for the target role.
+
+and the resolution chain ``Step.GetRealizationConnections``
+(Step.cs:1285-1767): step → realization config → Mandant → connection
+→ type → engine-specific reader.
+
+Spark disposition: every DB connector becomes a ``spark.read.format(
+"jdbc")`` option dict (the JDBC source handles predicate pushdown and
+partitioned reads); file types become DataFrameReader calls. A ``FILE``
+engine (parquet/csv on a directory) stands in for a live DBMS in tests
+— the resolution chain and option assembly are identical.
+
+Scale notes: ``partition_options`` adds the JDBC parallel-read triple
+(partitionColumn/lowerBound/upperBound/numPartitions) — the Spark
+equivalent of the reference's 500k-row batched reads
+(CommandExecuter.cs:463-510); without it a JDBC read is a single task.
+Secrets are carried as opaque references (env var names), never
+literal passwords, mirroring the reference's config-DB indirection.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, DataFrameReader, SparkSession
+
+# type name → (jdbc driver class, url template); names follow the
+# reference's conf.Datenquellentypen values (DBHelper.cs:210-263)
+JDBC_TYPES: dict[str, tuple[str, str]] = {
+    "MS-SQL Server": (
+        "com.microsoft.sqlserver.jdbc.SQLServerDriver",
+        "jdbc:sqlserver://{host}:{port};databaseName={database}",
+    ),
+    "Oracle": (
+        "oracle.jdbc.OracleDriver",
+        "jdbc:oracle:thin:@//{host}:{port}/{database}",
+    ),
+    "PostgreSQL": (
+        "org.postgresql.Driver",
+        "jdbc:postgresql://{host}:{port}/{database}",
+    ),
+    "Cache": (  # InterSystems Caché/IRIS (DBHelper.cs:214-216)
+        "com.intersystems.jdbc.IRISDriver",
+        "jdbc:IRIS://{host}:{port}/{database}",
+    ),
+    "MySQL": (
+        "com.mysql.cj.jdbc.Driver",
+        "jdbc:mysql://{host}:{port}/{database}",
+    ),
+    "DB2": ("com.ibm.db2.jcc.DB2Driver", "jdbc:db2://{host}:{port}/{database}"),
+}
+
+FILE_TYPES = ("FILE-PARQUET", "FILE-CSV", "Excel", "CSV")
+
+# declared in every reference type switch but NYI there too
+# (CommandExecuter.cs:823-968) — we reject them with a clear error
+DECLARED_NYI = ("Access", "Firebird", "HL7", "Infomix", "SAP", "WebRequest", "XML", "JSON")
+
+
+@dataclass(frozen=True)
+class Connection:
+    """One row of conf.Datenverbindungen."""
+
+    conn_id: int
+    type_name: str  # FK → Datenquellentypen
+    host: str = ""
+    port: int = 0
+    database: str = ""
+    user: str = ""
+    secret_env: str = ""  # env var holding the password (never inline)
+    schema: str = ""
+    path: str = ""  # FILE-* / Excel / CSV types
+    fetch_size: int = 10_000
+    options: dict[str, str] = field(default_factory=dict)
+
+
+@dataclass(frozen=True)
+class MandantBinding:
+    """pc.ETL_Mandanten_Verbindungen row: client × role → connection."""
+
+    mandant_id: int
+    role: str  # "source" | "target"
+    conn_id: int
+
+
+class ConnectionRegistry:
+    """In-memory stand-in for the conf.* connection tables."""
+
+    def __init__(self) -> None:
+        self._conns: dict[int, Connection] = {}
+        self._bindings: dict[tuple[int, str], int] = {}
+
+    def add(self, conn: Connection) -> None:
+        self._conns[conn.conn_id] = conn
+
+    def bind(self, binding: MandantBinding) -> None:
+        self._bindings[(binding.mandant_id, binding.role)] = binding.conn_id
+
+    def resolve(self, mandant_id: int, role: str) -> Connection:
+        """The C6 chain: Mandant × role → connection row → typed conn."""
+        key = (mandant_id, role)
+        if key not in self._bindings:
+            raise KeyError(f"no {role} connection bound for Mandant {mandant_id}")
+        return self._conns[self._bindings[key]]
+
+
+def jdbc_options(conn: Connection, query_or_table: str) -> dict[str, str]:
+    """Assemble the spark.read.format('jdbc') option dict for a typed
+    connection. `query_or_table`: a table name, or SQL wrapped as a
+    dbtable subquery — the whole text is pushed down to the source
+    DBMS, exactly the reference's behavior (CommandExecuter.cs:409)."""
+    if conn.type_name in DECLARED_NYI:
+        raise NotImplementedError(f"connector type {conn.type_name!r} is declared but NYI")
+    if conn.type_name not in JDBC_TYPES:
+        raise KeyError(f"unknown JDBC type {conn.type_name!r}")
+    driver, url_tpl = JDBC_TYPES[conn.type_name]
+    opts = {
+        "driver": driver,
+        "url": url_tpl.format(host=conn.host, port=conn.port, database=conn.database),
+        "user": conn.user,
+        "password": os.environ.get(conn.secret_env, ""),
+        "fetchsize": str(conn.fetch_size),
+    }
+    text = query_or_table.strip()
+    if text.lower().startswith("select"):
+        opts["dbtable"] = f"({text}) src"
+    else:
+        opts["dbtable"] = f"{conn.schema}.{text}" if conn.schema else text
+    opts.update(conn.options)
+    return opts
+
+
+def partition_options(
+    column: str, lower: int, upper: int, num_partitions: int = 32
+) -> dict[str, str]:
+    """JDBC parallel-read options — the scale path for DB sources."""
+    return {
+        "partitionColumn": column,
+        "lowerBound": str(lower),
+        "upperBound": str(upper),
+        "numPartitions": str(num_partitions),
+    }
+
+
+def reader_for(spark: SparkSession, conn: Connection, query_or_table: str) -> DataFrameReader | DataFrame:
+    """Typed connection → ready DataFrame (file engines) or configured
+    reader (JDBC engines; caller adds partition_options then .load())."""
+    if conn.type_name == "FILE-PARQUET":
+        return spark.read.parquet(os.path.join(conn.path, f"{query_or_table}.parquet"))
+    if conn.type_name in ("FILE-CSV", "CSV"):
+        return spark.read.option("header", True).csv(
+            os.path.join(conn.path, f"{query_or_table}.csv")
+        )
+    if conn.type_name == "Excel":
+        from ..operators.file_ingest import read_sheet
+
+        return read_sheet(spark, os.path.join(conn.path, query_or_table))
+    return spark.read.format("jdbc").options(**jdbc_options(conn, query_or_table))
+
+
+def write_jdbc(df: DataFrame, conn: Connection, table: str, batchsize: int = 50_000) -> None:
+    """Bulk append — the SqlBulkCopy/OracleBulkCopy equivalent
+    (CommandExecuter.cs:888-930). batchsize mirrors the reference's
+    50k-row write chunks (CommandExecuter.cs:729-757)."""
+    opts = jdbc_options(conn, table)
+    (
+        df.write.format("jdbc")
+        .options(**opts)
+        .option("batchsize", str(batchsize))
+        .mode("append")
+        .save()
+    )

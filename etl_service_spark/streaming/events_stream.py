@@ -41,8 +41,10 @@ EVENT_SCHEMA = StructType(
 
 
 def with_event_time(events: DataFrame) -> DataFrame:
-    """Convert the raw epoch-nanos ``ts`` to a proper event-time column."""
-    return events.withColumn("ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long")))
+    """Convert the raw epoch-nanos ``ts`` to a proper event-time column.
+    Integer DIV, not `/`: epoch-nanos ~1.7e18 exceeds double's 2^53, so
+    float division is off by whole microseconds."""
+    return events.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
 
 
 def read_event_stream(spark: SparkSession, landing_dir: str) -> DataFrame:

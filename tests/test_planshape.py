@@ -1,0 +1,73 @@
+"""Physical-plan regression tests: the properties that matter at
+100 TB — filters reaching the parquet scan, column pruning, broadcast
+joins for small dimensions, no gratuitous shuffles — asserted on the
+actual executed plans so a refactor can't silently regress them."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_service_spark.plans.queries import registry, views
+
+CASES = registry()
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushed_to_parquet_scan(spark, sf_dir):
+    """etl_copy_align_audit filters orders on o_totalprice; the
+    predicate must reach the scan (PushedFilters), not run post-scan."""
+    df = CASES["etl_copy_align_audit"].spark(spark, sf_dir)
+    plan = _plan(df)
+    assert "PushedFilters" in plan and "o_totalprice" in plan.split("PushedFilters", 1)[1][:200], plan[:800]
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    """A 2-column projection over lineitem must not read all 16 cols."""
+    v = views(spark, sf_dir)
+    df = v["lineitem"].select("l_orderkey", "l_quantity").filter(F.col("l_quantity") > 10)
+    plan = _plan(df)
+    read = plan.split("ReadSchema", 1)[1][:300]
+    assert "l_orderkey" in read and "l_quantity" in read
+    assert "l_comment" not in read and "l_extendedprice" not in read
+
+
+def test_small_dims_are_broadcast(spark, sf_dir):
+    """chain join over region/nation/customer/orders: the small dims
+    must come in as broadcast joins, not shuffled sort-merge."""
+    df = CASES["chain_join_revenue"].spark(spark, sf_dir)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan, plan[:1500]
+
+
+def test_exact_dedup_single_shuffle(spark, sf_dir):
+    """hash-groupBy dedup is ONE shuffle (partial agg map-side, final
+    agg post-exchange) — more exchanges means the plan regressed."""
+    df = CASES["dedup_exact"].spark(spark, sf_dir)
+    plan = _plan(df)
+    assert plan.count("Exchange") <= 2, plan  # 1 agg exchange (+AQE read)
+
+
+def test_whole_stage_codegen_covers_agg(spark, sf_dir):
+    """tpch_q1 (scan→filter→agg) must run inside WholeStageCodegen.
+    AQE only shows codegen stages in the FINAL plan, so execute first."""
+    import contextlib
+    import io
+
+    df = CASES["tpch_q1_pricing"].spark(spark, sf_dir)
+    df.collect()  # finalize the adaptive plan first
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("codegen")
+    assert "Found" in buf.getvalue() and "WholeStageCodegen subtrees" in buf.getvalue()
+    assert "Found 0" not in buf.getvalue()
+
+
+def test_sessionize_single_shuffle_on_user(spark, sf_dir):
+    """Both window functions and the final aggregate share the user_id
+    partitioning: exactly one data exchange on user_id."""
+    df = CASES["events_sessionize"].spark(spark, sf_dir)
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning") <= 1, plan

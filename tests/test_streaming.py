@@ -64,3 +64,39 @@ def test_stream_restart_incremental_parquet_sink(spark, sf_dir, tmp_path):
         windowed_event_counts(read_event_stream(spark, landing)), ckpt, out
     )
     assert spark.read.parquet(out).count() == first
+
+def test_sessionize_stream_matches_batch(spark, sf_dir, tmp_path):
+    """applyInPandasWithState gap-sessionization: every CLOSED session
+    emitted by the stream must be byte-identical to a session from the
+    batch window-function twin (plans/queries.EVENTS_SESSIONIZE)."""
+    import shutil
+
+    from etl_service_spark.plans.queries import registry
+    from etl_service_spark.streaming.sessionize import sessionize_stream
+
+    landing, ckpt = str(tmp_path / "landing"), str(tmp_path / "ckpt")
+    os.makedirs(landing)
+    shutil.copy(os.path.join(sf_dir, "events.parquet"), os.path.join(landing, "d1.parquet"))
+
+    stream = read_event_stream(spark, landing)
+    q = (
+        sessionize_stream(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sessions_out")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["user_id"], r["session_start_us"], r["session_end_us"], r["n_events"])
+        for r in spark.table("sessions_out").collect()
+    }
+    batch = registry()["events_sessionize"].spark(spark, sf_dir).collect()
+    expect = {
+        (r["user_id"], r["session_start_us"], r["session_end_us"], r["n_events"])
+        for r in batch
+    }
+    assert got, "no sessions closed by event-time timeout"
+    assert got <= expect, f"stream emitted sessions unknown to batch: {sorted(got - expect)[:3]}"
