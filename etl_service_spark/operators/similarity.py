@@ -318,3 +318,60 @@ def lsh_ann_sql(planes: int = 12, tau: float = 0.2, view: str = "embeddings") ->
 
 def lsh_ann(spark: SparkSession, planes: int = 12, tau: float = 0.2) -> DataFrame:
     return spark.sql(lsh_ann_sql(planes, tau)[0])
+
+
+def lsh_ann_staged(
+    spark: SparkSession, planes: int = 12, tau: float = 0.2, view: str = "embeddings"
+) -> DataFrame:
+    """Spark execution path for lsh_ann: the bucket id + norm are
+    computed ONCE per vector in an Arrow/numpy kernel that replays the
+    oracle's exact FP sequence (left-associated plane dot per vector;
+    the 12x64-term SQL chain is interpreted and, as a CTE referenced by
+    both join sides, computed twice), then lineage-truncated so the
+    equi-join on bucket only evaluates the cosine chain on collision
+    pairs. Scale shape: one map-side pass + a shuffle keyed on bucket —
+    each bucket's pair space is co-located."""
+    import numpy as np
+    import pandas as pd
+
+    coef = np.array([_hyperplane(j) for j in range(planes)], dtype=np.float64)  # planes x DIM
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.array(list(pdf["embedding"]), dtype=np.float64)  # f32->f64 exact
+            bucket = np.zeros(len(pdf), dtype=np.int64)
+            for j in range(planes):
+                acc = m[:, 0] * coef[j, 0]
+                for i in range(1, DIM):
+                    acc = acc + m[:, i] * coef[j, i]
+                bucket += (acc >= 0).astype(np.int64) << j
+            nacc = m[:, 0] * m[:, 0]
+            for i in range(1, DIM):
+                nacc = nacc + m[:, i] * m[:, i]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "embedding": pdf["embedding"],
+                    "bucket": bucket,
+                    "nrm": np.sqrt(nacc),
+                }
+            )
+
+    bucketed = spark.table(view).select("vec_id", "embedding").mapInPandas(
+        kernel,
+        schema="vec_id bigint, embedding array<float>, bucket bigint, nrm double",
+    )
+    name = f"__lsh_buckets_{view}"
+    bucketed.localCheckpoint(eager=True).createOrReplaceTempView(name)
+    dot = _dot("a.embedding", "b2.embedding", one_based=False)
+    return spark.sql(
+        f"""
+SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b, a.bucket,
+       ({dot}) / (a.nrm * b2.nrm) AS cosine
+FROM {name} a JOIN {name} b2
+  ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+WHERE ({dot}) / (a.nrm * b2.nrm) >= {tau}
+"""
+    )

@@ -450,6 +450,57 @@ SELECT p_brand, p_partkey, revenue FROM (
 # =====================================================================
 # Events (stream-shaped) queries
 # =====================================================================
+# C5 dependency edges (Package.cs:852-865): edge list joined to the
+# entity table on the predecessor key, filtered to active scope.
+CFG_DEP_EDGES_TEMPLATE = """
+SELECT l.l_orderkey AS pkg_id, s.s_suppkey AS vorlauf_id, s.s_name AS vorlauf_name
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+WHERE l.l_linenumber = 1 AND s.s_nationkey < 10
+"""
+
+# C7 step parameters (CommandExecuter.cs:2192-2204): 3-way join
+# filtered by scope keys.
+CFG_PARAMS_TEMPLATE = """
+SELECT o.o_orderkey, c.c_name, n.n_name
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE o.o_orderpriority = '1-URGENT' AND n.n_regionkey = 1
+"""
+
+# A4 running workflows (app.R:262-280): open-state filter + sort.
+ANA_RUNNING_TEMPLATE = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+WHERE o_orderstatus = 'O' AND o_totalprice > 200000.0
+ORDER BY o_totalprice DESC, o_orderkey
+"""
+
+# A3 drill-down (Helper.cs:808-905): recursive descent over the
+# hierarchy levels with per-level aggregates assembled by joins.
+ANA_DRILLDOWN_TEMPLATE = """
+SELECT c.c_custkey,
+       COUNT(DISTINCT o.o_orderkey) AS n_orders,
+       COUNT(*) AS n_items,
+       {money_sum}
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_custkey % 50 = 0
+GROUP BY c.c_custkey
+"""
+
+# A9 run-structure real-vs-full (Vizualiser.cs:163-455): expected
+# entities LEFT JOIN executed set -> executed flag per node.
+ANA_RUNSTRUCTURE_TEMPLATE = """
+SELECT p.p_partkey, p.p_name,
+       CASE WHEN e.pk IS NULL THEN 0 ELSE 1 END AS executed
+FROM part p
+LEFT JOIN (SELECT DISTINCT l_partkey AS pk FROM lineitem) e
+  ON p.p_partkey = e.pk
+"""
+
 # Sessionization (training-pipeline operator; streaming twin in
 # streaming/sessionize.py): gap > 30 min starts a new session. One
 # shuffle on user_id; both window functions run inside that partition.
@@ -531,6 +582,8 @@ def registry() -> dict[str, Case]:
     cases["cfg_filter_due"] = _bi_case(CFG_FILTER_TEMPLATE, ts_us=TS_US)
     cases["cfg_join_priority"] = _bi_case(CFG_JOIN_TEMPLATE)
     cases["cfg_left_join_steps"] = _bi_case(CFG_LEFT_JOIN_TEMPLATE)
+    cases["cfg_dependency_edges"] = _bi_case(CFG_DEP_EDGES_TEMPLATE)
+    cases["cfg_params_threeway"] = _bi_case(CFG_PARAMS_TEMPLATE)
 
     # --- run-log analytics shapes
     cases["ana_union_report"] = _bi_case(ANA_UNION_TEMPLATE)
@@ -546,6 +599,12 @@ def registry() -> dict[str, Case]:
         ANA_TODAY_TEMPLATE,
         dfmt=("date_format(o.o_orderdate, 'yyyy-MM-dd')", "strftime(o.o_orderdate, '%Y-%m-%d')"),
     )
+    cases["ana_running_filter"] = _bi_case(ANA_RUNNING_TEMPLATE)
+    cases["ana_drilldown_levels"] = _bi_case(
+        ANA_DRILLDOWN_TEMPLATE,
+        money_sum=P.money_sum(P.dec("l.l_extendedprice", 12, 2), "total_price"),
+    )
+    cases["ana_runstructure_real"] = _bi_case(ANA_RUNSTRUCTURE_TEMPLATE)
 
     # --- TPC-H-style headliners
     cases["tpch_q1_pricing"] = _bi_case(TPCH_Q1_TEMPLATE)
@@ -605,7 +664,12 @@ def registry() -> dict[str, Case]:
     # (the N²×64-term SQL chain is interpreted, ~60x slower); oracle
     # stays the explicit-chain SQL.
     cases["emb_cosine_neardup"] = Case(_neardup_pandas, similarity.embedding_neardup_sql()[1])
-    cases["ann_lsh_bucketed"] = _pair_case(similarity.lsh_ann_sql())
+
+    def _lsh_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
+        views(spark, sf_dir)
+        return similarity.lsh_ann_staged(spark)
+
+    cases["ann_lsh_bucketed"] = Case(_lsh_staged, similarity.lsh_ann_sql()[1])
     cases["ann_ivf_topk"] = _pair_case(similarity.ivf_ann_sql())
 
     # --- multimodal plumbing
