@@ -52,8 +52,12 @@ def main() -> None:
     cases = registry()
     views(spark, sf_dir)  # pay view registration once, like a real session
 
-    # JVM/codegen warm-up on an unrelated trivial job
+    # JVM/codegen warm-up + Python/Arrow worker spawn on unrelated
+    # trivial jobs (worker startup is session init, not query cost)
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    from etl_service_spark.functions import portable as P
+
+    P.warm_udfs(spark)
 
     timings: dict[str, float] = {}
     for name in HEADLINERS:

@@ -123,6 +123,47 @@ def pd_shingle_hash_sets(texts, n: int = 3):
     )
 
 
+# ---- pandas-UDF singletons: a freshly-created pandas_udf instance
+# pays a large, variable first-execution cost (observed 3-13s —
+# command re-pickling/registration per new instance); reusing one
+# warmed instance is ~0.5s. Operators must use these, never re-wrap.
+_UDF_CACHE: dict[str, object] = {}
+
+
+def pd_poly_hash_udf():
+    if "poly_hash" not in _UDF_CACHE:
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("long")
+        def _ph(s):  # pragma: no cover - executed on workers
+            return pd_poly_hash_series(s)
+
+        _UDF_CACHE["poly_hash"] = _ph
+    return _UDF_CACHE["poly_hash"]
+
+
+def pd_shingle_hash_sets_udf():
+    if "shingle_sets" not in _UDF_CACHE:
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("array<bigint>")
+        def _hs(texts):  # pragma: no cover - executed on workers
+            return pd_shingle_hash_sets(texts)
+
+        _UDF_CACHE["shingle_sets"] = _hs
+    return _UDF_CACHE["shingle_sets"]
+
+
+def warm_udfs(spark) -> None:
+    """Execute each singleton once on a tiny relation: spawns python
+    workers, imports numpy/pandas there, and pays the per-instance
+    first-execution cost outside any measured query."""
+    from pyspark.sql import functions as F
+
+    tiny = spark.range(64, numPartitions=32).select(F.col("id").cast("string").alias("s"))
+    tiny.select(pd_poly_hash_udf()("s"), pd_shingle_hash_sets_udf()("s")).collect()
+
+
 def minhash_params(k: int) -> list[tuple[int, int]]:
     """Deterministic (a, b) pairs for k minhash permutations
     h_i(x) = (a_i*x + b_i) mod HASH_MOD."""

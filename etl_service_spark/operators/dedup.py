@@ -108,6 +108,23 @@ def exact_dedup(spark: SparkSession) -> DataFrame:
     return spark.sql(exact_dedup_sql()[0])
 
 
+def exact_dedup_staged(spark: SparkSession, view: str = "documents") -> DataFrame:
+    """Spark path for exact dedup: the full-text poly-hash runs in the
+    Arrow kernel (exact integer replay of the SQL fold, which Spark
+    evaluates as an interpreted per-character lambda), then ONE hash
+    aggregation — map-side partial combine, shuffling only (hash, id)
+    pairs, never text."""
+    from pyspark.sql import functions as F
+
+    return (
+        spark.table(view)
+        .select("doc_id", F.lower(F.col("text")).alias("lt"))
+        .select("doc_id", P.pd_poly_hash_udf()("lt").alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("keeper_id"), F.count("*").alias("n_copies"))
+    )
+
+
 # ----------------------- n-gram Jaccard (PPJoin-style prefix filtering)
 # For J(A,B) >= tau, the prefixes of length n - ceil(tau*n) + 1 of the
 # GLOBALLY-ORDERED shingle sets must intersect (Chaudhuri et al.,
@@ -189,17 +206,12 @@ def materialize_hashsets(spark: SparkSession, view: str = "documents") -> str:
     embarrassingly parallel over document partitions.
     """
     from pyspark.sql import functions as F
-    from pyspark.sql.functions import pandas_udf
 
     name = f"__hashsets_{view}"
 
-    @pandas_udf("array<bigint>")
-    def _hashsets(texts):  # pragma: no cover - executed on workers
-        return P.pd_shingle_hash_sets(texts)
-
     hs = (
         spark.table(view)
-        .select("doc_id", _hashsets("text").alias("hs"))
+        .select("doc_id", P.pd_shingle_hash_sets_udf()("text").alias("hs"))
         .withColumn("n", F.size("hs"))
         .filter(F.col("n") > 0)
     )

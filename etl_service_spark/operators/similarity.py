@@ -279,6 +279,105 @@ def ivf_ann(spark: SparkSession, **kw) -> DataFrame:
     return spark.sql(ivf_ann_sql(**kw)[0])
 
 
+def ivf_ann_staged(
+    spark: SparkSession,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    k: int = 10,
+    n_queries: int = 5,
+    view: str = "embeddings",
+) -> DataFrame:
+    """Spark path for ivf_ann: centroid assignment (the N x n_cells
+    cosine ranking) runs in an Arrow kernel with the centroid matrix
+    broadcast, replaying the oracle's exact left-associated FP chains;
+    the probe join + exact re-rank stay declarative SQL over the
+    lineage-truncated assignment relation. Tie-breaks (cos DESC, c_id)
+    are identical because the doubles are identical."""
+    import numpy as np
+    import pandas as pd
+
+    emb = spark.table(view).select("vec_id", "embedding")
+    cent = sorted(
+        ((r.vec_id, r.embedding) for r in emb.filter(f"vec_id < {n_cells}").collect()),
+        key=lambda t: t[0],
+    )
+    c_ids = np.array([c[0] for c in cent], dtype=np.int64)
+    c_m = np.array([c[1] for c in cent], dtype=np.float64)
+
+    def _norms(m):
+        acc = m[:, 0] * m[:, 0]
+        for i in range(1, DIM):
+            acc = acc + m[:, i] * m[:, i]
+        return np.sqrt(acc)
+
+    c_nrm = _norms(c_m)
+    bc = spark.sparkContext.broadcast((c_ids, c_m, c_nrm))
+
+    def kernel(batches):
+        ids_c, m_c, nrm_c = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.array(list(pdf["embedding"]), dtype=np.float64)
+            nrm = _norms(m)
+            # cos to every centroid: 64 outer-product accumulation steps
+            acc = np.multiply.outer(m[:, 0], m_c[:, 0])
+            for i in range(1, DIM):
+                acc += np.multiply.outer(m[:, i], m_c[:, i])
+            cos = acc / np.multiply.outer(nrm, nrm_c)
+            # rank centroids per vector: cos DESC, then c_id ASC.
+            # ids_c is sorted ascending, so a stable argsort on -cos
+            # reproduces the SQL tie-break exactly.
+            order = np.argsort(-cos, axis=1, kind="stable")
+            ranks = np.empty_like(order)
+            rows = np.arange(cos.shape[0])[:, None]
+            ranks[rows, order] = np.arange(cos.shape[1])[None, :] + 1
+            vid = pdf["vec_id"].to_numpy(dtype=np.int64)
+            n = cos.shape[1]
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(vid, n),
+                    "c_id": np.tile(ids_c, len(vid)),
+                    "rn": ranks.ravel(),
+                }
+            )
+
+    assign = emb.mapInPandas(kernel, schema="vec_id bigint, c_id bigint, rn int")
+    name = f"__ivf_assign_{view}"
+    assign.localCheckpoint(eager=True).createOrReplaceTempView(name)
+    nrm_sql = _norm("embedding", one_based=False)
+    sdot = _dot("qv.embedding", "nv2.embedding", one_based=False)
+    return spark.sql(
+        f"""
+WITH nv AS (
+  SELECT vec_id, embedding, ({nrm_sql}) AS nrm FROM {view}
+),
+cells AS (
+  SELECT vec_id, c_id FROM {name} WHERE rn = 1
+),
+qprobe AS (
+  SELECT vec_id AS q_id, c_id FROM {name} WHERE vec_id < {n_queries} AND rn <= {nprobe}
+),
+cand AS (
+  SELECT DISTINCT q.q_id, m.vec_id AS n_id
+  FROM qprobe q JOIN cells m ON m.c_id = q.c_id AND m.vec_id <> q.q_id
+),
+ranked AS (
+  SELECT cand.q_id, cand.n_id,
+         ({sdot}) / (qv.nrm * nv2.nrm) AS cosine,
+         ROW_NUMBER() OVER (
+           PARTITION BY cand.q_id
+           ORDER BY ({sdot}) / (qv.nrm * nv2.nrm) DESC, cand.n_id
+         ) AS rnk
+  FROM cand
+  JOIN nv qv ON qv.vec_id = cand.q_id
+  JOIN nv nv2 ON nv2.vec_id = cand.n_id
+)
+SELECT q_id, n_id, rnk, cosine FROM ranked WHERE rnk <= {k}
+"""
+    )
+
+
 # --------------------------------------------------------------- LSH ANN
 def _bucket_expr(vec: str, planes: int, *, one_based: bool) -> str:
     bits = [

@@ -147,18 +147,22 @@ def fingerprint(docs: DataFrame) -> DataFrame:
     """Full-text polynomial hash + min-shingle-hash (a 1-perm minhash):
     the rolling-hash document fingerprint for incremental dedup.
 
-    Tokens are materialized as a column BEFORE shingling: inlining the
-    tokenizer into the shingle lambda makes every element_at re-tokenize
-    the whole document (~600 re-tokenizations per doc, interpreted)."""
-    full = P.spark_poly_hash("lower(text)")
-    minsh = f"array_min(transform({P.spark_shingles('t')}, s -> {P.spark_poly_hash('s')}))"
-    return (
-        docs.selectExpr("doc_id", "text", f"{P.spark_tokens('text')} AS t")
-        .selectExpr(
-            "doc_id",
-            f"{full} AS text_hash",
-            f"coalesce({minsh}, -1) AS min_shingle_hash",
-        )
+    Both hashes run in ONE Arrow kernel (exact integer replay of the
+    SQL fold — portable.pd_poly_hash_series / pd_shingle_hash_sets; the
+    SQL formulation is interpreted per-character lambda evaluation).
+    Map-side only, no shuffle."""
+    from pyspark.sql import functions as F
+
+    return docs.select(
+        "doc_id",
+        P.pd_poly_hash_udf()(F.lower(F.col("text"))).alias("text_hash"),
+        P.pd_shingle_hash_sets_udf()("text").alias("hs"),
+    ).select(
+        "doc_id",
+        "text_hash",
+        # sets are sorted ascending -> min is element 0 (F.get is
+        # NULL-safe out of bounds, unlike ANSI element_at)
+        F.coalesce(F.get("hs", 0), F.lit(-1)).alias("min_shingle_hash"),
     )
 
 

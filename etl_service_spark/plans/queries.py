@@ -635,7 +635,11 @@ def registry() -> dict[str, Case]:
     cases["text_fingerprint"] = _text_case(textops.fingerprint, textops.oracle_fingerprint)
 
     # --- dedup family
-    cases["dedup_exact"] = _pair_case(dedup.exact_dedup_sql())
+    def _exact_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
+        views(spark, sf_dir)
+        return dedup.exact_dedup_staged(spark)
+
+    cases["dedup_exact"] = Case(_exact_staged, dedup.exact_dedup_sql()[1])
 
     # Spark side: staged execution (shingle-hash sets materialized once,
     # cached, then self-joined) — Spark's CTE inlining would otherwise
@@ -670,7 +674,11 @@ def registry() -> dict[str, Case]:
         return similarity.lsh_ann_staged(spark)
 
     cases["ann_lsh_bucketed"] = Case(_lsh_staged, similarity.lsh_ann_sql()[1])
-    cases["ann_ivf_topk"] = _pair_case(similarity.ivf_ann_sql())
+    def _ivf_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
+        views(spark, sf_dir)
+        return similarity.ivf_ann_staged(spark)
+
+    cases["ann_ivf_topk"] = Case(_ivf_staged, similarity.ivf_ann_sql()[1])
 
     # --- multimodal plumbing
     cases["media_binary_stats"] = _pair_case(multimodal.media_stats_sql())
