@@ -94,6 +94,43 @@ def extract_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
     return media.mapInPandas(kernel, schema=FEATURE_SCHEMA)
 
 
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("frame_payload", BinaryType()),
+        StructField("frame_bytes", LongType()),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, every_n_bytes: int = 256, max_frames: int = 8) -> DataFrame:
+    """Frame sampling: one input row expands to N frame rows (the
+    video→frames UDTF shape). The STUB 'codec' slices the payload into
+    fixed windows — a real pipeline swaps in ffmpeg keyframe extraction;
+    the Spark contract (mapInPandas 1→N expansion, schema, ordering
+    column) is exactly what production needs.
+
+    Scale: output multiplicity is bounded (max_frames) so task output
+    stays proportional to input; downstream repartitions on media_id if
+    frames feed a per-media aggregation."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {"media_id": [], "frame_idx": [], "frame_payload": [], "frame_bytes": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(payload) if payload is not None else b""
+                for idx in range(min(max_frames, max(1, (len(raw) + every_n_bytes - 1) // every_n_bytes))):
+                    frame = raw[idx * every_n_bytes : (idx + 1) * every_n_bytes]
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(idx)
+                    out["frame_payload"].append(frame)
+                    out["frame_bytes"].append(len(frame))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(kernel, schema=FRAME_SCHEMA)
+
+
 def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
     """STUB image resize: real impl needs PIL (not installed). Raises at
     execution; exists to pin the operator signature + schema contract."""

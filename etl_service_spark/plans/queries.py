@@ -680,6 +680,27 @@ def registry() -> dict[str, Case]:
 
     cases["ann_ivf_topk"] = Case(_ivf_staged, similarity.ivf_ann_sql()[1])
 
+    # --- multimodal: 1->N frame expansion (UDTF shape), aggregated to
+    # an exactly-oracle-able per-media view (frame slicing is a pure
+    # function of payload length)
+    def _q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+        v = views(spark, sf_dir)
+        frames = multimodal.sample_frames(multimodal.documents_as_media(v["documents"]))
+        return frames.groupBy("media_id").agg(
+            F.count("*").alias("n_frames"),
+            F.sum("frame_bytes").alias("total_frame_bytes"),
+        )
+
+    cases["media_frame_sample"] = Case(
+        _q_frame_sample,
+        """
+SELECT doc_id AS media_id,
+       CAST(LEAST(8, GREATEST(1, (octet_length(encode(text)) + 255) // 256)) AS BIGINT) AS n_frames,
+       CAST(LEAST(octet_length(encode(text)), 2048) AS BIGINT) AS total_frame_bytes
+FROM documents
+""",
+    )
+
     # --- multimodal plumbing
     cases["media_binary_stats"] = _pair_case(multimodal.media_stats_sql())
 
