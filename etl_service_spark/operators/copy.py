@@ -100,6 +100,23 @@ def render_sliced_command(template: str, context: dict[str, str], window: Takeov
     return resolve_placeholders(template, ctx)
 
 
+def write_bucketed(df: DataFrame, table: str, key: str, buckets: int = 32) -> None:
+    """Bucketed catalog-table write: pre-shuffles ONCE at write time so
+    every later equi-join/aggregation on ``key`` is exchange-free (the
+    scan exposes HashPartitioning(key, buckets); Catalyst skips the
+    shuffle). The co-located-join strategy for repeatedly-joined big
+    tables — e.g. orders x lineitem on the order key at 100 TB: pay one
+    shuffle at ingest, none per query. Asserted by
+    tests/test_planshape.py::test_bucketed_join_has_no_exchange."""
+    (
+        df.write.mode("overwrite")
+        .bucketBy(buckets, key)
+        .sortBy(key)
+        .format("parquet")
+        .saveAsTable(table)  # default warehouse location
+    )
+
+
 def write_copy(df: DataFrame, path: str, *, mode: str = "append", slice_partitioned: bool = False) -> int:
     """Append the aligned relation to the destination. Returns observed
     row count (the ErwarteteDaten metric) without a second scan by

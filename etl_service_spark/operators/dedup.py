@@ -137,14 +137,19 @@ def exact_dedup_staged(spark: SparkSession, view: str = "documents") -> DataFram
 # ((num*n + den - 1) DIV den) — no float ceil edge cases, identical in
 # both engines.
 JACCARD_BODY = """posting AS (
-  SELECT doc_id, {slice_prefix} AS pre FROM {hs_rel}
+  SELECT doc_id, n, {slice_prefix} AS pre FROM {hs_rel}
 ),
 pexp AS (
-  SELECT doc_id, {explode}(pre) AS h FROM posting
+  SELECT doc_id, n, {explode}(pre) AS h FROM posting
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM pexp a JOIN pexp b ON a.h = b.h AND a.doc_id < b.doc_id
+  FROM pexp a JOIN pexp b
+    ON a.h = b.h AND a.doc_id < b.doc_id
+   -- lossless length filter: J(A,B) >= tau forces
+   -- min(|A|,|B|) >= tau * max(|A|,|B|)  (integer arithmetic)
+   AND b.n * {tau_den} >= a.n * {tau_num}
+   AND a.n * {tau_den} >= b.n * {tau_num}
 ),
 verified AS (
   SELECT c.doc_a, c.doc_b,
@@ -179,6 +184,8 @@ def ngram_jaccard_sql(
         slice_prefix=_jaccard_slice_prefix(tau_frac),
         hs_rel="hs",
         tau=str(tau),
+        tau_num=str(tau_frac[0]),
+        tau_den=str(tau_frac[1]),
         **_hashset_frags(view),
     )
 
@@ -232,6 +239,8 @@ def ngram_jaccard_staged(
         slice_prefix=_jaccard_slice_prefix(tau_frac),
         hs_rel=hs_rel,
         tau=str(tau),
+        tau_num=str(tau_frac[0]),
+        tau_den=str(tau_frac[1]),
         **_hashset_frags(view),
     )[0]
     return spark.sql(body)

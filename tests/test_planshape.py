@@ -71,3 +71,29 @@ def test_sessionize_single_shuffle_on_user(spark, sf_dir):
     df = CASES["events_sessionize"].spark(spark, sf_dir)
     plan = _plan(df)
     assert plan.count("Exchange hashpartitioning") <= 1, plan
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    """Bucketed tables joined on the bucket key: zero shuffles — the
+    one-time-shuffle-at-ingest strategy for repeatedly-joined facts."""
+    from etl_service_spark.operators.copy import write_bucketed
+
+    v = views(spark, sf_dir)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        write_bucketed(v["orders"].select("o_orderkey", "o_totalprice"), "orders_bkt", "o_orderkey", 8)
+        write_bucketed(
+            v["lineitem"].select("l_orderkey", "l_quantity"), "lineitem_bkt", "l_orderkey", 8
+        )
+        j = spark.table("orders_bkt").join(
+            spark.table("lineitem_bkt"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        plan = _plan(j)
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert "Exchange hashpartitioning" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS orders_bkt")
+        spark.sql("DROP TABLE IF EXISTS lineitem_bkt")
