@@ -28,7 +28,7 @@ from pyspark.sql.types import (
 
 from ..functions import portable as P
 from ..functions.placeholders import resolve_placeholders
-from ..operators import dedup, multimodal, similarity, textops
+from ..operators import dedup, multimodal, similarity, skew, textops
 from ..operators.align import AuditContext, align_to_schema
 from ..operators.copy import TakeoverWindow, copy_data_timesliced
 from ..operators.file_ingest import IngestContext, apply_mapping, inject_audit_columns
@@ -679,6 +679,53 @@ def registry() -> dict[str, Case]:
         return similarity.ivf_ann_staged(spark)
 
     cases["ann_ivf_topk"] = Case(_ivf_staged, similarity.ivf_ann_sql()[1])
+
+    # --- skew handling: salted plans are RESULT-IDENTICAL to the plain
+    # plans, so the oracles are the unsalted SQL — proving the salt
+    # never leaks into results.
+    def _q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+        v = views(spark, sf_dir)
+        out = skew.salted_agg(
+            v["events"],
+            "event_type",
+            [
+                (F.count("*"), F.sum("n_events_p"), "n_events"),
+                (
+                    F.sum(F.col("value").cast("decimal(12,2)")),
+                    F.sum("total_value_p"),
+                    "total_value",
+                ),
+            ],
+        )
+        return out.select(
+            "event_type", "n_events", F.col("total_value").cast("double").alias("total_value")
+        )
+
+    cases["events_salted_agg"] = Case(
+        _q_salted_agg,
+        """
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM events GROUP BY event_type
+""",
+    )
+
+    def _q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+        v = views(spark, sf_dir)
+        dim = v["events"].select("event_type").distinct().withColumn(
+            "label", F.upper(F.col("event_type"))
+        )
+        joined = skew.salted_broadcastable_join(v["events"], dim, "event_type")
+        return joined.groupBy("label").agg(F.count("*").alias("n"))
+
+    cases["events_salted_join"] = Case(
+        _q_salted_join,
+        """
+SELECT upper(event_type) AS label, COUNT(*) AS n
+FROM events WHERE event_type IS NOT NULL
+GROUP BY upper(event_type)
+""",
+    )
 
     # --- multimodal: 1->N frame expansion (UDTF shape), aggregated to
     # an exactly-oracle-able per-media view (frame slicing is a pure

@@ -44,6 +44,8 @@ class RunLog:
 
     base_path: str
     _rows: dict[str, list[dict]] = field(default_factory=lambda: {lv: [] for lv in LEVELS})
+    _errors: list[dict] = field(default_factory=list)
+    _queries: list[dict] = field(default_factory=list)
     _ids: "count[int]" = field(default_factory=lambda: count(1))
     _lock: threading.Lock = field(default_factory=threading.Lock)
 
@@ -67,6 +69,8 @@ class RunLog:
             return run_id
 
     def close(self, level: str, run_id: int, *, success: bool, expected_rows: int | None = None) -> None:
+        import json
+
         with self._lock:
             base = next(r for r in self._rows[level] if r["run_id"] == run_id)
             row = dict(base)
@@ -76,14 +80,44 @@ class RunLog:
                 Erfolgreich=success,
                 ErwarteteDaten=expected_rows,
             )
+            # denormalized Json_Log string per row (Helper.cs:1841-1851)
+            row["Json_Log"] = json.dumps(
+                {"level": level, "run_id": run_id, "success": success, "rows": expected_rows},
+                sort_keys=True,
+            )
             self._rows[level].append(row)
+
+    def error(self, level: str, run_id: int, message: str, sql_text: str | None = None) -> None:
+        """Logging.ETL_Fehlermeldungen row (Helper.cs:2027): error text
+        keyed to the hierarchy level's run id, with the offending SQL
+        when present (the step branch of A1 joins ETL_SQL_Anfragen)."""
+        with self._lock:
+            self._errors.append(
+                dict(
+                    level=level,
+                    run_id=run_id,
+                    Zeitpunkt=datetime.now().isoformat(),
+                    Meldung=message,
+                    Sql_Text=sql_text,
+                )
+            )
+
+    def log_query(self, run_id: int, sql_text: str) -> None:
+        """Logging.ETL_SQL_Anfragen analogue (LogQuery, Helper.cs:1583):
+        every executed command, keyed to its step run."""
+        with self._lock:
+            self._queries.append(
+                dict(run_id=run_id, Zeitpunkt=datetime.now().isoformat(), Sql_Text=sql_text)
+            )
 
     SCHEMA = (
         "run_id BIGINT, name STRING, parent_id BIGINT, "
         "Anforderungszeitpunkt STRING, Startzeitpunkt STRING, Endzeitpunkt STRING, "
         "Ist_gestartet BOOLEAN, Ist_abgeschlossen BOOLEAN, Erfolgreich BOOLEAN, "
-        "ErwarteteDaten BIGINT"
+        "ErwarteteDaten BIGINT, Json_Log STRING"
     )
+    ERROR_SCHEMA = "level STRING, run_id BIGINT, Zeitpunkt STRING, Meldung STRING, Sql_Text STRING"
+    QUERY_SCHEMA = "run_id BIGINT, Zeitpunkt STRING, Sql_Text STRING"
 
     def flush(self, spark: SparkSession) -> dict[str, DataFrame]:
         out = {}
@@ -91,16 +125,29 @@ class RunLog:
             if not self._rows[lv]:
                 continue
             df = spark.createDataFrame(
-                [tuple(r[k] for k in (
+                [tuple(r.get(k) for k in (
                     "run_id", "name", "parent_id", "Anforderungszeitpunkt",
                     "Startzeitpunkt", "Endzeitpunkt", "Ist_gestartet",
-                    "Ist_abgeschlossen", "Erfolgreich", "ErwarteteDaten",
+                    "Ist_abgeschlossen", "Erfolgreich", "ErwarteteDaten", "Json_Log",
                 )) for r in self._rows[lv]],
                 schema=self.SCHEMA,
             )
             path = os.path.join(self.base_path, f"runlog_{lv}.parquet")
             df.write.mode("append").parquet(path)
             out[lv] = spark.read.parquet(path)
+        if self._errors:
+            df = spark.createDataFrame(
+                [tuple(r[k] for k in ("level", "run_id", "Zeitpunkt", "Meldung", "Sql_Text"))
+                 for r in self._errors],
+                schema=self.ERROR_SCHEMA,
+            )
+            df.write.mode("append").parquet(os.path.join(self.base_path, "runlog_errors.parquet"))
+        if self._queries:
+            df = spark.createDataFrame(
+                [tuple(r[k] for k in ("run_id", "Zeitpunkt", "Sql_Text")) for r in self._queries],
+                schema=self.QUERY_SCHEMA,
+            )
+            df.write.mode("append").parquet(os.path.join(self.base_path, "runlog_queries.parquet"))
         return out
 
 
@@ -112,6 +159,10 @@ def register_runlog_views(spark: SparkSession, base_path: str) -> None:
         else:  # level never logged → empty relation keeps A1/A7/A8 unions total
             df = spark.createDataFrame([], schema=RunLog.SCHEMA)
         df.createOrReplaceTempView(f"runlog_{lv}")
+    for name, schema in (("errors", RunLog.ERROR_SCHEMA), ("queries", RunLog.QUERY_SCHEMA)):
+        p = os.path.join(base_path, f"runlog_{name}.parquet")
+        df = spark.read.parquet(p) if os.path.exists(p) else spark.createDataFrame([], schema=schema)
+        df.createOrReplaceTempView(f"runlog_{name}")
 
 
 # ------------------------------------------------------------- analytics
@@ -139,6 +190,24 @@ def error_report_sql() -> str:
                Startzeitpunkt, Endzeitpunkt
         FROM ({current_state_sql(lv)})
         WHERE Erfolgreich = false"""
+        )
+    return "\nUNION ALL\n".join(branches)
+
+
+def error_messages_sql() -> str:
+    """A1 full form + A10 (Helper.cs:922-1025, app.R:472-486): error
+    messages joined to their failed run rows across all levels; the
+    step branch carries the offending SQL (LEFT JOIN runlog_queries,
+    '-' coalescing exactly as the reference's CASE WHEN NULL)."""
+    branches = []
+    for lv in LEVELS:
+        branches.append(
+            f"""
+        SELECT e.level, e.run_id, r.name, e.Zeitpunkt, e.Meldung,
+               coalesce(e.Sql_Text, q.Sql_Text, '-') AS sql_text
+        FROM runlog_errors e
+        JOIN ({current_state_sql(lv)}) r ON e.run_id = r.run_id AND e.level = '{lv}'
+        LEFT JOIN runlog_queries q ON e.level = 'step' AND q.run_id = e.run_id"""
         )
     return "\nUNION ALL\n".join(branches)
 

@@ -201,3 +201,44 @@ def test_runlog_lifecycle_and_analytics(spark, tmp_path):
     tree = spark.sql(run_tree_sql()).collect()
     nodes = {r["node"]: r["parent"] for r in tree}
     assert nodes[f"P{pkg}"] == f"W{wf}" and nodes[f"R{real}"] == f"P{pkg}" and nodes[f"S{step}"] == f"R{real}"
+
+
+def test_runlog_errors_queries_and_json_log(spark, tmp_path):
+    """Fehlermeldungen/SQL_Anfragen/Json_Log plane: errors join their
+    failed runs with SQL text; Json_Log parses with from_json."""
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from etl_service_spark.plans.runlog import (
+        RunLog,
+        error_messages_sql,
+        register_runlog_views,
+    )
+
+    log = RunLog(str(tmp_path))
+    t0 = datetime(2026, 2, 1, 3, 0)
+    wf = log.open("workflow", "WF_ERR", None, t0)
+    step = log.open("step", "S_BAD", wf, t0)
+    log.log_query(step, "INSERT INTO t SELECT broken")
+    log.error("step", step, "sentinel -1 from target", sql_text=None)
+    log.close("step", step, success=False)
+    log.error("workflow", wf, "child step failed")
+    log.close("workflow", wf, success=False, expected_rows=0)
+    log.flush(spark)
+    register_runlog_views(spark, str(tmp_path))
+
+    errs = spark.sql(error_messages_sql()).collect()
+    by_level = {r["level"]: r for r in errs}
+    assert by_level["step"]["sql_text"] == "INSERT INTO t SELECT broken"  # via query log
+    assert by_level["workflow"]["sql_text"] == "-"  # NULL-coalesced like the reference
+    assert by_level["step"]["Meldung"].startswith("sentinel")
+
+    parsed = (
+        spark.table("runlog_workflow")
+        .filter(F.col("Json_Log").isNotNull())
+        .select(F.from_json("Json_Log", "level STRING, run_id BIGINT, success BOOLEAN, rows BIGINT").alias("j"))
+        .select("j.*")
+        .collect()
+    )
+    assert parsed and parsed[0]["success"] is False and parsed[0]["rows"] == 0
