@@ -501,6 +501,42 @@ LEFT JOIN (SELECT DISTINCT l_partkey AS pk FROM lineitem) e
   ON p.p_partkey = e.pk
 """
 
+# Correlated scalar subquery (TPC-H q17 shape): Catalyst decorrelates
+# the per-part average into an aggregate + join — written declaratively,
+# no manual rewrite.
+Q17_SMALL_QTY_TEMPLATE = """
+SELECT {money_sum}
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_size = 1
+  -- q < 0.5*AVG(q) rewritten as 2*q*COUNT < SUM in exact DECIMAL math:
+  -- AVG(double) is summation-order-dependent and engines order
+  -- differently; the decimal form is associative, so bit-stable.
+  AND CAST(l.l_quantity AS DECIMAL(14,2)) * 2
+      * (SELECT COUNT(*) FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+    < (SELECT SUM(CAST(l3.l_quantity AS DECIMAL(14,2)))
+       FROM lineitem l3 WHERE l3.l_partkey = l.l_partkey)
+"""
+
+# Anti-join (the D7 dedup-by-filename shape generalized): parts never
+# shipped — LEFT ANTI in Spark, NOT EXISTS for the oracle; both engines
+# plan it as an anti hash join.
+ANTI_JOIN_TEMPLATE = """
+SELECT p.p_partkey, p.p_name
+FROM part p
+WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
+"""
+
+# Semi-join: customers with at least one urgent order.
+SEMI_JOIN_TEMPLATE = """
+SELECT c.c_custkey, c.c_name
+FROM customer c
+WHERE EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+)
+"""
+
 # Sessionization (training-pipeline operator; streaming twin in
 # streaming/sessionize.py): gap > 30 min starts a new session. One
 # shuffle on user_id; both window functions run inside that partition.
@@ -614,6 +650,12 @@ def registry() -> dict[str, Case]:
     )
     cases["chain_join_revenue"] = _bi_case(CHAIN_JOIN_TEMPLATE)
     cases["top_parts_by_revenue"] = _bi_case(TOP_PARTS_TEMPLATE)
+    cases["q17_small_qty_revenue"] = _bi_case(
+        Q17_SMALL_QTY_TEMPLATE,
+        money_sum=P.money_sum(P.dec("l.l_extendedprice", 12, 2), "avg_yearly"),
+    )
+    cases["anti_join_never_shipped"] = _bi_case(ANTI_JOIN_TEMPLATE)
+    cases["semi_join_urgent_customers"] = _bi_case(SEMI_JOIN_TEMPLATE)
 
     # --- events
     cases["events_window_agg"] = _bi_case(EVENTS_WINDOW_TEMPLATE, ts_us=TS_US)
