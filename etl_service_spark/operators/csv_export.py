@@ -73,9 +73,12 @@ def _serialize_col(df: DataFrame, name: str, opts: CsvOptions) -> Column:
         text = c.cast("string")
     if dtype == "string":
         needs_quote = c.contains(opts.delimiter) | c.contains(opts.qualifier)
+        # regexp_replace's REPLACEMENT is also special-char sensitive:
+        # \ and $ must be doubled or an escape char of '\' vanishes
+        replacement = (opts.escape + opts.qualifier).replace("\\", "\\\\").replace("$", "\\$")
         quoted = F.concat(
             F.lit(opts.qualifier),
-            F.regexp_replace(c, re.escape(opts.qualifier), opts.escape + opts.qualifier),
+            F.regexp_replace(c, re.escape(opts.qualifier), replacement),
             F.lit(opts.qualifier),
         )
         text = F.when(needs_quote, quoted).otherwise(text)

@@ -242,3 +242,31 @@ def test_runlog_errors_queries_and_json_log(spark, tmp_path):
         .collect()
     )
     assert parsed and parsed[0]["success"] is False and parsed[0]["rows"] == 0
+
+
+def test_csv_option_matrix_golden(spark):
+    """D8 fidelity matrix (CommandExecuter.cs:2285-2333): custom
+    delimiter/qualifier/escape/null-token/date-format produce exact
+    golden lines."""
+    from datetime import datetime
+
+    from etl_service_spark.operators.csv_export import CsvOptions, format_lines, header_line
+
+    df = spark.createDataFrame(
+        [
+            (1, "plain", datetime(2026, 3, 1, 14, 30)),
+            (2, "has|delim", None),
+            (3, "o'quote", datetime(2026, 12, 31, 23, 59)),
+            (4, None, None),
+        ],
+        "id int, s string, ts timestamp",
+    )
+    opts = CsvOptions(
+        delimiter="|", qualifier="'", escape="\\", null_token="NULL", date_format="dd.MM.yyyy HH:mm"
+    )
+    lines = {r["id"]: r["line"] for r in format_lines(df, opts, order_col="id").collect()}
+    assert header_line(df, opts) == "id|s|ts"
+    assert lines[1] == "1|plain|01.03.2026 14:30"
+    assert lines[2] == "2|'has|delim'|NULL"      # delimiter forces qualifier-wrap
+    assert lines[3] == "3|'o\\'quote'|31.12.2026 23:59"  # inner qualifier escaped
+    assert lines[4] == "4|NULL|NULL"             # null token everywhere
