@@ -261,3 +261,25 @@ def timeline_sql() -> str:
         for lv in LEVELS
     ]
     return "\nUNION ALL\n".join(parts)
+
+
+def run_graph_dot(spark: SparkSession) -> str:
+    """A9 (Vizualiser.cs:163-455): the run-structure graph, rendered as
+    Graphviz DOT text instead of SkiaSharp pixels — same inputs (the
+    4-level tree + success flags), toolable output."""
+    tree = spark.sql(run_tree_sql()).collect()
+    flags: dict[str, bool | None] = {}
+    for lv in LEVELS:
+        for r in spark.sql(current_state_sql(lv)).collect():
+            flags[f"{lv[0].upper()}{r['run_id']}"] = r["Erfolgreich"]
+    color = lambda ok: "green" if ok else ("red" if ok is False else "gray")
+    lines = ["digraph run {", "  rankdir=LR;"]
+    for r in sorted(tree, key=lambda r: r["node"]):
+        lines.append(
+            f'  "{r["node"]}" [label="{r["name"]}", color={color(flags.get(r["node"]))}];'
+        )
+    for r in sorted(tree, key=lambda r: r["node"]):
+        if r["parent"] != "ROOT":
+            lines.append(f'  "{r["parent"]}" -> "{r["node"]}";')
+    lines.append("}")
+    return "\n".join(lines)

@@ -270,3 +270,24 @@ def test_csv_option_matrix_golden(spark):
     assert lines[2] == "2|'has|delim'|NULL"      # delimiter forces qualifier-wrap
     assert lines[3] == "3|'o\\'quote'|31.12.2026 23:59"  # inner qualifier escaped
     assert lines[4] == "4|NULL|NULL"             # null token everywhere
+
+
+def test_run_graph_dot(spark, tmp_path):
+    """A9: DOT rendering of the run structure with success coloring."""
+    from datetime import datetime
+
+    from etl_service_spark.plans.runlog import RunLog, register_runlog_views, run_graph_dot
+
+    log = RunLog(str(tmp_path))
+    t0 = datetime(2026, 4, 1, 1, 0)
+    wf = log.open("workflow", "WF_VIZ", None, t0)
+    pkg = log.open("package", "P", wf, t0)
+    log.close("package", pkg, success=True)
+    log.close("workflow", wf, success=False)
+    log.flush(spark)
+    register_runlog_views(spark, str(tmp_path))
+    dot = run_graph_dot(spark)
+    assert dot.startswith("digraph run {") and dot.endswith("}")
+    assert f'"W{wf}" -> "P{pkg}";' in dot
+    assert f'"P{pkg}" [label="P", color=green];' in dot
+    assert f'"W{wf}" [label="WF_VIZ", color=red];' in dot

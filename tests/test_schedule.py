@@ -157,3 +157,64 @@ def test_failure_backoff_deactivates_after_10():
     assert b.active
     b.record_failure("wf")
     assert not b.active and len(b.notifications) == 1
+
+
+def test_scheduler_loop_tick_runs_due_and_backs_off():
+    """Processor.CheckForExecution: a due workflow runs and logs a T4
+    instance; a failing one is deactivated after the T5 limit."""
+    from datetime import datetime
+
+    from etl_service_spark.plans.orchestrator import (
+        Orchestrator,
+        Package,
+        Realization,
+        Step,
+        Workflow,
+    )
+    from etl_service_spark.plans.schedule import FailureBackoff, SchedulePlan
+    from etl_service_spark.plans.scheduler_loop import ScheduledWorkflow, SchedulerLoop
+
+    ran = []
+
+    def make_wf(name, action):
+        return Workflow(
+            name=name,
+            packages={
+                "P": Package(name="P", realizations=[
+                    Realization(name="R", steps=[Step(name="S", action=action)])
+                ])
+            },
+            master="P",
+        )
+
+    loop = SchedulerLoop(Orchestrator(max_threads=2))
+    plan = SchedulePlan(sofort_ausfuehrung=True)
+    loop.add(ScheduledWorkflow("good", plan, make_wf("good", lambda: ran.append("good"))))
+
+    def boom():
+        raise RuntimeError("step exploded")
+
+    bad = ScheduledWorkflow(
+        "bad", SchedulePlan(sofort_ausfuehrung=True), make_wf("bad", boom),
+        backoff=FailureBackoff(limit=2),
+    )
+    # Sofort only fires when never executed; force re-due per tick for
+    # the failure loop by resetting ever_executed below.
+    loop.add(bad)
+
+    now = datetime(2026, 3, 2, 9, 0)
+    loop.run_tick(now)
+    assert ran == ["good"]
+    inst = {i.workflow: i for i in loop.instances}
+    assert inst["good"].Ausgefuehrt and inst["good"].Erfolgreich
+    assert inst["bad"].Erfolgreich is False and bad.backoff.failures == 1
+
+    bad.ever_executed = False  # make it due again
+    loop.run_tick(now)
+    assert bad.backoff.failures == 2 and not bad.active  # T5 deactivated
+    bad.ever_executed = False
+    n_inst = len(loop.instances)
+    loop.run_tick(now)
+    assert len(loop.instances) == n_inst  # deactivated: never scheduled again
+    # the good workflow ran exactly once (Sofort consumed)
+    assert ran == ["good"]
