@@ -42,6 +42,10 @@ HEADLINERS = [
     "ann_lsh_bucketed",
     "ann_ivf_topk",
     "media_binary_stats",
+    "media_frame_sample",
+    "q17_small_qty_revenue",
+    "anti_join_never_shipped",
+    "events_salted_agg",
 ]
 
 
