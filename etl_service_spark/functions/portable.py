@@ -161,7 +161,17 @@ def warm_udfs(spark) -> None:
     from pyspark.sql import functions as F
 
     tiny = spark.range(64, numPartitions=32).select(F.col("id").cast("string").alias("s"))
-    tiny.select(pd_poly_hash_udf()("s"), pd_shingle_hash_sets_udf()("s")).collect()
+    # run the full shape real queries use (Arrow eval -> shuffle agg ->
+    # noop sink): the first execution of that pipeline JITs ~2s of JVM
+    # paths that a bare .collect() warm-up does not touch
+    (
+        tiny.select(pd_poly_hash_udf()("s").alias("h"), pd_shingle_hash_sets_udf()("s").alias("hs"))
+        .groupBy("h")
+        .agg(F.count("*").alias("n"))
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
 
 
 def minhash_params(k: int) -> list[tuple[int, int]]:
