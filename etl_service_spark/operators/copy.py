@@ -100,6 +100,24 @@ def render_sliced_command(template: str, context: dict[str, str], window: Takeov
     return resolve_placeholders(template, ctx)
 
 
+def write_copy_idempotent(df: DataFrame, path: str) -> int:
+    """Idempotent incremental write: dynamic partition overwrite
+    replaces ONLY the month slices present in this batch, leaving other
+    months untouched. Re-running a failed/partial time-sliced copy
+    converges to the same state — the Spark-native equivalent of the
+    reference's rollback protocol (delete rows WHERE Dateiname=...,
+    CommandExecuter.cs:1130-1283), without a delete pass. At 100 TB the
+    overwrite unit (one month partition) is also the recovery unit."""
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        df.write.mode("overwrite").partitionBy(SLICE_COL).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return spark.read.parquet(path).count()
+
+
 def write_bucketed(df: DataFrame, table: str, key: str, buckets: int = 32) -> None:
     """Bucketed catalog-table write: pre-shuffles ONCE at write time so
     every later equi-join/aggregation on ``key`` is exchange-free (the

@@ -291,3 +291,33 @@ def test_run_graph_dot(spark, tmp_path):
     assert f'"W{wf}" -> "P{pkg}";' in dot
     assert f'"P{pkg}" [label="P", color=green];' in dot
     assert f'"W{wf}" [label="WF_VIZ", color=red];' in dot
+
+
+def test_idempotent_partition_overwrite_copy(spark, sf_dir, tmp_path):
+    """Re-running an incremental window replaces only its months:
+    no duplicates, other months untouched (the rollback-free recovery
+    path for D2)."""
+    from datetime import datetime
+
+    from etl_service_spark.operators.copy import (
+        TakeoverWindow,
+        copy_data_timesliced,
+        write_copy_idempotent,
+    )
+    from etl_service_spark.sources.catalog import load_table
+
+    target = str(tmp_path / "t")
+    orders = load_table(spark, sf_dir, "orders")
+    h1 = TakeoverWindow(datetime(1995, 1, 1), datetime(1995, 6, 30))
+    h2 = TakeoverWindow(datetime(1995, 7, 1), datetime(1995, 12, 31))
+    n1 = write_copy_idempotent(copy_data_timesliced(orders, "o_orderdate", h1), target)
+    n_total = write_copy_idempotent(copy_data_timesliced(orders, "o_orderdate", h2), target)
+    assert n_total > n1  # h1 months still present after writing h2
+
+    # re-run h2 (simulating retry after partial failure): converges
+    n_again = write_copy_idempotent(copy_data_timesliced(orders, "o_orderdate", h2), target)
+    assert n_again == n_total  # no duplicates, h1 untouched
+    full_year = orders.filter(
+        "o_orderdate BETWEEN '1995-01-01T00:00:00' AND '1995-12-31T23:59:59'"
+    ).count()
+    assert n_again == full_year
