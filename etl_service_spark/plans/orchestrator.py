@@ -182,6 +182,8 @@ class Orchestrator:
         self.max_threads = max_threads
         self.tables = TableLockManager()
         self.gate = ExclusiveGate()
+        self._spark = None
+        self._pool_name = "default"
 
     # ------------------------------------------------------------ steps
     def _run_step(self, step: Step, realization_sem: threading.Semaphore | None,
@@ -198,6 +200,15 @@ class Orchestrator:
                 if cancel.is_set():
                     report.skipped.append(step.name)
                     return
+                if self._spark is not None:
+                    # O1's Spark half: jobs of this workflow run in its
+                    # FAIR pool, so concurrent workflows share executors
+                    # fairly instead of FIFO-starving each other. Local
+                    # properties are per-thread — exactly where Spark
+                    # jobs launched by this step's action() will run.
+                    self._spark.sparkContext.setLocalProperty(
+                        "spark.scheduler.pool", self._pool_name
+                    )
                 step.action()
                 report.succeeded.append(step.name)
             finally:
@@ -251,10 +262,12 @@ class Orchestrator:
                 t.join()  # priority barrier (Task.WaitAll, Package.cs:1076-1120)
 
     # ------------------------------------------------------------- runs
-    def run(self, wf: Workflow, state: WorkflowState | None = None) -> RunReport:
+    def run(self, wf: Workflow, state: WorkflowState | None = None, spark=None) -> RunReport:
         report = RunReport()
         cancel = threading.Event()
         errors: list[BaseException] = []
+        self._spark = spark
+        self._pool_name = f"wf_{wf.name}"
         if state:
             state.transition(Stage.INITIALIZING)
         # restrict to the master package's dependency closure (O6)

@@ -42,6 +42,10 @@ def get_spark(app_name: str = "etl_service_spark", cpus: int | None = None) -> S
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # FAIR + per-workflow pools (orchestrator sets
+        # spark.scheduler.pool per step thread): concurrent workflows
+        # share executors instead of FIFO-starving each other
+        .config("spark.scheduler.mode", "FAIR")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -182,3 +182,22 @@ def test_dummy_step_d9():
     pkg = Package("p", (Realization("r", (Step("sleep", lambda: time.sleep(0.1)),)),))
     Orchestrator(2).run(_wf([pkg], "p"))
     assert time.monotonic() - t0 >= 0.1
+
+
+def test_fair_pool_set_in_step_threads(spark):
+    """O1 Spark half: step actions see their workflow's FAIR pool in
+    the thread-local scheduler property."""
+    seen = []
+
+    def probe():
+        seen.append(spark.sparkContext.getLocalProperty("spark.scheduler.pool"))
+
+    wf = Workflow(
+        name="POOLED",
+        packages={"P": Package(name="P", realizations=[
+            Realization(name="R", steps=[Step(name="S", action=probe)])
+        ])},
+        master="P",
+    )
+    Orchestrator(max_threads=2).run(wf, spark=spark)
+    assert seen == ["wf_POOLED"]
