@@ -36,7 +36,6 @@ def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     from datetime import datetime
 
-    from etl_service_spark.operators.align import AuditContext
     from etl_service_spark.operators.copy import TakeoverWindow, copy_data_timesliced
 
     sf_dir = "/root/testdata/sf0.001"
