@@ -182,12 +182,10 @@ class Orchestrator:
         self.max_threads = max_threads
         self.tables = TableLockManager()
         self.gate = ExclusiveGate()
-        self._spark = None
-        self._pool_name = "default"
-
     # ------------------------------------------------------------ steps
     def _run_step(self, step: Step, realization_sem: threading.Semaphore | None,
-                  cancel: threading.Event, report: RunReport) -> None:
+                  cancel: threading.Event, report: RunReport,
+                  pool_ctx: tuple | None = None) -> None:
         if cancel.is_set():
             report.skipped.append(step.name)
             return
@@ -200,15 +198,17 @@ class Orchestrator:
                 if cancel.is_set():
                     report.skipped.append(step.name)
                     return
-                if self._spark is not None:
+                if pool_ctx is not None:
                     # O1's Spark half: jobs of this workflow run in its
                     # FAIR pool, so concurrent workflows share executors
                     # fairly instead of FIFO-starving each other. Local
                     # properties are per-thread — exactly where Spark
                     # jobs launched by this step's action() will run.
-                    self._spark.sparkContext.setLocalProperty(
-                        "spark.scheduler.pool", self._pool_name
-                    )
+                    # (pool_ctx is threaded through the call chain, not
+                    # instance state: one Orchestrator may run several
+                    # workflows concurrently.)
+                    spark, pool_name = pool_ctx
+                    spark.sparkContext.setLocalProperty("spark.scheduler.pool", pool_name)
                 step.action()
                 report.succeeded.append(step.name)
             finally:
@@ -224,11 +224,12 @@ class Orchestrator:
 
     def _run_realization(self, pool: ThreadPoolExecutor, r: Realization,
                          cancel: threading.Event, report: RunReport,
-                         errors: list[BaseException]) -> None:
+                         errors: list[BaseException],
+                         pool_ctx: tuple | None = None) -> None:
         # O2: per-realization cap; O8: launch in Schritt_Reihenfolge order
         sem = threading.Semaphore(r.max_parallel_steps) if r.max_parallel_steps else None
         futures = [
-            pool.submit(self._run_step, s, sem, cancel, report)
+            pool.submit(self._run_step, s, sem, cancel, report, pool_ctx)
             for s in sorted(r.steps, key=lambda s: s.order)
         ]
         done, _ = wait(futures)
@@ -239,7 +240,8 @@ class Orchestrator:
 
     def _run_package(self, pool: ThreadPoolExecutor, p: Package,
                      cancel: threading.Event, report: RunReport,
-                     errors: list[BaseException]) -> None:
+                     errors: list[BaseException],
+                     pool_ctx: tuple | None = None) -> None:
         report.package_order.append(p.name)
         # O7: group by priority; equal priorities concurrent, change = barrier.
         # Coordination runs on plain threads — only STEPS consume the
@@ -252,7 +254,8 @@ class Orchestrator:
                 return
             threads = [
                 threading.Thread(
-                    target=self._run_realization, args=(pool, r, cancel, report, errors)
+                    target=self._run_realization,
+                    args=(pool, r, cancel, report, errors, pool_ctx),
                 )
                 for r in by_prio[prio]
             ]
@@ -266,8 +269,7 @@ class Orchestrator:
         report = RunReport()
         cancel = threading.Event()
         errors: list[BaseException] = []
-        self._spark = spark
-        self._pool_name = f"wf_{wf.name}"
+        pool_ctx = (spark, f"wf_{wf.name}") if spark is not None else None
         if state:
             state.transition(Stage.INITIALIZING)
         # restrict to the master package's dependency closure (O6)
@@ -289,7 +291,7 @@ class Orchestrator:
                 threads = [
                     threading.Thread(
                         target=self._run_package,
-                        args=(pool, wf.packages[n], cancel, report, errors),
+                        args=(pool, wf.packages[n], cancel, report, errors, pool_ctx),
                     )
                     for n in wave
                 ]
@@ -303,7 +305,8 @@ class Orchestrator:
                 if wf.fallback and wf.fallback in wf.packages:
                     fb_errors: list[BaseException] = []
                     self._run_package(
-                        pool, wf.packages[wf.fallback], threading.Event(), report, fb_errors
+                        pool, wf.packages[wf.fallback], threading.Event(), report,
+                        fb_errors, pool_ctx,
                     )
                     report.fallback_ran = not fb_errors
         if state:

@@ -201,3 +201,39 @@ def test_fair_pool_set_in_step_threads(spark):
     )
     Orchestrator(max_threads=2).run(wf, spark=spark)
     assert seen == ["wf_POOLED"]
+
+
+def test_concurrent_workflows_get_own_pools(spark):
+    """Two workflows running concurrently on ONE orchestrator must not
+    cross-assign scheduler pools (pool ctx is call-chain state, not
+    instance state)."""
+    import threading
+    import time as _time
+
+    seen = {}
+
+    def probe(name):
+        def go():
+            _time.sleep(0.2)  # force overlap
+            seen[name] = spark.sparkContext.getLocalProperty("spark.scheduler.pool")
+        return go
+
+    def wf(name):
+        return Workflow(
+            name=name,
+            packages={"P": Package(name="P", realizations=[
+                Realization(name="R", steps=[Step(name=f"S_{name}", action=probe(name))])
+            ])},
+            master="P",
+        )
+
+    orch = Orchestrator(max_threads=4)
+    ts = [
+        threading.Thread(target=orch.run, args=(wf(n),), kwargs={"spark": spark})
+        for n in ("A", "B")
+    ]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert seen == {"A": "wf_A", "B": "wf_B"}
