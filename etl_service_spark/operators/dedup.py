@@ -396,3 +396,20 @@ FROM votes
 
 def simhash(spark: SparkSession, bits: int = 30) -> DataFrame:
     return spark.sql(simhash_sql(bits)[0])
+
+
+def simhash_pairs_sql(bits: int = 30, view: str = "documents") -> tuple[str, str]:
+    """Dup-candidate groups from equal simhash fingerprints: one
+    hash aggregation over the fingerprints (same shuffle profile as
+    exact dedup — fingerprint becomes the group key). Hamming-distance
+    widening would explode rotated bands exactly like minhash banding;
+    equal-fingerprint is the reference point the oracle can replicate."""
+    sim_s, sim_d = simhash_sql(bits, view)
+    template = """
+WITH fp AS ({inner})
+SELECT simhash, MIN(doc_id) AS keeper_id, COUNT(*) AS group_size
+FROM fp
+GROUP BY simhash
+HAVING COUNT(*) > 1
+"""
+    return template.format(inner=sim_s.strip()), template.format(inner=sim_d.strip())

@@ -698,6 +698,7 @@ def registry() -> dict[str, Case]:
     cases["dedup_ngram_jaccard"] = Case(_jaccard_staged, dedup.ngram_jaccard_sql()[1])
     cases["dedup_minhash_lsh"] = Case(_minhash_staged, dedup.minhash_lsh_sql()[1])
     cases["dedup_simhash"] = _pair_case(dedup.simhash_sql())
+    cases["dedup_simhash_pairs"] = _pair_case(dedup.simhash_pairs_sql())
 
     # --- similarity search
     cases["ann_cosine_topk"] = _pair_case(similarity.cosine_topk_sql())
