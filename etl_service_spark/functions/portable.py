@@ -154,18 +154,44 @@ def pd_shingle_hash_sets_udf():
     return _UDF_CACHE["shingle_sets"]
 
 
+def fan_out(df, parts: int | None = None):
+    """Round-robin repartition before an expensive Arrow kernel when the
+    scan has fewer partitions than cores. A single small parquet file is
+    one Spark partition, which would serialize the kernel on one worker
+    (measured 3.5x on the shingle UDF at sf0.1); on a real cluster the
+    input arrives pre-split and this is a no-op. Row-wise kernels are
+    partition-invariant, so results are unchanged."""
+    target = parts or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def warm_udfs(spark) -> None:
     """Execute each singleton once on a tiny relation: spawns python
     workers, imports numpy/pandas there, and pays the per-instance
     first-execution cost outside any measured query."""
     from pyspark.sql import functions as F
 
-    tiny = spark.range(64, numPartitions=32).select(F.col("id").cast("string").alias("s"))
-    # run the full shape real queries use (Arrow eval -> shuffle agg ->
-    # noop sink): the first execution of that pipeline JITs ~2s of JVM
-    # paths that a bare .collect() warm-up does not touch
+    # kilobyte-scale strings: the large-varlen Arrow serialization path
+    # JITs separately from the small-string one (measured ~1.3s extra
+    # on the first real-document batch when warmed with tiny strings)
+    tiny = spark.range(512, numPartitions=2).select(
+        F.concat(F.col("id").cast("string"), F.expr("repeat(' word', 200)")).alias("s")
+    )
+    # run the full shape real queries use (exchange -> Arrow eval ->
+    # shuffle agg -> noop sink): the first execution of that pipeline
+    # JITs seconds of JVM paths that a bare .collect() warm-up does not
+    # touch. The repartition matters: fan_out puts an exchange *before*
+    # the Arrow eval, and that exchange->ArrowEval shape JITs
+    # separately (measured ~6s on first execution if unwarmed).
+    # lower() is in the pipeline because Spark 4's first case-mapping
+    # call initializes ICU collation data (~3.5s, measured) — that cost
+    # belongs to session init, not the first query that lowercases.
     (
-        tiny.select(pd_poly_hash_udf()("s").alias("h"), pd_shingle_hash_sets_udf()("s").alias("hs"))
+        tiny.repartition(32)
+        .select(F.lower(F.col("s")).alias("s"))
+        .select(pd_poly_hash_udf()("s").alias("h"), pd_shingle_hash_sets_udf()("s").alias("hs"))
         .groupBy("h")
         .agg(F.count("*").alias("n"))
         .write.format("noop")

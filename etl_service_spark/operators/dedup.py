@@ -33,6 +33,10 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..functions import portable as P
 
+# (session id, view, input files) -> temp-view name of the materialized
+# shingle-hash-set relation; see materialize_hashsets.
+_HASHSET_CACHE: dict[tuple, str] = {}
+
 # ------------------------------------------------------------ fragments
 TOKENS = (P.spark_tokens("text"), P.duck_tokens("text"))
 # Shingles over a MATERIALIZED token column `t` — never inline the
@@ -117,7 +121,7 @@ def exact_dedup_staged(spark: SparkSession, view: str = "documents") -> DataFram
     from pyspark.sql import functions as F
 
     return (
-        spark.table(view)
+        P.fan_out(spark.table(view))
         .select("doc_id", F.lower(F.col("text")).alias("lt"))
         .select("doc_id", P.pd_poly_hash_udf()("lt").alias("text_hash"))
         .groupBy("text_hash")
@@ -211,19 +215,31 @@ def materialize_hashsets(spark: SparkSession, view: str = "documents") -> str:
     tokenizer into the shingle lambdas (measured 20x blowups). The UDF
     is a single map-side pass — at cluster scale it's
     embarrassingly parallel over document partitions.
+
+    Memoized per (session, view, underlying files): every consumer of
+    the fingerprint relation (n-gram Jaccard, minhash-LSH, ...) shares
+    one materialization, exactly as the written-once staging table
+    would be shared on a cluster. Re-registering the view over a
+    different sf_dir changes its input files and misses the cache.
     """
     from pyspark.sql import functions as F
 
-    name = f"__hashsets_{view}"
+    src = spark.table(view)
+    key = (id(spark), view, tuple(sorted(src.inputFiles())))
+    cached = _HASHSET_CACHE.get(key)
+    if cached is not None:
+        return cached
 
+    name = f"__hashsets_{view}_{len(_HASHSET_CACHE)}"
     hs = (
-        spark.table(view)
+        P.fan_out(src)
         .select("doc_id", P.pd_shingle_hash_sets_udf()("text").alias("hs"))
         .withColumn("n", F.size("hs"))
         .filter(F.col("n") > 0)
     )
     df = hs.localCheckpoint(eager=True)
     df.createOrReplaceTempView(name)
+    _HASHSET_CACHE[key] = name
     return name
 
 

@@ -195,7 +195,7 @@ def embedding_neardup_pandas(spark: SparkSession, tau: float = 0.4, view: str = 
                 {"vec_a": ids_a[ia], "vec_b": ids_b[ib], "cosine": cos[ia, ib]}
             )
 
-    return emb.mapInPandas(compute, schema=out_schema)
+    return P.fan_out(emb).mapInPandas(compute, schema=out_schema)
 
 
 # --------------------------------------------------------------- IVF ANN
@@ -342,7 +342,7 @@ def ivf_ann_staged(
                 }
             )
 
-    assign = emb.mapInPandas(kernel, schema="vec_id bigint, c_id bigint, rn int")
+    assign = P.fan_out(emb).mapInPandas(kernel, schema="vec_id bigint, c_id bigint, rn int")
     name = f"__ivf_assign_{view}"
     assign.localCheckpoint(eager=True).createOrReplaceTempView(name)
     nrm_sql = _norm("embedding", one_based=False)
@@ -458,7 +458,7 @@ def lsh_ann_staged(
                 }
             )
 
-    bucketed = spark.table(view).select("vec_id", "embedding").mapInPandas(
+    bucketed = P.fan_out(spark.table(view).select("vec_id", "embedding")).mapInPandas(
         kernel,
         schema="vec_id bigint, embedding array<float>, bucket bigint, nrm double",
     )

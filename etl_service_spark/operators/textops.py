@@ -153,7 +153,7 @@ def fingerprint(docs: DataFrame) -> DataFrame:
     Map-side only, no shuffle."""
     from pyspark.sql import functions as F
 
-    return docs.select(
+    return P.fan_out(docs).select(
         "doc_id",
         P.pd_poly_hash_udf()(F.lower(F.col("text"))).alias("text_hash"),
         P.pd_shingle_hash_sets_udf()("text").alias("hs"),
