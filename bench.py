@@ -37,6 +37,8 @@ HEADLINERS = [
     "dedup_simhash",
     "text_quality_score",
     "text_fingerprint",
+    "corpus_dup_rate_by_source",
+    "corpus_stratified_sample",
     "ann_cosine_topk",
     "emb_cosine_neardup",
     "ann_lsh_bucketed",

@@ -1,0 +1,156 @@
+"""Corpus-management operators for a pretraining-data pipeline:
+deterministic splits, stratified sampling, composition reporting and
+contamination/duplication rollups over the ``documents`` table.
+
+These are the bookkeeping half of the training-data plane (the
+transform half lives in dedup.py / textops.py / similarity.py): given a
+100 TB corpus you need reproducible train/val/test assignment, bounded
+per-stratum samples, and per-source composition stats before any
+training run. The reference engine has no corpus surface (it is a
+config-driven DB-to-DB ETL service, code/DIZService.Core); this module
+is part of the "beyond the reference" training-data scope.
+
+Determinism stance: all randomness is a pure-integer LCG / Knuth
+multiplicative hash over ``doc_id`` — identical arithmetic in Spark and
+DuckDB, stable across runs, partitions, and engines. No rand()/
+sample(): those are engine- and partitioning-dependent, which is
+exactly what a reproducible data pipeline cannot tolerate (a re-run
+after adding one file must not reshuffle every split assignment).
+
+Scale shape: every operator here is a single scan + one hash
+aggregation or window — no joins, no N^2. Splits/sampling are
+embarrassingly parallel on doc_id; composition is a map-side-combined
+groupBy on low-cardinality keys (source, lang); the window in the
+stratified sample shuffles once on the stratum key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import portable as P
+
+# Knuth multiplicative hash (2654435761 = 2^32 * golden ratio) then a
+# final mod. doc_id stays < ~1e9 at any realistic SF, so the product
+# stays < 2^62: no BIGINT overflow in either engine, and `%` on
+# non-negative operands is identical in Spark and DuckDB.
+_BUCKET = "((doc_id * 2654435761) % 4294967296) % {mod}"
+
+
+def split_assign_sql(
+    view: str = "documents",
+    train_per_mille: int = 900,
+    val_per_mille: int = 950,
+) -> str:
+    """Per-split corpus stats under a deterministic 90/5/5 assignment.
+
+    The assignment is a pure function of doc_id: re-running the
+    pipeline, re-partitioning the input, or switching engines cannot
+    move a document between splits (the property that prevents
+    train/test leakage across pipeline versions).
+    """
+    bucket = _BUCKET.format(mod=1000)
+    return f"""
+WITH assigned AS (
+  SELECT doc_id, n_chars, {bucket} AS bucket FROM {view}
+)
+SELECT CASE WHEN bucket < {train_per_mille} THEN 'train'
+            WHEN bucket < {val_per_mille} THEN 'val'
+            ELSE 'test' END AS split,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       MIN(doc_id) AS min_doc_id,
+       MAX(doc_id) AS max_doc_id
+FROM assigned
+GROUP BY 1
+"""
+
+
+def stratified_sample_sql(view: str = "documents", k: int = 50) -> str:
+    """At most k docs per language, chosen by deterministic hash rank.
+
+    ROW_NUMBER over (stratum, hashed id) is the exact, reproducible
+    form of per-stratum sampling: one shuffle on the stratum key, and
+    the same k documents come back on every engine and every run.
+    doc_id breaks hash ties, so the rank is total and the result
+    row-stable.
+    """
+    bucket = _BUCKET.format(mod=4294967296)
+    return f"""
+WITH ranked AS (
+  SELECT doc_id, lang, source, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY {bucket}, doc_id) AS rk
+  FROM {view}
+)
+SELECT lang, rk, doc_id, source, n_chars
+FROM ranked
+WHERE rk <= {k}
+"""
+
+
+def source_composition_sql(view: str = "documents") -> tuple[str, str]:
+    """Corpus composition per (source, lang): the report you read
+    before weighting/mixing sources for a training run. Integer counts
+    plus a millionths share (exact integer arithmetic — FP-free, so the
+    cross-engine hash match is trivial; integer division is the one
+    dialect split: Spark ``DIV`` vs DuckDB ``//``)."""
+    template = """
+SELECT source, lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       MIN(n_chars) AS min_chars,
+       MAX(n_chars) AS max_chars,
+       CAST((COUNT(*) * 1000000) {idiv} SUM(COUNT(*)) OVER () AS BIGINT) AS docs_ppm
+FROM {view}
+GROUP BY source, lang
+"""
+    return P.bi_sql(template, idiv=("DIV", "//"), view=view)
+
+
+def dup_rate_by_source_sql(view: str = "documents") -> tuple[str, str]:
+    """Exact-duplicate pressure per source: how much of each source
+    survives exact dedup. n_dups is integer-exact (no FP rate)."""
+    template = """
+SELECT source,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT h) AS n_unique,
+       COUNT(*) - COUNT(DISTINCT h) AS n_dups
+FROM (SELECT source, {text_hash} AS h FROM {view}) t
+GROUP BY source
+"""
+    return P.bi_sql(
+        template,
+        text_hash=(P.spark_poly_hash("lower(text)"), P.duck_poly_hash("lower(text)")),
+        view=view,
+    )
+
+
+def dup_rate_by_source_staged(spark: SparkSession, view: str = "documents") -> DataFrame:
+    """Spark path: the full-text poly-hash runs in the Arrow kernel
+    (SQL formulation is an interpreted per-character lambda — see
+    dedup.exact_dedup_staged), then one groupBy with a distinct
+    aggregate. Shuffles (source, hash) pairs only, never text."""
+    return (
+        P.fan_out(spark.table(view))
+        .select("source", F.lower(F.col("text")).alias("lt"))
+        .select("source", P.pd_poly_hash_udf()("lt").alias("h"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count_distinct("h").alias("n_unique"),
+            (F.count("*") - F.count_distinct("h")).alias("n_dups"),
+        )
+    )
+
+
+def split_assign(spark: SparkSession) -> DataFrame:
+    return spark.sql(split_assign_sql())
+
+
+def stratified_sample(spark: SparkSession, k: int = 50) -> DataFrame:
+    return spark.sql(stratified_sample_sql(k=k))
+
+
+def source_composition(spark: SparkSession) -> DataFrame:
+    return spark.sql(source_composition_sql()[0])

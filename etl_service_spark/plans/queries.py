@@ -28,7 +28,7 @@ from pyspark.sql.types import (
 
 from ..functions import portable as P
 from ..functions.placeholders import resolve_placeholders
-from ..operators import dedup, multimodal, similarity, skew, textops
+from ..operators import corpus, dedup, multimodal, similarity, skew, textops
 from ..operators.align import AuditContext, align_to_schema
 from ..operators.copy import TakeoverWindow, copy_data_timesliced
 from ..operators.file_ingest import IngestContext, apply_mapping, inject_audit_columns
@@ -675,6 +675,23 @@ def registry() -> dict[str, Case]:
     cases["text_quality_score"] = _text_case(textops.quality_score, textops.oracle_quality_score)
     cases["text_lang_id"] = _text_case(textops.lang_id, textops.oracle_lang_id)
     cases["text_fingerprint"] = _text_case(textops.fingerprint, textops.oracle_fingerprint)
+
+    # --- corpus management (deterministic splits / sampling / reports)
+    cases["corpus_split_assign"] = _sql_case(
+        corpus.split_assign_sql(), corpus.split_assign_sql()
+    )
+    cases["corpus_stratified_sample"] = _sql_case(
+        corpus.stratified_sample_sql(), corpus.stratified_sample_sql()
+    )
+    cases["corpus_source_composition"] = _pair_case(corpus.source_composition_sql())
+
+    def _dup_rate_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
+        views(spark, sf_dir)
+        return corpus.dup_rate_by_source_staged(spark)
+
+    cases["corpus_dup_rate_by_source"] = Case(
+        _dup_rate_staged, corpus.dup_rate_by_source_sql()[1]
+    )
 
     # --- dedup family
     def _exact_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
