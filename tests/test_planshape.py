@@ -97,3 +97,34 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS orders_bkt")
         spark.sql("DROP TABLE IF EXISTS lineitem_bkt")
+
+
+def test_corpus_split_single_shuffle(spark, sf_dir):
+    """Deterministic split assignment is scan → project(bucket) →
+    partial agg → one exchange → final agg: the hash is computed
+    map-side, so only (split, partial-agg) rows ever shuffle."""
+    df = CASES["corpus_split_assign"].spark(spark, sf_dir)
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
+
+
+def test_corpus_stratified_sample_one_exchange_on_stratum(spark, sf_dir):
+    """Per-stratum hash-rank sampling shuffles once on the stratum key
+    (lang) for the window; no second shuffle for the rank filter."""
+    df = CASES["corpus_stratified_sample"].spark(spark, sf_dir)
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
+    assert "RunningWindowFunction" in plan or "Window" in plan, plan
+
+
+def test_corpus_dup_rate_shuffles_hashes_not_text(spark, sf_dir):
+    """The poly-hash runs in the Arrow kernel before any keyed
+    exchange, so aggregation shuffles carry (source, hash) pairs — the
+    text column must not appear in any hash-partitioned exchange.
+    (The round-robin fan_out exchange before the kernel does carry
+    text; it exists only for single-file local scans.)"""
+    df = CASES["corpus_dup_rate_by_source"].spark(spark, sf_dir)
+    plan = _plan(df)
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "text#" not in line, line
