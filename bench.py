@@ -28,6 +28,8 @@ HEADLINERS = [
     "top_parts_by_revenue",
     "events_window_agg",
     "events_sessionize",
+    "events_asof_join",
+    "events_funnel",
     "ana_argmax_last_run",
     "etl_copy_timesliced",
     "etl_copy_align_audit",

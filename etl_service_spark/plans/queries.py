@@ -28,7 +28,7 @@ from pyspark.sql.types import (
 
 from ..functions import portable as P
 from ..functions.placeholders import resolve_placeholders
-from ..operators import corpus, dedup, multimodal, similarity, skew, textops
+from ..operators import asof, corpus, dedup, multimodal, similarity, skew, textops
 from ..operators.align import AuditContext, align_to_schema
 from ..operators.copy import TakeoverWindow, copy_data_timesliced
 from ..operators.file_ingest import IngestContext, apply_mapping, inject_audit_columns
@@ -662,6 +662,8 @@ def registry() -> dict[str, Case]:
     cases["events_sessionize"] = _bi_case(
         EVENTS_SESSIONIZE_TEMPLATE, ts_us=TS_US, gap_us=str(SESSION_GAP_US)
     )
+    cases["events_asof_join"] = _pair_case(asof.asof_join_sql())
+    cases["events_funnel"] = _pair_case(asof.funnel_sql())
     cases["events_json_extract"] = _bi_case(
         EVENTS_JSON_TEMPLATE,
         json_k=(

@@ -128,3 +128,13 @@ def test_corpus_dup_rate_shuffles_hashes_not_text(spark, sf_dir):
     for line in plan.splitlines():
         if "Exchange hashpartitioning" in line:
             assert "text#" not in line, line
+
+
+def test_asof_join_single_shuffle_on_user(spark, sf_dir):
+    """The union + carry-forward as-of join partitions once on user_id;
+    the window and final filter reuse that partitioning (no second
+    keyed exchange, no pair-explosion join node)."""
+    df = CASES["events_asof_join"].spark(spark, sf_dir)
+    plan = _plan(df)
+    assert plan.count("Exchange hashpartitioning") <= 2, plan  # dedup-rn + carry windows
+    assert "SortMergeJoin" not in plan and "NestedLoop" not in plan, plan
