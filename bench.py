@@ -30,6 +30,8 @@ HEADLINERS = [
     "events_sessionize",
     "events_asof_join",
     "events_funnel",
+    "events_range_join",
+    "events_multires_rollup",
     "ana_argmax_last_run",
     "etl_copy_timesliced",
     "etl_copy_align_audit",

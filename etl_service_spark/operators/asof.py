@@ -121,3 +121,85 @@ SELECT (SELECT COUNT(*) FROM st1) AS n_{s1},
        (SELECT COUNT(*) FROM st3) AS n_{s3}_after
 """
     return template.format(ts_us="ts_us"), template.format(ts_us="epoch_us(e.ts)")
+
+
+def range_join_sql(
+    window_us: int = 300_000_000, anchor_type: str = "signup", view: str = "events"
+) -> tuple[str, str]:
+    """Interval join with NO equi-key: for every anchor event, count
+    ALL events (any user) in the following ``window_us`` microseconds.
+
+    Without an equi-key Spark's only native plan is a broadcast
+    nested-loop (O(anchors x events) comparisons); at 100 TB that's the
+    difference between a job finishing and not. The scale shape here is
+    time-binning: bucket both sides by ``window_us``-sized bins, probe
+    each anchor's bin and its successor (an interval of length W can
+    only land in those two), equi-join on the bin, then apply the exact
+    range predicate. Each (anchor, event) pair is produced at most once
+    because an event has exactly one bin. Shuffle volume is linear;
+    per-bin fanout is bounded by the bin population (time-skew -> the
+    same salting treatment as any hot key, skew.py).
+
+    The DuckDB oracle is the plain inequality join (its IEJoin handles
+    the small scale); same results, independent plan.
+    """
+    w = int(window_us)
+    spark_sql = f"""
+WITH sig AS (
+  SELECT event_id, ts_us FROM {view} WHERE event_type = '{anchor_type}'
+),
+probe AS (
+  SELECT event_id, ts_us, explode(array(ts_us DIV {w}, ts_us DIV {w} + 1)) AS bin
+  FROM sig
+),
+evt AS (
+  SELECT ts_us AS e_ts, ts_us DIV {w} AS bin FROM {view}
+),
+hits AS (
+  SELECT p.event_id, COUNT(*) AS n_following
+  FROM probe p JOIN evt e ON p.bin = e.bin
+  WHERE e.e_ts > p.ts_us AND e.e_ts <= p.ts_us + {w}
+  GROUP BY p.event_id
+)
+SELECT s.event_id, COALESCE(h.n_following, 0) AS n_following
+FROM sig s LEFT JOIN hits h ON s.event_id = h.event_id
+"""
+    duck_sql = f"""
+WITH sig AS (
+  SELECT event_id, epoch_us(ts) AS ts_us FROM {view} WHERE event_type = '{anchor_type}'
+)
+SELECT s.event_id, COUNT(e.ts) AS n_following
+FROM sig s LEFT JOIN {view} e
+  ON epoch_us(e.ts) > s.ts_us AND epoch_us(e.ts) <= s.ts_us + {w}
+GROUP BY s.event_id
+"""
+    return spark_sql, duck_sql
+
+
+def multires_rollup_sql(view: str = "events") -> tuple[str, str]:
+    """Hypertable-style multi-resolution rollup: per-type hourly and
+    daily aggregates in ONE pass via GROUPING SETS (Catalyst expands
+    the sets map-side; one shuffle, partial aggregation per set).
+    Value sums go through DECIMAL so both engines sum exactly
+    (double summation order would differ). Identical SQL both engines.
+    """
+    template = f"""
+WITH base AS (
+  SELECT event_type,
+         {{ts_us}} {{idiv}} 86400000000 AS day_bucket,
+         {{ts_us}} {{idiv}} 3600000000  AS hour_bucket,
+         CAST(value AS DECIMAL(18,6)) AS v
+  FROM {view}
+)
+SELECT event_type, day_bucket, hour_bucket,
+       COUNT(*) AS n_events,
+       CAST(SUM(v) AS DOUBLE) AS sum_value,
+       GROUPING(hour_bucket) AS is_daily
+FROM base
+GROUP BY GROUPING SETS ((event_type, day_bucket, hour_bucket),
+                        (event_type, day_bucket))
+"""
+    return (
+        template.format(ts_us="ts_us", idiv="DIV"),
+        template.format(ts_us="epoch_us(ts)", idiv="//"),
+    )

@@ -664,6 +664,8 @@ def registry() -> dict[str, Case]:
     )
     cases["events_asof_join"] = _pair_case(asof.asof_join_sql())
     cases["events_funnel"] = _pair_case(asof.funnel_sql())
+    cases["events_range_join"] = _pair_case(asof.range_join_sql())
+    cases["events_multires_rollup"] = _pair_case(asof.multires_rollup_sql())
     cases["events_json_extract"] = _bi_case(
         EVENTS_JSON_TEMPLATE,
         json_k=(

@@ -138,3 +138,22 @@ def test_asof_join_single_shuffle_on_user(spark, sf_dir):
     plan = _plan(df)
     assert plan.count("Exchange hashpartitioning") <= 2, plan  # dedup-rn + carry windows
     assert "SortMergeJoin" not in plan and "NestedLoop" not in plan, plan
+
+
+def test_range_join_is_binned_not_nested_loop(spark, sf_dir):
+    """The no-equi-key interval join must run as a bin equi-join
+    (hash/sort-merge on the time bin), never BroadcastNestedLoopJoin —
+    the O(N*M) plan that cannot survive scale."""
+    df = CASES["events_range_join"].spark(spark, sf_dir)
+    plan = _plan(df)
+    assert "NestedLoop" not in plan, plan
+    assert "Join" in plan, plan
+
+
+def test_multires_rollup_single_expand_shuffle(spark, sf_dir):
+    """GROUPING SETS expands map-side (Expand node) and aggregates
+    through ONE keyed exchange — not one job per resolution."""
+    df = CASES["events_multires_rollup"].spark(spark, sf_dir)
+    plan = _plan(df)
+    assert "Expand" in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
