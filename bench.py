@@ -39,6 +39,8 @@ HEADLINERS = [
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_cluster_components",
+    "sketch_kmv_distinct",
     "text_quality_score",
     "text_fingerprint",
     "corpus_dup_rate_by_source",

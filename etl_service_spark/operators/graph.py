@@ -1,0 +1,104 @@
+"""Connected components over duplicate-pair edges: the step that turns
+pairwise near-dup hits (Jaccard / minhash / simhash) into dedup
+clusters with one canonical keeper per cluster.
+
+Pair lists are not enough for dedup at scale: A~B and B~C without A~C
+is common (similarity is not transitive), so keeping "one of each
+pair" either over- or under-deletes. The fix is the connected
+component: every doc in a component keeps the component's minimum
+doc_id as its cluster id.
+
+Spark implementation: iterative min-label propagation — the standard
+large-scale CC algorithm (GraphX/Pregel style) expressed in plain
+DataFrame ops. Each round, every node takes the min of its own label
+and its neighbors' labels (one join + one groupBy-min = two shuffles
+per round); rounds needed = graph diameter, which for near-dup
+clusters is tiny (chains longer than a few hops are rare). Labels are
+non-increasing, so SUM(label) is a strictly decreasing monotone until
+convergence — the convergence test is one cheap aggregate, not a full
+diff join. Each round is localCheckpoint'ed: lineage would otherwise
+grow by two shuffles per round and re-execute everything on the final
+action (at cluster scale: write each round to a staging table).
+
+The DuckDB oracle is an independent formulation: WITH RECURSIVE
+transitive closure (set-semantics UNION terminates it), then MIN per
+node — tractable at oracle scale because dup clusters are small.
+
+This is the "iterative algorithm" class the driver's weaker rows-only
+check exists for — but because DuckDB has recursive CTEs, we get a
+full value-level oracle anyway.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame, src: str = "doc_a", dst: str = "doc_b", max_rounds: int = 25
+) -> DataFrame:
+    """(node, cluster_id) for every node appearing in ``edges``;
+    cluster_id is the component's minimum node id."""
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    sym = sym.localCheckpoint(eager=True)
+
+    labels = sym.select(F.col("a").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    labels = labels.localCheckpoint(eager=True)
+    total = labels.agg(F.sum("label")).collect()[0][0]
+
+    for _ in range(max_rounds):
+        nbr = (
+            sym.join(labels, sym["b"] == labels["node"])
+            .select(F.col("a").alias("node"), "label")
+        )
+        new_labels = (
+            labels.union(nbr).groupBy("node").agg(F.min("label").alias("label"))
+        ).localCheckpoint(eager=True)
+        new_total = new_labels.agg(F.sum("label")).collect()[0][0]
+        labels = new_labels
+        if new_total == total:  # labels only decrease; equal sum == fixpoint
+            break
+        total = new_total
+
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def dup_clusters(spark: SparkSession, tau: float = 0.8) -> DataFrame:
+    """Clusters of the n-gram-Jaccard near-dup graph (shares the
+    memoized fingerprint relation with the other dedup consumers)."""
+    from . import dedup
+
+    pairs = dedup.ngram_jaccard_staged(spark, tau=tau)
+    return connected_components(pairs)
+
+
+def dup_clusters_oracle_sql(tau: float = 0.8) -> str:
+    """Single-statement DuckDB oracle: jaccard pairs -> recursive
+    transitive closure -> min reachable node per node."""
+    from . import dedup
+
+    pairs_sql = dedup.ngram_jaccard_sql(tau=tau)[1].strip()
+    # the pairs query is itself a WITH ... SELECT; splice its CTEs into
+    # ours by rebinding its body as a derived-table CTE
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT doc_a, doc_b FROM ({pairs_sql}) p
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+closure(node, reach) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT c.node, e.b FROM closure c JOIN edges e ON c.reach = e.a
+)
+SELECT node AS doc_id, MIN(reach) AS cluster_id
+FROM closure
+GROUP BY node
+"""

@@ -1,0 +1,48 @@
+"""Deterministic cardinality sketch: K-minimum-values (KMV).
+
+`approx_count_distinct` (HyperLogLog) exists in both Spark and DuckDB,
+but their implementations differ, so estimates cannot cross-validate.
+KMV (Bar-Yossef et al., "Counting distinct elements in a data stream",
+RANDOM'02) is fully determined by the hash function: keep the k
+smallest distinct hash values; with U = kth_min / 2^32 as the fraction
+of hash space covered, the distinct-count estimate is (k-1)/U. With the
+same multiplicative hash on both engines the sketch — and therefore the
+estimate — is bit-identical, which makes it oracle-checkable while
+still being a genuine sublinear-memory sketch.
+
+Scale shape: DISTINCT on (group, hash) is one map-side-combined
+shuffle; ranking the k minima per group is a window on the (already
+tiny) distinct relation. On a cluster the same sketch merges by
+keeping the k smallest of each partition's k smallest — the classic
+mergeable-summary property; the SQL here is the exact serial
+equivalent of that merge."""
+
+from __future__ import annotations
+
+# Odd multiplier mod 2^32 is a bijection: distinct inputs keep distinct
+# hashes. +1 keeps the value strictly positive (division guard) without
+# reordering anything.
+_HV = "1 + ((user_id * 2654435761) % 4294967296)"
+
+
+def kmv_distinct_sql(k: int = 32, view: str = "events") -> str:
+    """Distinct user_id per event_type: exact count alongside the KMV
+    estimate from the k-th smallest hash. Same SQL text both engines —
+    pure integer arithmetic plus one deterministic double division."""
+    return f"""
+WITH h AS (
+  SELECT DISTINCT event_type, {_HV} AS hv FROM {view}
+),
+rk AS (
+  SELECT event_type, hv,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+  FROM h
+)
+SELECT event_type,
+       COUNT(*) AS n_distinct_exact,
+       CAST(FLOOR(CASE WHEN COUNT(*) >= {k}
+                 THEN ({k - 1} * 4294967296.0) / MAX(CASE WHEN rn = {k} THEN hv END)
+                 ELSE COUNT(*) END) AS BIGINT) AS n_distinct_kmv
+FROM rk
+GROUP BY event_type
+"""

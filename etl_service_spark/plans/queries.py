@@ -28,7 +28,7 @@ from pyspark.sql.types import (
 
 from ..functions import portable as P
 from ..functions.placeholders import resolve_placeholders
-from ..operators import asof, corpus, dedup, multimodal, similarity, skew, textops
+from ..operators import asof, corpus, dedup, graph, multimodal, similarity, sketch, skew, textops
 from ..operators.align import AuditContext, align_to_schema
 from ..operators.copy import TakeoverWindow, copy_data_timesliced
 from ..operators.file_ingest import IngestContext, apply_mapping, inject_audit_columns
@@ -720,6 +720,17 @@ def registry() -> dict[str, Case]:
     cases["dedup_minhash_lsh"] = Case(_minhash_staged, dedup.minhash_lsh_sql()[1])
     cases["dedup_simhash"] = _pair_case(dedup.simhash_sql())
     cases["dedup_simhash_pairs"] = _pair_case(dedup.simhash_pairs_sql())
+
+    def _dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+        views(spark, sf_dir)
+        return graph.dup_clusters(spark)
+
+    cases["dedup_cluster_components"] = Case(
+        _dup_clusters, graph.dup_clusters_oracle_sql()
+    )
+    cases["sketch_kmv_distinct"] = _sql_case(
+        sketch.kmv_distinct_sql(), sketch.kmv_distinct_sql()
+    )
 
     # --- similarity search
     cases["ann_cosine_topk"] = _pair_case(similarity.cosine_topk_sql())

@@ -321,3 +321,24 @@ def test_idempotent_partition_overwrite_copy(spark, sf_dir, tmp_path):
         "o_orderdate BETWEEN '1995-01-01T00:00:00' AND '1995-12-31T23:59:59'"
     ).count()
     assert n_again == full_year
+
+
+def test_connected_components_multihop(spark):
+    """Chain A-B-C plus isolated pair D-E plus self-contained triangle:
+    labels must propagate across hops (similarity is not transitive —
+    the pair list alone cannot produce these clusters)."""
+    from etl_service_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 7), (10, 11), (20, 21), (21, 22), (22, 20)],
+        ["doc_a", "doc_b"],
+    )
+    got = {
+        (r.doc_id, r.cluster_id)
+        for r in connected_components(edges).collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1), (7, 1),
+        (10, 10), (11, 10),
+        (20, 20), (21, 20), (22, 20),
+    }
