@@ -107,3 +107,29 @@ def run_available_now_to_parquet(result: DataFrame, checkpoint_dir: str, out_dir
         .start()
     )
     q.awaitTermination()
+
+
+def dedup_event_stream(events: DataFrame, watermark: str = "1 day") -> DataFrame:
+    """Streaming exact dedup: emit each event_id once, with state
+    bounded by the watermark.
+
+    ``dropDuplicatesWithinWatermark`` keeps a key in the state store
+    only until the watermark passes it — the property that lets an
+    unbounded stream dedup forever in O(keys within watermark) memory
+    instead of O(all history). Re-delivered files (at-least-once
+    upstream) and duplicate rows inside the watermark are suppressed;
+    an exact replay arriving later than the watermark is dropped as
+    late data rather than re-emitted."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def enrich_stream_static(events: DataFrame, dim: DataFrame, key: str = "user_id") -> DataFrame:
+    """Stream-static equi-join: each micro-batch joins against the
+    static dimension; Spark plans the static side as a broadcast, so
+    the stream never shuffles. This is the streaming form of the
+    reference's per-step lookup of config/connection metadata — the
+    dimension is re-read per batch, so an updated dim parquet is picked
+    up without restarting the query."""
+    return events.join(F.broadcast(dim), key, "left")

@@ -100,3 +100,66 @@ def test_sessionize_stream_matches_batch(spark, sf_dir, tmp_path):
     }
     assert got, "no sessions closed by event-time timeout"
     assert got <= expect, f"stream emitted sessions unknown to batch: {sorted(got - expect)[:3]}"
+
+
+def test_stream_dedup_suppresses_redelivery(spark, sf_dir, tmp_path):
+    """The same file dropped twice (at-least-once upstream): every
+    event_id must come out exactly once, with state bounded by the
+    watermark rather than all history."""
+    import shutil
+
+    from etl_service_spark.streaming.events_stream import (
+        dedup_event_stream,
+        read_event_stream,
+        run_available_now_to_parquet,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    src = os.path.join(sf_dir, "events.parquet")
+    shutil.copy(src, landing / "drop1.parquet")
+    shutil.copy(src, landing / "drop2.parquet")  # exact redelivery
+
+    stream = dedup_event_stream(read_event_stream(spark, str(landing)))
+    out = tmp_path / "out"
+    run_available_now_to_parquet(stream, str(tmp_path / "ckpt"), str(out))
+
+    got = spark.read.parquet(str(out))
+    n_distinct = spark.read.parquet(src).select("event_id").distinct().count()
+    assert got.count() == n_distinct
+    assert got.select("event_id").distinct().count() == n_distinct
+
+
+def test_stream_static_enrich_is_broadcast(spark, sf_dir, tmp_path):
+    """Stream-static join: values enriched from the static dim, and the
+    batch-equivalent plan broadcasts the dimension (no stream shuffle)."""
+    import shutil
+
+    from etl_service_spark.streaming.events_stream import (
+        enrich_stream_static,
+        read_event_stream,
+        run_available_now_to_parquet,
+        with_event_time,
+    )
+    from pyspark.sql import functions as F
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    src = os.path.join(sf_dir, "events.parquet")
+    shutil.copy(src, landing / "drop1.parquet")
+
+    batch = with_event_time(spark.read.parquet(src))
+    dim = (
+        batch.select("user_id").distinct()
+        .withColumn("segment", (F.col("user_id") % 3).cast("string"))
+    )
+    stream = enrich_stream_static(read_event_stream(spark, str(landing)), dim)
+    out = tmp_path / "out"
+    run_available_now_to_parquet(stream, str(tmp_path / "ckpt"), str(out))
+
+    got = spark.read.parquet(str(out))
+    assert got.count() == batch.count()
+    assert got.filter(F.col("segment").isNull()).count() == 0
+    # plan check on the batch equivalent of the same join
+    plan = enrich_stream_static(batch, dim)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
