@@ -154,3 +154,42 @@ def stratified_sample(spark: SparkSession, k: int = 50) -> DataFrame:
 
 def source_composition(spark: SparkSession) -> DataFrame:
     return spark.sql(source_composition_sql()[0])
+
+
+def mixture_sample_sql(budget: int = 1000, view: str = "documents") -> tuple[str, str]:
+    """Deterministic weighted source mixing: the step that turns a
+    composition report plus target weights into an actual training
+    sample. Each source gets an integer quota (budget x weight /
+    total-weight, capped at the source's size), filled by the same
+    hash-rank order as :func:`stratified_sample_sql` — so the chosen
+    doc set is a pure function of (doc_id, source), reproducible across
+    engines and re-runs, and adding documents to one source never
+    reshuffles another source's picks.
+
+    Weights here are a deterministic function of the source name
+    (even-indexed sources 3x odd) standing in for a real weight table;
+    at 100 TB the quota CTE is exactly where a curated weights table
+    would join in. One scan for quotas + one window on source, then an
+    (AQE-broadcast) join of the tiny quota relation.
+    """
+    bucket = _BUCKET.format(mod=4294967296)
+    template = f"""
+WITH src AS (
+  SELECT source, COUNT(*) AS n,
+         CASE WHEN CAST(SUBSTR(source, 4) AS INT) % 2 = 0 THEN 3 ELSE 1 END AS w
+  FROM {view} GROUP BY source
+),
+quota AS (
+  SELECT source, n, ({budget} * w) {{idiv}} SUM(w) OVER () AS q FROM src
+),
+ranked AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY {bucket}, doc_id) AS rk
+  FROM {view}
+)
+SELECT r.source, COUNT(*) AS n_sampled, CAST(SUM(r.doc_id) AS BIGINT) AS id_checksum
+FROM ranked r JOIN quota q ON r.source = q.source
+WHERE r.rk <= LEAST(q.q, q.n)
+GROUP BY r.source
+"""
+    return P.bi_sql(template, idiv=("DIV", "//"))

@@ -688,6 +688,7 @@ def registry() -> dict[str, Case]:
         corpus.stratified_sample_sql(), corpus.stratified_sample_sql()
     )
     cases["corpus_source_composition"] = _pair_case(corpus.source_composition_sql())
+    cases["corpus_mixture_sample"] = _pair_case(corpus.mixture_sample_sql())
 
     def _dup_rate_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
         views(spark, sf_dir)
