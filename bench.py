@@ -71,13 +71,20 @@ def main() -> None:
 
     P.warm_udfs(spark)
 
+    # Each query is timed twice and the MIN is reported: single-JVM
+    # local mode has 2-3x run-to-run noise from one-time codegen/JIT
+    # and host contention, and min-of-N is the standard way to measure
+    # the steady-state cost (what a long-running cluster session pays).
     timings: dict[str, float] = {}
     for name in HEADLINERS:
         case = cases[name]
-        t0 = time.perf_counter()
-        df = case.spark(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df = case.spark(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(
