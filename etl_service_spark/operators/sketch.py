@@ -25,6 +25,40 @@ from __future__ import annotations
 _HV = "1 + ((user_id * 2654435761) % 4294967296)"
 
 
+def quantiles_sql(view: str = "events") -> tuple[str, str]:
+    """Per-type value-distribution report via DISCRETE percentiles.
+
+    percentile_disc / quantile_disc return an actual element of the
+    group (the first value at cumulative distribution >= p) — no
+    interpolation, so no FP arithmetic and the cross-engine match is
+    exact. The continuous variants interpolate and would differ in the
+    last ulp. One hash-aggregation; Spark computes all three
+    percentiles in a single sort-based aggregate per group."""
+    spark_sql = f"""
+SELECT event_type,
+       COUNT(*) AS n,
+       MIN(value) AS v_min,
+       percentile_disc(0.5) WITHIN GROUP (ORDER BY value) AS p50,
+       percentile_disc(0.9) WITHIN GROUP (ORDER BY value) AS p90,
+       percentile_disc(0.99) WITHIN GROUP (ORDER BY value) AS p99,
+       MAX(value) AS v_max
+FROM {view}
+GROUP BY event_type
+"""
+    duck_sql = f"""
+SELECT event_type,
+       COUNT(*) AS n,
+       MIN(value) AS v_min,
+       quantile_disc(value, 0.5) AS p50,
+       quantile_disc(value, 0.9) AS p90,
+       quantile_disc(value, 0.99) AS p99,
+       MAX(value) AS v_max
+FROM {view}
+GROUP BY event_type
+"""
+    return spark_sql, duck_sql
+
+
 def kmv_distinct_sql(k: int = 32, view: str = "events") -> str:
     """Distinct user_id per event_type: exact count alongside the KMV
     estimate from the k-th smallest hash. Same SQL text both engines —

@@ -732,6 +732,7 @@ def registry() -> dict[str, Case]:
     cases["sketch_kmv_distinct"] = _sql_case(
         sketch.kmv_distinct_sql(), sketch.kmv_distinct_sql()
     )
+    cases["events_value_quantiles"] = _pair_case(sketch.quantiles_sql())
 
     # --- similarity search
     cases["ann_cosine_topk"] = _pair_case(similarity.cosine_topk_sql())
