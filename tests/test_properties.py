@@ -83,3 +83,85 @@ def test_calendar_next_run_invariants(start, now, weekdays, months):
     assert weekdays[run.weekday()]
     assert months[run.month - 1]
     assert run >= start.replace(hour=0, minute=0, second=0, microsecond=0)
+
+
+# ---------------------------------------------------------------- graphs
+def _uf_components(edges):
+    """Independent reference: textbook union-find."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 40), st.integers(0, 40)).filter(lambda t: t[0] != t[1]),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_connected_components_matches_union_find(spark, edges):
+    """Iterative min-label propagation == union-find, any random graph
+    (chains, cycles, stars, disjoint blobs)."""
+    from etl_service_spark.operators.graph import connected_components
+
+    df = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    got = {(r.doc_id, r.cluster_id) for r in connected_components(df).collect()}
+    want = set(_uf_components(edges).items())
+    assert got == want
+
+
+# ---------------------------------------------------------------- as-of
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 5),            # user_id
+            st.integers(0, 50),           # ts_us
+            st.sampled_from(["click", "purchase", "view"]),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_asof_join_matches_bruteforce(spark, rows):
+    """Union+carry-forward as-of == brute-force nearest-preceding scan,
+    including equal-timestamp ties and no-match NULLs."""
+    from etl_service_spark.operators.asof import asof_join_sql
+
+    data = [
+        (i, ts * 1000, u, et, float(i))  # event_id, ts(ns? -> see below), user, type, value
+        for i, (u, ts, et) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data, ["event_id", "ts_us", "user_id", "event_type", "value"]
+    )
+    df.createOrReplaceTempView("asof_prop_events")
+    sql = asof_join_sql(view="asof_prop_events")[0]
+    got = {
+        (r.l_event_id, r.r_event_id)
+        for r in spark.sql(sql).collect()
+    }
+
+    # brute force: per purchase, the click with max ts <= p.ts; ties on
+    # ts -> max event_id (the dedup rule); no click -> None
+    clicks = [(e, ts, u) for (e, ts, u, et, _v) in [tuple(d) for d in data] if et == "click"]
+    want = set()
+    for e, ts, u, et, _v in [tuple(d) for d in data]:
+        if et != "purchase":
+            continue
+        cand = [(cts, ce) for (ce, cts, cu) in clicks if cu == u and cts <= ts]
+        want.add((e, max(cand)[1] if cand else None))
+    assert got == want
