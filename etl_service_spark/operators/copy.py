@@ -144,3 +144,32 @@ def write_copy(df: DataFrame, path: str, *, mode: str = "append", slice_partitio
         writer = writer.partitionBy(SLICE_COL)
     writer.parquet(path)
     return df.sparkSession.read.parquet(path).count()
+
+
+def write_sorted_for_skipping(
+    df: DataFrame, path: str, key: str, files: int = 8
+) -> int:
+    """Range-sorted parquet layout: repartitionByRange on ``key`` then
+    sortWithinPartitions, so each output file holds a disjoint key
+    range and each row group's parquet min/max statistics are tight.
+
+    This is the storage half of predicate pushdown: a reader filtering
+    ``key BETWEEN a AND b`` skips every file and row group whose
+    [min,max] misses the range — at 100 TB the difference between
+    scanning a few files and scanning the table. (Same idea Delta/
+    Iceberg expose as ORDER BY / Z-ORDER clustering; single-column
+    linear sort is the plain-parquet form.) Returns the file count.
+
+    tests/test_operators.py asserts the written row-group stats are
+    pairwise disjoint and that a range filter prunes row groups.
+    """
+    import glob
+    import os
+
+    (
+        df.repartitionByRange(files, key)
+        .sortWithinPartitions(key)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    return len(glob.glob(os.path.join(path, "*.parquet")))

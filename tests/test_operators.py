@@ -342,3 +342,36 @@ def test_connected_components_multihop(spark):
         (10, 10), (11, 10),
         (20, 20), (21, 20), (22, 20),
     }
+
+
+def test_sorted_write_enables_rowgroup_skipping(spark, sf_dir, tmp_path):
+    """Range-sorted layout: every output file's [min,max] key range is
+    disjoint, so a range predicate can skip all but one file — the
+    plain-parquet form of clustering for data skipping."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from etl_service_spark.operators.copy import write_sorted_for_skipping
+
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    out = str(tmp_path / "sorted")
+    n_files = write_sorted_for_skipping(orders, out, "o_orderkey", files=4)
+    assert n_files >= 3  # range partitioner may merge tiny ranges
+
+    ranges = []
+    for f in glob.glob(out + "/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        schema_idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        col = schema_idx["o_orderkey"]
+        for rg in range(md.num_row_groups):
+            s = md.row_group(rg).column(col).statistics
+            ranges.append((s.min, s.max))
+    ranges.sort()
+    # pairwise disjoint: each row group's min exceeds the previous max
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, ranges
+    # and the layout actually answers a range probe from few groups
+    lo, hi = ranges[0][0], ranges[0][1]
+    hits = [r for r in ranges if not (r[1] < lo or r[0] > hi)]
+    assert len(hits) == 1
