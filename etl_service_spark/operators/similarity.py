@@ -25,6 +25,24 @@ from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
 from ..functions import portable as P
 
+# (session id, stage kind, params, input files) -> temp-view name of a
+# lineage-truncated staging relation (IVF assignments, LSH buckets).
+# Same sharing story as dedup._HASHSET_CACHE: on a cluster these are
+# written-once staging tables every consumer joins against; changing
+# the underlying files (different sf_dir) misses the cache.
+_STAGE_CACHE: dict[tuple, str] = {}
+
+
+def _stage_view(spark: SparkSession, df_fn, kind: str, view: str, params: tuple) -> str:
+    key = (id(spark), kind, params, tuple(sorted(spark.table(view).inputFiles())))
+    cached = _STAGE_CACHE.get(key)
+    if cached is not None:
+        return cached
+    name = f"__{kind}_{view}_{len(_STAGE_CACHE)}"
+    df_fn().localCheckpoint(eager=True).createOrReplaceTempView(name)
+    _STAGE_CACHE[key] = name
+    return name
+
 DIM = 64
 
 
@@ -293,58 +311,63 @@ def ivf_ann_staged(
     the probe join + exact re-rank stay declarative SQL over the
     lineage-truncated assignment relation. Tie-breaks (cos DESC, c_id)
     are identical because the doubles are identical."""
-    import numpy as np
-    import pandas as pd
+    def build_assignment():
+        # centroid collect + broadcast only run on a cache miss: on a
+        # hit the staged assignment relation already has everything.
+        import numpy as np
+        import pandas as pd
 
-    emb = spark.table(view).select("vec_id", "embedding")
-    cent = sorted(
-        ((r.vec_id, r.embedding) for r in emb.filter(f"vec_id < {n_cells}").collect()),
-        key=lambda t: t[0],
-    )
-    c_ids = np.array([c[0] for c in cent], dtype=np.int64)
-    c_m = np.array([c[1] for c in cent], dtype=np.float64)
+        emb = spark.table(view).select("vec_id", "embedding")
+        cent = sorted(
+            ((r.vec_id, r.embedding) for r in emb.filter(f"vec_id < {n_cells}").collect()),
+            key=lambda t: t[0],
+        )
+        c_ids = np.array([c[0] for c in cent], dtype=np.int64)
+        c_m = np.array([c[1] for c in cent], dtype=np.float64)
 
-    def _norms(m):
-        acc = m[:, 0] * m[:, 0]
-        for i in range(1, DIM):
-            acc = acc + m[:, i] * m[:, i]
-        return np.sqrt(acc)
-
-    c_nrm = _norms(c_m)
-    bc = spark.sparkContext.broadcast((c_ids, c_m, c_nrm))
-
-    def kernel(batches):
-        ids_c, m_c, nrm_c = bc.value
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            m = np.array(list(pdf["embedding"]), dtype=np.float64)
-            nrm = _norms(m)
-            # cos to every centroid: 64 outer-product accumulation steps
-            acc = np.multiply.outer(m[:, 0], m_c[:, 0])
+        def _norms(m):
+            acc = m[:, 0] * m[:, 0]
             for i in range(1, DIM):
-                acc += np.multiply.outer(m[:, i], m_c[:, i])
-            cos = acc / np.multiply.outer(nrm, nrm_c)
-            # rank centroids per vector: cos DESC, then c_id ASC.
-            # ids_c is sorted ascending, so a stable argsort on -cos
-            # reproduces the SQL tie-break exactly.
-            order = np.argsort(-cos, axis=1, kind="stable")
-            ranks = np.empty_like(order)
-            rows = np.arange(cos.shape[0])[:, None]
-            ranks[rows, order] = np.arange(cos.shape[1])[None, :] + 1
-            vid = pdf["vec_id"].to_numpy(dtype=np.int64)
-            n = cos.shape[1]
-            yield pd.DataFrame(
-                {
-                    "vec_id": np.repeat(vid, n),
-                    "c_id": np.tile(ids_c, len(vid)),
-                    "rn": ranks.ravel(),
-                }
-            )
+                acc = acc + m[:, i] * m[:, i]
+            return np.sqrt(acc)
 
-    assign = P.fan_out(emb).mapInPandas(kernel, schema="vec_id bigint, c_id bigint, rn int")
-    name = f"__ivf_assign_{view}"
-    assign.localCheckpoint(eager=True).createOrReplaceTempView(name)
+        c_nrm = _norms(c_m)
+        bc = spark.sparkContext.broadcast((c_ids, c_m, c_nrm))
+
+        def kernel(batches):
+            ids_c, m_c, nrm_c = bc.value
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                m = np.array(list(pdf["embedding"]), dtype=np.float64)
+                nrm = _norms(m)
+                # cos to every centroid: 64 outer-product accumulation steps
+                acc = np.multiply.outer(m[:, 0], m_c[:, 0])
+                for i in range(1, DIM):
+                    acc += np.multiply.outer(m[:, i], m_c[:, i])
+                cos = acc / np.multiply.outer(nrm, nrm_c)
+                # rank centroids per vector: cos DESC, then c_id ASC.
+                # ids_c is sorted ascending, so a stable argsort on -cos
+                # reproduces the SQL tie-break exactly.
+                order = np.argsort(-cos, axis=1, kind="stable")
+                ranks = np.empty_like(order)
+                rows = np.arange(cos.shape[0])[:, None]
+                ranks[rows, order] = np.arange(cos.shape[1])[None, :] + 1
+                vid = pdf["vec_id"].to_numpy(dtype=np.int64)
+                n = cos.shape[1]
+                yield pd.DataFrame(
+                    {
+                        "vec_id": np.repeat(vid, n),
+                        "c_id": np.tile(ids_c, len(vid)),
+                        "rn": ranks.ravel(),
+                    }
+                )
+
+        return P.fan_out(emb).mapInPandas(
+            kernel, schema="vec_id bigint, c_id bigint, rn int"
+        )
+
+    name = _stage_view(spark, build_assignment, "ivf_assign", view, (n_cells,))
     nrm_sql = _norm("embedding", one_based=False)
     sdot = _dot("qv.embedding", "nv2.embedding", one_based=False)
     return spark.sql(
@@ -458,12 +481,16 @@ def lsh_ann_staged(
                 }
             )
 
-    bucketed = P.fan_out(spark.table(view).select("vec_id", "embedding")).mapInPandas(
-        kernel,
-        schema="vec_id bigint, embedding array<float>, bucket bigint, nrm double",
+    name = _stage_view(
+        spark,
+        lambda: P.fan_out(spark.table(view).select("vec_id", "embedding")).mapInPandas(
+            kernel,
+            schema="vec_id bigint, embedding array<float>, bucket bigint, nrm double",
+        ),
+        "lsh_buckets",
+        view,
+        (planes,),
     )
-    name = f"__lsh_buckets_{view}"
-    bucketed.localCheckpoint(eager=True).createOrReplaceTempView(name)
     dot = _dot("a.embedding", "b2.embedding", one_based=False)
     return spark.sql(
         f"""
