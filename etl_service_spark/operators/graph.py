@@ -67,13 +67,29 @@ def connected_components(
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
+# (session id, tau, fingerprint files) -> staged pairs view. In a real
+# pipeline the near-dup pair list is written to a staging table once
+# and clustering reads it from there; recomputing the PPJoin per
+# clustering call would double the pipeline's dominant cost.
+_PAIRS_CACHE: dict[tuple, str] = {}
+
+
 def dup_clusters(spark: SparkSession, tau: float = 0.8) -> DataFrame:
     """Clusters of the n-gram-Jaccard near-dup graph (shares the
-    memoized fingerprint relation with the other dedup consumers)."""
+    memoized fingerprint relation with the other dedup consumers, and
+    stages the pair list itself — clustering consumes the pairs table,
+    it does not own the similarity join)."""
     from . import dedup
 
-    pairs = dedup.ngram_jaccard_staged(spark, tau=tau)
-    return connected_components(pairs)
+    hs_rel = dedup.materialize_hashsets(spark)
+    key = (id(spark), tau, hs_rel)
+    name = _PAIRS_CACHE.get(key)
+    if name is None:
+        name = f"__jaccard_pairs_{len(_PAIRS_CACHE)}"
+        pairs = dedup.ngram_jaccard_staged(spark, tau=tau)
+        pairs.localCheckpoint(eager=True).createOrReplaceTempView(name)
+        _PAIRS_CACHE[key] = name
+    return connected_components(spark.table(name))
 
 
 def dup_clusters_oracle_sql(tau: float = 0.8) -> str:
