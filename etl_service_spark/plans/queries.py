@@ -579,6 +579,22 @@ FROM events
 GROUP BY event_type, CAST(({ts_us} - {ts_us} % 3600000000) / 3600000000 AS BIGINT)
 """
 
+# wide-format pivot via conditional aggregation: FILTER (WHERE ...) is
+# ANSI and identical in Spark and DuckDB, and Catalyst compiles it to
+# the same single hash aggregation a PIVOT would produce — one shuffle
+# on user_id regardless of how many columns are pivoted out.
+EVENTS_PIVOT_TEMPLATE = """
+SELECT user_id,
+       COUNT(*) FILTER (WHERE event_type = 'signup')   AS n_signup,
+       COUNT(*) FILTER (WHERE event_type = 'click')    AS n_click,
+       COUNT(*) FILTER (WHERE event_type = 'view')     AS n_view,
+       COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+       COUNT(*) FILTER (WHERE event_type = 'error')    AS n_error,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) FILTER (WHERE event_type = 'purchase') AS DOUBLE) AS purchase_value
+FROM events
+GROUP BY user_id
+"""
+
 EVENTS_JSON_TEMPLATE = """
 SELECT {json_k} AS k_value, COUNT(*) AS n
 FROM events
@@ -665,6 +681,7 @@ def registry() -> dict[str, Case]:
     cases["events_asof_join"] = _pair_case(asof.asof_join_sql())
     cases["events_funnel"] = _pair_case(asof.funnel_sql())
     cases["events_range_join"] = _pair_case(asof.range_join_sql())
+    cases["events_pivot_by_user"] = _sql_case(EVENTS_PIVOT_TEMPLATE, EVENTS_PIVOT_TEMPLATE)
     cases["events_multires_rollup"] = _pair_case(asof.multires_rollup_sql())
     cases["events_json_extract"] = _bi_case(
         EVENTS_JSON_TEMPLATE,
