@@ -45,6 +45,7 @@ HEADLINERS = [
     "text_fingerprint",
     "corpus_dup_rate_by_source",
     "corpus_stratified_sample",
+    "corpus_training_pipeline",
     "ann_cosine_topk",
     "emb_cosine_neardup",
     "ann_lsh_bucketed",

@@ -193,3 +193,63 @@ WHERE r.rk <= LEAST(q.q, q.n)
 GROUP BY r.source
 """
     return P.bi_sql(template, idiv=("DIV", "//"))
+
+
+def training_pipeline(spark: SparkSession, q_min: float = 0.45) -> DataFrame:
+    """The flagship composition: the whole pretraining-data pipeline —
+    quality filter → near-dup cluster keeper → deterministic train
+    split → per-source corpus report — as one DataFrame plan over the
+    staged relations the individual operators already share.
+
+    Spark shape: quality is a map-side projection; the non-keeper set
+    comes from the STAGED cluster relation (pairs table + label
+    propagation, shared with dedup_cluster_components); the split is a
+    pure doc_id hash; survivors anti-join the non-keepers (broadcast —
+    dup sets are small relative to the corpus) and aggregate once on
+    source. End to end: the only wide operations are the dedup staging
+    (already paid once per corpus) and ONE final aggregation.
+    """
+    from . import graph, textops
+
+    docs = spark.table("documents")
+    q = textops.quality_score(docs).select("doc_id", "quality")
+    clusters = graph.dup_clusters(spark)
+    non_keepers = clusters.filter("doc_id != cluster_id").select("doc_id")
+    bucket = _BUCKET.format(mod=1000)
+    survivors = (
+        docs.join(q, "doc_id")
+        .filter(F.col("quality") >= q_min)
+        .join(non_keepers, "doc_id", "left_anti")
+        .filter(F.expr(f"{bucket} < 900"))
+    )
+    return survivors.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.sum("doc_id").cast("bigint").alias("id_checksum"),
+    )
+
+
+def training_pipeline_oracle_sql(q_min: float = 0.45) -> str:
+    """Single-statement oracle for the full pipeline: quality CTE +
+    recursive-closure clusters (as a derived table) + hash split,
+    composed exactly like the Spark plan."""
+    from . import graph, textops
+
+    bucket = _BUCKET.format(mod=1000)
+    return f"""
+WITH q AS ({textops.oracle_quality_score()}),
+clusters AS (SELECT * FROM ({graph.dup_clusters_oracle_sql()}) c),
+survivors AS (
+  SELECT d.doc_id, d.source, d.n_chars
+  FROM documents d JOIN q ON q.doc_id = d.doc_id
+  WHERE q.quality >= {q_min}
+    AND NOT EXISTS (SELECT 1 FROM clusters c
+                    WHERE c.doc_id = d.doc_id AND c.cluster_id <> d.doc_id)
+    AND {bucket.replace("doc_id", "d.doc_id")} < 900
+)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+FROM survivors
+GROUP BY source
+"""

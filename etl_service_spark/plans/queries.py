@@ -707,6 +707,14 @@ def registry() -> dict[str, Case]:
     cases["corpus_source_composition"] = _pair_case(corpus.source_composition_sql())
     cases["corpus_mixture_sample"] = _pair_case(corpus.mixture_sample_sql())
 
+    def _training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+        views(spark, sf_dir)
+        return corpus.training_pipeline(spark)
+
+    cases["corpus_training_pipeline"] = Case(
+        _training_pipeline, corpus.training_pipeline_oracle_sql()
+    )
+
     def _dup_rate_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
         views(spark, sf_dir)
         return corpus.dup_rate_by_source_staged(spark)
