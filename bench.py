@@ -46,6 +46,7 @@ HEADLINERS = [
     "corpus_dup_rate_by_source",
     "corpus_stratified_sample",
     "corpus_training_pipeline",
+    "corpus_contamination",
     "ann_cosine_topk",
     "emb_cosine_neardup",
     "ann_lsh_bucketed",

@@ -429,3 +429,68 @@ GROUP BY simhash
 HAVING COUNT(*) > 1
 """
     return template.format(inner=sim_s.strip()), template.format(inner=sim_d.strip())
+
+
+def contamination_sql(
+    k_shared: int = 5, bench_max_id: int = 50, view: str = "documents"
+) -> tuple[str, str]:
+    """Decontamination scan: which training documents share >= k
+    shingles with any benchmark document (stand-in benchmark set:
+    doc_id < bench_max_id).
+
+    Same inverted-index shape as the PPJoin candidate stage, but
+    asymmetric: only the (tiny) benchmark side is fully exploded, the
+    training side joins on shingle hash, and a (train, bench) pair
+    aggregation counts shared shingles. At 100 TB the benchmark index
+    is small enough to broadcast, so the scan over training fingerprints
+    is map-side — the decontamination pass costs one read of the
+    fingerprint staging table. Integer counts only; exact in both
+    engines."""
+    body = """bench AS (
+  SELECT doc_id, {explode}(hs) AS h FROM {hs_rel} WHERE doc_id < {bench_max_id}
+),
+train AS (
+  SELECT doc_id, {explode}(hs) AS h FROM {hs_rel} WHERE doc_id >= {bench_max_id}
+),
+shared AS (
+  SELECT t.doc_id AS train_id, b.doc_id AS bench_id, COUNT(*) AS n_shared
+  FROM train t JOIN bench b ON t.h = b.h
+  GROUP BY t.doc_id, b.doc_id
+)
+SELECT train_id, bench_id, n_shared
+FROM shared
+WHERE n_shared >= {k_shared}
+"""
+    return P.bi_sql(
+        _HASHSET_PROLOGUE + ",\n" + body,
+        hs_rel="hs",
+        bench_max_id=str(bench_max_id),
+        k_shared=str(k_shared),
+        **_hashset_frags(view),
+    )
+
+
+def contamination_staged(
+    spark: SparkSession, k_shared: int = 5, bench_max_id: int = 50, view: str = "documents"
+) -> DataFrame:
+    """Spark path over the SHARED fingerprint staging relation (one
+    Arrow pass, memoized) instead of re-deriving shingle sets in SQL."""
+    hs_rel = materialize_hashsets(spark, view)
+    return spark.sql(
+        f"""
+WITH bench AS (
+  SELECT doc_id, explode(hs) AS h FROM {hs_rel} WHERE doc_id < {bench_max_id}
+),
+train AS (
+  SELECT doc_id, explode(hs) AS h FROM {hs_rel} WHERE doc_id >= {bench_max_id}
+),
+shared AS (
+  SELECT t.doc_id AS train_id, b.doc_id AS bench_id, COUNT(*) AS n_shared
+  FROM train t JOIN bench b ON t.h = b.h
+  GROUP BY t.doc_id, b.doc_id
+)
+SELECT train_id, bench_id, n_shared
+FROM shared
+WHERE n_shared >= {k_shared}
+"""
+    )

@@ -754,6 +754,14 @@ def registry() -> dict[str, Case]:
     cases["dedup_cluster_components"] = Case(
         _dup_clusters, graph.dup_clusters_oracle_sql()
     )
+
+    def _contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+        views(spark, sf_dir)
+        return dedup.contamination_staged(spark)
+
+    cases["corpus_contamination"] = Case(
+        _contamination, dedup.contamination_sql()[1]
+    )
     cases["sketch_kmv_distinct"] = _sql_case(
         sketch.kmv_distinct_sql(), sketch.kmv_distinct_sql()
     )
