@@ -494,3 +494,41 @@ FROM shared
 WHERE n_shared >= {k_shared}
 """
     )
+
+
+def incremental_dedup(
+    spark: SparkSession, new_docs: DataFrame, fingerprint_path: str
+) -> DataFrame:
+    """Incremental exact dedup for continuous ingestion: emit only the
+    docs from ``new_docs`` whose text hash is neither in the persisted
+    fingerprint table at ``fingerprint_path`` nor duplicated within the
+    batch (first doc_id wins), then append the new fingerprints.
+
+    This is the batch twin of the streaming dropDuplicates path: state
+    is the fingerprint parquet (hash, doc_id), not an in-memory store,
+    so it survives restarts and is shared by any number of writers
+    reading consistent snapshots. The anti-join is on the 64-bit hash
+    only — the historical corpus's text never loads. At 100 TB the
+    fingerprint table is bucketed by hash so the anti-join co-locates
+    (see write_bucketed); new-batch size, not history size, drives the
+    incremental cost."""
+    from pyspark.sql import functions as F
+
+    hashed = (
+        P.fan_out(new_docs)
+        .select("doc_id", F.lower(F.col("text")).alias("lt"), "text")
+        .select("doc_id", "text", P.pd_poly_hash_udf()("lt").alias("text_hash"))
+    )
+    # in-batch dedup: keep min doc_id per hash
+    w_min = hashed.groupBy("text_hash").agg(F.min("doc_id").alias("doc_id"))
+    batch_unique = hashed.join(w_min, ["text_hash", "doc_id"])
+
+    try:
+        seen = spark.read.parquet(fingerprint_path).select("text_hash")
+        fresh = batch_unique.join(seen, "text_hash", "left_anti")
+    except Exception:  # first batch: no fingerprint table yet
+        fresh = batch_unique
+
+    fresh = fresh.localCheckpoint(eager=True)  # stable before the append below
+    fresh.select("text_hash", "doc_id").write.mode("append").parquet(fingerprint_path)
+    return fresh.select("doc_id", "text_hash", "text")
