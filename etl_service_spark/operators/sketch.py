@@ -80,3 +80,34 @@ SELECT event_type,
 FROM rk
 GROUP BY event_type
 """
+
+
+def zscore_outliers_sql(z_thresh: int = 2, view: str = "events") -> tuple[str, str]:
+    """Per-type z-score outliers with EXACT moment arithmetic: sums and
+    sums-of-squares accumulate in DECIMAL (associative, order-free),
+    variance = (n*sumsq - sum^2) / n^2 uses one decimal-exact numerator,
+    and only the final sqrt/division happen in double — the same two
+    correctly-rounded FP ops on identical operands in both engines.
+    Population std; rows with |v - mean| > z*std. One aggregation +
+    one broadcast-joined filter pass."""
+    template = f"""
+WITH m AS (
+  SELECT event_type,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s2
+  FROM {view}
+  GROUP BY event_type
+),
+stats AS (
+  SELECT event_type, n,
+         s1 / n AS mean,
+         SQRT((s2 - s1 * s1 / n) / n) AS std
+  FROM m
+)
+SELECT e.event_id, e.event_type, e.value,
+       FLOOR(((e.value - t.mean) / t.std) * 1e6) / 1e6 AS z
+FROM {view} e JOIN stats t ON e.event_type = t.event_type
+WHERE ABS(e.value - t.mean) > {z_thresh} * t.std
+"""
+    return template, template

@@ -176,3 +176,25 @@ def oracle_fingerprint(view: str = "documents") -> str:
            coalesce({minsh}, -1) AS min_shingle_hash
     FROM {view}
     """
+
+
+# ------------------------------------------------------- normalization
+def normalize(docs: DataFrame) -> DataFrame:
+    """Canonical text form for hashing/dedup: lowercase, whitespace
+    runs collapsed to one space, trimmed. Pure map-side projection.
+    Spark's regexp_replace is replace-all by default; DuckDB needs the
+    'g' flag — the one dialect split (see oracle_normalize)."""
+    return docs.selectExpr(
+        "doc_id",
+        r"trim(regexp_replace(lower(text), '\\s+', ' ')) AS norm_text",
+        r"length(trim(regexp_replace(lower(text), '\\s+', ' '))) AS norm_len",
+    )
+
+
+def oracle_normalize(view: str = "documents") -> str:
+    return f"""
+    SELECT doc_id,
+           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm_text,
+           length(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS norm_len
+    FROM {view}
+    """

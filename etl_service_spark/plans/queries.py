@@ -696,6 +696,8 @@ def registry() -> dict[str, Case]:
     cases["text_quality_score"] = _text_case(textops.quality_score, textops.oracle_quality_score)
     cases["text_lang_id"] = _text_case(textops.lang_id, textops.oracle_lang_id)
     cases["text_fingerprint"] = _text_case(textops.fingerprint, textops.oracle_fingerprint)
+    cases["text_normalize"] = _text_case(textops.normalize, textops.oracle_normalize)
+    cases["events_zscore_outliers"] = _pair_case(sketch.zscore_outliers_sql())
 
     # --- corpus management (deterministic splits / sampling / reports)
     cases["corpus_split_assign"] = _sql_case(
