@@ -24,6 +24,7 @@ from etl_service_spark.session import get_spark  # noqa: E402
 HEADLINERS = [
     "tpch_q1_pricing",
     "tpch_q3_shipping",
+    "tpch_q5_local_supplier",
     "chain_join_revenue",
     "top_parts_by_revenue",
     "events_window_agg",
@@ -56,6 +57,7 @@ HEADLINERS = [
     "q17_small_qty_revenue",
     "anti_join_never_shipped",
     "events_salted_agg",
+    "events_salted_join",
 ]
 
 

@@ -404,6 +404,26 @@ WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
 GROUP BY l_returnflag, l_linestatus
 """
 
+# Q5: the 6-table join-order/broadcast showcase. region/nation/supplier
+# broadcast; orders⋈lineitem is the one big shuffle; the
+# c_nationkey = s_nationkey cycle closes AFTER the equi-joins (Catalyst
+# pushes it into the join condition, not a post-filter).
+TPCH_Q5_TEMPLATE = """
+SELECT n.n_name,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l.l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n   ON s.s_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1995-01-01 00:00:00'
+GROUP BY n.n_name
+ORDER BY revenue DESC, n_name
+"""
+
 TPCH_Q3_TEMPLATE = """
 SELECT l.l_orderkey,
        CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l.l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
@@ -664,6 +684,7 @@ def registry() -> dict[str, Case]:
         TPCH_Q3_TEMPLATE,
         dfmt=("date_format(o.o_orderdate, 'yyyy-MM-dd')", "strftime(o.o_orderdate, '%Y-%m-%d')"),
     )
+    cases["tpch_q5_local_supplier"] = _bi_case(TPCH_Q5_TEMPLATE)
     cases["chain_join_revenue"] = _bi_case(CHAIN_JOIN_TEMPLATE)
     cases["top_parts_by_revenue"] = _bi_case(TOP_PARTS_TEMPLATE)
     cases["q17_small_qty_revenue"] = _bi_case(

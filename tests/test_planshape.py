@@ -157,3 +157,12 @@ def test_multires_rollup_single_expand_shuffle(spark, sf_dir):
     plan = _plan(df)
     assert "Expand" in plan, plan
     assert plan.count("Exchange hashpartitioning") <= 1, plan
+
+
+def test_q5_broadcasts_dims_single_big_shuffle(spark, sf_dir):
+    """TPC-H Q5: region/nation/supplier/customer come in as broadcast
+    joins; only orders x lineitem shuffles. The 6-table plan must not
+    shuffle a dimension."""
+    df = CASES["tpch_q5_local_supplier"].spark(spark, sf_dir)
+    plan = _plan(df)
+    assert plan.count("BroadcastHashJoin") >= 3, plan[:2000]
