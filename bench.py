@@ -25,6 +25,7 @@ HEADLINERS = [
     "tpch_q1_pricing",
     "tpch_q3_shipping",
     "tpch_q5_local_supplier",
+    "tpch_q13_custdist",
     "chain_join_revenue",
     "top_parts_by_revenue",
     "events_window_agg",

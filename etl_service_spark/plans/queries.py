@@ -424,6 +424,24 @@ GROUP BY n.n_name
 ORDER BY revenue DESC, n_name
 """
 
+# Q13 shape: outer-join-preserving count histogram — customers with
+# ZERO orders must survive (COUNT of the null-extended side is 0), then
+# a second aggregation histograms the counts. Two shuffles by nature
+# (per-customer, then per-count); the filter lives in the JOIN
+# CONDITION, not a WHERE (a WHERE would turn the outer join inner).
+TPCH_Q13_TEMPLATE = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                    AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+) t
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
 TPCH_Q3_TEMPLATE = """
 SELECT l.l_orderkey,
        CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l.l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
@@ -685,6 +703,7 @@ def registry() -> dict[str, Case]:
         dfmt=("date_format(o.o_orderdate, 'yyyy-MM-dd')", "strftime(o.o_orderdate, '%Y-%m-%d')"),
     )
     cases["tpch_q5_local_supplier"] = _bi_case(TPCH_Q5_TEMPLATE)
+    cases["tpch_q13_custdist"] = _bi_case(TPCH_Q13_TEMPLATE)
     cases["chain_join_revenue"] = _bi_case(CHAIN_JOIN_TEMPLATE)
     cases["top_parts_by_revenue"] = _bi_case(TOP_PARTS_TEMPLATE)
     cases["q17_small_qty_revenue"] = _bi_case(
