@@ -56,6 +56,8 @@ HEADLINERS = [
     "media_binary_stats",
     "media_frame_sample",
     "q17_small_qty_revenue",
+    "tpch_q18_bulk_customers",
+    "events_cohort_retention",
     "anti_join_never_shipped",
     "events_salted_agg",
     "events_salted_join",

@@ -617,6 +617,41 @@ FROM events
 GROUP BY event_type, CAST(({ts_us} - {ts_us} % 3600000000) / 3600000000 AS BIGINT)
 """
 
+# cohort retention: assign each user to their first-activity week, then
+# count distinct active users per (cohort, week offset). Two hash aggs
+# on user_id + one broadcast join of the (tiny) cohort map — the
+# standard retention-triangle shape, all integer week arithmetic.
+EVENTS_COHORT_TEMPLATE = """
+WITH firstweek AS (
+  SELECT user_id, MIN({ts_us} {idiv} 604800000000) AS cohort_w
+  FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT user_id, {ts_us} {idiv} 604800000000 AS w FROM events
+)
+SELECT f.cohort_w, a.w - f.cohort_w AS week_offset,
+       COUNT(*) AS n_active
+FROM firstweek f JOIN activity a ON f.user_id = a.user_id
+GROUP BY f.cohort_w, a.w - f.cohort_w
+"""
+
+# Q18 shape: HAVING-filtered grouped subquery feeding a semi-join —
+# "customers with any bulk order". The inner aggregate reuses the
+# orders grouping; Spark plans the IN as a broadcast semi-join on the
+# (small) qualifying key set.
+TPCH_Q18_TEMPLATE = """
+SELECT c.c_custkey, c.c_name, COUNT(o.o_orderkey) AS n_orders,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_spent
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+WHERE c.c_custkey IN (
+  SELECT o2.o_custkey FROM orders o2
+  GROUP BY o2.o_custkey
+  HAVING SUM(CAST(o2.o_totalprice AS DECIMAL(12,2))) > CAST(1500000 AS DECIMAL(12,2))
+)
+GROUP BY c.c_custkey, c.c_name
+"""
+
 # wide-format pivot via conditional aggregation: FILTER (WHERE ...) is
 # ANSI and identical in Spark and DuckDB, and Catalyst compiles it to
 # the same single hash aggregation a PIVOT would produce — one shuffle
@@ -704,6 +739,10 @@ def registry() -> dict[str, Case]:
     )
     cases["tpch_q5_local_supplier"] = _bi_case(TPCH_Q5_TEMPLATE)
     cases["tpch_q13_custdist"] = _bi_case(TPCH_Q13_TEMPLATE)
+    cases["tpch_q18_bulk_customers"] = _bi_case(TPCH_Q18_TEMPLATE)
+    cases["events_cohort_retention"] = _bi_case(
+        EVENTS_COHORT_TEMPLATE, ts_us=TS_US, idiv=("DIV", "//")
+    )
     cases["chain_join_revenue"] = _bi_case(CHAIN_JOIN_TEMPLATE)
     cases["top_parts_by_revenue"] = _bi_case(TOP_PARTS_TEMPLATE)
     cases["q17_small_qty_revenue"] = _bi_case(
