@@ -55,6 +55,11 @@ HEADLINERS = [
     "ann_ivf_topk",
     "media_binary_stats",
     "media_frame_sample",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q10_returned_items",
+    "tpch_q15_top_supplier",
+    "tpch_q19_or_pushdown",
     "q17_small_qty_revenue",
     "tpch_q18_bulk_customers",
     "events_cohort_retention",

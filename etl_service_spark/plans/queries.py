@@ -652,6 +652,159 @@ WHERE c.c_custkey IN (
 GROUP BY c.c_custkey, c.c_name
 """
 
+# Q4 shape (adapted: no l_commitdate/l_receiptdate in the trimmed
+# schema — "shipped >30 days after ordering" instead): correlated
+# EXISTS with an inequality on top of the equi-key. Catalyst plans a
+# LeftSemi hash join on l_orderkey with the date comparison as the
+# join's extra condition — no per-row subquery execution.
+TPCH_Q4_TEMPLATE = """
+SELECT o.o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+  )
+GROUP BY o.o_orderpriority
+"""
+
+# Q6 shape: the pure-pushdown scan — every predicate reaches the
+# parquet reader (PushedFilters on shipdate/discount/quantity), no
+# join, one partial+final agg. The plan to eyeball for "filters reach
+# the scan": at 100 TB this is the difference between reading 3 row
+# groups and reading all of them.
+TPCH_Q6_TEMPLATE = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+              * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+# Q7 shape: the same dimension table (nation) joined twice under
+# different roles, an OR of symmetric pairs, and a year rollup.
+# Both nation joins broadcast; the big fact join stays on the
+# lineitem->orders equi-key.
+TPCH_Q7_TEMPLATE = """
+SELECT supp_nation, cust_nation, l_year,
+       CAST(SUM(volume) AS DOUBLE) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(EXTRACT(YEAR FROM l.l_shipdate) AS BIGINT) AS l_year,
+         CAST(l.l_extendedprice AS DECIMAL(12,2))
+           * (CAST(1 AS DECIMAL(12,2)) - CAST(l.l_discount AS DECIMAL(12,2))) AS volume
+  FROM lineitem l
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+  JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+  WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+     OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+# Q10 shape: returned-item revenue per customer, top 20. ORDER BY a
+# computed aggregate + LIMIT compiles to TakeOrderedAndProject —
+# each partition keeps only its local top-20, so the driver merge is
+# O(partitions*20) regardless of customer count. Tie-broken on
+# c_custkey for cross-engine determinism.
+TPCH_Q10_TEMPLATE = """
+SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+              * (CAST(1 AS DECIMAL(12,2)) - CAST(l.l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+  AND l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+# Q14 shape: conditional-aggregation ratio (promo revenue share).
+# Numerator and denominator come out of ONE hash aggregate over one
+# scan; the CASE keeps exact DECIMAL math in both branches so the
+# final double division is bit-identical across engines.
+TPCH_Q14_TEMPLATE = """
+SELECT CAST(100 * CAST(SUM(CASE WHEN p.p_type = 'PROMO' THEN v
+                                ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+            / CAST(SUM(v) AS DOUBLE) AS DOUBLE) AS promo_pct
+FROM (
+  SELECT l.l_partkey,
+         CAST(l.l_extendedprice AS DECIMAL(12,2))
+           * (CAST(1 AS DECIMAL(12,2)) - CAST(l.l_discount AS DECIMAL(12,2))) AS v
+  FROM lineitem l
+  WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l.l_shipdate < TIMESTAMP '1996-02-01 00:00:00'
+) l JOIN part p ON p.p_partkey = l.l_partkey
+"""
+
+# Q15 shape: argmax over an aggregate via an uncorrelated scalar
+# subquery on the same derived relation. Spark evaluates the MAX
+# subquery first (a tiny per-supplier aggregate), then broadcasts the
+# scalar into the filter — the revenue CTE is computed twice, which
+# is the documented TPC-H trade-off (a window-function variant is
+# one pass; kept as the subquery form to exercise scalar-subquery
+# planning; exact DECIMAL revenue makes the equality safe).
+TPCH_Q15_TEMPLATE = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+           * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, CAST(r.total_rev AS DOUBLE) AS total_revenue
+FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+WHERE r.total_rev = (SELECT MAX(total_rev) FROM revenue)
+"""
+
+# Q19 shape: OR-of-ANDs spanning both join sides. Catalyst splits the
+# disjunction per table — the part scan gets the brand/size OR, the
+# lineitem scan gets the quantity OR — so both scans prune before the
+# join instead of filtering after it.
+TPCH_Q19_TEMPLATE = """
+SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+              * (CAST(1 AS DECIMAL(12,2)) - CAST(l.l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 5
+       AND l.l_quantity >= 1 AND l.l_quantity <= 11)
+   OR (p.p_brand = 'Brand#13' AND p.p_size BETWEEN 1 AND 10
+       AND l.l_quantity >= 10 AND l.l_quantity <= 20)
+   OR (p.p_brand = 'Brand#20' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity >= 20 AND l.l_quantity <= 30)
+"""
+
+# Q22 shape (adapted: nationkey stands in for the phone country code):
+# uncorrelated scalar AVG subquery feeding a filter + NOT EXISTS
+# anti-join. The average is computed once as a broadcast scalar; the
+# anti-join is a hash join on o_custkey. AVG is written as
+# SUM(DECIMAL)/COUNT so both engines divide the same exact operands.
+TPCH_Q22_TEMPLATE = """
+SELECT CAST(c.c_nationkey AS BIGINT) AS cntry,
+       COUNT(*) AS numcust,
+       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+FROM customer c
+WHERE c.c_acctbal > (
+    SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+    FROM customer c2 WHERE c2.c_acctbal > 0.0
+  )
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+GROUP BY c.c_nationkey
+"""
+
 # wide-format pivot via conditional aggregation: FILTER (WHERE ...) is
 # ANSI and identical in Spark and DuckDB, and Catalyst compiles it to
 # the same single hash aggregation a PIVOT would produce — one shuffle
@@ -740,6 +893,14 @@ def registry() -> dict[str, Case]:
     cases["tpch_q5_local_supplier"] = _bi_case(TPCH_Q5_TEMPLATE)
     cases["tpch_q13_custdist"] = _bi_case(TPCH_Q13_TEMPLATE)
     cases["tpch_q18_bulk_customers"] = _bi_case(TPCH_Q18_TEMPLATE)
+    cases["tpch_q4_late_priority"] = _bi_case(TPCH_Q4_TEMPLATE)
+    cases["tpch_q6_forecast_revenue"] = _bi_case(TPCH_Q6_TEMPLATE)
+    cases["tpch_q7_volume_shipping"] = _bi_case(TPCH_Q7_TEMPLATE)
+    cases["tpch_q10_returned_items"] = _bi_case(TPCH_Q10_TEMPLATE)
+    cases["tpch_q14_promo_share"] = _bi_case(TPCH_Q14_TEMPLATE)
+    cases["tpch_q15_top_supplier"] = _bi_case(TPCH_Q15_TEMPLATE)
+    cases["tpch_q19_or_pushdown"] = _bi_case(TPCH_Q19_TEMPLATE)
+    cases["tpch_q22_idle_rich"] = _bi_case(TPCH_Q22_TEMPLATE)
     cases["events_cohort_retention"] = _bi_case(
         EVENTS_COHORT_TEMPLATE, ts_us=TS_US, idiv=("DIV", "//")
     )
