@@ -43,6 +43,7 @@ HEADLINERS = [
     "dedup_simhash",
     "dedup_cluster_components",
     "sketch_kmv_distinct",
+    "sketch_cms_heavy_hitters",
     "text_quality_score",
     "text_fingerprint",
     "corpus_dup_rate_by_source",

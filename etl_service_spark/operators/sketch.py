@@ -111,3 +111,62 @@ FROM {view} e JOIN stats t ON e.event_type = t.event_type
 WHERE ABS(e.value - t.mean) > {z_thresh} * t.std
 """
     return template, template
+
+
+def cms_heavy_hitters_sql(
+    depth: int = 4, width: int = 1024, view: str = "events"
+) -> tuple[str, str]:
+    """Heavy hitters via a count-min sketch (Cormode & Muthukrishnan,
+    J.Algorithms'05): d independent hash rows of w counters; a key's
+    estimate is the MIN of its d counters (always >= the true count).
+    Deterministic multiplicative hashes keep the sketch bit-identical
+    across engines, so the estimate itself is oracle-checkable — the
+    same property that makes KMV above testable.
+
+    Scale shape: the sketch build is ONE scan fanned out x d (a 4-row
+    broadcast nested-loop "depths" join, i.e. an Expand) then a hash
+    aggregate onto d*w = 4096 cells — a fixed-size, broadcastable,
+    MERGEABLE summary (cell-wise +). The candidate-key estimate joins
+    the distinct keys against those 4096 cells (broadcast), so the
+    only data-sized shuffles are the distinct and the exact-count
+    aggregate kept alongside for verification. On a cluster the exact
+    branch is the expensive one — production use keeps only the
+    sketch side and a candidate set.
+
+    Keys are masked to 31 bits and multipliers stay < 2^31 so the
+    hash product fits in BIGINT with no overflow at any key range."""
+    mults = [2654435761 % 2147483648, 2246822519 % 2147483648,
+             1540483477, 1274126177][:depth]
+    adds = [1, 7, 13, 31][:depth]
+    case_m = " ".join(f"WHEN {i} THEN {m}" for i, m in enumerate(mults))
+    case_a = " ".join(f"WHEN {i} THEN {a}" for i, a in enumerate(adds))
+    depths = " UNION ALL ".join(f"SELECT {i} AS d" for i in range(depth))
+    bucket = (
+        f"(((user_id % 2147483648) * (CASE d {case_m} END)"
+        f" + (CASE d {case_a} END)) % 4294967296) % {width}"
+    )
+    template = f"""
+WITH depths AS ({depths}),
+hashed AS (
+  SELECT {bucket} AS bucket, d
+  FROM {view} CROSS JOIN depths
+),
+cms AS (
+  SELECT d, bucket, COUNT(*) AS cnt FROM hashed GROUP BY d, bucket
+),
+keys AS (SELECT DISTINCT user_id FROM {view}),
+keyhash AS (
+  SELECT user_id, d, {bucket} AS bucket
+  FROM keys CROSS JOIN depths
+),
+est AS (
+  SELECT k.user_id, MIN(c.cnt) AS est_count
+  FROM keyhash k JOIN cms c ON c.d = k.d AND c.bucket = k.bucket
+  GROUP BY k.user_id
+),
+exact AS (SELECT user_id, COUNT(*) AS exact_count FROM {view} GROUP BY user_id)
+SELECT e.user_id, x.exact_count, e.est_count
+FROM est e JOIN exact x ON e.user_id = x.user_id
+WHERE e.est_count >= (SELECT COUNT(*) {{idiv}} 200 FROM {view})
+"""
+    return template, template

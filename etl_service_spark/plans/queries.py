@@ -1007,6 +1007,9 @@ def registry() -> dict[str, Case]:
     cases["sketch_kmv_distinct"] = _sql_case(
         sketch.kmv_distinct_sql(), sketch.kmv_distinct_sql()
     )
+    cases["sketch_cms_heavy_hitters"] = _bi_case(
+        sketch.cms_heavy_hitters_sql()[0], idiv=("DIV", "//")
+    )
     cases["events_value_quantiles"] = _pair_case(sketch.quantiles_sql())
 
     # --- similarity search
