@@ -67,6 +67,7 @@ HEADLINERS = [
     "anti_join_never_shipped",
     "events_salted_agg",
     "events_salted_join",
+    "events_attribution_join",
 ]
 
 

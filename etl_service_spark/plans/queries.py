@@ -805,6 +805,21 @@ WHERE c.c_acctbal > (
 GROUP BY c.c_nationkey
 """
 
+# batch twin of streaming/events_stream.attribute_conversions: equi-key
+# + time-range join, click -> purchase within the hour. The user_id
+# equi-key keeps it a hash join (the range is a post-join condition,
+# never a nested loop over the cross product).
+EVENTS_ATTRIBUTION_TEMPLATE = """
+SELECT i.user_id, i.event_id AS impression_id, i.tu AS impression_us,
+       c.event_id AS conversion_id, c.tu AS conversion_us
+FROM (SELECT user_id, event_id, {ts_us} AS tu FROM events
+      WHERE event_type = 'click') i
+JOIN (SELECT user_id, event_id, {ts_us} AS tu FROM events
+      WHERE event_type = 'purchase') c
+  ON i.user_id = c.user_id
+ AND c.tu >= i.tu AND c.tu <= i.tu + 3600000000
+"""
+
 # wide-format pivot via conditional aggregation: FILTER (WHERE ...) is
 # ANSI and identical in Spark and DuckDB, and Catalyst compiles it to
 # the same single hash aggregation a PIVOT would produce — one shuffle
@@ -903,6 +918,9 @@ def registry() -> dict[str, Case]:
     cases["tpch_q22_idle_rich"] = _bi_case(TPCH_Q22_TEMPLATE)
     cases["events_cohort_retention"] = _bi_case(
         EVENTS_COHORT_TEMPLATE, ts_us=TS_US, idiv=("DIV", "//")
+    )
+    cases["events_attribution_join"] = _bi_case(
+        EVENTS_ATTRIBUTION_TEMPLATE, ts_us=TS_US
     )
     cases["chain_join_revenue"] = _bi_case(CHAIN_JOIN_TEMPLATE)
     cases["top_parts_by_revenue"] = _bi_case(TOP_PARTS_TEMPLATE)

@@ -133,3 +133,55 @@ def enrich_stream_static(events: DataFrame, dim: DataFrame, key: str = "user_id"
     dimension is re-read per batch, so an updated dim parquet is picked
     up without restarting the query."""
     return events.join(F.broadcast(dim), key, "left")
+
+
+def attribute_conversions(
+    events: DataFrame,
+    impression_type: str = "click",
+    conversion_type: str = "purchase",
+    max_delay: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join: attribute each conversion to the
+    impressions from the same user in the preceding ``max_delay`` (the
+    ad-attribution shape).
+
+    Both sides carry a watermark and the join condition bounds the
+    event-time distance, which is exactly what lets Spark garbage-
+    collect join state: an impression older than watermark+max_delay
+    can never match a future conversion, so the state store stays
+    O(events within the horizon) on an unbounded stream. Without the
+    time bound the state would grow forever — the condition is a
+    correctness requirement, not an optimization.
+
+    Works unchanged on batch relations (``withWatermark`` is a no-op
+    there), which is what the batch-parity test exercises."""
+    imp = (
+        events.filter(F.col("event_type") == impression_type)
+        .select(
+            F.col("user_id").alias("i_user"),
+            F.col("event_id").alias("impression_id"),
+            F.col("ts").alias("impression_ts"),
+        )
+        .withWatermark("impression_ts", watermark)
+    )
+    conv = (
+        events.filter(F.col("event_type") == conversion_type)
+        .select(
+            F.col("user_id").alias("user_id"),
+            F.col("event_id").alias("conversion_id"),
+            F.col("ts").alias("conversion_ts"),
+        )
+        .withWatermark("conversion_ts", watermark)
+    )
+    return imp.join(
+        conv,
+        F.expr(
+            "i_user = user_id"
+            " AND conversion_ts >= impression_ts"
+            f" AND conversion_ts <= impression_ts + INTERVAL {max_delay}"
+        ),
+        "inner",
+    ).select(
+        "user_id", "impression_id", "impression_ts", "conversion_id", "conversion_ts"
+    )

@@ -163,3 +163,35 @@ def test_stream_static_enrich_is_broadcast(spark, sf_dir, tmp_path):
     # plan check on the batch equivalent of the same join
     plan = enrich_stream_static(batch, dim)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan
+
+def test_stream_stream_attribution_join_matches_batch(spark, sf_dir, tmp_path):
+    """Stream-stream interval join (click -> purchase within 1h per
+    user): the inner join emits every match as soon as both sides
+    arrive, so draining the backlog must reproduce the batch join
+    exactly — same rows, same count."""
+    import shutil
+
+    from etl_service_spark.streaming.events_stream import attribute_conversions
+
+    landing, ckpt = str(tmp_path / "landing"), str(tmp_path / "ckpt")
+    os.makedirs(landing)
+    shutil.copy(os.path.join(sf_dir, "events.parquet"), os.path.join(landing, "d1.parquet"))
+
+    stream = attribute_conversions(read_event_stream(spark, landing))
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("attrib_out")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {tuple(r) for r in spark.table("attrib_out").collect()}
+
+    batch = with_event_time(
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    )
+    expect = {tuple(r) for r in attribute_conversions(batch).collect()}
+    assert got == expect
+    assert len(got) > 0
