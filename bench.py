@@ -42,6 +42,7 @@ HEADLINERS = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_cluster_components",
+    "graph_pagerank",
     "sketch_kmv_distinct",
     "sketch_cms_heavy_hitters",
     "text_quality_score",

@@ -118,3 +118,90 @@ SELECT node AS doc_id, MIN(reach) AS cluster_id
 FROM closure
 GROUP BY node
 """
+
+
+# ---------------------------------------------------------------- PageRank
+# All arithmetic is INTEGER: ranks live in units of 1/SCALE, every
+# division is floor-division (Spark DIV == DuckDB // on non-negatives),
+# so five iterations produce bit-identical BIGINTs in both engines —
+# the same trick that makes the samplers and KMV oracle-checkable.
+PR_SCALE = 10**12
+PR_ITERS = 5
+PR_DAMP_NUM, PR_DAMP_DEN = 85, 100
+# symmetric customer<->supplier interaction graph; suppliers offset
+# into a disjoint node-id space. Symmetry guarantees outdeg >= 1
+# everywhere: no dangling-node rank leak, no special casing.
+PR_PAIRS_SQL = """
+SELECT DISTINCT o.o_custkey AS a, l.l_suppkey + 10000000 AS b
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+"""
+
+
+def pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five damped PageRank iterations on the customer-supplier graph.
+
+    Spark shape: per iteration, one hash join of the (checkpointed)
+    edge list against the current rank vector + one hash aggregate on
+    the destination — two shuffles per round on the same key, which a
+    cluster run would co-partition once (repartition edges and ranks
+    by node) so every round reuses the exchange. localCheckpoint per
+    round truncates the lineage, exactly like connected_components
+    above; at 100 TB the checkpoint becomes a staging-table write.
+    Parity with /root/reference: no graph ops exist there — this is
+    part of the training-data plane (web-graph quality weighting)."""
+    pairs = spark.sql(PR_PAIRS_SQL)
+    e = pairs.union(
+        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    e = e.localCheckpoint(eager=True)
+    deg = e.groupBy("a").agg(F.count("*").alias("outdeg"))
+    n = deg.count()
+    teleport = (PR_SCALE * (PR_DAMP_DEN - PR_DAMP_NUM) // PR_DAMP_DEN) // n
+
+    ranks = deg.select(F.col("a").alias("node")).withColumn(
+        "rank", F.lit(PR_SCALE // n).cast("bigint")
+    )
+    # (a, b, outdeg), reused every round — materialized once so the
+    # edge-degree join isn't re-executed inside each iteration
+    contrib_src = e.join(deg, "a").localCheckpoint(eager=True)
+    for _ in range(PR_ITERS):
+        ranks = (
+            contrib_src.join(ranks, contrib_src["a"] == ranks["node"])
+            .select(F.col("b"), F.expr("rank DIV outdeg").alias("c"))
+            .groupBy("b")
+            .agg(
+                (
+                    F.lit(teleport)
+                    + F.expr(f"({PR_DAMP_NUM} * sum(c)) DIV {PR_DAMP_DEN}")
+                ).alias("rank")
+            )
+            .select(F.col("b").alias("node"), F.col("rank").cast("bigint"))
+        ).localCheckpoint(eager=True)
+    return ranks
+
+
+def pagerank_oracle_sql() -> str:
+    """Recursive-CTE oracle: the identical integer recurrence, with the
+    iteration counter carried in the working table."""
+    return f"""
+WITH RECURSIVE pairs AS ({PR_PAIRS_SQL}),
+edges AS (
+  SELECT a, b FROM pairs UNION SELECT b, a FROM pairs
+),
+deg AS (SELECT a AS node, COUNT(*) AS outdeg FROM edges GROUP BY a),
+nn AS (SELECT COUNT(*) AS n FROM deg),
+pr(it, node, rank) AS (
+  SELECT 0, node, {PR_SCALE} // (SELECT n FROM nn) FROM deg
+  UNION ALL
+  SELECT p.it + 1, e.b,
+         ({PR_SCALE * (PR_DAMP_DEN - PR_DAMP_NUM) // PR_DAMP_DEN})
+           // (SELECT n FROM nn)
+         + ({PR_DAMP_NUM} * SUM(p.rank // d.outdeg)) // {PR_DAMP_DEN}
+  FROM pr p
+  JOIN edges e ON p.node = e.a
+  JOIN deg d ON d.node = p.node
+  WHERE p.it < {PR_ITERS}
+  GROUP BY p.it, e.b
+)
+SELECT node, CAST(rank AS BIGINT) AS rank FROM pr WHERE it = {PR_ITERS}
+"""

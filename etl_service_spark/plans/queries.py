@@ -1015,6 +1015,12 @@ def registry() -> dict[str, Case]:
         _dup_clusters, graph.dup_clusters_oracle_sql()
     )
 
+    def _pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+        views(spark, sf_dir)
+        return graph.pagerank(spark, sf_dir)
+
+    cases["graph_pagerank"] = Case(_pagerank, graph.pagerank_oracle_sql())
+
     def _contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         views(spark, sf_dir)
         return dedup.contamination_staged(spark)
