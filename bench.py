@@ -45,6 +45,7 @@ HEADLINERS = [
     "graph_pagerank",
     "sketch_kmv_distinct",
     "sketch_cms_heavy_hitters",
+    "sketch_histogram_quantiles",
     "text_quality_score",
     "text_fingerprint",
     "corpus_dup_rate_by_source",

@@ -170,3 +170,42 @@ FROM est e JOIN exact x ON e.user_id = x.user_id
 WHERE e.est_count >= (SELECT COUNT(*) {{idiv}} 200 FROM {view})
 """
     return template, template
+
+
+def histogram_quantiles_sql(bins_per_unit: int = 16, view: str = "events") -> tuple[str, str]:
+    """Approximate per-type quantiles from a fixed-width histogram
+    sketch: bin = FLOOR(value * k), a (type, bin, count) grid, and the
+    quantile = the first bin whose cumulative count crosses p*n,
+    reported as bin/k (error <= 1/k by construction).
+
+    This is the MERGEABLE quantile path (bin counts add cell-wise
+    across partitions/days — the same property as KMV and CMS above),
+    in contrast to percentile_disc in quantiles_sql which is exact but
+    requires a per-group sort of all values. One scan -> map-side-
+    combined (type, bin) aggregate; the cumulative window runs over
+    the tiny bin grid, never the data. All comparisons are BIGINT
+    (cum*q >= p*total) and the only FP ops are value*k and bin/k —
+    multiplication and division by the same constant on identical
+    doubles, bit-stable across engines."""
+    k = bins_per_unit
+    template = f"""
+WITH b AS (
+  SELECT event_type, CAST(FLOOR(value * {k}) AS BIGINT) AS bin, COUNT(*) AS cnt
+  FROM {view}
+  GROUP BY event_type, CAST(FLOOR(value * {k}) AS BIGINT)
+),
+c AS (
+  SELECT event_type, bin, cnt,
+         SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+         SUM(cnt) OVER (PARTITION BY event_type) AS total
+  FROM b
+)
+SELECT event_type,
+       CAST(MAX(total) AS BIGINT) AS n,
+       MIN(CASE WHEN cum * 2 >= total THEN bin END) / CAST({k} AS DOUBLE) AS approx_p50,
+       MIN(CASE WHEN cum * 10 >= 9 * total THEN bin END) / CAST({k} AS DOUBLE) AS approx_p90,
+       MIN(CASE WHEN cum * 100 >= 99 * total THEN bin END) / CAST({k} AS DOUBLE) AS approx_p99
+FROM c
+GROUP BY event_type
+"""
+    return template, template

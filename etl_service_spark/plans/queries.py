@@ -1034,6 +1034,7 @@ def registry() -> dict[str, Case]:
     cases["sketch_cms_heavy_hitters"] = _bi_case(
         sketch.cms_heavy_hitters_sql()[0], idiv=("DIV", "//")
     )
+    cases["sketch_histogram_quantiles"] = _pair_case(sketch.histogram_quantiles_sql())
     cases["events_value_quantiles"] = _pair_case(sketch.quantiles_sql())
 
     # --- similarity search
