@@ -48,6 +48,7 @@ HEADLINERS = [
     "sketch_histogram_quantiles",
     "text_quality_score",
     "text_fingerprint",
+    "text_tfidf_top_terms",
     "corpus_dup_rate_by_source",
     "corpus_stratified_sample",
     "corpus_training_pipeline",

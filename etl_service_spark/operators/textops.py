@@ -198,3 +198,57 @@ def oracle_normalize(view: str = "documents") -> str:
            length(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS norm_len
     FROM {view}
     """
+
+
+def tfidf_top_terms_sql(k: int = 3, view: str = "documents") -> tuple[str, str]:
+    """Top-k most-distinctive terms per document by a log-free tf-idf
+    weighting, fully in integer arithmetic.
+
+    score_ppm = (tf * 1e6 // doclen) * N // df — normalized term
+    frequency scaled by inverse document frequency. The classic
+    LN(N/df) idf is deliberately NOT used: natural log is not a
+    correctly-rounded operation, so Spark's libm and DuckDB's can
+    disagree in the last ulp and break the value-hash oracle; the
+    rational idf preserves the same per-document ranking for the
+    top-k cut. (DETERMINISM.md rule: only +,-,*,integer-div,sqrt are
+    safe cross-engine.)
+
+    Scale shape: explode -> (doc, token) hash agg (map-side combined),
+    doc-length and document-frequency reductions over that already-
+    aggregated relation, one broadcastable scalar N, and a top-k
+    window partitioned by doc_id. The df relation is vocabulary-sized
+    (bounded), so its join broadcasts at any corpus size; the only
+    data-sized shuffles are the explode agg and the per-doc window."""
+    spark_tok = (
+        f"SELECT doc_id, token FROM {view} "
+        f"LATERAL VIEW explode({P.spark_tokens('text')}) x AS token"
+    )
+    duck_tok = (
+        f"SELECT doc_id, unnest({P.duck_tokens('text')}) AS token FROM {view}"
+    )
+
+    def body(tok_sql: str, idiv: str) -> str:
+        return f"""
+WITH tok AS ({tok_sql}),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token),
+dl AS (SELECT doc_id, SUM(tf) AS doclen FROM tf GROUP BY doc_id),
+df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+nn AS (SELECT COUNT(*) AS n FROM {view}),
+scored AS (
+  SELECT t.doc_id, t.token, t.tf, f.df,
+         CAST(((t.tf * 1000000 {idiv} l.doclen) * (SELECT n FROM nn)) {idiv} f.df
+              AS BIGINT) AS score_ppm
+  FROM tf t
+  JOIN dl l ON t.doc_id = l.doc_id
+  JOIN df f ON t.token = f.token
+)
+SELECT doc_id, token, tf, df, score_ppm
+FROM (
+  SELECT s.*, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                 ORDER BY score_ppm DESC, token) AS rk
+  FROM scored s
+) ranked
+WHERE rk <= {k}
+"""
+
+    return body(spark_tok, "DIV"), body(duck_tok, "//")
