@@ -405,3 +405,56 @@ def test_incremental_dedup_across_batches(spark, sf_dir, tmp_path):
     # idempotent-ish: re-running batch 2 emits nothing new
     out3 = incremental_dedup(spark, b2, fp)
     assert out3.count() == 0
+
+
+def test_zorder_write_prunes_on_both_dimensions(spark, sf_dir, tmp_path):
+    """Morton-clustered layout: a narrow predicate on EITHER key hits a
+    strict subset of row groups; a linear sort on key_x alone leaves
+    the key_y probe hitting every group. Same data, same probe — the
+    difference is purely the layout."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from etl_service_spark.operators.copy import (
+        write_sorted_for_skipping,
+        write_zordered,
+    )
+
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    zdir, ldir = str(tmp_path / "zorder"), str(tmp_path / "linear")
+    n_files = write_zordered(orders, zdir, "o_custkey", "o_orderkey", files=8)
+    assert n_files >= 4
+    write_sorted_for_skipping(orders, ldir, "o_custkey", files=8)
+    assert spark.read.parquet(zdir).count() == orders.count()
+
+    def rg_stats(out_dir, col_name):
+        ranges = []
+        for f in glob.glob(out_dir + "/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            for rg in range(md.num_row_groups):
+                s = md.row_group(rg).column(idx[col_name]).statistics
+                ranges.append((s.min, s.max))
+        return ranges
+
+    def hits(ranges, lo, hi):
+        return sum(1 for mn, mx in ranges if not (mx < lo or mn > hi))
+
+    ck = [r["k"] for r in orders.selectExpr("min(o_custkey) k").collect()] + [
+        r["k"] for r in orders.selectExpr("max(o_custkey) k").collect()
+    ]
+    ok = [r["k"] for r in orders.selectExpr("min(o_orderkey) k").collect()] + [
+        r["k"] for r in orders.selectExpr("max(o_orderkey) k").collect()
+    ]
+    # a 1/16-width probe on each dimension
+    ck_probe = (ck[0], ck[0] + (ck[1] - ck[0]) // 16)
+    ok_probe = (ok[0], ok[0] + (ok[1] - ok[0]) // 16)
+
+    zx = rg_stats(zdir, "o_custkey")
+    zy = rg_stats(zdir, "o_orderkey")
+    assert hits(zx, *ck_probe) < len(zx)  # x probe prunes
+    assert hits(zy, *ok_probe) < len(zy)  # y probe ALSO prunes
+    # the linear layout cannot prune the secondary column
+    ly = rg_stats(ldir, "o_orderkey")
+    assert hits(ly, *ok_probe) == len(ly)
