@@ -57,6 +57,7 @@ HEADLINERS = [
     "emb_cosine_neardup",
     "ann_lsh_bucketed",
     "ann_ivf_topk",
+    "emb_kmeans",
     "media_binary_stats",
     "media_frame_sample",
     "tpch_q6_forecast_revenue",

@@ -501,3 +501,82 @@ FROM {name} a JOIN {name} b2
 WHERE ({dot}) / (a.nrm * b2.nrm) >= {tau}
 """
     )
+
+
+# ------------------------------------------------------------- k-means
+def kmeans_sql(k: int = 4, iters: int = 2, view: str = "embeddings") -> tuple[str, str]:
+    """Lloyd's k-means over the embedding column, ``iters`` iterations
+    unrolled into ONE SQL statement per engine — a fixed iteration
+    count needs no recursion, so the whole algorithm stays a single
+    declarative plan in both engines and the oracle is a full value
+    check (like PageRank in operators/graph.py).
+
+    Cross-engine exactness: components are quantized once to integer
+    1e-4 units (FLOOR(double*1e4) — floor and double multiply are both
+    exact, avoiding decimal rounding-mode differences on float32
+    expansions); centroids are kept UN-divided as (component sum s,
+    member count n), so the distance argmin compares
+    sum_d (n*v_d - s_d)^2 / n^2 — an exact BIGINT numerator with one
+    correctly-rounded double division, bit-identical everywhere.
+    Init is the first k vectors (deterministic). Ties break on
+    centroid id.
+
+    Scale shape per iteration: one (vec, centroid) distance aggregate
+    over the dim-exploded relation — the centroid relation is k*64
+    rows, always broadcast — then an argmin window per vector and a
+    (centroid, dim) re-aggregation. The shuffles are all on vec_id or
+    (j, dim); nothing ever materializes the O(N*k) pairs beyond the
+    map-side partial aggregate. Bounds: |v|<=0.6 → 6e3 units; squared
+    error sums stay < 1e18 up to ~20M rows per cluster."""
+    spark_elem = "element_at(embedding, i + 1)"
+    duck_elem = "embedding[i + 1]"
+    spark_dims = "SELECT CAST(id AS INT) AS i FROM range(64)"
+    duck_dims = "SELECT range AS i FROM range(64)"
+
+    def body(elem: str, dims: str) -> str:
+        cte = [
+            f"dims AS ({dims})",
+            f"""e AS (
+  SELECT vec_id, i AS dim,
+         CAST(FLOOR(CAST({elem} AS DOUBLE) * 10000) AS BIGINT) AS v
+  FROM {view} CROSS JOIN dims
+)""",
+            f"""c0 AS (
+  SELECT vec_id AS j, dim, v AS s, CAST(1 AS BIGINT) AS n
+  FROM e WHERE vec_id < {k}
+)""",
+        ]
+        prev = "c0"
+        for it in range(1, iters + 1):
+            cte.append(f"""d{it} AS (
+  SELECT e.vec_id, c.j,
+         SUM((c.n * e.v - c.s) * (c.n * e.v - c.s)) AS dist_num,
+         MAX(c.n) AS n
+  FROM e JOIN {prev} c ON e.dim = c.dim
+  GROUP BY e.vec_id, c.j
+)""")
+            cte.append(f"""a{it} AS (
+  SELECT vec_id, j FROM (
+    SELECT vec_id, j,
+           ROW_NUMBER() OVER (
+             PARTITION BY vec_id
+             ORDER BY CAST(dist_num AS DOUBLE) / CAST(n * n AS DOUBLE), j
+           ) AS rk
+    FROM d{it}
+  ) r WHERE rk = 1
+)""")
+            cte.append(f"""c{it} AS (
+  SELECT a.j, e.dim, CAST(SUM(e.v) AS BIGINT) AS s, COUNT(*) AS n
+  FROM a{it} a JOIN e ON e.vec_id = a.vec_id
+  GROUP BY a.j, e.dim
+)""")
+            prev = f"c{it}"
+        final = f"""
+SELECT j, MAX(n) AS n_members,
+       CAST(SUM(s) AS BIGINT) AS s_total,
+       CAST(SUM(s * s) AS BIGINT) AS s_sq_total
+FROM {prev}
+GROUP BY j"""
+        return "WITH " + ",\n".join(cte) + final
+
+    return body(spark_elem, spark_dims), body(duck_elem, duck_dims)

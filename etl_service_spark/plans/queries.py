@@ -1036,6 +1036,7 @@ def registry() -> dict[str, Case]:
     )
     cases["sketch_histogram_quantiles"] = _pair_case(sketch.histogram_quantiles_sql())
     cases["text_tfidf_top_terms"] = _pair_case(textops.tfidf_top_terms_sql())
+    cases["emb_kmeans"] = _pair_case(similarity.kmeans_sql())
     cases["events_value_quantiles"] = _pair_case(sketch.quantiles_sql())
 
     # --- similarity search
