@@ -65,6 +65,9 @@ HEADLINERS = [
     "tpch_q10_returned_items",
     "tpch_q15_top_supplier",
     "tpch_q19_or_pushdown",
+    "tpch_q21_lone_late_supplier",
+    "orders_running_spend",
+    "events_value_time_corr",
     "q17_small_qty_revenue",
     "tpch_q18_bulk_customers",
     "events_cohort_retention",

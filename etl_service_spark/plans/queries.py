@@ -820,6 +820,73 @@ JOIN (SELECT user_id, event_id, {ts_us} AS tu FROM events
  AND c.tu >= i.tu AND c.tu <= i.tu + 3600000000
 """
 
+# Q21 shape (adapted to l_shipdate): the double-correlated
+# EXISTS / NOT EXISTS pair — "the only late supplier on a
+# multi-supplier order". Catalyst plans one LeftSemi and one LeftAnti
+# hash join against the same lineitem relation; the NOT EXISTS
+# correlates on BOTH l_orderkey and the outer order date.
+TPCH_Q21_TEMPLATE = """
+SELECT s.s_name, COUNT(*) AS numwait
+FROM supplier s
+JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+JOIN orders o ON o.o_orderkey = l1.l_orderkey
+WHERE o.o_orderstatus = 'F'
+  AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY s.s_name
+"""
+
+# running-total window: per-customer order history with cumulative
+# spend. ROWS frame over a UNIQUE sort key (orderdate, orderkey) —
+# a RANGE frame or a non-unique sort would make the cumulative sum
+# order-ambiguous and break cross-engine equality. Exact DECIMAL
+# accumulation; one shuffle on o_custkey, the window runs sorted
+# within each partition.
+ORDERS_RUNNING_TEMPLATE = """
+SELECT o_custkey, o_orderkey,
+       CAST(ROW_NUMBER() OVER w AS BIGINT) AS order_seq,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER w AS DOUBLE)
+         AS running_spend
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+# Pearson correlation from EXACT integer/decimal moments (the
+# covariance twin of sketch.zscore_outliers_sql): hour index is
+# integer, value sums accumulate in DECIMAL, and only the final
+# sqrt/divide run in double — identical correctly-rounded ops on
+# identical operands in both engines, then a 1e-6 floor as belt and
+# braces. One aggregation, no second pass.
+EVENTS_CORR_TEMPLATE = """
+WITH m AS (
+  SELECT event_type,
+         COUNT(*) AS n,
+         SUM(CAST(value AS DECIMAL(18,6))) AS sv,
+         SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS svv,
+         SUM({ts_us} {idiv} 3600000000) AS st,
+         SUM(({ts_us} {idiv} 3600000000) * ({ts_us} {idiv} 3600000000)) AS stt,
+         SUM(CAST(value AS DECIMAL(18,6)) * ({ts_us} {idiv} 3600000000)) AS svt
+  FROM events
+  GROUP BY event_type
+)
+SELECT event_type, n,
+       FLOOR(
+         (CAST(n * svt - sv * st AS DOUBLE)
+          / (SQRT(CAST(n * stt - st * st AS DOUBLE))
+             * SQRT(CAST(n * svv - sv * sv AS DOUBLE)))) * 1e6
+       ) / 1e6 AS pearson_r
+FROM m
+"""
+
 # wide-format pivot via conditional aggregation: FILTER (WHERE ...) is
 # ANSI and identical in Spark and DuckDB, and Catalyst compiles it to
 # the same single hash aggregation a PIVOT would produce — one shuffle
@@ -916,6 +983,11 @@ def registry() -> dict[str, Case]:
     cases["tpch_q15_top_supplier"] = _bi_case(TPCH_Q15_TEMPLATE)
     cases["tpch_q19_or_pushdown"] = _bi_case(TPCH_Q19_TEMPLATE)
     cases["tpch_q22_idle_rich"] = _bi_case(TPCH_Q22_TEMPLATE)
+    cases["tpch_q21_lone_late_supplier"] = _bi_case(TPCH_Q21_TEMPLATE)
+    cases["orders_running_spend"] = _bi_case(ORDERS_RUNNING_TEMPLATE)
+    cases["events_value_time_corr"] = _bi_case(
+        EVENTS_CORR_TEMPLATE, ts_us=TS_US, idiv=("DIV", "//")
+    )
     cases["events_cohort_retention"] = _bi_case(
         EVENTS_COHORT_TEMPLATE, ts_us=TS_US, idiv=("DIV", "//")
     )
