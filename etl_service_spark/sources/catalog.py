@@ -56,3 +56,25 @@ def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         df.createOrReplaceTempView(name)
         out[name] = df
     return out
+
+
+def read_with_schema_evolution(spark: SparkSession, landing_dir: str) -> DataFrame:
+    """Read a landing directory whose parquet drops have DRIFTED
+    schemas (columns added over time, int widened to long) into one
+    DataFrame: ``mergeSchema`` unions the footers' schemas, older
+    files surface the missing columns as NULL.
+
+    Schema drift is a fact of life for a multi-month landing zone at
+    100 TB — upstream teams add columns without coordinating. The
+    merge cost is footer-only (no data read), so it scales with file
+    COUNT, not bytes; pair with ``align_to_schema`` (operators/align)
+    to land the merged relation onto the governed target schema with
+    defaults instead of NULLs. Mirrors the reference's mapping.csv
+    rename step (Helper.cs mapping load) which tolerates extra source
+    columns by selection rather than failure."""
+    return (
+        spark.read.option("mergeSchema", "true")
+        # landing zones nest drops in per-batch/per-date subdirectories
+        .option("recursiveFileLookup", "true")
+        .parquet(landing_dir)
+    )

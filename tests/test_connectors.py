@@ -99,3 +99,43 @@ def test_jdbc_writer_shape(spark, sf_dir):
     with pytest.raises(Exception) as exc:
         write_jdbc(df.limit(1), conn, "t")
     assert "ClassNotFound" in str(exc.value) or "driver" in str(exc.value).lower()
+
+
+def test_schema_evolution_read_merges_drifted_drops(spark, tmp_path):
+    """Two drops with drifted schemas (added column) merge into one
+    relation; the old drop's rows carry NULL for the new column, and
+    align_to_schema then lands the merged relation with defaults."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from etl_service_spark.operators.align import AuditContext, align_to_schema
+    from etl_service_spark.sources.catalog import read_with_schema_evolution
+
+    landing = str(tmp_path / "landing")
+    spark.createDataFrame([(1, "a")], ["id", "payload"]).write.parquet(
+        landing + "/drop1.parquet"
+    )
+    spark.createDataFrame(
+        [(2, "b", "eu-west")], ["id", "payload", "region"]
+    ).write.parquet(landing + "/drop2.parquet")
+
+    merged = read_with_schema_evolution(spark, landing)
+    assert set(merged.columns) == {"id", "payload", "region"}
+    rows = {r["id"]: r for r in merged.collect()}
+    assert rows[1]["region"] is None and rows[2]["region"] == "eu-west"
+
+    target = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("payload", StringType()),
+            StructField("region", StringType()),
+            StructField("Nutzer", StringType()),
+        ]
+    )
+    audit = AuditContext("svc", "2026-01-01 00:00:00", "p")
+    landed = {r["id"]: r for r in align_to_schema(merged, target, audit).collect()}
+    assert landed[1]["Nutzer"] == "svc" and landed[1]["region"] is None
