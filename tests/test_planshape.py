@@ -166,3 +166,53 @@ def test_q5_broadcasts_dims_single_big_shuffle(spark, sf_dir):
     df = CASES["tpch_q5_local_supplier"].spark(spark, sf_dir)
     plan = _plan(df)
     assert plan.count("BroadcastHashJoin") >= 3, plan[:2000]
+
+
+def test_q6_all_predicates_pushed(spark, sf_dir):
+    """The pure-pushdown scan: shipdate range, discount range, and
+    quantity bound must ALL reach the parquet reader."""
+    df = CASES["tpch_q6_forecast_revenue"].spark(spark, sf_dir)
+    pushed = _plan(df).split("PushedFilters", 1)[1][:400]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, pushed
+
+
+def test_q19_or_predicates_split_per_side(spark, sf_dir):
+    """OR-of-ANDs spanning the join: the brand/size disjunction must be
+    pushed to the part scan and the quantity disjunction to the
+    lineitem scan — neither side may scan unfiltered."""
+    plan = _plan(CASES["tpch_q19_or_pushdown"].spark(spark, sf_dir))
+    scans = plan.split("Scan parquet")
+    part_scan = next(s for s in scans[1:] if "part.parquet" in s[:400])
+    line_scan = next(s for s in scans[1:] if "lineitem.parquet" in s[:400])
+    assert "p_brand" in part_scan.split("PushedFilters", 1)[1][:500]
+    assert "l_quantity" in line_scan.split("PushedFilters", 1)[1][:500]
+
+
+def test_q18_having_set_joins_as_semi(spark, sf_dir):
+    """The IN (grouped HAVING subquery) must plan as a semi join
+    against the qualifying key set, not a full join + dedup."""
+    plan = _plan(CASES["tpch_q18_bulk_customers"].spark(spark, sf_dir))
+    assert "LeftSemi" in plan, plan[:1500]
+
+
+def test_attribution_join_is_hash_not_nestedloop(spark, sf_dir):
+    """The interval join has a user_id equi-key: it must be a hash or
+    sort-merge join with the time range as a post-join condition —
+    a nested-loop over the cross product would be quadratic."""
+    plan = _plan(CASES["events_attribution_join"].spark(spark, sf_dir))
+    assert "NestedLoop" not in plan, plan[:1500]
+    assert ("SortMergeJoin" in plan) or ("HashJoin" in plan), plan[:1500]
+
+
+def test_kmeans_centroid_joins_broadcast(spark, sf_dir):
+    """Every per-iteration centroid relation is k*64 rows; the distance
+    joins must end up broadcast (AQE converts them once runtime sizes
+    are known — assert on the FINAL adaptive plan) and nothing may
+    plan a cartesian product. The vec_id-keyed re-aggregation joins
+    legitimately stay sort-merge: both sides are data-sized."""
+    df = CASES["emb_kmeans"].spark(spark, sf_dir)
+    df.collect()  # finalize AQE
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan[:1500]
+    assert "BroadcastHashJoin" in plan, plan[:1500]
