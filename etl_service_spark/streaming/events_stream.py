@@ -185,3 +185,51 @@ def attribute_conversions(
     ).select(
         "user_id", "impression_id", "impression_ts", "conversion_id", "conversion_ts"
     )
+
+
+def run_upsert_aggregate(
+    events: DataFrame, checkpoint_dir: str, out_dir: str, window: str = "1 hour"
+) -> None:
+    """Maintain a windowed aggregate TABLE from the stream: each
+    micro-batch recomputes the (complete-mode) per-window counts and
+    lands them via dynamic partition overwrite keyed on the window
+    start — the foreachBatch "upsert into plain parquet" pattern.
+
+    Late/updated windows replace exactly their own partition; untouched
+    windows stay put, and a replayed batch converges to the same state
+    (same idempotence contract as operators/copy.write_copy_idempotent,
+    which is the batch half of this). This is how a stream keeps a
+    queryable aggregate table fresh WITHOUT a transactional table
+    format; the partition (one window) is both the update unit and the
+    recovery unit. Complete output mode keeps every window in state —
+    bounded here by the windowed-aggregation watermark at production
+    retention, or by compacting old windows out of the stream."""
+    from pyspark.sql import functions as F
+
+    agg = (
+        events.groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.date_format("w.start", "yyyyMMddHH").alias("win_part"),
+            F.col("event_type"),
+            F.col("n_events"),
+        )
+    )
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            batch_df.write.mode("overwrite").partitionBy("win_part").parquet(out_dir)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    q = (
+        agg.writeStream.outputMode("complete")
+        .foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
