@@ -30,6 +30,7 @@ HEADLINERS = [
     "top_parts_by_revenue",
     "events_window_agg",
     "events_sessionize",
+    "events_session_window_native",
     "events_asof_join",
     "events_funnel",
     "events_range_join",

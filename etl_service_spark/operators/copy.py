@@ -232,3 +232,30 @@ def write_zordered(
         .parquet(path)
     )
     return len(glob.glob(os.path.join(path, "*.parquet")))
+
+
+def compact_small_files(
+    spark, src_dir: str, out_dir: str, target_bytes: int = 128 * 1024 * 1024
+) -> tuple[int, int]:
+    """Compact a directory of small parquet files into ~target-size
+    files: size the output file count from the actual on-disk bytes,
+    then rewrite through ``coalesce`` — which merges input splits
+    WITHOUT a shuffle (each output task reads several input files
+    sequentially), so compaction cost is one read + one write, no
+    exchange.
+
+    The small-files problem is the classic failure mode of streaming /
+    per-batch ingestion at scale: a 100 TB table in 1 MB files means
+    100M footer reads per query plan. Run this as the maintenance step
+    on cold partitions (the reference's cleanup step D12 is the
+    closest analogue — file-level housekeeping after ingestion).
+    Returns (files_before, files_after)."""
+    import glob
+    import math
+    import os
+
+    files = glob.glob(os.path.join(src_dir, "*.parquet"))
+    total = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, math.ceil(total / target_bytes))
+    spark.read.parquet(src_dir).coalesce(n_out).write.mode("overwrite").parquet(out_dir)
+    return len(files), len(glob.glob(os.path.join(out_dir, "*.parquet")))

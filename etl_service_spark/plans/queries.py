@@ -608,6 +608,43 @@ GROUP BY user_id, session_seq
 
 SESSION_GAP_US = 30 * 60 * 1_000_000
 
+
+def _q_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native F.session_window twin of EVENTS_SESSIONIZE: Spark's
+    built-in gap-merging session aggregation (state-store-ready — the
+    same operator powers streaming sessionization without the custom
+    applyInPandasWithState path). One shuffle on (user_id, session),
+    merge happens inside the aggregation — no window-function pass.
+
+    Semantics note: a session window spans [start, last_event + gap)
+    with an EXCLUSIVE end, so an event at exactly last+gap starts a
+    new session; the oracle therefore uses diff >= gap where the
+    LAG-based template uses diff > gap."""
+    from pyspark.sql import Window
+
+    views(spark, sf_dir)
+    e = spark.table("events").where("ts_us IS NOT NULL AND user_id IS NOT NULL")
+    s = (
+        e.groupBy(
+            "user_id",
+            F.session_window(
+                F.timestamp_micros(F.col("ts_us")), "30 minutes"
+            ).alias("sw"),
+        ).agg(
+            F.count("*").alias("n_events"),
+            F.min("ts_us").alias("session_start_us"),
+            F.max("ts_us").alias("session_end_us"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("session_start_us")
+    return s.select(
+        "user_id",
+        F.row_number().over(w).cast("bigint").alias("session_seq"),
+        "n_events",
+        "session_start_us",
+        "session_end_us",
+    )
+
 EVENTS_WINDOW_TEMPLATE = """
 SELECT event_type,
        CAST(({ts_us} - {ts_us} % 3600000000) / 3600000000 AS BIGINT) AS hour_bucket,
@@ -1007,6 +1044,16 @@ def registry() -> dict[str, Case]:
     cases["events_window_agg"] = _bi_case(EVENTS_WINDOW_TEMPLATE, ts_us=TS_US)
     cases["events_sessionize"] = _bi_case(
         EVENTS_SESSIONIZE_TEMPLATE, ts_us=TS_US, gap_us=str(SESSION_GAP_US)
+    )
+    # native session_window twin: oracle is the same LAG template with
+    # the exclusive-end (>=) gap rule — see _q_session_window_native
+    _, _sess_ge_oracle = P.bi_sql(
+        EVENTS_SESSIONIZE_TEMPLATE.replace("> {gap_us}", ">= {gap_us}"),
+        ts_us=TS_US,
+        gap_us=str(SESSION_GAP_US),
+    )
+    cases["events_session_window_native"] = Case(
+        _q_session_window_native, _sess_ge_oracle
     )
     cases["events_asof_join"] = _pair_case(asof.asof_join_sql())
     cases["events_funnel"] = _pair_case(asof.funnel_sql())

@@ -458,3 +458,21 @@ def test_zorder_write_prunes_on_both_dimensions(spark, sf_dir, tmp_path):
     # the linear layout cannot prune the secondary column
     ly = rg_stats(ldir, "o_orderkey")
     assert hits(ly, *ok_probe) == len(ly)
+
+
+def test_compact_small_files_preserves_rows(spark, sf_dir, tmp_path):
+    """64 tiny files bin-pack down to the byte-budgeted count with
+    identical content and no shuffle (coalesce plan)."""
+    from etl_service_spark.operators.copy import compact_small_files
+
+    events = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    frag, out = str(tmp_path / "frag"), str(tmp_path / "compact")
+    events.repartition(64).write.parquet(frag)
+
+    import glob
+
+    total = sum(os.path.getsize(f) for f in glob.glob(frag + "/*.parquet"))
+    before, after = compact_small_files(spark, frag, out, target_bytes=total // 4 + 1)
+    assert before == 64
+    assert after <= 6  # ~4 target files (+rounding)
+    assert spark.read.parquet(out).count() == events.count()
