@@ -61,6 +61,7 @@ HEADLINERS = [
     "emb_kmeans",
     "media_binary_stats",
     "media_frame_sample",
+    "media_chunk_windows",
     "tpch_q6_forecast_revenue",
     "tpch_q7_volume_shipping",
     "tpch_q10_returned_items",

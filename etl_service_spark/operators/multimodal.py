@@ -160,3 +160,69 @@ GROUP BY source
         octets=("octet_length(encode(text, 'UTF-8'))", "octet_length(encode(text))"),
         view=view,
     )
+
+
+CHUNK_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("chunk_idx", LongType()),
+        StructField("chunk_len", LongType()),
+        StructField("n_tokens", LongType()),
+    ]
+)
+
+
+def chunk_payload(media_text: DataFrame, window: int = 512) -> DataFrame:
+    """Fixed-window chunking of long payloads — the "split documents /
+    audio into training windows" op. Arrow-batched ``mapInPandas``:
+    each task chunks its partition's rows locally, output multiplicity
+    is len/window per row, no shuffle introduced.
+
+    Tokens are counted per RAW chunk independently (a token straddling
+    a boundary counts in both sides' fragments) — the cheap, alignment-
+    free convention; exact-boundary chunking would need the tokenizer
+    in the loop. Because the fake payloads are ASCII text, the whole
+    kernel is reproducible as pure SQL (substr + the portable token
+    regex), giving this mapInPandas path a full value-level oracle —
+    the UDF-equivalence check the codec stubs can't have."""
+    import re
+
+    token_re = re.compile("[^a-z0-9]+")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "media_id": [], "chunk_idx": [], "chunk_len": [], "n_tokens": []
+            }
+            for mid, text in zip(pdf["media_id"], pdf["text"]):
+                s = text or ""
+                n_chunks = max(0, (len(s) + window - 1) // window)
+                for idx in range(n_chunks):
+                    chunk = s[idx * window : (idx + 1) * window]
+                    out["media_id"].append(mid)
+                    out["chunk_idx"].append(idx)
+                    out["chunk_len"].append(len(chunk))
+                    out["n_tokens"].append(
+                        sum(1 for t in token_re.split(chunk.lower()) if t)
+                    )
+            yield pd.DataFrame(out)
+
+    return media_text.mapInPandas(kernel, schema=CHUNK_SCHEMA)
+
+
+def chunk_oracle_sql(window: int = 512, view: str = "documents") -> str:
+    """DuckDB twin of :func:`chunk_payload` (ASCII text ⇒ chars == bytes)."""
+    sub = f"substr(text, i * {window} + 1, {window})"
+    return f"""
+WITH x AS (
+  SELECT doc_id, text,
+         unnest(range((LENGTH(text) + {window} - 1) // {window})) AS i
+  FROM {view}
+)
+SELECT doc_id AS media_id,
+       CAST(i AS BIGINT) AS chunk_idx,
+       CAST(LENGTH({sub}) AS BIGINT) AS chunk_len,
+       CAST(len(list_filter(regexp_split_to_array(lower({sub}), '[^a-z0-9]+'),
+                            x -> x != '')) AS BIGINT) AS n_tokens
+FROM x
+"""

@@ -1252,4 +1252,12 @@ FROM documents
     # --- multimodal plumbing
     cases["media_binary_stats"] = _pair_case(multimodal.media_stats_sql())
 
+    def _q_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+        v = views(spark, sf_dir)
+        return multimodal.chunk_payload(
+            v["documents"].select(F.col("doc_id").alias("media_id"), "text")
+        )
+
+    cases["media_chunk_windows"] = Case(_q_chunk, multimodal.chunk_oracle_sql())
+
     return cases
