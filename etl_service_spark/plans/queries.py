@@ -903,23 +903,33 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
 # sqrt/divide run in double — identical correctly-rounded ops on
 # identical operands in both engines, then a 1e-6 floor as belt and
 # braces. One aggregation, no second pass.
+# The hour index is CENTERED by a fixed epoch constant (2024-01-01 =
+# hour 473352): Pearson r is translation-invariant and the arithmetic
+# is exact, so the result is unchanged — but the moment sums shrink
+# from ~5e5-scale to ~1e4-scale values, and the n*stt / st*st products
+# (run in DECIMAL(20,0) for headroom) stay far from overflow at any
+# realistic row count. Uncentered, st*st exceeds BIGINT at ~20k
+# rows/group — found by the sf0.1 bench under ANSI mode.
 EVENTS_CORR_TEMPLATE = """
 WITH m AS (
   SELECT event_type,
          COUNT(*) AS n,
          SUM(CAST(value AS DECIMAL(18,6))) AS sv,
          SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS svv,
-         SUM({ts_us} {idiv} 3600000000) AS st,
-         SUM(({ts_us} {idiv} 3600000000) * ({ts_us} {idiv} 3600000000)) AS stt,
-         SUM(CAST(value AS DECIMAL(18,6)) * ({ts_us} {idiv} 3600000000)) AS svt
+         SUM({ts_us} {idiv} 3600000000 - 473352) AS st,
+         SUM(({ts_us} {idiv} 3600000000 - 473352)
+             * ({ts_us} {idiv} 3600000000 - 473352)) AS stt,
+         SUM(CAST(value AS DECIMAL(18,6))
+             * ({ts_us} {idiv} 3600000000 - 473352)) AS svt
   FROM events
   GROUP BY event_type
 )
 SELECT event_type, n,
        FLOOR(
-         (CAST(n * svt - sv * st AS DOUBLE)
-          / (SQRT(CAST(n * stt - st * st AS DOUBLE))
-             * SQRT(CAST(n * svv - sv * sv AS DOUBLE)))) * 1e6
+         (CAST(CAST(n AS DECIMAL(20,0)) * svt - sv * CAST(st AS DECIMAL(20,0)) AS DOUBLE)
+          / (SQRT(CAST(CAST(n AS DECIMAL(20,0)) * CAST(stt AS DECIMAL(20,0))
+                       - CAST(st AS DECIMAL(20,0)) * CAST(st AS DECIMAL(20,0)) AS DOUBLE))
+             * SQRT(CAST(CAST(n AS DECIMAL(20,0)) * svv - sv * sv AS DOUBLE)))) * 1e6
        ) / 1e6 AS pearson_r
 FROM m
 """
