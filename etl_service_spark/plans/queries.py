@@ -950,6 +950,33 @@ FROM events
 GROUP BY user_id
 """
 
+# set-op coverage beyond the reference's UNION/UNION ALL (SURVEY
+# §2.6 lists INTERSECT/EXCEPT as absent there): repeat vs churned
+# customers across the two halves of 1996. Both engines plan the set
+# ops as aggregate/semi- and anti-join forms over the two filtered
+# scans; the date filters push to the scans.
+ORDERS_SETOPS_TEMPLATE = """
+SELECT 'repeat' AS cohort, COUNT(*) AS n_customers FROM (
+  SELECT o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+  INTERSECT
+  SELECT o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+    AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+) r
+UNION ALL
+SELECT 'churned' AS cohort, COUNT(*) AS n_customers FROM (
+  SELECT o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+  EXCEPT
+  SELECT o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+    AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+) c
+"""
+
 EVENTS_JSON_TEMPLATE = """
 SELECT {json_k} AS k_value, COUNT(*) AS n
 FROM events
@@ -1032,6 +1059,7 @@ def registry() -> dict[str, Case]:
     cases["tpch_q22_idle_rich"] = _bi_case(TPCH_Q22_TEMPLATE)
     cases["tpch_q21_lone_late_supplier"] = _bi_case(TPCH_Q21_TEMPLATE)
     cases["orders_running_spend"] = _bi_case(ORDERS_RUNNING_TEMPLATE)
+    cases["orders_halfyear_setops"] = _bi_case(ORDERS_SETOPS_TEMPLATE)
     cases["events_value_time_corr"] = _bi_case(
         EVENTS_CORR_TEMPLATE, ts_us=TS_US, idiv=("DIV", "//")
     )
