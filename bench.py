@@ -47,6 +47,7 @@ HEADLINERS = [
     "sketch_kmv_distinct",
     "sketch_cms_heavy_hitters",
     "sketch_histogram_quantiles",
+    "sketch_bloom_membership",
     "text_quality_score",
     "text_fingerprint",
     "text_tfidf_top_terms",

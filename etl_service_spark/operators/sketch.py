@@ -209,3 +209,52 @@ FROM c
 GROUP BY event_type
 """
     return template, template
+
+
+def bloom_membership_sql(
+    k: int = 3, m: int = 4096, view: str = "events"
+) -> tuple[str, str]:
+    """Bloom-filter membership prefilter (Bloom, CACM'70): build an
+    m-bit filter from the signup users with k deterministic hashes,
+    then probe the purchase users — a key passes only if ALL k bits
+    are set. No false negatives (every true member passes), tunable
+    false positives; the exact membership flag is kept alongside so
+    the oracle checks the filter's exact behavior INCLUDING its false
+    positives — deterministic hashes make even the errors
+    reproducible.
+
+    Scale shape: the filter is a DISTINCT over (key x k) positions
+    capped at m = 4096 rows — a broadcastable, mergeable (bitwise-OR)
+    summary, same family as the CMS grid above. The probe is a
+    broadcast join + HAVING COUNT(*) = k. Production use: ship the
+    bit set as a broadcast prefilter in front of an expensive exact
+    join (e.g. the decontamination scan) — candidates that miss any
+    bit skip the join entirely."""
+    mults = [506952113, 99338547, 1540483477][:k]
+    adds = [11, 101, 1009][:k]
+    case_m = " ".join(f"WHEN {i} THEN {mm}" for i, mm in enumerate(mults))
+    case_a = " ".join(f"WHEN {i} THEN {a}" for i, a in enumerate(adds))
+    hashes = " UNION ALL ".join(f"SELECT {i} AS h" for i in range(k))
+    pos = (
+        f"(((user_id % 2147483648) * (CASE h {case_m} END)"
+        f" + (CASE h {case_a} END)) % 4294967296) % {m}"
+    )
+    template = f"""
+WITH hs AS ({hashes}),
+members AS (SELECT DISTINCT user_id FROM {view} WHERE event_type = 'signup'),
+bits AS (
+  SELECT DISTINCT {pos} AS pos FROM members CROSS JOIN hs
+),
+probes AS (SELECT DISTINCT user_id FROM {view} WHERE event_type = 'purchase'),
+hits AS (
+  SELECT p.user_id
+  FROM (SELECT user_id, h, {pos} AS pos FROM probes CROSS JOIN hs) p
+  JOIN bits b ON p.pos = b.pos
+  GROUP BY p.user_id
+  HAVING COUNT(*) = {k}
+)
+SELECT h.user_id,
+       CASE WHEN m.user_id IS NULL THEN 0 ELSE 1 END AS is_true_member
+FROM hits h LEFT JOIN members m ON h.user_id = m.user_id
+"""
+    return template, template

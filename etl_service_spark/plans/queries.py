@@ -1192,6 +1192,7 @@ def registry() -> dict[str, Case]:
         sketch.cms_heavy_hitters_sql()[0], idiv=("DIV", "//")
     )
     cases["sketch_histogram_quantiles"] = _pair_case(sketch.histogram_quantiles_sql())
+    cases["sketch_bloom_membership"] = _pair_case(sketch.bloom_membership_sql())
     cases["text_tfidf_top_terms"] = _pair_case(textops.tfidf_top_terms_sql())
     cases["emb_kmeans"] = _pair_case(similarity.kmeans_sql())
     cases["events_value_quantiles"] = _pair_case(sketch.quantiles_sql())
