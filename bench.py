@@ -71,6 +71,8 @@ HEADLINERS = [
     "tpch_q21_lone_late_supplier",
     "orders_running_spend",
     "events_value_time_corr",
+    "nation_top_customer_argmax",
+    "events_value_deciles",
     "q17_small_qty_revenue",
     "tpch_q18_bulk_customers",
     "events_cohort_retention",

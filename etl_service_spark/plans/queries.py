@@ -950,6 +950,38 @@ FROM events
 GROUP BY user_id
 """
 
+# single-pass argmax via max_by/arg_max — the aggregation form of
+# "top-1 per group": one map-side-combined hash aggregate, NO window,
+# NO per-group sort. At scale this beats the ROW_NUMBER pattern
+# whenever only the extreme row is needed. The ordering key is made
+# UNIQUE (acctbal in cents * 2^20 + custkey) so cross-engine tie
+# behavior never matters; acctbal has exactly 2 decimals so the cents
+# conversion is exact.
+NATION_ARGMAX_TEMPLATE = """
+SELECT n.n_name,
+       {argmax_name} AS top_customer,
+       MAX(CAST(ROUND(c.c_acctbal * 100) AS BIGINT)) AS top_acctbal_cents
+FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+GROUP BY n.n_name
+"""
+
+# per-type deciles via NTILE over a UNIQUE ordering (value, event_id):
+# the window partitions by event_type, so decile assignment
+# parallelizes across types — a GLOBAL ntile would serialize into one
+# reducer and is the anti-pattern this query deliberately avoids.
+EVENTS_DECILES_TEMPLATE = """
+WITH d AS (
+  SELECT event_type, value,
+         NTILE(10) OVER (PARTITION BY event_type
+                         ORDER BY value, event_id) AS decile
+  FROM events
+)
+SELECT event_type, decile, COUNT(*) AS n,
+       MIN(value) AS lo, MAX(value) AS hi
+FROM d
+GROUP BY event_type, decile
+"""
+
 # set-op coverage beyond the reference's UNION/UNION ALL (SURVEY
 # §2.6 lists INTERSECT/EXCEPT as absent there): repeat vs churned
 # customers across the two halves of 1996. Both engines plan the set
@@ -1060,6 +1092,14 @@ def registry() -> dict[str, Case]:
     cases["tpch_q21_lone_late_supplier"] = _bi_case(TPCH_Q21_TEMPLATE)
     cases["orders_running_spend"] = _bi_case(ORDERS_RUNNING_TEMPLATE)
     cases["orders_halfyear_setops"] = _bi_case(ORDERS_SETOPS_TEMPLATE)
+    cases["nation_top_customer_argmax"] = _bi_case(
+        NATION_ARGMAX_TEMPLATE,
+        argmax_name=(
+            "max_by(c.c_name, CAST(ROUND(c.c_acctbal * 100) AS BIGINT) * 1048576 + c.c_custkey)",
+            "arg_max(c.c_name, CAST(ROUND(c.c_acctbal * 100) AS BIGINT) * 1048576 + c.c_custkey)",
+        ),
+    )
+    cases["events_value_deciles"] = _bi_case(EVENTS_DECILES_TEMPLATE)
     cases["events_value_time_corr"] = _bi_case(
         EVENTS_CORR_TEMPLATE, ts_us=TS_US, idiv=("DIV", "//")
     )
