@@ -38,6 +38,7 @@ HEADLINERS = [
     "ana_argmax_last_run",
     "etl_copy_timesliced",
     "etl_copy_align_audit",
+    "dim_scd2_merge",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",

@@ -1100,6 +1100,16 @@ def registry() -> dict[str, Case]:
         ),
     )
     cases["events_value_deciles"] = _bi_case(EVENTS_DECILES_TEMPLATE)
+
+    def _q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from ..operators import scd
+
+        views(spark, sf_dir)
+        return scd.scd2_customers(spark, sf_dir)
+
+    from ..operators import scd as _scd
+
+    cases["dim_scd2_merge"] = Case(_q_scd2, _scd.scd2_oracle_sql())
     cases["events_value_time_corr"] = _bi_case(
         EVENTS_CORR_TEMPLATE, ts_us=TS_US, idiv=("DIV", "//")
     )

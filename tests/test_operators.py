@@ -476,3 +476,33 @@ def test_compact_small_files_preserves_rows(spark, sf_dir, tmp_path):
     assert before == 64
     assert after <= 6  # ~4 target files (+rounding)
     assert spark.read.parquet(out).count() == events.count()
+
+
+def test_scd2_merge_semantics_and_idempotence(spark):
+    """Changed key closes+reopens, absent key stays open, new key
+    inserts, closed history is untouched — and re-applying the SAME
+    snapshot is a no-op (the merge converges)."""
+    from etl_service_spark.operators.scd import scd2_merge
+
+    current = spark.createDataFrame(
+        [
+            (1, 100, "2024-01-01", "2025-01-01"),  # closed history
+            (1, 150, "2025-01-01", None),          # open, will change
+            (2, 200, "2025-01-01", None),          # open, absent from snapshot
+        ],
+        ["k", "bal", "valid_from", "valid_to"],
+    )
+    updates = spark.createDataFrame([(1, 175), (3, 300)], ["k", "bal"])
+
+    merged = scd2_merge(current, updates, "k", ["bal"], "2025-06-01")
+    rows = {(r["k"], r["bal"], r["valid_from"], r["valid_to"]) for r in merged.collect()}
+    assert rows == {
+        (1, 100, "2024-01-01", "2025-01-01"),
+        (1, 150, "2025-01-01", "2025-06-01"),
+        (1, 175, "2025-06-01", None),
+        (2, 200, "2025-01-01", None),
+        (3, 300, "2025-06-01", None),
+    }
+
+    again = scd2_merge(merged, updates, "k", ["bal"], "2025-07-01")
+    assert {tuple(r) for r in again.collect()} == rows
