@@ -70,6 +70,13 @@ HEADLINERS = [
     "tpch_q15_top_supplier",
     "tpch_q19_or_pushdown",
     "tpch_q21_lone_late_supplier",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q11_important_stock",
+    "tpch_q12_priority_classes",
+    "tpch_q16_supplier_variety",
+    "tpch_q20_volume_suppliers",
     "orders_running_spend",
     "events_value_time_corr",
     "nation_top_customer_argmax",

@@ -418,8 +418,8 @@ JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
 JOIN nation n   ON s.s_nationkey = n.n_nationkey
 JOIN region r   ON n.n_regionkey = r.r_regionkey
 WHERE r.r_name = 'ASIA'
-  AND o.o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
-  AND o.o_orderdate <  TIMESTAMP '1995-01-01 00:00:00'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
 GROUP BY n.n_name
 ORDER BY revenue DESC, n_name
 """
@@ -466,8 +466,8 @@ JOIN orders o ON l.l_orderkey = o.o_orderkey
 JOIN customer c ON o.o_custkey = c.c_custkey
 JOIN nation n ON c.c_nationkey = n.n_nationkey
 JOIN region r ON n.n_regionkey = r.r_regionkey
-WHERE o.o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
-  AND o.o_orderdate < TIMESTAMP '1995-01-01 00:00:00'
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
 GROUP BY r.r_name, n.n_name
 """
 
@@ -556,13 +556,15 @@ WHERE p.p_size = 1
        FROM lineitem l3 WHERE l3.l_partkey = l.l_partkey)
 """
 
-# Anti-join (the D7 dedup-by-filename shape generalized): parts never
-# shipped — LEFT ANTI in Spark, NOT EXISTS for the oracle; both engines
-# plan it as an anti hash join.
+# Anti-join (the D7 dedup-by-filename shape generalized): orders never
+# shipped (no lineitem at all) — LEFT ANTI in Spark, NOT EXISTS for
+# the oracle; both engines plan it as an anti hash join. (Parts would
+# be the TPC-H-classic outer side, but every part has shipments in
+# this data — the empty result would prove nothing.)
 ANTI_JOIN_TEMPLATE = """
-SELECT p.p_partkey, p.p_name
-FROM part p
-WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
+SELECT o.o_orderkey, o.o_totalprice
+FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
 """
 
 # Semi-join: customers with at least one urgent order.
@@ -838,7 +840,8 @@ WHERE c.c_acctbal > (
     SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
     FROM customer c2 WHERE c2.c_acctbal > 0.0
   )
-  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
 GROUP BY c.c_nationkey
 """
 
@@ -879,6 +882,162 @@ WHERE o.o_orderstatus = 'F'
       AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
   )
 GROUP BY s.s_name
+"""
+
+# Q2 shape (adapted: lineitem stands in for partsupp as the
+# part↔supplier offer relation, l_extendedprice for ps_supplycost):
+# the correlated MIN subquery over the SAME join tree as the outer
+# query. Catalyst decorrelates it into an aggregate + join on
+# l_partkey (like q17); the region/nation dims broadcast on both
+# sides. Exact-equality on the un-arithmetic'd parquet double is safe
+# cross-engine (no computed float compares).
+TPCH_Q2_TEMPLATE = """
+SELECT DISTINCT s.s_acctbal, s.s_name, n.n_name AS nation, p.p_partkey, p.p_brand
+FROM part p
+JOIN lineitem l ON l.l_partkey = p.p_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+WHERE p.p_size BETWEEN 11 AND 20 AND p.p_type = 'LARGE' AND r.r_name = 'EUROPE'
+  AND l.l_extendedprice = (
+    SELECT MIN(l2.l_extendedprice)
+    FROM lineitem l2
+    JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+    JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
+    JOIN region r2 ON r2.r_regionkey = n2.n_regionkey
+    WHERE l2.l_partkey = p.p_partkey AND r2.r_name = 'EUROPE')
+"""
+
+# Q8 shape: national market share — a conditional-agg ratio (like
+# q14) on top of an 8-relation join where nation joins twice under
+# different roles (like q7). All five dims broadcast; the plan's only
+# big shuffles are lineitem⋈orders and orders⋈customer.
+TPCH_Q8_TEMPLATE = """
+SELECT o_year,
+       CAST(CAST(SUM(CASE WHEN nation = 'NATION_7' THEN volume
+                          ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+            / CAST(SUM(volume) AS DOUBLE) AS DOUBLE) AS mkt_share
+FROM (
+  SELECT CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT) AS o_year,
+         CAST(l.l_extendedprice AS DECIMAL(12,2))
+           * (CAST(1 AS DECIMAL(12,2)) - CAST(l.l_discount AS DECIMAL(12,2))) AS volume,
+         n2.n_name AS nation
+  FROM part p
+  JOIN lineitem l ON l.l_partkey = p.p_partkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = n1.n_regionkey
+  JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+  WHERE r.r_name = 'AMERICA' AND p.p_type = 'ECONOMY'
+    AND o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+    AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+) all_nations
+GROUP BY o_year
+"""
+
+# Q9 shape (adapted: no ps_supplycost term — profit is the discounted
+# revenue): LIKE-filtered part dim (no pushdown into a join key —
+# the filter prunes part BEFORE the fact join), supplier nation ×
+# order year rollup.
+TPCH_Q9_TEMPLATE = """
+SELECT nation, o_year, CAST(SUM(volume) AS DOUBLE) AS sum_profit
+FROM (
+  SELECT n.n_name AS nation,
+         CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT) AS o_year,
+         CAST(l.l_extendedprice AS DECIMAL(12,2))
+           * (CAST(1 AS DECIMAL(12,2)) - CAST(l.l_discount AS DECIMAL(12,2))) AS volume
+  FROM part p
+  JOIN lineitem l ON l.l_partkey = p.p_partkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  WHERE p.p_name LIKE '%gear%'
+) profit
+GROUP BY nation, o_year
+"""
+
+# Q11 shape (adapted: lineitem value per part for one supplier
+# nation): GROUP BY + HAVING against an UNCORRELATED scalar subquery
+# over the same relation — the global total computes once, broadcasts
+# as a literal into every group's filter. Both HAVING operands are
+# doubles cast from exact DECIMAL sums → identical compares.
+TPCH_Q11_TEMPLATE = """
+SELECT l.l_partkey AS ps_partkey,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+              * CAST(l.l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS part_value
+FROM lineitem l
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE n.n_name = 'NATION_7'
+GROUP BY l.l_partkey
+HAVING CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+              * CAST(l.l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+     > CAST(0.0001 AS DOUBLE) * (
+    SELECT CAST(SUM(CAST(l2.l_extendedprice AS DECIMAL(12,2))
+                  * CAST(l2.l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+    FROM lineitem l2
+    JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+    JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
+    WHERE n2.n_name = 'NATION_7')
+"""
+
+# Q12 shape (adapted: l_linestatus stands in for l_shipmode, ship
+# lateness vs order date for the commit/receipt pair): dual CASE-sum
+# split by priority class over one join — one hash aggregate, the
+# date arithmetic (o_orderdate + INTERVAL) is a per-row compare that
+# stays in codegen, and the absolute shipdate bounds still push to
+# the lineitem scan.
+TPCH_Q12_TEMPLATE = """
+SELECT l.l_linestatus AS ship_class,
+       CAST(SUM(CASE WHEN o.o_orderpriority = '1-URGENT' OR o.o_orderpriority = '2-HIGH'
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o.o_orderpriority <> '1-URGENT' AND o.o_orderpriority <> '2-HIGH'
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders o
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate >= o.o_orderdate + INTERVAL 60 DAY
+  AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l.l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY l.l_linestatus
+"""
+
+# Q16 shape: COUNT(DISTINCT) per part attribute triple with a
+# null-aware NOT IN exclusion subquery (suppliers in arrears stand in
+# for the complaints filter). Spark plans the NOT IN as a
+# broadcastable null-aware anti join; the distinct adds the second
+# shuffle (attrs+suppkey, then attrs).
+TPCH_Q16_TEMPLATE = """
+SELECT p.p_brand, p.p_type, p.p_size,
+       COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> 'Brand#13' AND p.p_type <> 'PROMO'
+  AND p.p_size IN (1, 5, 9, 14, 19, 23, 36, 45)
+  AND l.l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+GROUP BY p.p_brand, p.p_type, p.p_size
+"""
+
+# Q20 shape: IN over an aggregated-with-HAVING subquery — the
+# "suppliers who moved real volume of forest parts" semi-join chain.
+# The inner GROUP BY runs first (small result: one row per qualifying
+# supplier), then semi-joins to the nation-filtered supplier dim.
+TPCH_Q20_TEMPLATE = """
+SELECT s.s_name, s.s_suppkey
+FROM supplier s
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE n.n_name = 'NATION_3'
+  AND s.s_suppkey IN (
+    SELECT l.l_suppkey
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_name LIKE 'small%'
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l.l_suppkey
+    HAVING SUM(CAST(l.l_quantity AS DECIMAL(12,2))) > CAST(100 AS DECIMAL(12,2)))
 """
 
 # running-total window: per-customer order history with cumulative
@@ -1090,6 +1249,13 @@ def registry() -> dict[str, Case]:
     cases["tpch_q19_or_pushdown"] = _bi_case(TPCH_Q19_TEMPLATE)
     cases["tpch_q22_idle_rich"] = _bi_case(TPCH_Q22_TEMPLATE)
     cases["tpch_q21_lone_late_supplier"] = _bi_case(TPCH_Q21_TEMPLATE)
+    cases["tpch_q2_min_cost_supplier"] = _bi_case(TPCH_Q2_TEMPLATE)
+    cases["tpch_q8_market_share"] = _bi_case(TPCH_Q8_TEMPLATE)
+    cases["tpch_q9_product_profit"] = _bi_case(TPCH_Q9_TEMPLATE)
+    cases["tpch_q11_important_stock"] = _bi_case(TPCH_Q11_TEMPLATE)
+    cases["tpch_q12_priority_classes"] = _bi_case(TPCH_Q12_TEMPLATE)
+    cases["tpch_q16_supplier_variety"] = _bi_case(TPCH_Q16_TEMPLATE)
+    cases["tpch_q20_volume_suppliers"] = _bi_case(TPCH_Q20_TEMPLATE)
     cases["orders_running_spend"] = _bi_case(ORDERS_RUNNING_TEMPLATE)
     cases["orders_halfyear_setops"] = _bi_case(ORDERS_SETOPS_TEMPLATE)
     cases["nation_top_customer_argmax"] = _bi_case(
