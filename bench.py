@@ -52,6 +52,12 @@ HEADLINERS = [
     "text_quality_score",
     "text_fingerprint",
     "text_tfidf_top_terms",
+    "text_top_terms_per_language",
+    "events_moving_average",
+    "events_interarrival_stats",
+    "orders_cube_revenue",
+    "dedup_fuzzy_names",
+    "profile_orders_columns",
     "corpus_dup_rate_by_source",
     "corpus_stratified_sample",
     "corpus_training_pipeline",

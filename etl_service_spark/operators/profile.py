@@ -1,0 +1,48 @@
+"""Table profiling: per-column statistics in one pass over the data.
+
+The data-quality entry gate of a training pipeline (and the engine-side
+twin of the reference's pre-copy row-count audit, CommandExecuter.cs
+ErwarteteDaten counting): before a 100 TB table enters a pipeline you
+want row counts, null rates, cardinalities, and numeric ranges per
+column — cheaply and in ONE scan family, not one query per column.
+
+Shape: one aggregate per column UNION ALL'd into a (column, stats)
+relation. Catalyst collapses each branch to a partial+final agg over
+the same scan; with column pruning each branch reads exactly its own
+column. COUNT(DISTINCT) is the only per-branch shuffle and it is
+keyed on the profiled column itself, so skew is bounded by the
+column's own cardinality. The SQL is engine-shared (COUNT/MIN/MAX and
+exact-compare DISTINCT on stored values only — no arithmetic), so the
+same string runs on Spark and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+
+def profile_sql(view: str, numeric_cols: list[str], other_cols: list[str]) -> str:
+    """One profiling statement for ``view``: a UNION ALL of per-column
+    aggregate branches with the shared schema
+    (col, n_rows, n_null, n_distinct, min_num, max_num).
+
+    Numeric columns surface their range as DOUBLE; non-numeric columns
+    leave the range NULL (stringified min/max would hit engine float-
+    formatting differences — DETERMINISM.md forbids double→string).
+    """
+    branches = []
+    for c in numeric_cols:
+        branches.append(
+            f"SELECT '{c}' AS col, COUNT(*) AS n_rows,"
+            f" COUNT(*) - COUNT({c}) AS n_null,"
+            f" COUNT(DISTINCT {c}) AS n_distinct,"
+            f" CAST(MIN({c}) AS DOUBLE) AS min_num,"
+            f" CAST(MAX({c}) AS DOUBLE) AS max_num FROM {view}"
+        )
+    for c in other_cols:
+        branches.append(
+            f"SELECT '{c}' AS col, COUNT(*) AS n_rows,"
+            f" COUNT(*) - COUNT({c}) AS n_null,"
+            f" COUNT(DISTINCT {c}) AS n_distinct,"
+            f" CAST(NULL AS DOUBLE) AS min_num,"
+            f" CAST(NULL AS DOUBLE) AS max_num FROM {view}"
+        )
+    return "\nUNION ALL\n".join(branches)

@@ -252,3 +252,54 @@ WHERE rk <= {k}
 """
 
     return body(spark_tok, "DIV"), body(duck_tok, "//")
+
+
+def top_terms_per_language_sql(k: int = 5, view: str = "documents") -> tuple[str, str]:
+    """Top-k most-distinctive terms per LANGUAGE — the corpus-curation
+    twin of tfidf_top_terms_sql (reference analytics surface: the
+    per-group drill-down reports, Helper.cs:808-905, applied to the
+    training-corpus plane).
+
+    Distinctiveness is the same log-free integer weighting: the term's
+    in-language frequency (ppm of the language's token mass) scaled by
+    the inverse of its corpus-wide mass. All integer arithmetic →
+    bit-identical ranks across engines; ROW_NUMBER tie-broken on the
+    token string.
+
+    Scale shape: one explode -> (lang, token) hash agg (map-side
+    combined; vocabulary × languages rows out — bounded, far smaller
+    than the corpus), then every later relation is vocabulary-sized:
+    the language-mass and corpus-mass reductions, the join back, and a
+    top-k window PARTITIONED BY lang over ~|V|·|langs| rows. Nothing
+    after the first agg scales with document count."""
+    spark_tok = (
+        f"SELECT lang, token FROM {view} "
+        f"LATERAL VIEW explode({P.spark_tokens('text')}) x AS token"
+    )
+    duck_tok = f"SELECT lang, unnest({P.duck_tokens('text')}) AS token FROM {view}"
+
+    def body(tok_sql: str, idiv: str) -> str:
+        return f"""
+WITH tok AS ({tok_sql}),
+tf AS (SELECT lang, token, COUNT(*) AS tf FROM tok GROUP BY lang, token),
+lm AS (SELECT lang, SUM(tf) AS langmass FROM tf GROUP BY lang),
+gm AS (SELECT token, SUM(tf) AS gmass FROM tf GROUP BY token),
+tot AS (SELECT SUM(tf) AS total FROM tf),
+scored AS (
+  SELECT t.lang, t.token, t.tf,
+         CAST(((t.tf * 1000000 {idiv} l.langmass) * (SELECT total FROM tot))
+              {idiv} g.gmass AS BIGINT) AS score_ppm
+  FROM tf t
+  JOIN lm l ON t.lang = l.lang
+  JOIN gm g ON t.token = g.token
+)
+SELECT lang, token, CAST(tf AS BIGINT) AS tf, score_ppm
+FROM (
+  SELECT s.*, ROW_NUMBER() OVER (PARTITION BY lang
+                                 ORDER BY score_ppm DESC, token) AS rk
+  FROM scored s
+) ranked
+WHERE rk <= {k}
+"""
+
+    return body(spark_tok, "DIV"), body(duck_tok, "//")

@@ -28,7 +28,7 @@ from pyspark.sql.types import (
 
 from ..functions import portable as P
 from ..functions.placeholders import resolve_placeholders
-from ..operators import asof, corpus, dedup, graph, multimodal, similarity, sketch, skew, textops
+from ..operators import asof, corpus, dedup, graph, multimodal, profile, similarity, sketch, skew, textops
 from ..operators.align import AuditContext, align_to_schema
 from ..operators.copy import TakeoverWindow, copy_data_timesliced
 from ..operators.file_ingest import IngestContext, apply_mapping, inject_audit_columns
@@ -1056,6 +1056,83 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 """
 
+# time-based RANGE frame (vs the ROWS frame above): 24h trailing
+# moving average per event type. The frame is defined on the bigint
+# micros ordering, so tied timestamps are frame PEERS — included in
+# each other's frame per the SQL standard in both engines, which is
+# what keeps the result deterministic without a unique sort key.
+# One shuffle on event_type; the frame scan is a sliding two-pointer
+# within each sorted partition.
+EVENTS_MOVING_AVG_TEMPLATE = """
+SELECT event_id, event_type, tu,
+       CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE)
+            / CAST(COUNT(*) OVER w AS DOUBLE) AS DOUBLE) AS mov_avg_24h
+FROM (SELECT event_id, event_type, {ts_us} AS tu, value FROM events) e
+WINDOW w AS (PARTITION BY event_type ORDER BY tu
+             RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
+"""
+
+# LAG inter-arrival gaps: per-user time-between-events statistics —
+# the liveness/burstiness profile of an event stream. LAG over the
+# UNIQUE (tu, event_id) sort is order-deterministic; the gap relation
+# aggregates in the same user_id partition, so the whole query is ONE
+# shuffle.
+EVENTS_INTERARRIVAL_TEMPLATE = """
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_gaps,
+       CAST(SUM(gap_us) AS BIGINT) AS total_gap_us,
+       CAST(MIN(gap_us) AS BIGINT) AS min_gap_us,
+       CAST(MAX(gap_us) AS BIGINT) AS max_gap_us
+FROM (
+  SELECT user_id,
+         tu - LAG(tu) OVER (PARTITION BY user_id ORDER BY tu, event_id) AS gap_us
+  FROM (SELECT user_id, event_id, {ts_us} AS tu FROM events) e
+) g
+WHERE gap_us IS NOT NULL
+GROUP BY user_id
+"""
+
+# CUBE: all four aggregation levels (nation×year, nation, year, grand
+# total) from ONE scan — Spark plans an Expand (4 rows per input) +
+# one shuffle, the distributed form of the reference's drill-down
+# report family (Helper.cs:808-905) without re-querying per level.
+# GROUPING() flags disambiguate real NULLs from subtotal rows.
+ORDERS_CUBE_TEMPLATE = """
+SELECT nation, o_year,
+       CAST(GROUPING(nation) AS BIGINT) AS g_nation,
+       CAST(GROUPING(o_year) AS BIGINT) AS g_year,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+FROM (
+  SELECT n.n_name AS nation,
+         CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT) AS o_year,
+         o.o_totalprice
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+) t
+GROUP BY CUBE(nation, o_year)
+"""
+
+# Blocked fuzzy-duplicate join: edit-distance candidate pairs with a
+# blocking key (the entity-resolution member of the dedup family —
+# exact/minhash/simhash handle token overlap, this handles
+# typo-distance). The block key caps the quadratic term at
+# block_size², exactly like LSH bands cap the minhash join; pairs
+# whose edit lies inside the blocking prefix are unrecallable BY
+# DESIGN (documented recall trade-off). levenshtein() is exact
+# integer DP in both engines.
+FUZZY_NAME_TEMPLATE = """
+SELECT a.c_custkey AS custkey_a, b.c_custkey AS custkey_b,
+       a.c_name AS name_a, b.c_name AS name_b,
+       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS edit_dist
+FROM customer a
+JOIN customer b
+  ON substring(a.c_name, 10, 6) = substring(b.c_name, 10, 6)
+ AND a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= 1
+"""
+
 # Pearson correlation from EXACT integer/decimal moments (the
 # covariance twin of sketch.zscore_outliers_sql): hour index is
 # integer, value sums accumulate in DECIMAL, and only the final
@@ -1410,6 +1487,21 @@ def registry() -> dict[str, Case]:
     cases["sketch_histogram_quantiles"] = _pair_case(sketch.histogram_quantiles_sql())
     cases["sketch_bloom_membership"] = _pair_case(sketch.bloom_membership_sql())
     cases["text_tfidf_top_terms"] = _pair_case(textops.tfidf_top_terms_sql())
+    cases["text_top_terms_per_language"] = _pair_case(
+        textops.top_terms_per_language_sql()
+    )
+    cases["events_moving_average"] = _bi_case(EVENTS_MOVING_AVG_TEMPLATE, ts_us=TS_US)
+    cases["events_interarrival_stats"] = _bi_case(
+        EVENTS_INTERARRIVAL_TEMPLATE, ts_us=TS_US
+    )
+    cases["orders_cube_revenue"] = _bi_case(ORDERS_CUBE_TEMPLATE)
+    cases["dedup_fuzzy_names"] = _bi_case(FUZZY_NAME_TEMPLATE)
+    _profile_sql = profile.profile_sql(
+        "orders",
+        numeric_cols=["o_orderkey", "o_custkey", "o_totalprice"],
+        other_cols=["o_orderstatus", "o_orderdate", "o_orderpriority"],
+    )
+    cases["profile_orders_columns"] = _sql_case(_profile_sql, _profile_sql)
     cases["emb_kmeans"] = _pair_case(similarity.kmeans_sql())
     cases["events_value_quantiles"] = _pair_case(sketch.quantiles_sql())
 
