@@ -94,6 +94,8 @@ HEADLINERS = [
     "events_salted_agg",
     "events_salted_join",
     "events_attribution_join",
+    "text_repetition_quality",
+    "lineitem_unpivot_stats",
 ]
 
 

@@ -303,3 +303,90 @@ WHERE rk <= {k}
 """
 
     return body(spark_tok, "DIV"), body(duck_tok, "//")
+
+
+# ------------------------------------------- repetition quality (Gopher-style)
+def repetition_quality(docs: DataFrame) -> DataFrame:
+    """Per-document repetition metrics in the style of the Gopher quality
+    rules: total/distinct token counts, the most-repeated unigram and
+    bigram counts, the number of tokens belonging to duplicated unigrams,
+    and an integer ppm duplicate-token share.
+
+    All metrics are exact integers (no floats, no logs — DETERMINISM.md
+    rule: transcendental-free scoring), so both engines agree bitwise.
+
+    Scale shape: explode → per-(doc, token) count → per-doc agg. Both
+    aggregations partial-combine map-side (every token of a document sits
+    in one input partition, so the first shuffle moves at most one row
+    per distinct (doc, token) pair — the shuffle is bounded by vocabulary
+    mass, not token mass). The bigram pass is the same plan over a
+    zip_with-shifted token array; the per-doc join reuses the doc_id hash
+    partitioning. No Python in the hot path.
+    """
+    toks = P.spark_tokens("text")
+    n = f"size({toks})"
+    bigrams = (
+        f"if({n} >= 2, zip_with(slice({toks}, 1, {n} - 1), slice({toks}, 2, {n} - 1),"
+        " (a, b) -> concat(a, ' ', b)), array())"
+    )
+    uni = (
+        docs.selectExpr("doc_id", f"explode({toks}) AS tok")
+        .groupBy("doc_id", "tok")
+        .count()
+        .groupBy("doc_id")
+        .agg(
+            F.sum("count").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.max("count").alias("max_unigram_cnt"),
+            F.coalesce(F.sum(F.when(F.col("count") > 1, F.col("count"))), F.lit(0))
+            .cast("bigint")
+            .alias("dup_token_cnt"),
+        )
+    )
+    big = (
+        docs.selectExpr("doc_id", f"explode({bigrams}) AS bg")
+        .groupBy("doc_id", "bg")
+        .count()
+        .groupBy("doc_id")
+        .agg(F.max("count").alias("max_bigram_cnt"))
+    )
+    return uni.join(big, "doc_id", "left").selectExpr(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        "max_unigram_cnt",
+        "dup_token_cnt",
+        "coalesce(max_bigram_cnt, CAST(0 AS BIGINT)) AS max_bigram_cnt",
+        "dup_token_cnt * 1000000 DIV n_tokens AS dup_ppm",
+    )
+
+
+def oracle_repetition_quality(view: str = "documents") -> str:
+    dt = P.duck_tokens("text")
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({dt}) AS tok FROM {view}
+    ), uni AS (
+      SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok
+    ), uagg AS (
+      SELECT doc_id,
+             CAST(sum(c) AS BIGINT) AS n_tokens,
+             count(*) AS n_distinct,
+             max(c) AS max_unigram_cnt,
+             CAST(coalesce(sum(c) FILTER (WHERE c > 1), 0) AS BIGINT) AS dup_token_cnt
+      FROM uni GROUP BY doc_id
+    ), bgrams AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(l) - 1),
+                                   i -> l[i] || ' ' || l[i + 1])) AS bg
+      FROM (SELECT doc_id, {dt} AS l FROM {view})
+    ), bagg AS (
+      SELECT doc_id, max(c) AS max_bigram_cnt
+      FROM (SELECT doc_id, bg, count(*) AS c FROM bgrams GROUP BY doc_id, bg)
+      GROUP BY doc_id
+    )
+    SELECT u.doc_id, u.n_tokens, u.n_distinct, u.max_unigram_cnt, u.dup_token_cnt,
+           coalesce(b.max_bigram_cnt, 0) AS max_bigram_cnt,
+           u.dup_token_cnt * 1000000 // u.n_tokens AS dup_ppm
+    FROM uagg u LEFT JOIN bagg b USING (doc_id)
+    """

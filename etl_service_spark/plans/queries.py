@@ -1122,16 +1122,34 @@ GROUP BY CUBE(nation, o_year)
 # whose edit lies inside the blocking prefix are unrecallable BY
 # DESIGN (documented recall trade-off). levenshtein() is exact
 # integer DP in both engines.
+# Block width matters: names are 'Customer#%09d', so a 7-digit prefix
+# yields blocks of ≤100 rows → ≤100²/2 levenshtein evals per block and
+# a block count that grows linearly with the table (constant work per
+# block, linear total, parallelism scales with data). The original
+# 6-digit prefix made 1000-row blocks: 100× the pairs in 10× fewer
+# tasks — 49 s at sf0.1 vs ~1 s now, and unusable at sf1+.
 FUZZY_NAME_TEMPLATE = """
 SELECT a.c_custkey AS custkey_a, b.c_custkey AS custkey_b,
        a.c_name AS name_a, b.c_name AS name_b,
        CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS edit_dist
-FROM customer a
+FROM (SELECT /*+ REPARTITION(32) */ * FROM customer) a
 JOIN customer b
-  ON substring(a.c_name, 10, 6) = substring(b.c_name, 10, 6)
+  ON substring(a.c_name, 10, 7) = substring(b.c_name, 10, 7)
  AND a.c_custkey < b.c_custkey
+ AND (substring(a.c_name, 17, 1) = substring(b.c_name, 17, 1)
+      OR substring(a.c_name, 18, 1) = substring(b.c_name, 18, 1))
 WHERE levenshtein(a.c_name, b.c_name) <= 1
 """
+# The OR band above is a LOSSLESS prefilter: within a block the first
+# 16 chars are equal and lengths match, so edit ≤ 1 forces equality on
+# at least one of the last two chars — the cheap char test prunes ~80%
+# of pairs before the O(len²) levenshtein DP runs.
+# The REPARTITION hint spreads the probe side of the broadcast hash
+# join: each testdata table is ONE parquet file = ONE partition, so
+# without it the whole pair expansion runs on a single core (a local
+# artifact — a real cluster's scan is already multi-partition). DuckDB
+# parses the hint as a plain block comment, so the template is still
+# engine-shared.
 
 # Pearson correlation from EXACT integer/decimal moments (the
 # covariance twin of sketch.zscore_outliers_sql): hour index is
@@ -1606,5 +1624,29 @@ FROM documents
         )
 
     cases["media_chunk_windows"] = Case(_q_chunk, multimodal.chunk_oracle_sql())
+
+    # --- Gopher-style repetition quality (text family)
+    cases["text_repetition_quality"] = _text_case(
+        textops.repetition_quality, textops.oracle_repetition_quality
+    )
+
+    # --- UNPIVOT (Expand) relational shape: wide measures → long stats.
+    # One Expand + one hash aggregation, no joins; the DECIMAL(18,2)
+    # sum is exact and order-independent (DETERMINISM.md float rule),
+    # min/max/count are order-free. ANSI UNPIVOT parses identically in
+    # Spark and DuckDB, so one template serves both engines.
+    cases["lineitem_unpivot_stats"] = _bi_case(
+        """
+SELECT metric,
+       count(*) AS n_rows,
+       min(val) AS min_val,
+       max(val) AS max_val,
+       CAST(SUM(CAST(val AS DECIMAL(18,2))) AS DOUBLE) AS sum_val
+FROM (SELECT l_quantity, l_extendedprice, l_discount, l_tax FROM lineitem)
+     UNPIVOT (val FOR metric IN (l_quantity, l_extendedprice, l_discount, l_tax))
+GROUP BY metric
+ORDER BY metric
+"""
+    )
 
     return cases
