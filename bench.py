@@ -96,6 +96,8 @@ HEADLINERS = [
     "events_attribution_join",
     "text_repetition_quality",
     "lineitem_unpivot_stats",
+    "privacy_k_anonymity",
+    "privacy_pseudonymize",
 ]
 
 

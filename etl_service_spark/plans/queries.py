@@ -1151,6 +1151,53 @@ WHERE levenshtein(a.c_name, b.c_name) <= 1
 # parses the hint as a plain block comment, so the template is still
 # engine-shared.
 
+# Privacy plane: the reference is a hospital data-integration service
+# (SURVEY §0 — DIZ, Datenintegrationszentrum), so de-identification is
+# a first-class concern for any data it would feed to analytics or
+# model training. Two operators over the customer dimension, with
+# (nationkey, mktsegment, acctbal-band) as the quasi-identifier set:
+#
+# k-anonymity audit: one hash aggregation over the QI columns; group
+# cardinality is bounded by the QI domain (not the row count), so the
+# post-shuffle relation is tiny at any scale.
+PRIVACY_KANON_TEMPLATE = """
+SELECT c_nationkey, c_mktsegment,
+       CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS acct_band,
+       COUNT(*) AS grp_n,
+       CASE WHEN COUNT(*) < 5 THEN 1 ELSE 0 END AS at_risk
+FROM customer
+GROUP BY c_nationkey, c_mktsegment, CAST(FLOOR(c_acctbal / 1000) AS BIGINT)
+"""
+
+# Pseudonymize + generalize + suppress: surrogate key from the keyed
+# portable polynomial hash (identical integer arithmetic in both
+# engines — no engine-native hash functions, those differ); direct
+# identifier masked; quasi-identifiers NULLed for rows whose QI group
+# is smaller than k=5 (cell suppression). The group-size relation from
+# the audit is QI-domain-sized → Catalyst broadcasts it back onto the
+# fact side, so the whole operator is one scan + one small-side join.
+PRIVACY_PSEUDO_TEMPLATE = """
+WITH sized AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS acct_band,
+         COUNT(*) AS grp_n
+  FROM customer
+  GROUP BY c_nationkey, c_mktsegment, CAST(FLOOR(c_acctbal / 1000) AS BIGINT)
+)
+SELECT {pseudo} AS pseudo_id,
+       concat(substring(c.c_name, 1, 9),
+              repeat('*', length(c.c_name) - 9)) AS name_masked,
+       CASE WHEN s.grp_n >= 5 THEN c.c_nationkey END AS nationkey_gen,
+       CASE WHEN s.grp_n >= 5 THEN c.c_mktsegment END AS mktsegment_gen,
+       CAST(FLOOR(c.c_acctbal / 1000) AS BIGINT) AS acct_band,
+       CAST(s.grp_n AS BIGINT) AS qid_group_n
+FROM customer c
+JOIN sized s
+  ON c.c_nationkey = s.c_nationkey
+ AND c.c_mktsegment = s.c_mktsegment
+ AND CAST(FLOOR(c.c_acctbal / 1000) AS BIGINT) = s.acct_band
+"""
+
 # Pearson correlation from EXACT integer/decimal moments (the
 # covariance twin of sketch.zscore_outliers_sql): hour index is
 # integer, value sums accumulate in DECIMAL, and only the final
@@ -1624,6 +1671,16 @@ FROM documents
         )
 
     cases["media_chunk_windows"] = Case(_q_chunk, multimodal.chunk_oracle_sql())
+
+    # --- privacy / de-identification plane
+    cases["privacy_k_anonymity"] = _bi_case(PRIVACY_KANON_TEMPLATE)
+    cases["privacy_pseudonymize"] = _bi_case(
+        PRIVACY_PSEUDO_TEMPLATE,
+        pseudo=(
+            P.spark_poly_hash("concat('dp::', c.c_name)"),
+            P.duck_poly_hash("concat('dp::', c.c_name)"),
+        ),
+    )
 
     # --- Gopher-style repetition quality (text family)
     cases["text_repetition_quality"] = _text_case(

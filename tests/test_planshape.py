@@ -216,3 +216,38 @@ def test_kmeans_centroid_joins_broadcast(spark, sf_dir):
     plan = _plan(df)
     assert "CartesianProduct" not in plan, plan[:1500]
     assert "BroadcastHashJoin" in plan, plan[:1500]
+
+
+def test_fuzzy_dedup_probe_is_parallel_hash_join(spark, sf_dir):
+    """dedup_fuzzy_names: the blocked self-join must be a hash join
+    (broadcast or shuffled) with a repartitioned probe side — a single
+    parquet file otherwise scans as ONE partition and the whole pair
+    expansion runs on one core (49 s → 0.6 s at sf0.1)."""
+    df = CASES["dedup_fuzzy_names"].spark(spark, sf_dir)
+    df.collect()  # finalize adaptive plan
+    plan = _plan(df)
+    assert "NestedLoop" not in plan, plan[:1500]
+    assert "HashJoin" in plan, plan[:1500]
+    assert plan.count("Exchange") >= 1, plan[:1500]  # the REPARTITION hint
+
+
+def test_unpivot_is_single_expand_agg(spark, sf_dir):
+    """lineitem_unpivot_stats: ANSI UNPIVOT must compile to one Expand
+    feeding one hash aggregation — one shuffle on the metric key, no
+    joins, no union of per-column scans."""
+    df = CASES["lineitem_unpivot_stats"].spark(spark, sf_dir)
+    plan = _plan(df)
+    assert "Expand" in plan, plan[:1500]
+    assert "Join" not in plan, plan[:1500]
+    assert "Union" not in plan, plan[:1500]
+
+
+def test_privacy_pseudonymize_broadcasts_group_sizes(spark, sf_dir):
+    """privacy_pseudonymize: the QI-group-size relation is bounded by
+    the quasi-identifier domain, so it must come back as a broadcast
+    join onto the customer scan — never a shuffled join of the fact
+    side against an aggregate of itself."""
+    df = CASES["privacy_pseudonymize"].spark(spark, sf_dir)
+    df.collect()
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan, plan[:1500]
