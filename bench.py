@@ -98,6 +98,7 @@ HEADLINERS = [
     "lineitem_unpivot_stats",
     "privacy_k_anonymity",
     "privacy_pseudonymize",
+    "dq_expectation_report",
 ]
 
 
