@@ -99,6 +99,8 @@ HEADLINERS = [
     "privacy_k_anonymity",
     "privacy_pseudonymize",
     "dq_expectation_report",
+    "corpus_pack_sequences",
+    "sketch_kmv_audience_overlap",
 ]
 
 

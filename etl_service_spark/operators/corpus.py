@@ -253,3 +253,55 @@ SELECT source, COUNT(*) AS n_docs,
 FROM survivors
 GROUP BY source
 """
+
+def pack_sequences_sql(budget: int = 2048, view: str = "documents") -> tuple[str, str]:
+    """Sequence packing: concat-and-chunk documents into fixed
+    token-budget training sequences (the batching step of an LLM data
+    pipeline — e.g. GPT-3 §2.3's document packing). Documents are
+    shuffled by deterministic hash within each language shard, token
+    counts accumulate in a running window, and a document lands in the
+    sequence where it STARTS: seq_id = (cumsum − n_tok) / budget, so a
+    straddling document extends its sequence past the budget (exactly
+    the concat-then-chunk semantics, minus mid-document splitting).
+    Token counts are ceil(n_chars / 4) — the engine's approx_llm_tokens
+    — so packing reads only (doc_id, lang, n_chars), never the text.
+
+    All-integer arithmetic (hash shuffle, cumulative sum, integer
+    division) makes the assignment a pure function of (doc_id, lang,
+    n_chars): reproducible across runs, engines, partitionings.
+
+    Scale shape: one shuffle on the shard key + one O(n log n)
+    per-shard sort feed the running-sum window; the group-by reuses the
+    same partitioning (no second exchange of the full relation). At
+    100 TB a single language is too big for one window partition —
+    shard on (lang, hash DIV 2^k) so each shard packs independently
+    with seq ids local to the shard; packing quality is unchanged
+    because the order inside a shard is already a hash shuffle.
+    Ref parity: the reference's row-range chunker (D11,
+    CommandExecuter.cs:556-588) slices by row count; this is the
+    token-budget generalization a training pipeline needs."""
+    shuf = _BUCKET.format(mod=4294967296)
+    template = f"""
+WITH t AS (
+  SELECT doc_id, lang, {shuf} AS shuf,
+         (n_chars + 3) {{idiv}} 4 AS n_tok
+  FROM {view}
+),
+c AS (
+  SELECT lang, n_tok,
+         SUM(n_tok) OVER (PARTITION BY lang ORDER BY shuf, doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM t
+),
+b AS (
+  SELECT lang, n_tok, CAST((cum - n_tok) {{idiv}} {budget} AS BIGINT) AS seq_id
+  FROM c
+)
+SELECT lang, seq_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS tok_sum,
+       (CAST(SUM(n_tok) AS BIGINT) * 1000000) {{idiv}} {budget} AS fill_ppm
+FROM b
+GROUP BY lang, seq_id
+"""
+    return P.bi_sql(template, idiv=("DIV", "//"))

@@ -258,3 +258,71 @@ SELECT h.user_id,
 FROM hits h LEFT JOIN members m ON h.user_id = m.user_id
 """
     return template, template
+
+
+def kmv_set_ops_sql(
+    k: int = 64, a: str = "click", b: str = "purchase", view: str = "events"
+) -> tuple[str, str]:
+    """KMV sketch SET ALGEBRA (Beyer et al., "On synopses for distinct-
+    value estimation under multiset operations", SIGMOD'07): estimate
+    |A∪B|, |A∩B| and Jaccard(A,B) of two user sets (here: the audiences
+    of two event types) from their mergeable k-minimum-value sketches —
+    the audience-overlap question a theta sketch answers in production.
+
+    The union sketch of A and B is the k smallest distinct hashes of
+    A∪B; within those k, the fraction also belonging to both sets is an
+    unbiased Jaccard estimator, and |A∩B| ≈ Jaccard × |A∪B|. Every
+    estimate here is integer arithmetic (multiplicative-hash minima,
+    integer division) — bit-identical across engines, so the oracle
+    validates the sketch's exact output, not a tolerance band. Exact
+    union/intersection are computed alongside for the report.
+
+    Scale shape: the per-set DISTINCT is one map-side-combined shuffle
+    bounded by distinct keys; `ORDER BY hv LIMIT k` is Spark's
+    TakeOrderedAndProject — a per-partition k-heap merged on the
+    driver, never a global sort. On a cluster each partition keeps its
+    k smallest and the merge keeps the k smallest of those — the
+    classic mergeable-summary property; this SQL is the serial
+    equivalent. Ref parity: the reference only counts rows
+    (CommandExecuter.cs:366); sketch set-algebra is part of the
+    training-data plane this engine adds."""
+    template = f"""
+WITH h AS (
+  SELECT DISTINCT event_type, {_HV} AS hv
+  FROM {view} WHERE event_type IN ('{a}', '{b}')
+),
+u AS (
+  SELECT hv,
+         MAX(CASE WHEN event_type = '{a}' THEN 1 ELSE 0 END) AS in_a,
+         MAX(CASE WHEN event_type = '{b}' THEN 1 ELSE 0 END) AS in_b
+  FROM h GROUP BY hv
+),
+topk AS (
+  SELECT hv, in_a, in_b FROM u ORDER BY hv LIMIT {k}
+),
+sk AS (
+  SELECT COUNT(*) AS kk, MAX(hv) AS kth,
+         CAST(SUM(in_a * in_b) AS BIGINT) AS both_in_k
+  FROM topk
+),
+ex AS (
+  SELECT COUNT(*) AS union_exact,
+         CAST(SUM(in_a * in_b) AS BIGINT) AS inter_exact
+  FROM u
+)
+SELECT '{a}' AS set_a, '{b}' AS set_b,
+       ex.union_exact,
+       ex.inter_exact,
+       (1000000 * ex.inter_exact) {{idiv}} ex.union_exact AS jaccard_exact_ppm,
+       CAST(CASE WHEN sk.kk >= {k}
+                 THEN ({k - 1} * 4294967296) {{idiv}} sk.kth
+                 ELSE ex.union_exact END AS BIGINT) AS union_kmv,
+       (1000000 * sk.both_in_k) {{idiv}} sk.kk AS jaccard_kmv_ppm,
+       ((CASE WHEN sk.kk >= {k}
+              THEN ({k - 1} * 4294967296) {{idiv}} sk.kth
+              ELSE ex.union_exact END) * sk.both_in_k) {{idiv}} sk.kk AS inter_kmv
+FROM sk CROSS JOIN ex
+"""
+    from etl_service_spark.functions import portable as P
+
+    return P.bi_sql(template, idiv=("DIV", "//"))

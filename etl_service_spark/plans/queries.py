@@ -1578,6 +1578,7 @@ def registry() -> dict[str, Case]:
     )
     cases["corpus_source_composition"] = _pair_case(corpus.source_composition_sql())
     cases["corpus_mixture_sample"] = _pair_case(corpus.mixture_sample_sql())
+    cases["corpus_pack_sequences"] = _pair_case(corpus.pack_sequences_sql())
 
     def _training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         views(spark, sf_dir)
@@ -1648,6 +1649,7 @@ def registry() -> dict[str, Case]:
     )
     cases["sketch_histogram_quantiles"] = _pair_case(sketch.histogram_quantiles_sql())
     cases["sketch_bloom_membership"] = _pair_case(sketch.bloom_membership_sql())
+    cases["sketch_kmv_audience_overlap"] = _pair_case(sketch.kmv_set_ops_sql())
     cases["text_tfidf_top_terms"] = _pair_case(textops.tfidf_top_terms_sql())
     cases["text_top_terms_per_language"] = _pair_case(
         textops.top_terms_per_language_sql()
