@@ -101,6 +101,7 @@ HEADLINERS = [
     "dq_expectation_report",
     "corpus_pack_sequences",
     "sketch_kmv_audience_overlap",
+    "events_gapfill_hourly",
 ]
 
 

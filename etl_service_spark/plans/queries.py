@@ -1146,6 +1146,42 @@ WHERE gap_us IS NOT NULL
 GROUP BY user_id
 """
 
+# Time-series gap-fill / resample: aggregate to an hourly grid, then
+# LEFT-JOIN a generated calendar spine so silent hours appear as
+# explicit zero rows, with a carry-forward staleness column (hours
+# since the last observed event — observed hour indices are
+# nondecreasing, so a running MAX is an exact forward fill). The ops
+# monitoring question "which feeds went quiet, and for how long" that
+# the reference's 10-second poll loop (Processor.cs:1138-1152) answers
+# imperatively. Scale shape: after the first map-combined hourly agg,
+# EVERYTHING is hour-grain — spine, join, and window are bounded by
+# types × hours, broadcastable at any raw-data scale. The spine is
+# engine-generated (Spark explode(sequence), DuckDB
+# unnest(generate_series)) — the one dialect split besides DIV.
+EVENTS_GAPFILL_TEMPLATE = """
+WITH agg AS (
+  SELECT event_type, ({ts_us}) {idiv} 3600000000 AS hr, COUNT(*) AS n
+  FROM events
+  GROUP BY 1, 2
+),
+bounds AS (
+  SELECT event_type, MIN(hr) AS h0, MAX(hr) AS h1 FROM agg GROUP BY event_type
+),
+spine AS (
+  SELECT event_type, {unnest_seq} AS hr FROM bounds
+),
+filled AS (
+  SELECT s.event_type, s.hr, a.hr AS obs_hr, coalesce(a.n, 0) AS n_events
+  FROM spine s LEFT JOIN agg a ON s.event_type = a.event_type AND s.hr = a.hr
+)
+SELECT event_type, hr,
+       CAST(n_events AS BIGINT) AS n_events,
+       CAST(hr - MAX(obs_hr) OVER (PARTITION BY event_type ORDER BY hr
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS BIGINT) AS staleness_hours
+FROM filled
+"""
+
 # CUBE: all four aggregation levels (nation×year, nation, year, grand
 # total) from ONE scan — Spark plans an Expand (4 rows per input) +
 # one shuffle, the distributed form of the reference's drill-down
@@ -1661,6 +1697,15 @@ def registry() -> dict[str, Case]:
     cases["events_moving_average"] = _sql_case(EVENTS_MOVING_AVG_SPARK_SQL, _mov_duck)
     cases["events_interarrival_stats"] = _bi_case(
         EVENTS_INTERARRIVAL_TEMPLATE, ts_us=TS_US
+    )
+    cases["events_gapfill_hourly"] = _bi_case(
+        EVENTS_GAPFILL_TEMPLATE,
+        ts_us=TS_US,
+        idiv=("DIV", "//"),
+        unnest_seq=(
+            "explode(sequence(h0, h1))",
+            "unnest(generate_series(h0, h1))",
+        ),
     )
     cases["orders_cube_revenue"] = _bi_case(ORDERS_CUBE_TEMPLATE)
     cases["dedup_fuzzy_names"] = _bi_case(FUZZY_NAME_TEMPLATE)
