@@ -344,8 +344,8 @@ GROUP BY user_id
 """
 
 ANA_ARGMAX_TEMPLATE = """
-SELECT user_id, event_id, event_type, ts_us FROM (
-  SELECT user_id, event_id, event_type, {ts_us} AS ts_us,
+SELECT user_id, event_id, event_type, ts_us_v AS ts_us FROM (
+  SELECT user_id, event_id, event_type, {ts_us} AS ts_us_v,
          ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY {ts_us} DESC, event_id DESC) AS rn
   FROM events
 ) t WHERE rn = 1

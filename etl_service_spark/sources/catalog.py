@@ -39,12 +39,17 @@ TABLES = (
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # nanos → micros (truncating), keep both representations
-        # integer DIV, not `/`: epoch-nanos ≈ 1.7e18 exceeds double's 2^53
-        df = df.withColumn("ts_us", F.expr("ts DIV 1000")).withColumn(
-            "ts", F.timestamp_micros(F.col("ts_us")).cast("timestamp_ntz")
-        )
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # nanos → micros (truncating), keep both representations
+            # integer DIV, not `/`: epoch-nanos ≈ 1.7e18 exceeds double's 2^53
+            df = df.withColumn("ts_us", F.expr("ts DIV 1000"))
+        else:
+            # parquet TIMESTAMP(MICROS) → timestamp_ntz; session tz is UTC,
+            # so the ltz round-trip is the identity and ts_us is exact
+            df = df.withColumn("ts_us", F.unix_micros(F.col("ts").cast("timestamp")))
+        df = df.withColumn("ts", F.timestamp_micros(F.col("ts_us")).cast("timestamp_ntz"))
     return df
 
 

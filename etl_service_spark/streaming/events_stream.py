@@ -23,15 +23,16 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampNTZType,
 )
 
 EVENT_SCHEMA = StructType(
     [
         StructField("event_id", LongType()),
-        # The events table stores TIMESTAMP(NANOS); under the session's
-        # nanosAsLong config this surfaces as epoch-nanos int64 — declare
-        # it that way so raw table files stream without rewriting.
-        StructField("ts", LongType()),
+        # The events table stores TIMESTAMP(MICROS); parquet surfaces it
+        # as timestamp_ntz — declare it that way so raw table files
+        # stream without rewriting.
+        StructField("ts", TimestampNTZType()),
         StructField("user_id", LongType()),
         StructField("event_type", StringType()),
         StructField("value", DoubleType()),
@@ -41,10 +42,15 @@ EVENT_SCHEMA = StructType(
 
 
 def with_event_time(events: DataFrame) -> DataFrame:
-    """Convert the raw epoch-nanos ``ts`` to a proper event-time column.
-    Integer DIV, not `/`: epoch-nanos ~1.7e18 exceeds double's 2^53, so
-    float division is off by whole microseconds."""
-    return events.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    """Normalize the raw ``ts`` to a proper event-time column.
+
+    Handles both landing encodings: epoch-nanos int64 (integer DIV, not
+    `/`: epoch-nanos ~1.7e18 exceeds double's 2^53, so float division is
+    off by whole microseconds) and parquet TIMESTAMP(MICROS), which only
+    needs a cast to the session-zoned timestamp for watermarking."""
+    if dict(events.dtypes).get("ts") == "bigint":
+        return events.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return events.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def read_event_stream(spark: SparkSession, landing_dir: str) -> DataFrame:
