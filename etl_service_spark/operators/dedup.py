@@ -12,8 +12,13 @@ oracle via the shared bi-engine template):
                    shingles → join on shingle → count common), not an
                    O(N²) cross join: any pair with Jaccard > 0 shares a
                    shingle, so the index join is lossless. Hot shingles
-                   are the skew risk at scale → AQE skew-join handles
-                   the head; a stopword-shingle filter would cap it.
+                   (the skew risk: one stopword shingle makes one
+                   reducer quadratic) are neutralized by ordering each
+                   set's PPJoin prefix by ascending GLOBAL document
+                   frequency — the prefix theorem holds for any
+                   consistent total order, so rare-first ordering is
+                   still lossless, and high-DF shingles land past the
+                   prefix, never in the index.
 - minhash_lsh    — K=16 minhash signature (portable hash), 8 bands × 2
                    rows; candidate pairs = bucket collisions; verified
                    with exact Jaccard. The scale path: cost is
@@ -135,17 +140,35 @@ def exact_dedup_staged(spark: SparkSession, view: str = "documents") -> DataFram
 # "A Primitive Operator for Similarity Joins", ICDE'06). So we index
 # only ~(1-tau)*n shingle hashes per doc instead of all of them:
 # ~5x fewer posting rows at tau=0.8 and a quadratically smaller
-# candidate blowup on hot shingles. The verify step computes exact
-# Jaccard over the full sets, so the result is identical to the naive
-# inverted-index join. ceil(tau*n) is evaluated in pure integer math
-# ((num*n + den - 1) DIV den) — no float ceil edge cases, identical in
-# both engines.
-JACCARD_BODY = """posting AS (
-  SELECT doc_id, n, {slice_prefix} AS pre FROM {hs_rel}
+# candidate blowup. The theorem holds for ANY total order shared by all
+# sets, so the order is chosen for skew: ascending global document
+# frequency (ties on hash) — the canonical PPJoin ordering. The rarest
+# shingles form every prefix, and a hot shingle (df in the millions at
+# corpus scale) simply never enters the inverted index, capping the
+# per-key candidate blowup at the LOW-df end by construction instead of
+# relying on AQE to split a quadratic reducer. The verify step computes
+# exact Jaccard over the full sets, so the result is identical to the
+# naive inverted-index join. ceil(tau*n) is evaluated in pure integer
+# math ((num*n + den - 1) DIV den) — no float ceil edge cases,
+# identical in both engines.
+JACCARD_PREFIX_BODY = """ex AS (
+  SELECT doc_id, n, {explode}(hs) AS h FROM {hs_rel}
+),
+sdf AS (
+  SELECT h, COUNT(*) AS shingle_df FROM ex GROUP BY h
 ),
 pexp AS (
-  SELECT doc_id, n, {explode}(pre) AS h FROM posting
-),
+  SELECT doc_id, n, h FROM (
+    SELECT e.doc_id, e.n, e.h,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.doc_id ORDER BY d.shingle_df, e.h
+           ) AS rk
+    FROM ex e JOIN sdf d ON d.h = e.h
+  ) r
+  WHERE rk <= n - (({tau_num} * n + {tau_den_m1}) {idiv} {tau_den}) + 1
+)"""
+
+JACCARD_BODY = JACCARD_PREFIX_BODY + """,
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM pexp a JOIN pexp b
@@ -169,15 +192,6 @@ WHERE CAST(c2 AS DOUBLE) / (nx + ny - c2) >= {tau}
 """
 
 
-def _jaccard_slice_prefix(tau_frac: tuple[int, int]) -> tuple[str, str]:
-    num, den = tau_frac
-    plen = f"n - (({num} * n + {den - 1}) {{idiv}} {den}) + 1"
-    return (
-        f"slice(hs, 1, {plen.format(idiv='DIV')})",
-        f"list_slice(hs, 1, {plen.format(idiv='//')})",
-    )
-
-
 def ngram_jaccard_sql(
     tau: float = 0.8, view: str = "documents", tau_frac: tuple[int, int] = (4, 5)
 ) -> tuple[str, str]:
@@ -185,11 +199,11 @@ def ngram_jaccard_sql(
     CTEs itself). The Spark execution path is :func:`ngram_jaccard_staged`."""
     return P.bi_sql(
         _HASHSET_PROLOGUE + ",\n" + JACCARD_BODY,
-        slice_prefix=_jaccard_slice_prefix(tau_frac),
         hs_rel="hs",
         tau=str(tau),
         tau_num=str(tau_frac[0]),
         tau_den=str(tau_frac[1]),
+        tau_den_m1=str(tau_frac[1] - 1),
         **_hashset_frags(view),
     )
 
@@ -243,6 +257,42 @@ def materialize_hashsets(spark: SparkSession, view: str = "documents") -> str:
     return name
 
 
+# (session id, view, tau_frac, hashset relation) -> staged temp view of
+# the df-ordered PPJoin prefix posting list. Shared by ngram_jaccard and
+# (via dup_clusters) the clustering consumer; at 100 TB this is the
+# posting-list staging table written next to the fingerprint table.
+_PEXP_CACHE: dict[tuple, str] = {}
+
+
+def materialize_prefix_postings(
+    spark: SparkSession,
+    view: str = "documents",
+    tau_frac: tuple[int, int] = (4, 5),
+) -> str:
+    """Materialize the df-ascending-ordered prefix posting list ONCE
+    (localCheckpoint + temp view). Spark inlines CTEs, so the posting
+    relation referenced by BOTH sides of the candidate self-join would
+    otherwise re-run the explode + df-aggregate + per-doc window twice."""
+    hs_rel = materialize_hashsets(spark, view)
+    key = (id(spark), view, tau_frac, hs_rel)
+    cached = _PEXP_CACHE.get(key)
+    if cached is not None:
+        return cached
+    num, den = tau_frac
+    body = P.bi_sql(
+        "WITH " + JACCARD_PREFIX_BODY + "\nSELECT doc_id, n, h FROM pexp",
+        hs_rel=hs_rel,
+        tau_num=str(num),
+        tau_den=str(den),
+        tau_den_m1=str(den - 1),
+        **_hashset_frags(view),
+    )[0]
+    name = f"__jaccard_pexp_{len(_PEXP_CACHE)}"
+    spark.sql(body).localCheckpoint(eager=True).createOrReplaceTempView(name)
+    _PEXP_CACHE[key] = name
+    return name
+
+
 def ngram_jaccard_staged(
     spark: SparkSession,
     tau: float = 0.8,
@@ -250,16 +300,30 @@ def ngram_jaccard_staged(
     tau_frac: tuple[int, int] = (4, 5),
 ) -> DataFrame:
     hs_rel = materialize_hashsets(spark, view)
-    body = P.bi_sql(
-        "WITH " + JACCARD_BODY,
-        slice_prefix=_jaccard_slice_prefix(tau_frac),
-        hs_rel=hs_rel,
-        tau=str(tau),
-        tau_num=str(tau_frac[0]),
-        tau_den=str(tau_frac[1]),
-        **_hashset_frags(view),
-    )[0]
-    return spark.sql(body)
+    pexp = materialize_prefix_postings(spark, view, tau_frac)
+    num, den = tau_frac
+    return spark.sql(
+        f"""
+WITH cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM {pexp} a JOIN {pexp} b
+    ON a.h = b.h AND a.doc_id < b.doc_id
+   AND b.n * {den} >= a.n * {num}
+   AND a.n * {den} >= b.n * {num}
+),
+verified AS (
+  SELECT c.doc_a, c.doc_b,
+         size(array_intersect(x.hs, y.hs)) AS c2, x.n AS nx, y.n AS ny
+  FROM cand c
+  JOIN {hs_rel} x ON x.doc_id = c.doc_a
+  JOIN {hs_rel} y ON y.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b,
+       CAST(c2 AS DOUBLE) / (nx + ny - c2) AS jaccard
+FROM verified
+WHERE CAST(c2 AS DOUBLE) / (nx + ny - c2) >= {tau}
+"""
+    )
 
 
 def ngram_jaccard_pairs(spark: SparkSession, tau: float = 0.8) -> DataFrame:

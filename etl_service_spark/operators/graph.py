@@ -42,7 +42,13 @@ def connected_components(
     cluster_id is the component's minimum node id."""
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
-    sym = sym.localCheckpoint(eager=True)
+    # co-partition the edge list on the JOIN key once and persist():
+    # unlike localCheckpoint (which hides partitioning behind a
+    # LogicalRDD), the cached relation advertises hashpartitioning(b),
+    # so every round's join reuses this exchange — only the label
+    # vector moves per round. (For small dup graphs Catalyst broadcasts
+    # the cached edges instead, which is strictly better.)
+    sym = sym.repartition("b").persist()
 
     labels = sym.select(F.col("a").alias("node")).distinct().withColumn(
         "label", F.col("node")
@@ -140,13 +146,14 @@ FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
 def pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Five damped PageRank iterations on the customer-supplier graph.
 
-    Spark shape: per iteration, one hash join of the (checkpointed)
-    edge list against the current rank vector + one hash aggregate on
-    the destination — two shuffles per round on the same key, which a
-    cluster run would co-partition once (repartition edges and ranks
-    by node) so every round reuses the exchange. localCheckpoint per
-    round truncates the lineage, exactly like connected_components
-    above; at 100 TB the checkpoint becomes a staging-table write.
+    Spark shape: the edge list is CO-PARTITIONED with the rank vector
+    on the node key — the window that computes out-degree already hash
+    partitions on ``a``, and ``persist()`` (unlike localCheckpoint,
+    which erases partitioning metadata behind a LogicalRDD) keeps that
+    partitioning visible to Catalyst, so the per-iteration join reuses
+    the edge side's exchange: only the (tiny) rank vector moves per
+    round, plus the destination re-aggregation. On a cluster the
+    persisted relation is the edge staging table, bucketed by node.
     Parity with /root/reference: no graph ops exist there — this is
     part of the training-data plane (web-graph quality weighting)."""
     from pyspark.sql import Window
@@ -157,20 +164,19 @@ def pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # duplicates — no second distinct (saves a full shuffle+dedup over
     # the doubled edge list). Out-degree comes from a window COUNT over
     # the same partitioning instead of a groupBy+self-join, so the whole
-    # iteration input (a, b, outdeg) materializes with ONE checkpoint —
-    # profiling showed the extra edge-list materialization cost more
-    # than all five rank rounds combined.
+    # iteration input (a, b, outdeg) materializes with ONE exchange.
     sym = pairs.union(pairs.select(F.col("b").alias("a"), F.col("a").alias("b")))
     contrib_src = sym.select(
         "a", "b", F.count("*").over(Window.partitionBy("a")).alias("outdeg")
-    ).localCheckpoint(eager=True)
-    n = contrib_src.select("a").distinct().count()
+    ).persist()
+    # distinct node set computed ONCE (it feeds both the teleport
+    # denominator and the rank init — previously derived twice)
+    nodes = contrib_src.select("a").distinct().persist()
+    n = nodes.count()
     teleport = (PR_SCALE * (PR_DAMP_DEN - PR_DAMP_NUM) // PR_DAMP_DEN) // n
 
-    ranks = (
-        contrib_src.select(F.col("a").alias("node"))
-        .distinct()
-        .withColumn("rank", F.lit(PR_SCALE // n).cast("bigint"))
+    ranks = nodes.select(F.col("a").alias("node")).withColumn(
+        "rank", F.lit(PR_SCALE // n).cast("bigint")
     )
     for _ in range(PR_ITERS):
         ranks = (

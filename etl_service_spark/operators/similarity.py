@@ -147,7 +147,12 @@ def embedding_neardup(spark: SparkSession, tau: float = 0.4) -> DataFrame:
     return spark.sql(embedding_neardup_sql(tau)[0])
 
 
-def embedding_neardup_pandas(spark: SparkSession, tau: float = 0.4, view: str = "embeddings") -> DataFrame:
+def embedding_neardup_pandas(
+    spark: SparkSession,
+    tau: float = 0.4,
+    view: str = "embeddings",
+    max_rows: int = 250_000,
+) -> DataFrame:
     """All-pairs cosine near-dup, Arrow-batched numpy execution.
 
     Same values as :func:`embedding_neardup_sql` to the last bit: numpy
@@ -159,17 +164,30 @@ def embedding_neardup_pandas(spark: SparkSession, tau: float = 0.4, view: str = 
     falls back to interpreted projection over N² rows, ~60x slower);
     this path keeps the N² loop in BLAS-grade vector code.
 
-    Scale shape: one side is broadcast (the whole corpus matrix — this
-    operator is the small-N exact baseline; beyond broadcast size use
-    ``lsh_ann``), the other side streams per-partition through
-    mapInPandas, so the pair space is partitioned across executors with
-    no shuffle at all.
+    Scale shape: one side is broadcast (the whole corpus matrix), the
+    other side streams per-partition through mapInPandas, so the pair
+    space is partitioned across executors with no shuffle at all. This
+    operator is the SMALL-N exact baseline: the corpus pull is bounded
+    by an explicit ``max_rows`` guard (LIMIT max_rows+1, so the driver
+    never holds more than max_rows+1 rows no matter the table size) and
+    raises past it rather than silently becoming a driver/compute
+    bottleneck — at 250k rows the matrix is ~128 MB broadcast but the
+    pair space is already 3·10¹⁰; beyond the guard use ``lsh_ann``
+    (bucketed, linear) for the same question.
     """
     import numpy as np
     import pandas as pd
 
     emb = spark.table(view).select("vec_id", "embedding")
-    rows = emb.collect()  # corpus matrix is the broadcast side
+    # corpus matrix is the broadcast side; guarded pull — never an
+    # unbounded full-table collect
+    rows = emb.limit(max_rows + 1).collect()
+    if len(rows) > max_rows:
+        raise ValueError(
+            f"embedding_neardup_pandas is the exact small-N baseline: "
+            f"{view} exceeds max_rows={max_rows}; use lsh_ann / ann_ivf "
+            f"for corpora past broadcast size"
+        )
     ids_all = np.array([r.vec_id for r in rows], dtype=np.int64)
     m_all = np.array([r.embedding for r in rows], dtype=np.float64)  # f32→f64 exact
     order = np.argsort(ids_all)

@@ -1466,6 +1466,72 @@ def _pair_case(sql_builder: tuple[str, str]) -> Case:
     return _sql_case(s, d)
 
 
+# Names the round-1 driver already value-verified (CORRECTNESS_r01.json
+# == the first 50 registry entries of that round). The driver samples a
+# PREFIX of the registry, so registry() floats the still-unverified
+# entries — the LLM-pipeline families — ahead of these, interleaved one
+# per family so whatever prefix is sampled covers every family.
+_R01_DRIVER_VERIFIED = frozenset(
+    {
+        "etl_copy_align_audit", "etl_copy_timesliced", "etl_sql_target_dialect",
+        "etl_placeholder_window", "etl_dedup_filename", "etl_csv_export_lines",
+        "etl_excel_ingest_audit", "cfg_filter_due", "cfg_join_priority",
+        "cfg_left_join_steps", "cfg_dependency_edges", "cfg_params_threeway",
+        "ana_union_report", "ana_duration_datediff", "ana_argmax_last_run",
+        "ana_hierarchy_tree", "ana_timeline_union", "ana_today_runs",
+        "ana_running_filter", "ana_drilldown_levels", "ana_runstructure_real",
+        "tpch_q1_pricing", "tpch_q3_shipping", "tpch_q5_local_supplier",
+        "tpch_q13_custdist", "tpch_q18_bulk_customers", "tpch_q4_late_priority",
+        "tpch_q6_forecast_revenue", "tpch_q7_volume_shipping",
+        "tpch_q10_returned_items", "tpch_q14_promo_share", "tpch_q15_top_supplier",
+        "tpch_q19_or_pushdown", "tpch_q22_idle_rich", "tpch_q21_lone_late_supplier",
+        "tpch_q2_min_cost_supplier", "tpch_q8_market_share", "tpch_q9_product_profit",
+        "tpch_q11_important_stock", "tpch_q12_priority_classes",
+        "tpch_q16_supplier_variety", "tpch_q20_volume_suppliers",
+        "orders_running_spend", "orders_halfyear_setops",
+        "nation_top_customer_argmax", "events_value_deciles", "dim_scd2_merge",
+        "events_value_time_corr", "events_cohort_retention",
+        "events_attribution_join",
+    }
+)
+
+# Family buckets for the interleave: a prefix of the reordered registry
+# hits every family after ~one round-robin pass.
+_FAMILY_PREFIXES: tuple[tuple[str, ...], ...] = (
+    ("dedup_",),
+    ("ann_", "emb_"),
+    ("sketch_",),
+    ("text_",),
+    ("corpus_",),
+    ("media_",),
+    ("privacy_", "dq_", "profile_"),
+    ("graph_",),
+    ("events_",),
+)
+
+
+def _driver_order(cases: dict[str, Case]) -> dict[str, Case]:
+    """Interleave the driver-unverified entries one-per-family ahead of
+    the entries CORRECTNESS_r01 already value-verified (original order
+    preserved within each group). Pure reordering — same keys/cases."""
+    names = list(cases)
+    pending = [n for n in names if n not in _R01_DRIVER_VERIFIED]
+    queues = []
+    claimed: set[str] = set()
+    for prefixes in _FAMILY_PREFIXES:
+        q = [n for n in pending if n.startswith(prefixes)]
+        queues.append(q)
+        claimed.update(q)
+    queues.append([n for n in pending if n not in claimed])  # unfamiliar tail
+    ordered: list[str] = []
+    while any(queues):
+        for q in queues:
+            if q:
+                ordered.append(q.pop(0))
+    ordered.extend(n for n in names if n in _R01_DRIVER_VERIFIED)
+    return {n: cases[n] for n in ordered}
+
+
 def registry() -> dict[str, Case]:
     cases: dict[str, Case] = {}
 
@@ -1857,4 +1923,4 @@ ORDER BY metric
 """
     )
 
-    return cases
+    return _driver_order(cases)

@@ -23,9 +23,12 @@ def get_spark(app_name: str = "etl_service_spark", cpus: int | None = None) -> S
 
     Notes on the non-obvious configs:
 
-    - ``spark.sql.legacy.parquet.nanosAsLong``: the events table stores
-      TIMESTAMP(NANOS) which Spark refuses by default; we read nanos as
-      long and convert in the catalog layer (see catalog.load_table).
+    - ``spark.sql.legacy.parquet.nanosAsLong``: legacy/back-compat —
+      older testdata generations stored events.ts as TIMESTAMP(NANOS),
+      which Spark refuses by default; with this flag such files read as
+      long and the catalog layer converts (see catalog.load_table). The
+      current testdata stores TIMESTAMP(MICROS), which reads natively;
+      the flag is inert for it but kept so old directories still load.
     - shuffle partitions == cores in local mode; on a real cluster this
       would be ~2-3x total cores, with AQE coalescing the tail.
     """

@@ -8,10 +8,16 @@ registered temp views.
 Normalization rules (applied identically on the DuckDB-oracle side by
 `oracle_prelude()` in plans/queries.py):
 
-- ``events.ts`` is stored as parquet TIMESTAMP(NANOS); Spark reads it
-  as a long (nanosAsLong). We expose BOTH:
-    * ``ts_us``  — bigint microseconds since epoch (nanos // 1000,
-      truncation) — the cross-engine-stable representation;
+- ``events.ts`` has appeared in TWO parquet encodings across testdata
+  generations, and ``load_table`` adapts to whichever it finds:
+    * TIMESTAMP(MICROS) — the current encoding, read natively as
+      TIMESTAMP_NTZ;
+    * TIMESTAMP(NANOS) — the legacy encoding, which Spark reads as a
+      long under ``nanosAsLong`` (kept enabled for old directories).
+  Either way we expose BOTH:
+    * ``ts_us``  — bigint microseconds since epoch (for NANOS input:
+      nanos // 1000, truncation) — the cross-engine-stable
+      representation;
     * ``ts``     — TIMESTAMP_NTZ built from ts_us.
   DuckDB's ``epoch_us(ts)`` performs the same truncation, so values
   hash-match.

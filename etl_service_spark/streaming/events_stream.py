@@ -26,19 +26,49 @@ from pyspark.sql.types import (
     TimestampNTZType,
 )
 
-EVENT_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        # The events table stores TIMESTAMP(MICROS); parquet surfaces it
-        # as timestamp_ntz — declare it that way so raw table files
-        # stream without rewriting.
-        StructField("ts", TimestampNTZType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+def _event_schema(ts_type) -> StructType:
+    return StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", ts_type),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
+
+
+# Default declared schema: the CURRENT testdata encoding — ts as parquet
+# TIMESTAMP(MICROS), surfaced as timestamp_ntz. read_event_stream probes
+# the landing directory and swaps in the legacy nanos form when needed.
+EVENT_SCHEMA = _event_schema(TimestampNTZType())
+
+
+def _probe_event_schema(landing_dir: str) -> StructType:
+    """Pick the declared ``ts`` type from the first landing file's
+    parquet footer. Two encodings exist across testdata generations:
+    TIMESTAMP(MICROS) (current — read natively as timestamp_ntz) and
+    TIMESTAMP(NANOS) (legacy — readable only as int64 under the
+    session's nanosAsLong flag, so the declared type must be LONG or
+    the stream fails with a parquet column-conversion error). A stream
+    needs ONE declared schema up front; mixing encodings in one landing
+    directory is not supported. Empty directory → current encoding."""
+    import glob
+    import os
+
+    files = sorted(glob.glob(os.path.join(landing_dir, "**", "*.parquet"), recursive=True))
+    if not files:
+        return EVENT_SCHEMA
+    try:
+        import pyarrow.parquet as pq
+
+        ts = pq.ParquetFile(files[0]).schema_arrow.field("ts").type
+        if str(ts).startswith("timestamp[ns"):
+            return _event_schema(LongType())
+    except Exception:  # unreadable footer/missing col: let Spark report it
+        pass
+    return EVENT_SCHEMA
 
 
 def with_event_time(events: DataFrame) -> DataFrame:
@@ -54,8 +84,12 @@ def with_event_time(events: DataFrame) -> DataFrame:
 
 
 def read_event_stream(spark: SparkSession, landing_dir: str) -> DataFrame:
-    """File-source stream of raw event parquet drops (events-table layout)."""
-    return with_event_time(spark.readStream.schema(EVENT_SCHEMA).parquet(landing_dir))
+    """File-source stream of raw event parquet drops (events-table
+    layout). The declared schema adapts to the landing encoding (see
+    :func:`_probe_event_schema`); either way the stream surface after
+    :func:`with_event_time` is a session-zoned ``ts``."""
+    schema = _probe_event_schema(landing_dir)
+    return with_event_time(spark.readStream.schema(schema).parquet(landing_dir))
 
 
 def windowed_event_counts(events: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
