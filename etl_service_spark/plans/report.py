@@ -1,0 +1,203 @@
+"""Mail-ready HTML run report (reference parity: Helper.cs:606-1292
+SendResultMail / AnalyzeWorkflowRun / AnalyzeLevel / AnalyzeWorkflowError,
+with the table layouts of code/www/resultTable*.txt + failureTable*.txt
+and the body frame of code/www/diz_mail.html).
+
+The reference assembles the report row-at-a-time from five SQL round
+trips per hierarchy node; here the heavy lifting is the SAME Spark SQL
+the analytics plane already answers (runlog.current_state_sql /
+error_messages_sql — A1/A2/A6), collected ONCE per level, and the HTML
+assembly is pure driver-side string work over those few rows. A run
+report covers one workflow run — dozens of rows, never data-plane
+volume — so driver-side rendering is the right scale shape; the
+analytics stay distributed.
+
+Faithful behaviors (same decision points, original markup):
+
+- status header: "Erfolgreich" / green (#44d478) vs "Fehlgeschlagen" /
+  red (#c4254a)  (Helper.cs:644-686);
+- module table: one row per package ("Paket <id>"), its realizations
+  ("Umsetzung <id>") then their steps ("Schritt <id>") nested directly
+  under it — the AnalyzeWorkflowRun → AnalyzeLevel(1) → AnalyzeLevel(2)
+  walk (Helper.cs:806-905, 1115-1292);
+- duration label: "<m> Minuten" when the rounded minutes > 0 else
+  "<s> Sekunden"; open runs measure against *now*; missing start → "-"
+  (Helper.cs:710-717, 855-895);
+- failure table only on failure, empty string when no errors — columns
+  Prozess | Modul | Befehl | Anforderung | Von | Bis | Dauer |
+  Meldungstext | Fehlertext | Fehler-ID (Helper.cs:915-1113);
+- "-" coalescing for missing timestamps/commands throughout.
+"""
+
+from __future__ import annotations
+
+import html
+from datetime import datetime
+
+from pyspark.sql import SparkSession
+
+from . import runlog as RL
+
+_TD = (
+    '<td style="font-family: Arial, sans-serif; font-size: 12px; '
+    'color: #434C5E; padding: 4px;">{}</td>'
+)
+_TH = (
+    '<th style="font-family: Arial, sans-serif; font-size: 12px; '
+    'font-weight: bold; color: #434C5E; text-align: left; padding: 4px;">{}</th>'
+)
+
+_LEVEL_LABEL = {"package": "Paket", "realization": "Umsetzung", "step": "Schritt"}
+
+
+def _esc(v: object) -> str:
+    s = "-" if v is None or v == "" else str(v)
+    return html.escape(s, quote=False)
+
+
+def _parse_ts(v: str | None) -> datetime | None:
+    if not v:
+        return None
+    try:
+        return datetime.fromisoformat(str(v))
+    except ValueError:
+        return None
+
+
+def duration_label(start: str | None, end: str | None, now: datetime | None = None) -> str:
+    """The reference's duration cell rule (Helper.cs:855-895): rounded
+    minutes when > 0, else rounded seconds; an open run (no end) counts
+    up to *now*; no start → '-'. ``now`` is injectable for tests."""
+    t0 = _parse_ts(start)
+    if t0 is None:
+        return "-"
+    t1 = _parse_ts(end) or now or datetime.now()
+    secs = (t1 - t0).total_seconds()
+    mins = round(secs / 60)
+    return f"{mins} Minuten" if mins > 0 else f"{round(secs)} Sekunden"
+
+
+def _state_rows(spark: SparkSession, level: str) -> list:
+    return sorted(
+        spark.sql(RL.current_state_sql(level)).collect(), key=lambda r: r["run_id"]
+    )
+
+
+def _module_row(level: str, row, now: datetime | None) -> str:
+    cells = [
+        f"{_LEVEL_LABEL[level]} {row['run_id']}",
+        _esc(row["name"]),
+        _esc(row["Startzeitpunkt"]),
+        _esc(row["Endzeitpunkt"]),
+        duration_label(row["Startzeitpunkt"], row["Endzeitpunkt"], now),
+        {True: "True", False: "False", None: "-"}[row["Erfolgreich"]],
+    ]
+    return "<tr>" + "".join(_TD.format(_esc(c) if i < 2 else c) for i, c in enumerate(cells)) + "</tr>"
+
+
+def result_table_html(spark: SparkSession, now: datetime | None = None) -> str:
+    """AnalyzeWorkflowRun: the \"Ausgeführte Module\" table — package
+    rows each followed by their realization rows, each followed by that
+    realization's step rows (depth-first, the reference's recursion
+    order). Empty string when no packages ran (Helper.cs:826-829)."""
+    pkgs = _state_rows(spark, "package")
+    if not pkgs:
+        return ""
+    reals = _state_rows(spark, "realization")
+    steps = _state_rows(spark, "step")
+    rows: list[str] = []
+    for p in pkgs:
+        rows.append(_module_row("package", p, now))
+        for r in (x for x in reals if x["parent_id"] == p["run_id"]):
+            rows.append(_module_row("realization", r, now))
+            for s in (x for x in steps if x["parent_id"] == r["run_id"]):
+                rows.append(_module_row("step", s, now))
+    header = "<tr>" + "".join(
+        _TH.format(h) for h in ("Module", "Information", "Von", "Bis", "Dauer", "Ergebnis")
+    ) + "</tr>"
+    return (
+        '<h3 style="font-family: Arial, sans-serif; color: #434C5E;">'
+        "Ausgeführte Module</h3>\n"
+        '<table width="100%" cellpadding="0" cellspacing="0">\n'
+        + header + "\n" + "\n".join(rows) + "\n</table>"
+    )
+
+
+def error_table_html(spark: SparkSession, now: datetime | None = None) -> str:
+    """AnalyzeWorkflowError: error messages joined to their failed run
+    rows across all four levels (the A1 union, runlog.error_messages_sql
+    == Helper.cs:922-1025), one table row per message. Empty string when
+    there are no errors (Helper.cs:1036-1039)."""
+    errs = spark.sql(RL.error_messages_sql()).collect()
+    if not errs:
+        return ""
+    state = {
+        (lv, r["run_id"]): r for lv in RL.LEVELS for r in _state_rows(spark, lv)
+    }
+    rows = []
+    for i, e in enumerate(sorted(errs, key=lambda r: (r["Zeitpunkt"], r["run_id"])), start=1):
+        run = state.get((e["level"], e["run_id"]))
+        start = run["Startzeitpunkt"] if run else None
+        end = run["Endzeitpunkt"] if run else None
+        req = run["Anforderungszeitpunkt"] if run else None
+        cells = [
+            str(e["run_id"]),
+            f"{_LEVEL_LABEL.get(e['level'], 'Workflow')} {e['run_id']}",
+            _esc(e["sql_text"]),
+            _esc(req),
+            _esc(start),
+            _esc(end),
+            duration_label(start, end, now),
+            _esc(e["Meldung"]),
+            _esc(run["name"] if run else None),
+            str(i),
+        ]
+        rows.append("<tr>" + "".join(_TD.format(c) for c in cells) + "</tr>")
+    header = "<tr>" + "".join(
+        _TH.format(h)
+        for h in (
+            "Prozess", "Modul", "Befehl", "Anforderung", "Von", "Bis",
+            "Dauer", "Meldungstext", "Fehlertext", "Fehler-ID",
+        )
+    ) + "</tr>"
+    return (
+        '<h3 style="font-family: Arial, sans-serif; color: #c4254a;">'
+        "Fehlermeldungen</h3>\n"
+        '<table width="100%" cellpadding="0" cellspacing="0">\n'
+        + header + "\n" + "\n".join(rows) + "\n</table>"
+    )
+
+
+def render_run_report(
+    spark: SparkSession,
+    workflow_id: object,
+    success: bool,
+    *,
+    takeover_from: str = "-",
+    takeover_to: str = "-",
+    now: datetime | None = None,
+) -> str:
+    """The full mail body (diz_mail.html frame): status banner, workflow
+    id, execution window + duration from the WORKFLOW level's current
+    state, the module table, and — on failure only — the error table.
+    Returns a self-contained HTML document (inline styles only, as a
+    mail client requires)."""
+    wf = _state_rows(spark, "workflow")
+    exec_start = wf[0]["Startzeitpunkt"] if wf else None
+    exec_end = wf[0]["Endzeitpunkt"] if wf else None
+    status, color = ("Erfolgreich", "#44d478") if success else ("Fehlgeschlagen", "#c4254a")
+    error_table = "" if success else error_table_html(spark, now)
+    return f"""<!DOCTYPE html>
+<html><body style="font-family: Arial, sans-serif; color: #434C5E;">
+<h2 style="color: {color};">{status}</h2>
+<p>Report Workflow {_esc(workflow_id)}</p>
+<table cellpadding="4">
+<tr>{_TD.format("Start")}{_TD.format(_esc(exec_start))}</tr>
+<tr>{_TD.format("Ende")}{_TD.format(_esc(exec_end))}</tr>
+<tr>{_TD.format("Dauer")}{_TD.format(duration_label(exec_start, exec_end, now))}</tr>
+<tr>{_TD.format("Übernahme von")}{_TD.format(_esc(takeover_from))}</tr>
+<tr>{_TD.format("Übernahme bis")}{_TD.format(_esc(takeover_to))}</tr>
+</table>
+{result_table_html(spark, now)}
+{error_table}
+</body></html>"""

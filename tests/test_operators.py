@@ -293,6 +293,62 @@ def test_run_graph_dot(spark, tmp_path):
     assert f'"W{wf}" [label="WF_VIZ", color=red];' in dot
 
 
+def test_html_run_report(spark, tmp_path):
+    """Mail-ready HTML report (Helper.cs:606-1292 + resultTable*.txt):
+    seeded failure run renders status banner, hierarchical module rows
+    in walk order, duration rule, and the failure table; a success
+    render carries no error table."""
+    from datetime import datetime
+
+    from etl_service_spark.plans.report import duration_label, render_run_report
+    from etl_service_spark.plans.runlog import RunLog, register_runlog_views
+
+    log = RunLog(str(tmp_path))
+    t0 = datetime(2026, 5, 1, 6, 0)
+    wf = log.open("workflow", "WF_MAIL", None, t0)
+    pkg = log.open("package", "P_LOAD", wf, t0)
+    real = log.open("realization", "R_DB1", pkg, t0)
+    step = log.open("step", "S_COPY", real, t0)
+    log.log_query(step, "INSERT INTO tgt SELECT broken")
+    log.error("step", step, "sentinel -1 from target")
+    log.close("step", step, success=False)
+    log.close("realization", real, success=False)
+    log.close("package", pkg, success=False)
+    log.close("workflow", wf, success=False)
+    log.flush(spark)
+    register_runlog_views(spark, str(tmp_path))
+
+    now = datetime(2026, 5, 1, 6, 10)
+    html_doc = render_run_report(spark, 42, success=False, now=now)
+    # status banner + workflow id (failure branch, Helper.cs:665-686)
+    assert "Fehlgeschlagen" in html_doc and "#c4254a" in html_doc
+    assert "Report Workflow 42" in html_doc
+    # module table: depth-first package -> realization -> step order
+    assert "Ausgeführte Module" in html_doc
+    i_p = html_doc.index(f"Paket {pkg}")
+    i_r = html_doc.index(f"Umsetzung {real}")
+    i_s = html_doc.index(f"Schritt {step}")
+    assert i_p < i_r < i_s
+    assert "P_LOAD" in html_doc and "R_DB1" in html_doc and "S_COPY" in html_doc
+    # failure table with the step's SQL from the query log + message
+    assert "Fehlermeldungen" in html_doc
+    assert "INSERT INTO tgt SELECT broken" in html_doc
+    assert "sentinel -1 from target" in html_doc
+
+    # success render: no error table (Helper.cs:652 {{ERRORTABLE}} -> "")
+    ok_doc = render_run_report(spark, 42, success=True, now=now)
+    assert "Erfolgreich" in ok_doc and "#44d478" in ok_doc
+    assert "Fehlermeldungen" not in ok_doc
+
+    # duration rule (Helper.cs:710-717): minutes when rounded > 0, else
+    # seconds; open run measures against now; missing start -> '-'
+    # 2.5 min rounds to 2: banker's rounding, same as C# Math.Round default
+    assert duration_label("2026-05-01T06:00:00", "2026-05-01T06:02:30") == "2 Minuten"
+    assert duration_label("2026-05-01T06:00:00", "2026-05-01T06:00:20") == "20 Sekunden"
+    assert duration_label("2026-05-01T06:00:00", None, now) == "10 Minuten"
+    assert duration_label(None, None, now) == "-"
+
+
 def test_idempotent_partition_overwrite_copy(spark, sf_dir, tmp_path):
     """Re-running an incremental window replaces only its months:
     no duplicates, other months untouched (the rollback-free recovery
