@@ -60,6 +60,14 @@ JDBC_TYPES: dict[str, tuple[str, str]] = {
         "jdbc:mysql://{host}:{port}/{database}",
     ),
     "DB2": ("com.ibm.db2.jcc.DB2Driver", "jdbc:db2://{host}:{port}/{database}"),
+    # Embedded Derby: not a reference type — the sandbox's live-DBMS
+    # stand-in. Its jar ships inside the Spark distribution, so the
+    # WHOLE JDBC path (url/driver resolution, dbtable-subquery pushdown,
+    # partitioned parallel read, 50k-batch append) gets exercised
+    # against a real database in tests with no network. Embedded Derby
+    # lives in the driver/executor JVM, so it is a single-JVM test
+    # engine only; production DBMSes above are the cluster path.
+    "Derby": ("org.apache.derby.jdbc.EmbeddedDriver", "jdbc:derby:{database};create=true"),
 }
 
 FILE_TYPES = ("FILE-PARQUET", "FILE-CSV", "Excel", "CSV")

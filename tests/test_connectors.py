@@ -139,3 +139,52 @@ def test_schema_evolution_read_merges_drifted_drops(spark, tmp_path):
     audit = AuditContext("svc", "2026-01-01 00:00:00", "p")
     landed = {r["id"]: r for r in align_to_schema(merged, target, audit).collect()}
     assert landed[1]["Nutzer"] == "svc" and landed[1]["region"] is None
+
+
+def test_jdbc_live_roundtrip_embedded_derby(spark, tmp_path):
+    """S1-S4 live path: a REAL JDBC round-trip against embedded Derby
+    (its jar ships inside the Spark distribution — no network). Covers
+    the exact code the production DBMS types use: url/driver assembly,
+    bulk batched append (write_jdbc), table read, whole-SQL dbtable
+    subquery pushdown, and the partitioned parallel read."""
+    import pytest
+
+    from etl_service_spark.sources.connectors import (
+        Connection,
+        jdbc_options,
+        partition_options,
+        reader_for,
+        write_jdbc,
+    )
+
+    conn = Connection(conn_id=99, type_name="Derby", database=str(tmp_path / "derbydb"))
+    df = spark.range(100).selectExpr("id", "CAST(id * 2 AS DOUBLE) AS v")
+    try:
+        write_jdbc(df, conn, "T_ROUND", batchsize=50)
+    except Exception as e:  # pragma: no cover - jar missing in exotic envs
+        pytest.skip(f"embedded Derby unavailable: {str(e).splitlines()[0][:120]}")
+
+    back = reader_for(spark, conn, "T_ROUND").load()
+    assert back.count() == 100
+    assert back.selectExpr("CAST(sum(v) AS BIGINT) AS s").collect()[0]["s"] == 9900
+
+    # whole-SQL pushdown: the query text becomes a dbtable subquery and
+    # runs INSIDE Derby (CommandExecuter.cs:409 behavior). Spark writes
+    # columns quoted, so Derby-side SQL must quote them too.
+    q = reader_for(spark, conn, 'SELECT "id" FROM T_ROUND WHERE "id" < 10').load()
+    assert q.count() == 10
+    assert jdbc_options(conn, "SELECT 1 FROM X")["dbtable"].startswith("(SELECT")
+
+    # partitioned parallel read: the 500k-batch loop's Spark equivalent
+    part = (
+        spark.read.format("jdbc")
+        .options(**jdbc_options(conn, "T_ROUND"))
+        .options(**partition_options('"id"', 0, 100, 4))
+        .load()
+    )
+    assert part.rdd.getNumPartitions() == 4
+    assert part.count() == 100
+
+    # append accumulates (mode append, like the reference's bulk copy)
+    write_jdbc(df.limit(10), conn, "T_ROUND", batchsize=50)
+    assert reader_for(spark, conn, "T_ROUND").load().count() == 110
