@@ -74,6 +74,7 @@ HEADLINERS = [
     "ann_lsh_bucketed",
     "ann_ivf_topk",
     "emb_kmeans",
+    "emb_quantize_int8",
     "media_binary_stats",
     "media_frame_sample",
     "media_chunk_windows",

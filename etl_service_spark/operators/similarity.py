@@ -521,6 +521,56 @@ WHERE ({dot}) / (a.nrm * b2.nrm) >= {tau}
     )
 
 
+# ------------------------------------------------- int8 quantization
+def quantize_int8_sql(view: str = "embeddings") -> tuple[str, str]:
+    """Per-vector symmetric int8 quantization — the standard 4x storage
+    reduction for embedding tables (q_i = floor(v_i * 127/max|v|)).
+
+    Cross-engine exactness: float32 components widen to float64 exactly;
+    max|v| is a max over exact values; 127.0/mx and v*scale are single
+    correctly-rounded IEEE-754 ops identical in both engines; FLOOR to
+    BIGINT is exact. Output is the quantized vector's integer summary
+    (sum/min/max checksum per vector) — a full value check without
+    hashing 64-wide rows.
+
+    Scale shape: one explode over dims (the dims relation is 64 rows,
+    broadcast) + two hash aggregations keyed on vec_id — map-side
+    combine, shuffle volume is rows x 3 integers, never the vectors.
+    Zero vectors are excluded (scale undefined), mirrored in the oracle.
+    """
+    spark_dims = "SELECT CAST(id AS INT) AS i FROM range(64)"
+    duck_dims = "SELECT range AS i FROM range(64)"
+    spark_elem = "element_at(embedding, i + 1)"
+    duck_elem = "embedding[i + 1]"
+
+    def body(elem: str, dims: str) -> str:
+        return f"""
+WITH dims AS ({dims}),
+e AS (
+  SELECT vec_id, i, CAST({elem} AS DOUBLE) AS v
+  FROM {view} CROSS JOIN dims
+),
+m AS (
+  SELECT vec_id, MAX(ABS(v)) AS mx FROM e GROUP BY vec_id
+),
+qv AS (
+  SELECT e.vec_id,
+         CAST(FLOOR(e.v * (127.0 / m.mx)) AS BIGINT) AS q
+  FROM e JOIN m ON m.vec_id = e.vec_id
+  WHERE m.mx > 0
+)
+SELECT vec_id,
+       CAST(SUM(q) AS BIGINT) AS q_sum,
+       MIN(q) AS q_min,
+       MAX(q) AS q_max,
+       COUNT(*) AS n_dims
+FROM qv
+GROUP BY vec_id
+"""
+
+    return body(spark_elem, spark_dims), body(duck_elem, duck_dims)
+
+
 # ------------------------------------------------------------- k-means
 def kmeans_sql(k: int = 4, iters: int = 2, view: str = "embeddings") -> tuple[str, str]:
     """Lloyd's k-means over the embedding column, ``iters`` iterations

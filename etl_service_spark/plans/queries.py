@@ -1782,6 +1782,7 @@ def registry() -> dict[str, Case]:
     )
     cases["profile_orders_columns"] = _sql_case(_profile_sql, _profile_sql)
     cases["emb_kmeans"] = _pair_case(similarity.kmeans_sql())
+    cases["emb_quantize_int8"] = _pair_case(similarity.quantize_int8_sql())
     cases["events_value_quantiles"] = _pair_case(sketch.quantiles_sql())
 
     # --- similarity search
@@ -1904,12 +1905,48 @@ FROM documents
         textops.repetition_quality, textops.oracle_repetition_quality
     )
 
-    # --- UNPIVOT (Expand) relational shape: wide measures → long stats.
-    # One Expand + one hash aggregation, no joins; the DECIMAL(18,2)
-    # sum is exact and order-independent (DETERMINISM.md float rule),
-    # min/max/count are order-free. ANSI UNPIVOT parses identically in
-    # Spark and DuckDB, so one template serves both engines.
-    cases["lineitem_unpivot_stats"] = _bi_case(
+    # --- UNPIVOT relational shape: wide measures → long stats. Oracle:
+    # ANSI UNPIVOT + GROUP BY (DuckDB materializes the long form only
+    # logically). Spark path: the UNPIVOT plan is an Expand that
+    # quadruples the scan's row volume BEFORE aggregating — at 100 TB
+    # that is 3 extra copies of every measure column through the
+    # aggregation; instead compute all 16 aggregates in ONE map-side
+    # pass over the wide rows (no Expand, no extra shuffle volume —
+    # the shuffle carries 16 partial aggregates, not 4N rows) and
+    # explode the 1-row result into the 4-row long shape at the end.
+    # Same values: count ignores NULLs exactly like UNPIVOT's implicit
+    # NULL drop, the DECIMAL(18,2) sum is order-independent.
+    _UNPIVOT_MEASURES = ("l_discount", "l_extendedprice", "l_quantity", "l_tax")
+
+    def _q_unpivot_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+        v = views(spark, sf_dir)
+        aggs = []
+        for c in _UNPIVOT_MEASURES:
+            aggs += [
+                F.count(c).alias(f"cnt_{c}"),
+                F.min(c).alias(f"min_{c}"),
+                F.max(c).alias(f"max_{c}"),
+                F.sum(F.col(c).cast("decimal(18,2)")).alias(f"sum_{c}"),
+            ]
+        wide = v["lineitem"].agg(*aggs)
+        rows = F.array(
+            *[
+                F.struct(
+                    F.lit(c).alias("metric"),
+                    F.col(f"cnt_{c}").alias("n_rows"),
+                    F.col(f"min_{c}").alias("min_val"),
+                    F.col(f"max_{c}").alias("max_val"),
+                    F.col(f"sum_{c}").cast("double").alias("sum_val"),
+                )
+                for c in _UNPIVOT_MEASURES
+            ]
+        )
+        return (
+            wide.select(F.explode(rows).alias("s")).select("s.*").orderBy("metric")
+        )
+
+    cases["lineitem_unpivot_stats"] = Case(
+        _q_unpivot_stats,
         """
 SELECT metric,
        count(*) AS n_rows,
@@ -1920,7 +1957,7 @@ FROM (SELECT l_quantity, l_extendedprice, l_discount, l_tax FROM lineitem)
      UNPIVOT (val FOR metric IN (l_quantity, l_extendedprice, l_discount, l_tax))
 GROUP BY metric
 ORDER BY metric
-"""
+""",
     )
 
     return _driver_order(cases)

@@ -349,6 +349,28 @@ def test_html_run_report(spark, tmp_path):
     assert duration_label(None, None, now) == "-"
 
 
+def test_scrub_pii_masks_and_counts(spark):
+    """Span-level PII scrub: emails/phones/IPs masked to <TYPE> tokens
+    with per-type counts, clean rows untouched, JVM-side only."""
+    from etl_service_spark.operators.profile import scrub_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "contact jane.doe@example.org or +43 (1) 234-5678 today"),
+            (2, "nodes 10.0.0.1 and 192.168.1.254 deadlocked"),
+            (3, "no identifiers here"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in scrub_pii(df).collect()}
+    assert rows[1]["n_email"] == 1 and rows[1]["n_phone"] == 1
+    assert "<EMAIL>" in rows[1]["text_scrubbed"] and "<PHONE>" in rows[1]["text_scrubbed"]
+    assert "jane.doe" not in rows[1]["text_scrubbed"]
+    assert rows[2]["n_ipv4"] == 2 and rows[2]["text_scrubbed"].count("<IPV4>") == 2
+    assert rows[3]["text_scrubbed"] == "no identifiers here"
+    assert rows[3]["n_email"] == rows[3]["n_phone"] == rows[3]["n_ipv4"] == 0
+
+
 def test_idempotent_partition_overwrite_copy(spark, sf_dir, tmp_path):
     """Re-running an incremental window replaces only its months:
     no duplicates, other months untouched (the rollback-free recovery

@@ -231,15 +231,19 @@ def test_fuzzy_dedup_probe_is_parallel_hash_join(spark, sf_dir):
     assert plan.count("Exchange") >= 1, plan[:1500]  # the REPARTITION hint
 
 
-def test_unpivot_is_single_expand_agg(spark, sf_dir):
-    """lineitem_unpivot_stats: ANSI UNPIVOT must compile to one Expand
-    feeding one hash aggregation — one shuffle on the metric key, no
-    joins, no union of per-column scans."""
+def test_unpivot_avoids_expand(spark, sf_dir):
+    """lineitem_unpivot_stats: the long-form stats must come from ONE
+    wide aggregation over the scan (16 partial aggregates, shuffle
+    carries one row) with the 4-row long shape assembled afterwards —
+    NOT from the UNPIVOT Expand, which would push 4x the scan's row
+    volume through the aggregation, and not from joins or per-column
+    scan unions either."""
     df = CASES["lineitem_unpivot_stats"].spark(spark, sf_dir)
     plan = _plan(df)
-    assert "Expand" in plan, plan[:1500]
+    assert "Expand" not in plan, plan[:1500]
     assert "Join" not in plan, plan[:1500]
     assert "Union" not in plan, plan[:1500]
+    assert plan.count("Scan parquet") == 1 or plan.count("FileScan") == 1, plan[:1500]
 
 
 def test_privacy_pseudonymize_broadcasts_group_sizes(spark, sf_dir):
