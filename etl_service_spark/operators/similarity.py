@@ -116,6 +116,87 @@ def cosine_topk(spark: SparkSession, k: int = 10, n_queries: int = 5) -> DataFra
     return spark.sql(cosine_topk_sql(k, n_queries)[0])
 
 
+def cosine_topk_staged(
+    spark: SparkSession, k: int = 10, n_queries: int = 5, view: str = "embeddings"
+) -> DataFrame:
+    """Spark path for cosine_topk: the tiny query-vector set broadcasts
+    into an Arrow kernel that replays the oracle's exact FP chain
+    (f32→f64 widening, left-associated 64-term accumulation,
+    dot/(qn·en)) against each corpus partition and emits only that
+    partition's top-k per query under the oracle's total order
+    (cosine DESC, n_id ASC) — any global top-k row is necessarily in
+    its partition's local top-k, so the final window ranks
+    k·Q·partitions candidate rows instead of shuffling all Q·N scores.
+    The SQL twin evaluates the 64-term chain as an interpreted
+    projection over Q·N rows (~3x slower at sf0.1, worse with corpus
+    growth); values are bit-identical, so ties break identically."""
+    import numpy as np
+    import pandas as pd
+
+    emb = spark.table(view).select("vec_id", "embedding")
+    qrows = sorted(
+        ((r.vec_id, r.embedding) for r in emb.filter(f"vec_id < {n_queries}").collect()),
+        key=lambda t: t[0],
+    )
+    q_ids = np.array([t[0] for t in qrows], dtype=np.int64)
+    q_m = np.array([t[1] for t in qrows], dtype=np.float64)
+
+    def _norms(m: "np.ndarray") -> "np.ndarray":
+        acc = m[:, 0] * m[:, 0]
+        for i in range(1, DIM):
+            acc = acc + m[:, i] * m[:, i]
+        return np.sqrt(acc)
+
+    q_nrm = _norms(q_m)
+    bc = spark.sparkContext.broadcast((q_ids, q_m, q_nrm))
+
+    def kernel(batches):
+        ids_q, m_q, nrm_q = bc.value
+        nq = len(ids_q)
+        # running per-partition candidates per query
+        cand_ids = [np.empty(0, dtype=np.int64) for _ in range(nq)]
+        cand_cos = [np.empty(0, dtype=np.float64) for _ in range(nq)]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.array(list(pdf["embedding"]), dtype=np.float64)
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            nrm = _norms(m)
+            acc = np.multiply.outer(m_q[:, 0], m[:, 0])
+            for i in range(1, DIM):
+                acc += np.multiply.outer(m_q[:, i], m[:, i])
+            cos = acc / np.multiply.outer(nrm_q, nrm)
+            for qi in range(nq):
+                keep = ids != ids_q[qi]  # e.vec_id <> q_id, like the SQL join
+                all_ids = np.concatenate([cand_ids[qi], ids[keep]])
+                all_cos = np.concatenate([cand_cos[qi], cos[qi][keep]])
+                # oracle order: cosine DESC, n_id ASC (lexsort: last key primary)
+                order = np.lexsort((all_ids, -all_cos))[:k]
+                cand_ids[qi], cand_cos[qi] = all_ids[order], all_cos[order]
+        out_q = np.repeat(ids_q, [len(c) for c in cand_ids])
+        yield pd.DataFrame(
+            {
+                "q_id": out_q,
+                "n_id": np.concatenate(cand_ids) if nq else np.empty(0, dtype=np.int64),
+                "cosine": np.concatenate(cand_cos) if nq else np.empty(0),
+            }
+        )
+
+    scored = P.fan_out(emb).mapInPandas(
+        kernel, schema="q_id bigint, n_id bigint, cosine double"
+    )
+    scored.createOrReplaceTempView("__topk_partition_cand")
+    return spark.sql(
+        f"""
+SELECT q_id, n_id, rnk, cosine FROM (
+  SELECT q_id, n_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rnk
+  FROM __topk_partition_cand
+) WHERE rnk <= {k}
+"""
+    )
+
+
 # ---------------------------------------------------- embedding near-dup
 NEARDUP_TEMPLATE = """
 WITH n AS (

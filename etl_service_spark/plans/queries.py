@@ -1786,7 +1786,13 @@ def registry() -> dict[str, Case]:
     cases["events_value_quantiles"] = _pair_case(sketch.quantiles_sql())
 
     # --- similarity search
-    cases["ann_cosine_topk"] = _pair_case(similarity.cosine_topk_sql())
+    def _topk_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
+        views(spark, sf_dir)
+        return similarity.cosine_topk_staged(spark)
+
+    # Spark side: Arrow/numpy replay of the oracle's exact FP chain with
+    # per-partition top-k pruning; oracle stays the explicit-chain SQL.
+    cases["ann_cosine_topk"] = Case(_topk_staged, similarity.cosine_topk_sql()[1])
 
     def _neardup_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         views(spark, sf_dir)
