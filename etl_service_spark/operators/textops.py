@@ -390,3 +390,60 @@ def oracle_repetition_quality(view: str = "documents") -> str:
            u.dup_token_cnt * 1000000 // u.n_tokens AS dup_ppm
     FROM uagg u LEFT JOIN bagg b USING (doc_id)
     """
+
+
+def repetition_quality_staged(spark, view: str = "documents") -> DataFrame:
+    """Spark execution path for repetition_quality: every metric is a
+    pure function of ONE document, so the whole operator is a single
+    Arrow ``mapInPandas`` pass — ZERO shuffles, against the declarative
+    form's two explode→(doc,token)-aggregate→doc-aggregate pipelines
+    plus a join (whose shuffles are bounded by vocabulary mass but are
+    still three exchanges of every document's vocabulary). Same
+    tokenizer regex as the SQL/oracle side (portable.TOKEN_SPLIT_RE),
+    pure integer counts — values identical by construction; docs that
+    tokenize to nothing are absent from the output exactly like the
+    oracle's explode-based form. At 100 TB this is embarrassingly
+    parallel over document partitions."""
+    import re
+
+    import pandas as pd
+
+    splitter = re.compile(P.TOKEN_SPLIT_RE)
+
+    def kernel(batches):
+        from collections import Counter
+
+        cols = [
+            "doc_id", "n_tokens", "n_distinct", "max_unigram_cnt",
+            "dup_token_cnt", "max_bigram_cnt", "dup_ppm",
+        ]
+        for pdf in batches:
+            rows = []
+            for doc_id, txt in zip(pdf["doc_id"], pdf["text"]):
+                toks = [
+                    t for t in splitter.split(("" if txt is None else txt).lower()) if t
+                ]
+                if not toks:
+                    continue  # explode([]) emits nothing in both engines
+                uc = Counter(toks)
+                n_tokens = len(toks)
+                dup = sum(c for c in uc.values() if c > 1)
+                max_big = (
+                    max(Counter(zip(toks, toks[1:])).values()) if len(toks) >= 2 else 0
+                )
+                rows.append(
+                    (
+                        int(doc_id), n_tokens, len(uc), max(uc.values()),
+                        dup, max_big, dup * 1_000_000 // n_tokens,
+                    )
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return P.fan_out(spark.table(view).select("doc_id", "text")).mapInPandas(
+        kernel,
+        schema=(
+            "doc_id bigint, n_tokens bigint, n_distinct bigint,"
+            " max_unigram_cnt bigint, dup_token_cnt bigint,"
+            " max_bigram_cnt bigint, dup_ppm bigint"
+        ),
+    )

@@ -1906,9 +1906,17 @@ FROM documents
         ),
     )
 
-    # --- Gopher-style repetition quality (text family)
-    cases["text_repetition_quality"] = _text_case(
-        textops.repetition_quality, textops.oracle_repetition_quality
+    # --- Gopher-style repetition quality (text family). Spark side:
+    # per-doc metrics are a pure function of one document → single
+    # zero-shuffle Arrow pass (repetition_quality_staged); the
+    # declarative explode/aggregate form stays available in textops and
+    # the oracle is unchanged.
+    def _repetition_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
+        views(spark, sf_dir)
+        return textops.repetition_quality_staged(spark)
+
+    cases["text_repetition_quality"] = Case(
+        _repetition_staged, textops.oracle_repetition_quality()
     )
 
     # --- UNPIVOT relational shape: wide measures → long stats. Oracle:

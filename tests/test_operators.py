@@ -349,6 +349,52 @@ def test_html_run_report(spark, tmp_path):
     assert duration_label(None, None, now) == "-"
 
 
+def test_run_graph_png_render(spark, tmp_path):
+    """Raster render of the run structure (Vizualiser.cs parity): valid
+    PNG, expected dimensions from the layout math, failure box painted
+    in the failure color, background in the canvas color."""
+    import struct
+    import zlib
+    from datetime import datetime
+
+    import numpy as np
+
+    from etl_service_spark.plans.runlog import RunLog, register_runlog_views
+    from etl_service_spark.plans.viz import BOX_H, BOX_W, COL_GAP, COLORS, MARGIN, ROW_GAP, render_run_graph_png
+
+    log = RunLog(str(tmp_path))
+    t0 = datetime(2026, 6, 1, 1, 0)
+    wf = log.open("workflow", "WF_PNG", None, t0)
+    pkg = log.open("package", "P", wf, t0)
+    st = log.open("step", "S", pkg, t0)
+    log.close("step", st, success=False)
+    log.close("package", pkg, success=True)
+    log.close("workflow", wf, success=False)
+    log.flush(spark)
+    register_runlog_views(spark, str(tmp_path))
+
+    out = tmp_path / "run.png"
+    png = render_run_graph_png(spark, str(out))
+    assert png.startswith(b"\x89PNG\r\n\x1a\n") and out.read_bytes() == png
+    w, h = struct.unpack(">II", png[16:24])
+    assert w == 2 * MARGIN + 4 * BOX_W + 3 * COL_GAP
+    assert h == 2 * MARGIN + BOX_H  # one row per level at most
+
+    # decode scanlines (filter 0) and check painted colors
+    idat = png[png.index(b"IDAT") + 4 : png.rindex(b"IEND") - 4]
+    raw = zlib.decompress(idat)
+    fb = np.frombuffer(raw, dtype=np.uint8).reshape(h, w * 3 + 1)[:, 1:].reshape(h, w, 3)
+    assert tuple(fb[0, 0]) == COLORS["bg"]
+    # workflow box (col 0) failed -> fail fill inside the border
+    assert tuple(fb[MARGIN + BOX_H // 2, MARGIN + BOX_W // 2]) == COLORS["fail"]
+    # package box (col 1) succeeded -> ok fill
+    x_pkg = MARGIN + (BOX_W + COL_GAP) + BOX_W // 2
+    assert tuple(fb[MARGIN + BOX_H // 2, x_pkg]) == COLORS["ok"]
+    # connector pixel between workflow and package columns
+    x_gap = MARGIN + BOX_W + COL_GAP // 2
+    assert tuple(fb[MARGIN + BOX_H // 2, x_gap]) == COLORS["edge"]
+
+
 def test_scrub_pii_masks_and_counts(spark):
     """Span-level PII scrub: emails/phones/IPs masked to <TYPE> tokens
     with per-type counts, clean rows untouched, JVM-side only."""
