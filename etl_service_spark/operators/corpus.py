@@ -212,7 +212,7 @@ def training_pipeline(spark: SparkSession, q_min: float = 0.45) -> DataFrame:
     from . import graph, textops
 
     docs = spark.table("documents")
-    q = textops.quality_score(docs).select("doc_id", "quality")
+    q = textops.quality_score_staged(spark).select("doc_id", "quality")
     clusters = graph.dup_clusters(spark)
     non_keepers = clusters.filter("doc_id != cluster_id").select("doc_id")
     bucket = _BUCKET.format(mod=1000)

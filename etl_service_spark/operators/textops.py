@@ -447,3 +447,53 @@ def repetition_quality_staged(spark, view: str = "documents") -> DataFrame:
             " max_bigram_cnt bigint, dup_ppm bigint"
         ),
     )
+
+
+def quality_score_staged(spark, view: str = "documents") -> DataFrame:
+    """Spark path for quality_score: per-doc heuristics in one Arrow
+    pass (same tokenizer regex / stopword list / punctuation regex as
+    the SQL form, and the identical left-associated IEEE-754 chain:
+    (0.4·stop/g + 0.3·min(ntok/100,1)) + 0.3·alpha/len, floor·1e6/1e6 —
+    every operand is an exact integer widened to double, every op
+    correctly rounded, so values are bit-identical to the oracle). The
+    declarative form evaluates the tokenizer + stopword filter as
+    interpreted higher-order functions per row; this is a zero-shuffle
+    map-side projection like repetition_quality_staged."""
+    import math
+    import re
+
+    import pandas as pd
+
+    splitter = re.compile(P.TOKEN_SPLIT_RE)
+    punct = re.compile(PUNCT_RE)
+    stops = frozenset(STOPWORDS["en"])
+
+    def kernel(batches):
+        cols = ["doc_id", "n_tokens", "stop_ratio", "alpha_ratio", "quality"]
+        for pdf in batches:
+            rows = []
+            for doc_id, txt in zip(pdf["doc_id"], pdf["text"]):
+                low = ("" if txt is None else txt).lower()
+                toks = [t for t in splitter.split(low) if t]
+                ntok = len(toks)
+                stop = sum(1 for t in toks if t in stops)
+                alpha = len(punct.sub("", low))
+                g_tok = max(ntok, 1)
+                g_len = max(len(low), 1)
+                quality = (
+                    math.floor(
+                        (0.4 * stop / g_tok + 0.3 * min(ntok / 100.0, 1.0) + 0.3 * alpha / g_len)
+                        * 1e6
+                    )
+                    / 1e6
+                )
+                rows.append((int(doc_id), ntok, stop / g_tok, alpha / g_len, quality))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return P.fan_out(spark.table(view).select("doc_id", "text")).mapInPandas(
+        kernel,
+        schema=(
+            "doc_id bigint, n_tokens int, stop_ratio double,"
+            " alpha_ratio double, quality double"
+        ),
+    )

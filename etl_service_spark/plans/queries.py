@@ -47,10 +47,22 @@ class Case(NamedTuple):
 _VIEW_CACHE: dict[tuple[int, str], dict[str, DataFrame]] = {}
 
 
+# session id -> sf_dir whose temp views are CURRENTLY registered. The
+# DataFrame dict is memoizable per (session, sf_dir), but the session's
+# temp views are global state: switching BACK to a previously-seen
+# sf_dir must re-register them, or spark.table()/spark.sql() consumers
+# silently read the other scale factor's files (caught by an
+# interleaved-sf oracle run; single-sf sessions never hit this).
+_LAST_SF: dict[int, str] = {}
+
+
 def views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     key = (id(spark), sf_dir)
     if key not in _VIEW_CACHE:
         _VIEW_CACHE[key] = register_views(spark, sf_dir)
+    elif _LAST_SF.get(id(spark)) != sf_dir:
+        register_views(spark, sf_dir)
+    _LAST_SF[id(spark)] = sf_dir
     return _VIEW_CACHE[key]
 
 
@@ -1665,7 +1677,13 @@ def registry() -> dict[str, Case]:
 
     # --- text analysis
     cases["text_token_stats"] = _text_case(textops.token_stats, textops.oracle_token_stats)
-    cases["text_quality_score"] = _text_case(textops.quality_score, textops.oracle_quality_score)
+    # quality: zero-shuffle Arrow kernel replaying the oracle's exact FP
+    # chain (see quality_score_staged); declarative form stays in textops
+    def _quality_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
+        views(spark, sf_dir)
+        return textops.quality_score_staged(spark)
+
+    cases["text_quality_score"] = Case(_quality_staged, textops.oracle_quality_score())
     cases["text_lang_id"] = _text_case(textops.lang_id, textops.oracle_lang_id)
     cases["text_fingerprint"] = _text_case(textops.fingerprint, textops.oracle_fingerprint)
     cases["text_normalize"] = _text_case(textops.normalize, textops.oracle_normalize)

@@ -395,6 +395,24 @@ def test_run_graph_png_render(spark, tmp_path):
     assert tuple(fb[MARGIN + BOX_H // 2, x_gap]) == COLORS["edge"]
 
 
+def test_views_reregister_on_sf_switch(spark):
+    """views() must re-point the session's temp views when switching
+    BACK to a previously-registered sf_dir — spark.table()/spark.sql()
+    consumers read whatever was registered last, so a stale memo hit
+    silently serves the other scale factor (regression: caught by an
+    interleaved-sf oracle run of corpus_training_pipeline)."""
+    from etl_service_spark.plans.queries import views
+
+    views(spark, "/root/testdata/sf0.001")
+    n_small = spark.sql("SELECT COUNT(*) AS n FROM orders").collect()[0]["n"]
+    views(spark, "/root/testdata/sf0.01")
+    n_mid = spark.sql("SELECT COUNT(*) AS n FROM orders").collect()[0]["n"]
+    views(spark, "/root/testdata/sf0.001")  # memo hit — must still re-register
+    n_back = spark.sql("SELECT COUNT(*) AS n FROM orders").collect()[0]["n"]
+    assert n_small < n_mid
+    assert n_back == n_small
+
+
 def test_scrub_pii_masks_and_counts(spark):
     """Span-level PII scrub: emails/phones/IPs masked to <TYPE> tokens
     with per-type counts, clean rows untouched, JVM-side only."""
