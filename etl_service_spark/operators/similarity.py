@@ -408,8 +408,12 @@ def ivf_ann_staged(
     cosine ranking) runs in an Arrow kernel with the centroid matrix
     broadcast, replaying the oracle's exact left-associated FP chains;
     the probe join + exact re-rank stay declarative SQL over the
-    lineage-truncated assignment relation. Tie-breaks (cos DESC, c_id)
-    are identical because the doubles are identical."""
+    lineage-truncated assignment relation. The kernel also carries each
+    vector's norm (and the embedding itself) into the staged relation,
+    so the re-rank joins read (embedding, nrm) from the stage instead
+    of re-evaluating the interpreted 64-term norm chain over the full
+    table once per join side. Tie-breaks (cos DESC, c_id) are identical
+    because the doubles are identical."""
     def build_assignment():
         # centroid collect + broadcast only run on a cache miss: on a
         # hit the staged assignment relation already has everything.
@@ -454,25 +458,36 @@ def ivf_ann_staged(
                 ranks[rows, order] = np.arange(cos.shape[1])[None, :] + 1
                 vid = pdf["vec_id"].to_numpy(dtype=np.int64)
                 n = cos.shape[1]
+                # embedding rides along ONLY on the rn=1 row (one per
+                # vector) so the stage carries each vector once, not
+                # once per centroid
+                emb_list = list(pdf["embedding"])
+                flat_rn = ranks.ravel()
+                emb_col = [
+                    emb_list[idx // n] if flat_rn[idx] == 1 else None
+                    for idx in range(len(flat_rn))
+                ]
                 yield pd.DataFrame(
                     {
                         "vec_id": np.repeat(vid, n),
                         "c_id": np.tile(ids_c, len(vid)),
-                        "rn": ranks.ravel(),
+                        "rn": flat_rn,
+                        "embedding": emb_col,
+                        "nrm": np.repeat(nrm, n),
                     }
                 )
 
         return P.fan_out(emb).mapInPandas(
-            kernel, schema="vec_id bigint, c_id bigint, rn int"
+            kernel,
+            schema="vec_id bigint, c_id bigint, rn int, embedding array<float>, nrm double",
         )
 
     name = _stage_view(spark, build_assignment, "ivf_assign", view, (n_cells,))
-    nrm_sql = _norm("embedding", one_based=False)
     sdot = _dot("qv.embedding", "nv2.embedding", one_based=False)
     return spark.sql(
         f"""
 WITH nv AS (
-  SELECT vec_id, embedding, ({nrm_sql}) AS nrm FROM {view}
+  SELECT vec_id, embedding, nrm FROM {name} WHERE rn = 1
 ),
 cells AS (
   SELECT vec_id, c_id FROM {name} WHERE rn = 1
