@@ -109,6 +109,7 @@ HEADLINERS = [
     "dq_expectation_report",
     "corpus_pack_sequences",
     "sketch_kmv_audience_overlap",
+    "sketch_hll_distinct",
     "events_gapfill_hourly",
 ]
 

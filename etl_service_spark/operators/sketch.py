@@ -326,3 +326,70 @@ FROM sk CROSS JOIN ex
     from etl_service_spark.functions import portable as P
 
     return P.bi_sql(template, idiv=("DIV", "//"))
+
+
+def hll_distinct_sql(view: str = "events") -> tuple[str, str]:
+    """HyperLogLog distinct-count per event_type, m=64 registers —
+    alongside the exact count, like the KMV report above.
+
+    The whole sketch is INTEGER artihmetic made cross-engine exact:
+    the 32-bit bijective hash splits into a 6-bit register index and a
+    26-bit suffix whose rank (position of the first 1-bit from the
+    MSB) comes from length(bin(x)) — identical string semantics in
+    Spark and DuckDB. The harmonic sum is scaled by 2^27 so every
+    register contributes the exact integer 2^(27-rank) (empty
+    registers contribute 2^27), summed exactly in BIGINT; the only
+    float ops are ONE literal numerator (alpha*m^2*2^27, embedded as
+    the same repr in both texts) divided by that integer and floored —
+    deterministic everywhere. No small-range linear-counting
+    correction (it needs ln(), which engines round differently); the
+    raw estimate plus the zero-register count is the mergeable,
+    oracle-checkable core — at scale the register table (64 rows per
+    group) is the tiny mergeable summary you union+MAX across
+    partitions/days, exactly like the KMV set algebra.
+    """
+    m = 64
+    alpha = 0.7213 / (1 + 1.079 / m)
+    num = alpha * m * m * (1 << 27)
+    body = """
+WITH hv AS (
+  SELECT DISTINCT event_type, ((user_id * 2654435761) % 4294967296) AS hv FROM {view}
+),
+rr AS (
+  SELECT event_type, hv % 64 AS reg,
+         CASE WHEN (hv {idiv} 64) = 0 THEN 27
+              ELSE 27 - length(bin(hv {idiv} 64)) END AS rnk
+  FROM hv
+),
+regs AS (
+  SELECT event_type, reg, MAX(rnk) AS mx FROM rr GROUP BY event_type, reg
+),
+agg AS (
+  SELECT event_type,
+         CAST(SUM({shift_l}27 - mx{shift_r}) AS BIGINT) AS s_present,
+         COUNT(*) AS n_regs,
+         CAST(SUM(mx * (reg + 1)) AS BIGINT) AS reg_checksum
+  FROM regs GROUP BY event_type
+),
+ex AS (
+  SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct_exact FROM {view}
+  GROUP BY event_type
+)
+SELECT a.event_type,
+       ex.n_distinct_exact,
+       CAST(FLOOR({num} / CAST(a.s_present + (64 - a.n_regs) * 134217728 AS DOUBLE)) AS BIGINT)
+         AS n_distinct_hll,
+       CAST(64 - a.n_regs AS BIGINT) AS n_zero_regs,
+       a.reg_checksum
+FROM agg a JOIN ex ON ex.event_type = a.event_type
+"""
+    import etl_service_spark.functions.portable as P
+
+    return P.bi_sql(
+        body,
+        view=view,
+        idiv=("DIV", "//"),
+        shift_l=("shiftleft(CAST(1 AS BIGINT), ", "(CAST(1 AS BIGINT) << ("),
+        shift_r=(")", "))"),
+        num=repr(num),
+    )

@@ -1770,6 +1770,7 @@ def registry() -> dict[str, Case]:
     cases["sketch_histogram_quantiles"] = _pair_case(sketch.histogram_quantiles_sql())
     cases["sketch_bloom_membership"] = _pair_case(sketch.bloom_membership_sql())
     cases["sketch_kmv_audience_overlap"] = _pair_case(sketch.kmv_set_ops_sql())
+    cases["sketch_hll_distinct"] = _pair_case(sketch.hll_distinct_sql())
     cases["text_tfidf_top_terms"] = _pair_case(textops.tfidf_top_terms_sql())
     cases["text_top_terms_per_language"] = _pair_case(
         textops.top_terms_per_language_sql()
