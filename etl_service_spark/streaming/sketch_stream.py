@@ -1,0 +1,104 @@
+"""Streaming sketch maintenance: keep an HLL register table fresh from
+the event stream.
+
+The point of a mergeable sketch (operators/sketch.py hll_distinct_sql)
+is exactly this: each micro-batch's registers merge into the persisted
+table with union + MAX — associative, commutative, idempotent — so the
+maintained table equals the batch recomputation over all data ever
+seen, regardless of how the stream was chopped into batches or whether
+a batch was replayed (at-least-once upstream is safe: MAX absorbs
+duplicates). This is the streaming half of the sketch plane the way
+run_upsert_aggregate is the streaming half of the windowed-agg plane;
+a training-ingest pipeline uses it to watch corpus cardinality drift
+without ever rescanning history.
+
+State is the register parquet itself (64 rows per event_type — tiny at
+any scale), not the state store: restarts and parallel readers are
+free, and the estimate query is one scan of the register table.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, functions as F
+
+# same integer pipeline as hll_distinct_sql (operators/sketch.py):
+# 32-bit bijective hash -> 6-bit register / 26-bit suffix -> rank from
+# length(bin(suffix))
+_HV = "((user_id * 2654435761) % 4294967296)"
+_RNK = f"CASE WHEN ({_HV} DIV 64) = 0 THEN 27 ELSE 27 - length(bin({_HV} DIV 64)) END"
+
+
+def hll_registers(events: DataFrame) -> DataFrame:
+    """(event_type, reg, mx) register relation of a batch of events."""
+    return (
+        events.selectExpr("event_type", f"{_HV} % 64 AS reg", f"{_RNK} AS rnk")
+        .groupBy("event_type", "reg")
+        .agg(F.max("rnk").alias("mx"))
+    )
+
+
+def hll_estimates(registers: DataFrame) -> DataFrame:
+    """Register table -> per-type estimate (same constants as the batch
+    sketch: m=64, scale 2^27, shared alpha numerator), WITH the
+    standard small-range linear-counting correction (raw HLL is badly
+    biased below ~2.5m): when zero registers remain, estimate
+    m·ln(m/zeros) instead. The batch registry query stays raw because
+    ln() is not correctly-rounded identically across engines and that
+    query is value-checked against DuckDB; this streaming path is
+    Spark-only, so the accuracy-correct form is the right one."""
+    m = 64
+    alpha = 0.7213 / (1 + 1.079 / m)
+    num = alpha * m * m * (1 << 27)
+    return (
+        registers.groupBy("event_type")
+        .agg(
+            F.expr("CAST(SUM(shiftleft(CAST(1 AS BIGINT), 27 - mx)) AS BIGINT)").alias("s_present"),
+            F.count("*").alias("n_regs"),
+        )
+        .selectExpr(
+            "event_type",
+            f"CAST(FLOOR({num!r} / CAST(s_present + (64 - n_regs) * 134217728 AS DOUBLE)) AS BIGINT)"
+            " AS hll_raw",
+            f"CAST(64 - n_regs AS BIGINT) AS n_zero_regs",
+        )
+        .selectExpr(
+            "event_type",
+            f"CASE WHEN hll_raw <= {int(2.5 * m)} AND n_zero_regs > 0"
+            f" THEN CAST(FLOOR({m} * ln({m} / CAST(n_zero_regs AS DOUBLE))) AS BIGINT)"
+            " ELSE hll_raw END AS n_distinct_hll",
+        )
+    )
+
+
+def run_hll_register_rollup(events: DataFrame, checkpoint_dir: str, table_dir: str) -> None:
+    """Maintain the register table from a stream: per micro-batch,
+    merge the batch's registers into the persisted table (union +
+    groupBy MAX — the sketch's merge operator) and rewrite it. The
+    table is O(event_types x 64) rows, so the rewrite is trivially
+    cheap at any corpus scale; localCheckpoint pins the merged result
+    before the overwrite so the read and the write of the same path
+    never race."""
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        regs = hll_registers(batch_df)
+        if os.path.exists(table_dir):
+            prev = spark.read.parquet(table_dir)
+            regs = (
+                prev.union(regs.select(prev.columns))
+                .groupBy("event_type", "reg")
+                .agg(F.max("mx").alias("mx"))
+            )
+        merged = regs.localCheckpoint(eager=True)
+        merged.write.mode("overwrite").parquet(table_dir)
+
+    q = (
+        events.writeStream.outputMode("append")
+        .foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
