@@ -143,3 +143,14 @@ def test_minimum_end_to_end_slice(spark, sf_dir, tmp_path):
     # workflow node is a root; step hangs off realization off package
     roots = [n for n, p in tree.items() if p == "ROOT"]
     assert len(roots) == 1 and len(tree) == 4
+
+    # reporting plane composes on the same runlog: mail-ready HTML
+    # (success branch → no failure table) and the raster run graph
+    from etl_service_spark.plans.report import render_run_report
+    from etl_service_spark.plans.viz import render_run_graph_png
+
+    html_doc = render_run_report(spark, "e2e", success=True)
+    assert "Erfolgreich" in html_doc and "Ausgeführte Module" in html_doc
+    assert "Fehlermeldungen" not in html_doc
+    png = render_run_graph_png(spark)
+    assert png.startswith(b"\x89PNG\r\n\x1a\n")
