@@ -80,11 +80,20 @@ def connected_components(
 _PAIRS_CACHE: dict[tuple, str] = {}
 
 
+# (session id, tau, pairs view) -> staged cluster assignment view. The
+# iterative label propagation (checkpoint + convergence probe per
+# round) re-running for every consumer would be like re-deriving a
+# staging table per reader; clusters are written once and joined from
+# there — same story as the pairs and fingerprint relations.
+_CLUSTERS_CACHE: dict[tuple, str] = {}
+
+
 def dup_clusters(spark: SparkSession, tau: float = 0.8) -> DataFrame:
     """Clusters of the n-gram-Jaccard near-dup graph (shares the
     memoized fingerprint relation with the other dedup consumers, and
-    stages the pair list itself — clustering consumes the pairs table,
-    it does not own the similarity join)."""
+    stages both the pair list and the cluster assignment — clustering
+    consumes the pairs table and WRITES the clusters table; readers
+    like the training pipeline join the staged result)."""
     from . import dedup
 
     hs_rel = dedup.materialize_hashsets(spark)
@@ -95,7 +104,14 @@ def dup_clusters(spark: SparkSession, tau: float = 0.8) -> DataFrame:
         pairs = dedup.ngram_jaccard_staged(spark, tau=tau)
         pairs.localCheckpoint(eager=True).createOrReplaceTempView(name)
         _PAIRS_CACHE[key] = name
-    return connected_components(spark.table(name))
+    ckey = (id(spark), tau, name)
+    cname = _CLUSTERS_CACHE.get(ckey)
+    if cname is None:
+        cname = f"__dup_clusters_{len(_CLUSTERS_CACHE)}"
+        cc = connected_components(spark.table(name))
+        cc.localCheckpoint(eager=True).createOrReplaceTempView(cname)
+        _CLUSTERS_CACHE[ckey] = cname
+    return spark.table(cname)
 
 
 def dup_clusters_oracle_sql(tau: float = 0.8) -> str:
