@@ -478,6 +478,48 @@ def simhash(spark: SparkSession, bits: int = 30) -> DataFrame:
     return spark.sql(simhash_sql(bits)[0])
 
 
+def simhash_staged(spark: SparkSession, bits: int = 30, view: str = "documents") -> DataFrame:
+    """Spark path for simhash over the SHARED staged token relation
+    (textops.materialize_tokens): the SQL form hashes every token
+    occurrence with an interpreted per-character fold; the stage pays
+    that once in a vectorized Arrow kernel for all token-mass
+    consumers, leaving simhash as one hash aggregation over (doc_id,
+    h) — the word-count shuffle profile, nothing interpreted."""
+    from . import textops
+
+    tok_rel = textops.materialize_tokens(spark, view)
+    votes = ",\n         ".join(
+        f"SUM(2 * {P.bit_probe('h', j)} - 1) AS v{j}" for j in range(bits)
+    )
+    fp = " + ".join(f"(CASE WHEN v{j} > 0 THEN {2 ** j} ELSE 0 END)" for j in range(bits))
+    return spark.sql(
+        f"""
+WITH votes AS (
+  SELECT doc_id,
+         {votes}
+  FROM {tok_rel}
+  GROUP BY doc_id
+)
+SELECT doc_id, CAST({fp} AS BIGINT) AS simhash
+FROM votes
+"""
+    )
+
+
+def simhash_pairs_staged(spark: SparkSession, bits: int = 30, view: str = "documents") -> DataFrame:
+    """Staged twin of simhash_pairs_sql: dup-candidate groups from
+    equal fingerprints of the staged simhash relation."""
+    simhash_staged(spark, bits, view).createOrReplaceTempView("__simhash_fp")
+    return spark.sql(
+        """
+SELECT simhash, MIN(doc_id) AS keeper_id, COUNT(*) AS group_size
+FROM __simhash_fp
+GROUP BY simhash
+HAVING COUNT(*) > 1
+"""
+    )
+
+
 def simhash_pairs_sql(bits: int = 30, view: str = "documents") -> tuple[str, str]:
     """Dup-candidate groups from equal simhash fingerprints: one
     hash aggregation over the fingerprints (same shuffle profile as

@@ -497,3 +497,114 @@ def quality_score_staged(spark, view: str = "documents") -> DataFrame:
             " alpha_ratio double, quality double"
         ),
     )
+
+
+# (session id, view, input files) -> staged exploded token relation
+# (doc_id, lang, tok, h). The tokenizer + per-token poly-hash run ONCE
+# in an Arrow kernel (the SQL forms evaluate an interpreted HOF split
+# per row, and simhash additionally an interpreted per-character hash
+# fold per token occurrence); every token-mass consumer (simhash,
+# tf-idf, per-language top terms) joins the staged relation — at 100 TB
+# this is the tokenized-corpus staging table written next to the
+# fingerprint table.
+_TOKENS_CACHE: dict[tuple, str] = {}
+
+
+def materialize_tokens(spark, view: str = "documents") -> str:
+    src = spark.table(view)
+    key = (id(spark), view, tuple(sorted(src.inputFiles())))
+    cached = _TOKENS_CACHE.get(key)
+    if cached is not None:
+        return cached
+
+    import re
+
+    import pandas as pd
+
+    splitter = re.compile(P.TOKEN_SPLIT_RE)
+
+    def kernel(batches):
+        for pdf in batches:
+            doc_ids, langs, toks = [], [], []
+            for doc_id, lang, txt in zip(pdf["doc_id"], pdf["lang"], pdf["text"]):
+                tt = [t for t in splitter.split(("" if txt is None else txt).lower()) if t]
+                toks.extend(tt)
+                doc_ids.extend([int(doc_id)] * len(tt))
+                langs.extend([lang] * len(tt))
+            h = (
+                P.pd_poly_hash_series(pd.Series(toks, dtype=object))
+                if toks
+                else pd.Series([], dtype="Int64")
+            )
+            yield pd.DataFrame({"doc_id": doc_ids, "lang": langs, "tok": toks, "h": h})
+
+    name = f"__tokens_{view}_{len(_TOKENS_CACHE)}"
+    (
+        P.fan_out(src.select("doc_id", "lang", "text"))
+        .mapInPandas(kernel, schema="doc_id bigint, lang string, tok string, h bigint")
+        .localCheckpoint(eager=True)
+        .createOrReplaceTempView(name)
+    )
+    _TOKENS_CACHE[key] = name
+    return name
+
+
+def tfidf_top_terms_staged(spark, k: int = 3, view: str = "documents") -> DataFrame:
+    """Spark path for tfidf_top_terms_sql over the staged token
+    relation — same integer scoring, same top-k window; the only
+    full-volume work left is the (doc, token) hash aggregate."""
+    tok = materialize_tokens(spark, view)
+    return spark.sql(
+        f"""
+WITH tf AS (SELECT doc_id, tok AS token, COUNT(*) AS tf FROM {tok} GROUP BY doc_id, tok),
+dl AS (SELECT doc_id, SUM(tf) AS doclen FROM tf GROUP BY doc_id),
+df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+nn AS (SELECT COUNT(*) AS n FROM {view}),
+scored AS (
+  SELECT t.doc_id, t.token, t.tf, f.df,
+         CAST(((t.tf * 1000000 DIV l.doclen) * (SELECT n FROM nn)) DIV f.df
+              AS BIGINT) AS score_ppm
+  FROM tf t
+  JOIN dl l ON t.doc_id = l.doc_id
+  JOIN df f ON t.token = f.token
+)
+SELECT doc_id, token, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, score_ppm
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY doc_id ORDER BY score_ppm DESC, token
+  ) AS rk
+  FROM scored
+) ranked
+WHERE rk <= {k}
+"""
+    )
+
+
+def top_terms_per_language_staged(spark, k: int = 5, view: str = "documents") -> DataFrame:
+    """Spark path for top_terms_per_language_sql over the staged token
+    relation (carries lang, so no re-tokenization)."""
+    tok = materialize_tokens(spark, view)
+    return spark.sql(
+        f"""
+WITH tf AS (SELECT lang, tok AS token, COUNT(*) AS tf FROM {tok} GROUP BY lang, tok),
+lm AS (SELECT lang, SUM(tf) AS langmass FROM tf GROUP BY lang),
+gm AS (SELECT token, SUM(tf) AS gmass FROM tf GROUP BY token),
+tot AS (SELECT SUM(tf) AS total FROM tf),
+scored AS (
+  SELECT t.lang, t.token, t.tf,
+         CAST(((t.tf * 1000000 DIV l.langmass) * (SELECT total FROM tot))
+              DIV g.gmass AS BIGINT) AS score_ppm
+  FROM tf t
+  JOIN lm l ON t.lang = l.lang
+  JOIN gm g ON t.token = g.token
+)
+SELECT lang, token, CAST(tf AS BIGINT) AS tf, score_ppm
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY lang ORDER BY score_ppm DESC, token
+  ) AS rk
+  FROM scored
+) ranked
+WHERE rk <= {k}
+"""
+    )

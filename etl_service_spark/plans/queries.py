@@ -1737,8 +1737,21 @@ def registry() -> dict[str, Case]:
 
     cases["dedup_ngram_jaccard"] = Case(_jaccard_staged, dedup.ngram_jaccard_sql()[1])
     cases["dedup_minhash_lsh"] = Case(_minhash_staged, dedup.minhash_lsh_sql()[1])
-    cases["dedup_simhash"] = _pair_case(dedup.simhash_sql())
-    cases["dedup_simhash_pairs"] = _pair_case(dedup.simhash_pairs_sql())
+    # simhash consumes the shared staged token relation (the SQL twin
+    # hashes every token with an interpreted per-char fold — see
+    # dedup.simhash_staged); oracles stay the single-statement forms.
+    def _simhash_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
+        views(spark, sf_dir)
+        return dedup.simhash_staged(spark)
+
+    def _simhash_pairs_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
+        views(spark, sf_dir)
+        return dedup.simhash_pairs_staged(spark)
+
+    cases["dedup_simhash"] = Case(_simhash_staged, dedup.simhash_sql()[1])
+    cases["dedup_simhash_pairs"] = Case(
+        _simhash_pairs_staged, dedup.simhash_pairs_sql()[1]
+    )
 
     def _dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         views(spark, sf_dir)
@@ -1771,6 +1784,12 @@ def registry() -> dict[str, Case]:
     cases["sketch_bloom_membership"] = _pair_case(sketch.bloom_membership_sql())
     cases["sketch_kmv_audience_overlap"] = _pair_case(sketch.kmv_set_ops_sql())
     cases["sketch_hll_distinct"] = _pair_case(sketch.hll_distinct_sql())
+    # tf-idf / per-language top terms: the fused explode+aggregate SQL
+    # beats the staged-token route here (measured 0.87s vs 1.0s — these
+    # never hash tokens, and the LATERAL VIEW explode fuses into the
+    # partial aggregate under whole-stage codegen; a materialized
+    # string relation just adds a scan). Staged twins exist in textops
+    # for pipelines that already paid for the token stage.
     cases["text_tfidf_top_terms"] = _pair_case(textops.tfidf_top_terms_sql())
     cases["text_top_terms_per_language"] = _pair_case(
         textops.top_terms_per_language_sql()
