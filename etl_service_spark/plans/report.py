@@ -201,3 +201,39 @@ def render_run_report(
 {result_table_html(spark, now)}
 {error_table}
 </body></html>"""
+
+
+def finalize_run(
+    spark: SparkSession,
+    workflow_id: object,
+    success: bool,
+    out_dir: str,
+    *,
+    takeover_from: str = "-",
+    takeover_to: str = "-",
+) -> dict[str, str]:
+    """Write the end-of-run artifacts the reference mails out
+    (SendResultMail, Helper.cs:606-806: HTML body + the run-graph PNG
+    attachment) into ``out_dir`` — the sandbox has no SMTP, so the
+    artifact directory IS the outbox; an operator wires delivery.
+    Returns {"html": path, "png": path}. Call after the runlog views
+    are registered (the orchestrator's close-out does both)."""
+    import os
+
+    from . import viz
+
+    os.makedirs(out_dir, exist_ok=True)
+    html_path = os.path.join(out_dir, f"run_report_{workflow_id}.html")
+    png_path = os.path.join(out_dir, f"run_graph_{workflow_id}.png")
+    with open(html_path, "w") as fh:
+        fh.write(
+            render_run_report(
+                spark,
+                workflow_id,
+                success,
+                takeover_from=takeover_from,
+                takeover_to=takeover_to,
+            )
+        )
+    viz.render_run_graph_png(spark, png_path)
+    return {"html": html_path, "png": png_path}

@@ -70,10 +70,14 @@ JDBC_TYPES: dict[str, tuple[str, str]] = {
     "Derby": ("org.apache.derby.jdbc.EmbeddedDriver", "jdbc:derby:{database};create=true"),
 }
 
-FILE_TYPES = ("FILE-PARQUET", "FILE-CSV", "Excel", "CSV")
+FILE_TYPES = ("FILE-PARQUET", "FILE-CSV", "FILE-JSON", "Excel", "CSV")
 
 # declared in every reference type switch but NYI there too
-# (CommandExecuter.cs:823-968) — we reject them with a clear error
+# (CommandExecuter.cs:823-968) — we reject them with a clear error.
+# "JSON" here is the reference's CONNECTOR type (kept NYI-faithful);
+# the working Spark-native engine is FILE-JSON above (json-lines
+# directory reads with optional explicit schema), implemented beyond
+# the reference like D4/D5.
 DECLARED_NYI = ("Access", "Firebird", "HL7", "Infomix", "SAP", "WebRequest", "XML", "JSON")
 
 
@@ -171,6 +175,15 @@ def reader_for(spark: SparkSession, conn: Connection, query_or_table: str) -> Da
         return spark.read.option("header", True).csv(
             os.path.join(conn.path, f"{query_or_table}.csv")
         )
+    if conn.type_name == "FILE-JSON":
+        # json-lines directory; explicit schema (conn.options["schema"],
+        # a DDL string) skips the inference scan — at 100 TB inference
+        # is a full extra read, so production bindings must set it
+        reader = spark.read
+        ddl = conn.options.get("schema")
+        if ddl:
+            reader = reader.schema(ddl)
+        return reader.json(os.path.join(conn.path, f"{query_or_table}.json"))
     if conn.type_name == "Excel":
         from ..operators.file_ingest import read_sheet
 

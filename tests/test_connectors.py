@@ -188,3 +188,33 @@ def test_jdbc_live_roundtrip_embedded_derby(spark, tmp_path):
     # append accumulates (mode append, like the reference's bulk copy)
     write_jdbc(df.limit(10), conn, "T_ROUND", batchsize=50)
     assert reader_for(spark, conn, "T_ROUND").load().count() == 110
+
+
+def test_file_json_engine(spark, sf_dir, tmp_path):
+    """FILE-JSON engine: json-lines directory reads, with an explicit
+    DDL schema skipping the inference scan (the production binding)."""
+    from etl_service_spark.sources.connectors import Connection, reader_for
+
+    src = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    out = str(tmp_path / "nation.json")
+    src.write.json(out)
+
+    conn = Connection(conn_id=7, type_name="FILE-JSON", path=str(tmp_path))
+    inferred = reader_for(spark, conn, "nation")
+    assert inferred.count() == src.count()
+
+    conn2 = Connection(
+        conn_id=8,
+        type_name="FILE-JSON",
+        path=str(tmp_path),
+        options={"schema": "n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT"},
+    )
+    typed = reader_for(spark, conn2, "nation")
+    assert typed.schema.simpleString() == (
+        "struct<n_nationkey:bigint,n_name:string,n_regionkey:bigint>"
+    )
+    assert typed.count() == src.count()
+    # values survive the round-trip
+    a = {r["n_nationkey"]: r["n_name"] for r in typed.collect()}
+    b = {r["n_nationkey"]: r["n_name"] for r in src.collect()}
+    assert a == b

@@ -340,6 +340,15 @@ def test_html_run_report(spark, tmp_path):
     assert "Erfolgreich" in ok_doc and "#44d478" in ok_doc
     assert "Fehlermeldungen" not in ok_doc
 
+    # end-of-run artifact writer (SendResultMail minus SMTP): both
+    # files land in the outbox dir and carry the rendered content
+    from etl_service_spark.plans.report import finalize_run
+
+    paths = finalize_run(spark, 42, False, str(tmp_path / "outbox"))
+    written = open(paths["html"]).read()
+    assert "Fehlgeschlagen" in written and "sentinel -1 from target" in written
+    assert open(paths["png"], "rb").read(8) == b"\x89PNG\r\n\x1a\n"
+
     # duration rule (Helper.cs:710-717): minutes when rounded > 0, else
     # seconds; open run measures against now; missing start -> '-'
     # 2.5 min rounds to 2: banker's rounding, same as C# Math.Round default

@@ -165,3 +165,25 @@ def test_asof_join_matches_bruteforce(spark, rows):
         cand = [(cts, ce) for (ce, cts, cu) in clicks if cu == u and cts <= ts]
         want.add((e, max(cand)[1] if cand else None))
     assert got == want
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**62), min_size=1, max_size=50))
+@settings(max_examples=25, deadline=None)
+def test_hll_rank_matches_python_reference(user_ids):
+    """The HLL register math (operators/sketch.py hll_distinct_sql)
+    hinges on rank = 27 - length(bin(suffix)) being the position of the
+    first set bit of the 26-bit suffix. DuckDB evaluates the exact SQL
+    fragment; the reference is Python int.bit_length."""
+    import duckdb
+
+    con = duckdb.connect()
+    for uid in user_ids:
+        hv = (uid * 2654435761) % 4294967296
+        suffix = hv // 64
+        expected = 27 - suffix.bit_length() if suffix > 0 else 27
+        got = con.execute(
+            f"SELECT CASE WHEN ({hv} // 64) = 0 THEN 27"
+            f" ELSE 27 - length(bin({hv} // 64)) END"
+        ).fetchone()[0]
+        assert got == expected
+    con.close()
