@@ -449,16 +449,18 @@ def repetition_quality_staged(spark, view: str = "documents") -> DataFrame:
     )
 
 
-def quality_score_staged(spark, view: str = "documents") -> DataFrame:
-    """Spark path for quality_score: per-doc heuristics in one Arrow
-    pass (same tokenizer regex / stopword list / punctuation regex as
-    the SQL form, and the identical left-associated IEEE-754 chain:
-    (0.4·stop/g + 0.3·min(ntok/100,1)) + 0.3·alpha/len, floor·1e6/1e6 —
-    every operand is an exact integer widened to double, every op
-    correctly rounded, so values are bit-identical to the oracle). The
-    declarative form evaluates the tokenizer + stopword filter as
-    interpreted higher-order functions per row; this is a zero-shuffle
-    map-side projection like repetition_quality_staged."""
+def quality_scores_df(docs: DataFrame) -> DataFrame:
+    """Per-doc quality heuristics over any (doc_id, text) DataFrame in
+    one Arrow pass (same tokenizer regex / stopword list / punctuation
+    regex as the SQL form, and the identical left-associated IEEE-754
+    chain: (0.4·stop/g + 0.3·min(ntok/100,1)) + 0.3·alpha/len,
+    floor·1e6/1e6 — every operand is an exact integer widened to
+    double, every op correctly rounded, so values are bit-identical to
+    the oracle). The declarative form evaluates the tokenizer +
+    stopword filter as interpreted higher-order functions per row; this
+    is a zero-shuffle map-side projection like
+    repetition_quality_staged. Composable from batch and streaming
+    pipelines alike (see streaming/corpus_stream)."""
     import math
     import re
 
@@ -490,13 +492,18 @@ def quality_score_staged(spark, view: str = "documents") -> DataFrame:
                 rows.append((int(doc_id), ntok, stop / g_tok, alpha / g_len, quality))
             yield pd.DataFrame(rows, columns=cols)
 
-    return P.fan_out(spark.table(view).select("doc_id", "text")).mapInPandas(
+    return P.fan_out(docs.select("doc_id", "text")).mapInPandas(
         kernel,
         schema=(
             "doc_id bigint, n_tokens int, stop_ratio double,"
             " alpha_ratio double, quality double"
         ),
     )
+
+
+def quality_score_staged(spark, view: str = "documents") -> DataFrame:
+    """View-name form of :func:`quality_scores_df` (the registry path)."""
+    return quality_scores_df(spark.table(view))
 
 
 # (session id, view, input files) -> staged exploded token relation

@@ -1,0 +1,95 @@
+"""Streaming corpus curation: the end-to-end training-data pipeline as
+a restartable micro-batch stream.
+
+Raw document drops land in a directory; each micro-batch runs the SAME
+operators the batch plane exposes, in the order a pretraining pipeline
+runs them:
+
+1. incremental exact dedup against the persisted fingerprint table
+   (operators/dedup.incremental_dedup — anti-join on the 64-bit text
+   hash; history cost tracks the fingerprint table, never the corpus;
+   re-delivered or re-crawled identical texts are suppressed forever);
+2. quality gate (textops.quality_scores_df — the zero-shuffle Arrow
+   kernel; identical text scores identically, so dedup-before-quality
+   loses nothing);
+3. deterministic split assignment (the corpus._BUCKET pure function of
+   doc_id — a document can never migrate between train/val/test across
+   pipeline versions or replays);
+4. append to the curated store, partitioned by split (so training
+   readers prune to their split at the directory level).
+
+Replay safety: a replayed batch re-suppresses on the fingerprint
+anti-join, so the curated store converges to the same rows no matter
+how the stream was chopped or re-delivered — the same contract as
+dropDuplicatesWithinWatermark, with state in a queryable parquet table
+instead of the state store (shared by restarts and parallel readers).
+
+At 100 TB: the fingerprint table is bucketed by hash (see
+copy.write_bucketed) so the anti-join co-locates; everything else is
+map-side per batch.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+DOC_SCHEMA = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+
+TRAIN_PER_MILLE = 900
+VAL_PER_MILLE = 950
+_BUCKET = "((doc_id * 2654435761) % 4294967296) % 1000"  # corpus._BUCKET mod 1000
+SPLIT_EXPR = (
+    f"CASE WHEN {_BUCKET} < {TRAIN_PER_MILLE} THEN 'train' "
+    f"WHEN {_BUCKET} < {VAL_PER_MILLE} THEN 'val' ELSE 'test' END"
+)
+
+
+def read_document_stream(spark: SparkSession, landing_dir: str) -> DataFrame:
+    """File-source stream of raw document parquet drops (documents-table
+    layout)."""
+    return spark.readStream.schema(DOC_SCHEMA).parquet(landing_dir)
+
+
+def curate_batch(
+    batch_df: DataFrame,
+    fingerprint_dir: str,
+    out_dir: str,
+    q_min: float = 0.45,
+) -> None:
+    """One micro-batch through dedup → quality → split → append."""
+    from ..operators import textops
+    from ..operators.dedup import incremental_dedup
+
+    spark = batch_df.sparkSession
+    batch_df = batch_df.localCheckpoint(eager=True)  # stable across the two uses
+    fresh = incremental_dedup(spark, batch_df, fingerprint_dir)
+    # restore the non-text columns dropped by the dedup projection
+    docs = fresh.select("doc_id", "text_hash").join(batch_df, "doc_id")
+    scored = textops.quality_scores_df(docs).select("doc_id", "quality")
+    curated = (
+        docs.join(scored, "doc_id")
+        .filter(F.col("quality") >= q_min)
+        .withColumn("split", F.expr(SPLIT_EXPR))
+    )
+    curated.write.mode("append").partitionBy("split").parquet(out_dir)
+
+
+def run_corpus_curation(
+    docs: DataFrame,
+    checkpoint_dir: str,
+    fingerprint_dir: str,
+    out_dir: str,
+    q_min: float = 0.45,
+) -> None:
+    """Drain the landing backlog through the curation pipeline — the
+    production trigger would be processingTime, like the event poll."""
+    q = (
+        docs.writeStream.outputMode("append")
+        .foreachBatch(lambda df, _id: curate_batch(df, fingerprint_dir, out_dir, q_min))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

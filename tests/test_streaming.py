@@ -286,3 +286,65 @@ def test_streaming_hll_rollup_matches_batch(spark, sf_dir, tmp_path):
     }
     for et, n in exact.items():
         assert abs(est[et] - n) / max(n, 1) < 0.35  # m=64 -> ~13% stderr
+
+
+def test_streaming_corpus_curation(spark, tmp_path):
+    """End-to-end curation stream: dedup vs persisted fingerprints →
+    quality gate → deterministic split → curated store. Two drops with
+    overlap (re-delivered rows AND new docs) converge to one row per
+    distinct text hash; splits are the pure doc_id function; replayed
+    texts never duplicate."""
+    import os
+    import shutil
+
+    from etl_service_spark.functions import portable as P
+    from etl_service_spark.streaming.corpus_stream import (
+        SPLIT_EXPR,
+        read_document_stream,
+        run_corpus_curation,
+    )
+
+    P.warm_udfs(spark)
+    src = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    landing, ckpt, fps, out = [
+        str(tmp_path / d) for d in ("landing", "ckpt", "fps", "curated")
+    ]
+    os.makedirs(landing)
+
+    def drop(df, name):
+        # the file stream doesn't recurse: land a single parquet FILE
+        tmp = str(tmp_path / f"_tmp_{name}")
+        df.coalesce(1).write.parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        shutil.move(os.path.join(tmp, part), os.path.join(landing, name))
+
+    # drop 1: a third of the corpus
+    drop(src.filter("doc_id % 3 = 0"), "d1.parquet")
+    run_corpus_curation(read_document_stream(spark, landing), ckpt, fps, out)
+    n1 = spark.read.parquet(out).count()
+    assert n1 > 0
+
+    # drop 2: the FULL corpus (re-delivers drop 1's rows + new docs)
+    drop(src, "d2.parquet")
+    run_corpus_curation(read_document_stream(spark, landing), ckpt, fps, out)
+
+    curated = spark.read.parquet(out)
+    # one row per text hash, ever — replays and cross-drop dups absorbed
+    assert curated.groupBy("text_hash").count().filter("count > 1").count() == 0
+    # curated set == quality-passing distinct texts of everything seen
+    from etl_service_spark.operators.textops import quality_scores_df
+
+    scored = quality_scores_df(src).select("doc_id", "quality")
+    expected_hashes = (
+        P.fan_out(src.join(scored, "doc_id").filter("quality >= 0.45"))
+        .selectExpr("lower(text) AS lt")
+        .select(P.pd_poly_hash_udf()("lt").alias("h"))
+        .distinct()
+        .count()
+    )
+    assert curated.select("text_hash").distinct().count() == expected_hashes
+    # split column is the deterministic bucket function of doc_id
+    bad = curated.filter(f"split != ({SPLIT_EXPR})").count()
+    assert bad == 0
+    # physical layout: one directory per split
+    assert any(d.startswith("split=") for d in os.listdir(out))
