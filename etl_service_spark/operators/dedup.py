@@ -509,11 +509,14 @@ FROM votes
 def simhash_pairs_staged(spark: SparkSession, bits: int = 30, view: str = "documents") -> DataFrame:
     """Staged twin of simhash_pairs_sql: dup-candidate groups from
     equal fingerprints of the staged simhash relation."""
-    simhash_staged(spark, bits, view).createOrReplaceTempView("__simhash_fp")
+    fp = simhash_staged(spark, bits, view)
+    # unique view name: orchestrator step threads share the session
+    view_name = f"__simhash_fp_{id(fp)}"
+    fp.createOrReplaceTempView(view_name)
     return spark.sql(
-        """
+        f"""
 SELECT simhash, MIN(doc_id) AS keeper_id, COUNT(*) AS group_size
-FROM __simhash_fp
+FROM {view_name}
 GROUP BY simhash
 HAVING COUNT(*) > 1
 """

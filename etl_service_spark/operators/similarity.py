@@ -185,13 +185,16 @@ def cosine_topk_staged(
     scored = P.fan_out(emb).mapInPandas(
         kernel, schema="q_id bigint, n_id bigint, cosine double"
     )
-    scored.createOrReplaceTempView("__topk_partition_cand")
+    # unique view name: steps share one session under the orchestrator's
+    # thread pool, so fixed names would race
+    view_name = f"__topk_cand_{id(scored)}"
+    scored.createOrReplaceTempView(view_name)
     return spark.sql(
         f"""
 SELECT q_id, n_id, rnk, cosine FROM (
   SELECT q_id, n_id, cosine,
          ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rnk
-  FROM __topk_partition_cand
+  FROM {view_name}
 ) WHERE rnk <= {k}
 """
     )
