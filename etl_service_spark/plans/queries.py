@@ -1478,32 +1478,54 @@ def _pair_case(sql_builder: tuple[str, str]) -> Case:
     return _sql_case(s, d)
 
 
-# Names the round-1 driver already value-verified (CORRECTNESS_r01.json
-# == the first 50 registry entries of that round). The driver samples a
-# PREFIX of the registry, so registry() floats the still-unverified
-# entries — the LLM-pipeline families — ahead of these, interleaved one
-# per family so whatever prefix is sampled covers every family.
-_R01_DRIVER_VERIFIED = frozenset(
+# Names the driver already value-verified in a prior round — the union of
+# CORRECTNESS_r01.json and CORRECTNESS_r02.json key sets (50 + 50 distinct).
+# The driver samples a PREFIX of the registry, so registry() floats the 16
+# still-unverified entries ahead of these, interleaved one per family so
+# whatever prefix is sampled covers every family.
+_DRIVER_VERIFIED = frozenset(
     {
-        "etl_copy_align_audit", "etl_copy_timesliced", "etl_sql_target_dialect",
-        "etl_placeholder_window", "etl_dedup_filename", "etl_csv_export_lines",
-        "etl_excel_ingest_audit", "cfg_filter_due", "cfg_join_priority",
-        "cfg_left_join_steps", "cfg_dependency_edges", "cfg_params_threeway",
-        "ana_union_report", "ana_duration_datediff", "ana_argmax_last_run",
-        "ana_hierarchy_tree", "ana_timeline_union", "ana_today_runs",
-        "ana_running_filter", "ana_drilldown_levels", "ana_runstructure_real",
-        "tpch_q1_pricing", "tpch_q3_shipping", "tpch_q5_local_supplier",
-        "tpch_q13_custdist", "tpch_q18_bulk_customers", "tpch_q4_late_priority",
+        # round 1 (CORRECTNESS_r01.json)
+        "ana_argmax_last_run", "ana_drilldown_levels", "ana_duration_datediff",
+        "ana_hierarchy_tree", "ana_running_filter", "ana_runstructure_real",
+        "ana_timeline_union", "ana_today_runs", "ana_union_report",
+        "cfg_dependency_edges", "cfg_filter_due", "cfg_join_priority",
+        "cfg_left_join_steps", "cfg_params_threeway", "dim_scd2_merge",
+        "etl_copy_align_audit", "etl_copy_timesliced", "etl_csv_export_lines",
+        "etl_dedup_filename", "etl_excel_ingest_audit", "etl_placeholder_window",
+        "etl_sql_target_dialect", "events_attribution_join",
+        "events_cohort_retention", "events_value_deciles",
+        "events_value_time_corr", "nation_top_customer_argmax",
+        "orders_halfyear_setops", "orders_running_spend",
+        "tpch_q10_returned_items", "tpch_q11_important_stock",
+        "tpch_q12_priority_classes", "tpch_q13_custdist", "tpch_q14_promo_share",
+        "tpch_q15_top_supplier", "tpch_q16_supplier_variety",
+        "tpch_q18_bulk_customers", "tpch_q19_or_pushdown", "tpch_q1_pricing",
+        "tpch_q20_volume_suppliers", "tpch_q21_lone_late_supplier",
+        "tpch_q22_idle_rich", "tpch_q2_min_cost_supplier", "tpch_q3_shipping",
+        "tpch_q4_late_priority", "tpch_q5_local_supplier",
         "tpch_q6_forecast_revenue", "tpch_q7_volume_shipping",
-        "tpch_q10_returned_items", "tpch_q14_promo_share", "tpch_q15_top_supplier",
-        "tpch_q19_or_pushdown", "tpch_q22_idle_rich", "tpch_q21_lone_late_supplier",
-        "tpch_q2_min_cost_supplier", "tpch_q8_market_share", "tpch_q9_product_profit",
-        "tpch_q11_important_stock", "tpch_q12_priority_classes",
-        "tpch_q16_supplier_variety", "tpch_q20_volume_suppliers",
-        "orders_running_spend", "orders_halfyear_setops",
-        "nation_top_customer_argmax", "events_value_deciles", "dim_scd2_merge",
-        "events_value_time_corr", "events_cohort_retention",
-        "events_attribution_join",
+        "tpch_q8_market_share", "tpch_q9_product_profit",
+        # round 2 (CORRECTNESS_r02.json)
+        "ann_cosine_topk",
+        "ann_ivf_topk", "ann_lsh_bucketed", "anti_join_never_shipped",
+        "chain_join_revenue", "corpus_mixture_sample", "corpus_pack_sequences",
+        "corpus_source_composition", "corpus_split_assign",
+        "corpus_stratified_sample", "corpus_training_pipeline",
+        "dedup_cluster_components", "dedup_exact", "dedup_minhash_lsh",
+        "dedup_ngram_jaccard", "dedup_simhash", "dedup_simhash_pairs",
+        "dq_expectation_report", "emb_cosine_neardup", "emb_kmeans",
+        "emb_quantize_int8", "events_asof_join", "events_funnel",
+        "events_range_join", "events_session_window_native", "events_sessionize",
+        "events_window_agg", "graph_pagerank", "media_binary_stats",
+        "media_chunk_windows", "media_frame_sample", "orders_cube_revenue",
+        "privacy_k_anonymity", "privacy_pseudonymize", "profile_orders_columns",
+        "q17_small_qty_revenue", "semi_join_urgent_customers",
+        "sketch_bloom_membership", "sketch_cms_heavy_hitters",
+        "sketch_histogram_quantiles", "sketch_hll_distinct",
+        "sketch_kmv_audience_overlap", "sketch_kmv_distinct", "text_fingerprint",
+        "text_lang_id", "text_normalize", "text_quality_score",
+        "text_tfidf_top_terms", "text_token_stats", "top_parts_by_revenue",
     }
 )
 
@@ -1524,10 +1546,11 @@ _FAMILY_PREFIXES: tuple[tuple[str, ...], ...] = (
 
 def _driver_order(cases: dict[str, Case]) -> dict[str, Case]:
     """Interleave the driver-unverified entries one-per-family ahead of
-    the entries CORRECTNESS_r01 already value-verified (original order
-    preserved within each group). Pure reordering — same keys/cases."""
+    the entries a prior round's CORRECTNESS_r*.json already value-verified
+    (original order preserved within each group). Pure reordering — same
+    keys/cases."""
     names = list(cases)
-    pending = [n for n in names if n not in _R01_DRIVER_VERIFIED]
+    pending = [n for n in names if n not in _DRIVER_VERIFIED]
     queues = []
     claimed: set[str] = set()
     for prefixes in _FAMILY_PREFIXES:
@@ -1540,7 +1563,7 @@ def _driver_order(cases: dict[str, Case]) -> dict[str, Case]:
         for q in queues:
             if q:
                 ordered.append(q.pop(0))
-    ordered.extend(n for n in names if n in _R01_DRIVER_VERIFIED)
+    ordered.extend(n for n in names if n in _DRIVER_VERIFIED)
     return {n: cases[n] for n in ordered}
 
 
