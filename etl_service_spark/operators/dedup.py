@@ -606,7 +606,10 @@ WHERE n_shared >= {k_shared}
 
 
 def incremental_dedup(
-    spark: SparkSession, new_docs: DataFrame, fingerprint_path: str
+    spark: SparkSession,
+    new_docs: DataFrame,
+    fingerprint_path: str,
+    append_fingerprints: bool = True,
 ) -> DataFrame:
     """Incremental exact dedup for continuous ingestion: emit only the
     docs from ``new_docs`` whose text hash is neither in the persisted
@@ -620,7 +623,14 @@ def incremental_dedup(
     only — the historical corpus's text never loads. At 100 TB the
     fingerprint table is bucketed by hash so the anti-join co-locates
     (see write_bucketed); new-batch size, not history size, drives the
-    incremental cost."""
+    incremental cost.
+
+    With ``append_fingerprints=False`` the fingerprint append is deferred
+    to the caller (see streaming/corpus_stream.curate_batch, which must
+    durably land the curated rows FIRST so a crash between the two writes
+    replays as bounded duplicates rather than silent loss). The returned
+    frame is checkpointed either way, so the caller can append
+    ``fresh.select("text_hash", "doc_id")`` later without recompute."""
     from pyspark.sql import functions as F
 
     hashed = (
@@ -639,5 +649,6 @@ def incremental_dedup(
         fresh = batch_unique
 
     fresh = fresh.localCheckpoint(eager=True)  # stable before the append below
-    fresh.select("text_hash", "doc_id").write.mode("append").parquet(fingerprint_path)
+    if append_fingerprints:
+        fresh.select("text_hash", "doc_id").write.mode("append").parquet(fingerprint_path)
     return fresh.select("doc_id", "text_hash", "text")

@@ -170,8 +170,15 @@ def cosine_topk_staged(
                 keep = ids != ids_q[qi]  # e.vec_id <> q_id, like the SQL join
                 all_ids = np.concatenate([cand_ids[qi], ids[keep]])
                 all_cos = np.concatenate([cand_cos[qi], cos[qi][keep]])
-                # oracle order: cosine DESC, n_id ASC (lexsort: last key primary)
-                order = np.lexsort((all_ids, -all_cos))[:k]
+                # oracle order: cosine DESC, n_id ASC (lexsort: last key
+                # primary). Spark and DuckDB both treat NaN as GREATEST
+                # under DESC (a zero-norm embedding yields NaN cosine),
+                # but lexsort on -cos would sort NaN last — map NaN to
+                # -inf in the key so NaN candidates rank first, like the
+                # engines, while cand_cos keeps the NaN value itself.
+                key = -all_cos
+                key[np.isnan(key)] = -np.inf
+                order = np.lexsort((all_ids, key))[:k]
                 cand_ids[qi], cand_cos[qi] = all_ids[order], all_cos[order]
         out_q = np.repeat(ids_q, [len(c) for c in cand_ids])
         yield pd.DataFrame(
@@ -189,11 +196,18 @@ def cosine_topk_staged(
     # thread pool, so fixed names would race
     view_name = f"__topk_cand_{id(scored)}"
     scored.createOrReplaceTempView(view_name)
+    # pandas->Arrow serialization maps the kernel's NaN cosines to SQL
+    # NULL (pandas uses NaN as its NA sentinel); the kernel never emits
+    # a legitimate NULL, so restore NULL -> NaN here and rank on the
+    # restored value — NaN is GREATEST under DESC in both Spark and
+    # DuckDB, so zero-norm candidates rank first, like the SQL twin.
     return spark.sql(
         f"""
 SELECT q_id, n_id, rnk, cosine FROM (
-  SELECT q_id, n_id, cosine,
-         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rnk
+  SELECT q_id, n_id, coalesce(cosine, CAST('NaN' AS DOUBLE)) AS cosine,
+         ROW_NUMBER() OVER (
+           PARTITION BY q_id
+           ORDER BY coalesce(cosine, CAST('NaN' AS DOUBLE)) DESC, n_id) AS rnk
   FROM {view_name}
 ) WHERE rnk <= {k}
 """

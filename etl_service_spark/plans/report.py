@@ -86,7 +86,7 @@ def _state_rows(spark: SparkSession, level: str) -> list:
 def _module_row(level: str, row, now: datetime | None) -> str:
     cells = [
         f"{_LEVEL_LABEL[level]} {row['run_id']}",
-        _esc(row["name"]),
+        row["name"],  # escaped once by the i < 2 branch of the join below
         _esc(row["Startzeitpunkt"]),
         _esc(row["Endzeitpunkt"]),
         duration_label(row["Startzeitpunkt"], row["Endzeitpunkt"], now),

@@ -18,11 +18,16 @@ runs them:
 4. append to the curated store, partitioned by split (so training
    readers prune to their split at the directory level).
 
-Replay safety: a replayed batch re-suppresses on the fingerprint
-anti-join, so the curated store converges to the same rows no matter
-how the stream was chopped or re-delivered — the same contract as
-dropDuplicatesWithinWatermark, with state in a queryable parquet table
-instead of the state store (shared by restarts and parallel readers).
+Replay safety: the curated append lands BEFORE the fingerprint append
+(write ordering matters — were fingerprints recorded first, a crash
+between the two writes would make the replayed batch anti-join its own
+docs away and drop them from the curated store forever). With this
+ordering a crash between the writes replays as bounded duplicate rows
+in the curated store for that one batch, which the fingerprint
+anti-join suppresses on every subsequent delivery — at-least-once into
+the curated store, exactly-once into the dedup state. Readers needing
+exact-once rows dedup on doc_id at read time (a cheap
+dropDuplicates over the one affected partition set).
 
 At 100 TB: the fingerprint table is bucketed by hash (see
 copy.write_bucketed) so the anti-join co-locates; everything else is
@@ -64,7 +69,9 @@ def curate_batch(
 
     spark = batch_df.sparkSession
     batch_df = batch_df.localCheckpoint(eager=True)  # stable across the two uses
-    fresh = incremental_dedup(spark, batch_df, fingerprint_dir)
+    # defer the fingerprint append: curated rows must be durable first,
+    # else a crash between the writes loses the batch on replay
+    fresh = incremental_dedup(spark, batch_df, fingerprint_dir, append_fingerprints=False)
     # restore the non-text columns dropped by the dedup projection
     docs = fresh.select("doc_id", "text_hash").join(batch_df, "doc_id")
     scored = textops.quality_scores_df(docs).select("doc_id", "quality")
@@ -74,6 +81,10 @@ def curate_batch(
         .withColumn("split", F.expr(SPLIT_EXPR))
     )
     curated.write.mode("append").partitionBy("split").parquet(out_dir)
+    # curated rows are durable — now record the batch's fingerprints
+    # (ALL fresh docs, including quality-rejected ones: dedup state
+    # tracks seen text, not kept text)
+    fresh.select("text_hash", "doc_id").write.mode("append").parquet(fingerprint_dir)
 
 
 def run_corpus_curation(

@@ -19,9 +19,7 @@ free, and the estimate query is one scan of the register table.
 
 from __future__ import annotations
 
-import os
-
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 # same integer pipeline as hll_distinct_sql (operators/sketch.py):
 # 32-bit bijective hash -> 6-bit register / 26-bit suffix -> rank from
@@ -72,27 +70,33 @@ def hll_estimates(registers: DataFrame) -> DataFrame:
     )
 
 
+def read_hll_registers(spark: SparkSession, table_dir: str) -> DataFrame:
+    """Compact the append-only register log into the current register
+    table: union + groupBy MAX is the sketch's merge operator, so the
+    MAX over every appended batch IS the merged sketch. O(batches x
+    event_types x 64) rows scanned — trivial at any corpus scale."""
+    return (
+        spark.read.parquet(table_dir)
+        .groupBy("event_type", "reg")
+        .agg(F.max("mx").alias("mx"))
+    )
+
+
 def run_hll_register_rollup(events: DataFrame, checkpoint_dir: str, table_dir: str) -> None:
     """Maintain the register table from a stream: per micro-batch,
-    merge the batch's registers into the persisted table (union +
-    groupBy MAX — the sketch's merge operator) and rewrite it. The
-    table is O(event_types x 64) rows, so the rewrite is trivially
-    cheap at any corpus scale; localCheckpoint pins the merged result
-    before the overwrite so the read and the write of the same path
-    never race."""
+    APPEND the batch's registers to an append-only log; readers compact
+    with read_hll_registers (union + groupBy MAX). Append-only is the
+    crash-safe shape: a delete-then-overwrite of the table would leave
+    a window where a crash destroys the whole monotone register
+    history and the replayed batch rebuilds only from its own events —
+    the maintained table would then silently underestimate everything
+    seen earlier. Parquet job commits are task-atomic (staged files
+    move in at commit; readers ignore _temporary), so a crash mid-batch
+    replays to at-most one duplicate batch of registers, which MAX
+    absorbs (registers are monotone — the sketch is replay-idempotent)."""
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        regs = hll_registers(batch_df)
-        if os.path.exists(table_dir):
-            prev = spark.read.parquet(table_dir)
-            regs = (
-                prev.union(regs.select(prev.columns))
-                .groupBy("event_type", "reg")
-                .agg(F.max("mx").alias("mx"))
-            )
-        merged = regs.localCheckpoint(eager=True)
-        merged.write.mode("overwrite").parquet(table_dir)
+        hll_registers(batch_df).write.mode("append").parquet(table_dir)
 
     q = (
         events.writeStream.outputMode("append")

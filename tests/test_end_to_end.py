@@ -154,3 +154,20 @@ def test_minimum_end_to_end_slice(spark, sf_dir, tmp_path):
     assert "Fehlermeldungen" not in html_doc
     png = render_run_graph_png(spark)
     assert png.startswith(b"\x89PNG\r\n\x1a\n")
+
+
+def test_module_row_escapes_name_exactly_once():
+    """'A&B' must render as 'A&amp;B', not 'A&amp;amp;B' — the name cell
+    is escaped only by the join, never pre-escaped."""
+    from etl_service_spark.plans.report import _module_row
+
+    row = {
+        "run_id": 7,
+        "name": "A&B <x>",
+        "Startzeitpunkt": "2026-01-01 00:00:00",
+        "Endzeitpunkt": "2026-01-01 00:05:00",
+        "Erfolgreich": True,
+    }
+    html = _module_row("package", row, None)
+    assert "A&amp;B &lt;x&gt;" in html
+    assert "amp;amp" not in html

@@ -657,3 +657,59 @@ def test_scd2_merge_semantics_and_idempotence(spark):
 
     again = scd2_merge(merged, updates, "k", ["bal"], "2025-07-01")
     assert {tuple(r) for r in again.collect()} == rows
+
+
+def test_cosine_topk_staged_ranks_nan_first_like_engines(spark):
+    """A zero-norm embedding yields NaN cosine; Spark and DuckDB ORDER BY
+    cosine DESC rank NaN as GREATEST, so the staged Arrow kernel must
+    keep NaN candidates at the top of its per-partition top-k instead of
+    lexsort-dropping them past the cut."""
+    import math
+
+    from etl_service_spark.operators.similarity import DIM, cosine_topk_staged
+
+    rows = []
+    for vid in range(6):
+        if vid == 4:
+            vec = [0.0] * DIM  # zero norm -> NaN cosine vs any query
+        else:
+            vec = [float((vid + 1) * (i + 1) % 7) + 0.5 for i in range(DIM)]
+        rows.append((vid, vec))
+    spark.createDataFrame(rows, "vec_id bigint, embedding array<float>").createOrReplaceTempView(
+        "__nan_emb"
+    )
+    out = cosine_topk_staged(spark, k=3, n_queries=1, view="__nan_emb").collect()
+    got = [(r["q_id"], r["n_id"], r["rnk"]) for r in out]
+    assert [(q, n) for q, n, _ in got][0] == (0, 4)  # NaN candidate ranks first
+    assert math.isnan(out[0]["cosine"])
+    assert len(got) == 3 and [r[2] for r in got] == [1, 2, 3]
+
+
+def test_unpivot_stats_drops_all_null_measure_group(spark):
+    """ANSI UNPIVOT eliminates NULL values implicitly, so a measure
+    column that is entirely NULL contributes zero long-form rows — its
+    metric group must vanish, not appear as (0, NULL, NULL, NULL)."""
+    import duckdb
+
+    from etl_service_spark.plans.queries import unpivot_stats
+
+    df = spark.createDataFrame(
+        [(1.0, None), (2.5, None), (None, None)],
+        "a double, b double",
+    )
+    got = unpivot_stats(df, ("a", "b")).collect()
+    assert [r["metric"] for r in got] == ["a"]
+    assert (got[0]["n_rows"], got[0]["min_val"], got[0]["max_val"], got[0]["sum_val"]) == (
+        2, 1.0, 2.5, 3.5,
+    )
+
+    oracle = duckdb.sql(
+        """
+        SELECT metric, count(*) AS n_rows, min(val) AS min_val, max(val) AS max_val,
+               CAST(SUM(CAST(val AS DECIMAL(18,2))) AS DOUBLE) AS sum_val
+        FROM (SELECT * FROM (VALUES (1.0, NULL), (2.5, NULL), (NULL, NULL)) t(a, b))
+             UNPIVOT (val FOR metric IN (a, b))
+        GROUP BY metric ORDER BY metric
+        """
+    ).fetchall()
+    assert [tuple(r.asDict().values()) for r in got] == [tuple(r) for r in oracle]

@@ -252,6 +252,7 @@ def test_streaming_hll_rollup_matches_batch(spark, sf_dir, tmp_path):
     from etl_service_spark.streaming.sketch_stream import (
         hll_estimates,
         hll_registers,
+        read_hll_registers,
         run_hll_register_rollup,
     )
 
@@ -266,7 +267,7 @@ def test_streaming_hll_rollup_matches_batch(spark, sf_dir, tmp_path):
 
     maintained = {
         (r["event_type"], r["reg"]): r["mx"]
-        for r in spark.read.parquet(table).collect()
+        for r in read_hll_registers(spark, table).collect()
     }
     batch = spark.read.parquet(src)
     from etl_service_spark.streaming.events_stream import with_event_time
@@ -277,7 +278,7 @@ def test_streaming_hll_rollup_matches_batch(spark, sf_dir, tmp_path):
     }
     assert maintained == expected  # replay absorbed, merge exact
 
-    est = {r["event_type"]: r["n_distinct_hll"] for r in hll_estimates(spark.read.parquet(table)).collect()}
+    est = {r["event_type"]: r["n_distinct_hll"] for r in hll_estimates(read_hll_registers(spark, table)).collect()}
     exact = {
         r["event_type"]: r["n"]
         for r in batch.groupBy("event_type").agg(
