@@ -20,7 +20,7 @@ work — no Python in the loop.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
 from ..functions import portable as P
@@ -249,48 +249,66 @@ def embedding_neardup_pandas(
     spark: SparkSession,
     tau: float = 0.4,
     view: str = "embeddings",
-    max_rows: int = 250_000,
+    rows_per_block: int = 700,
+    n_blocks: int | None = None,
 ) -> DataFrame:
-    """All-pairs cosine near-dup, Arrow-batched numpy execution.
+    """All-pairs cosine near-dup, Arrow-batched numpy execution over a
+    block-pair decomposition — no driver materialization anywhere.
 
     Same values as :func:`embedding_neardup_sql` to the last bit: numpy
     replays the oracle's EXACT IEEE-754 operation sequence — float32
     inputs widened to float64 (exact), a left-associated 64-term
     multiply-add chain (one vectorized `acc += a[:,i] * b[:,i]` per
-    term, which is per-pair left association), then dot/(nrm_a*nrm_b).
-    The giant explicit SQL chain defeats whole-stage codegen (Spark
-    falls back to interpreted projection over N² rows, ~60x slower);
-    this path keeps the N² loop in BLAS-grade vector code.
+    term, which is per-pair left association; multiplication is
+    commutative and correctly rounded, so operand order per term is
+    irrelevant), then dot/(nrm_a*nrm_b). The giant explicit SQL chain
+    defeats whole-stage codegen (Spark falls back to interpreted
+    projection over N² rows, ~60x slower); this path keeps the N² loop
+    in BLAS-grade vector code.
 
-    Scale shape: one side is broadcast (the whole corpus matrix), the
-    other side streams per-partition through mapInPandas, so the pair
-    space is partitioned across executors with no shuffle at all. This
-    operator is the SMALL-N exact baseline: the corpus pull is bounded
-    by an explicit ``max_rows`` guard (LIMIT max_rows+1, so the driver
-    never holds more than max_rows+1 rows no matter the table size) and
-    raises past it rather than silently becoming a driver/compute
-    bottleneck — at 250k rows the matrix is ~128 MB broadcast but the
-    pair space is already 3·10¹⁰; beyond the guard use ``lsh_ann``
-    (bucketed, linear) for the same question.
+    Scale shape: rows hash into B = ceil(N / rows_per_block) blocks by
+    vec_id (N from a scalar count — the only driver-side value; pass
+    ``n_blocks`` explicitly to skip even that job); the
+    (blk, ba, bb, role) fan-out relation — B·(B+2) int rows, never
+    embeddings — is the broadcast side of ONE join over ONE scan, so
+    each row is replicated to the block pairs its block participates in
+    (~B+1 copies; shuffle volume N·(B+1) rows = N²/rows_per_block — the
+    pair-space replication every exact all-pairs algorithm pays, here
+    spread across executors with bounded ~2·rows_per_block group sizes
+    instead of collected to the driver); groupBy(block-pair)
+    .applyInPandas runs the dense kernel per pair of blocks. Compute is
+    inherently quadratic: this stays the EXACT baseline, ``lsh_ann`` /
+    ``ann_ivf`` are the linear scale paths for the same question.
     """
     import numpy as np
     import pandas as pd
 
     emb = spark.table(view).select("vec_id", "embedding")
-    # corpus matrix is the broadcast side; guarded pull — never an
-    # unbounded full-table collect
-    rows = emb.limit(max_rows + 1).collect()
-    if len(rows) > max_rows:
-        raise ValueError(
-            f"embedding_neardup_pandas is the exact small-N baseline: "
-            f"{view} exceeds max_rows={max_rows}; use lsh_ann / ann_ivf "
-            f"for corpora past broadcast size"
-        )
-    ids_all = np.array([r.vec_id for r in rows], dtype=np.int64)
-    m_all = np.array([r.embedding for r in rows], dtype=np.float64)  # f32→f64 exact
-    order = np.argsort(ids_all)
-    ids_all, m_all = ids_all[order], m_all[order]
-    bc = spark.sparkContext.broadcast((ids_all, m_all))
+    if n_blocks is None:
+        # scalar count only — no embedding rows leave the executors;
+        # memoized per (session, view, files) like the staging views
+        ckey = (id(spark), "neardup_count", view, tuple(sorted(emb.inputFiles())))
+        if ckey not in _STAGE_CACHE:
+            _STAGE_CACHE[ckey] = str(emb.count())
+        n = int(_STAGE_CACHE[ckey])
+        n_blocks = max(1, -(-n // max(1, rows_per_block)))
+    # fan-out relation: block blk participates in pair (ba, bb) as
+    # role 0 (first block) or role 1 (second); a diagonal pair
+    # (ba == bb) carries its block under BOTH roles and the
+    # vec_a < vec_b mask below dedups the doubled orientation.
+    rel = [
+        (blk, a, b, 0 if blk == a else 1)
+        for a in range(n_blocks)
+        for b in range(a, n_blocks)
+        for blk in {a, b}
+    ]
+    rel += [(a, a, a, 1) for a in range(n_blocks)]
+    fan = spark.createDataFrame(rel, "blk int, ba int, bb int, role int")
+
+    blk = emb.withColumn("blk", F.pmod(F.col("vec_id"), F.lit(n_blocks)).cast("int"))
+    both = blk.join(F.broadcast(fan), "blk").select(
+        "ba", "bb", "role", "vec_id", "embedding"
+    )
 
     def _norms(m: "np.ndarray") -> "np.ndarray":
         acc = m[:, 0] * m[:, 0]
@@ -306,30 +324,41 @@ def embedding_neardup_pandas(
         ]
     )
 
-    def compute(batches):
-        ids_b, m_b = bc.value
-        nrm_b = _norms(m_b)
-        for pdf in batches:
-            ids_a = pdf["vec_id"].to_numpy(dtype=np.int64)
-            m_a = np.array(list(pdf["embedding"]), dtype=np.float64)
-            if len(ids_a) == 0:
-                continue
-            nrm_a = _norms(m_a)
-            # all-pairs dot as 64 outer-product accumulations: each step
-            # is one correctly-rounded multiply + add per pair, i.e. the
-            # left-associated chain, without gathering O(pairs x DIM)
-            # intermediates (4M pairs would gather ~4 GB).
-            acc = np.multiply.outer(m_a[:, 0], m_b[:, 0])
-            for i in range(1, DIM):
-                acc += np.multiply.outer(m_a[:, i], m_b[:, i])
-            cos = acc / np.multiply.outer(nrm_a, nrm_b)
-            # pair mask: vec_id_a < vec_id_b (dedup across partitions)
-            ia, ib = np.nonzero((ids_a[:, None] < ids_b[None, :]) & (cos >= tau))
-            yield pd.DataFrame(
-                {"vec_a": ids_a[ia], "vec_b": ids_b[ib], "cosine": cos[ia, ib]}
+    def compute(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        diagonal = pdf["ba"].iat[0] == pdf["bb"].iat[0]
+        a_pdf = pdf[pdf["role"] == 0]
+        b_pdf = pdf[pdf["role"] == 1]
+        if not len(a_pdf) or not len(b_pdf):
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []}).astype(
+                {"vec_a": "int64", "vec_b": "int64", "cosine": "float64"}
             )
+        ids_a = a_pdf["vec_id"].to_numpy(dtype=np.int64)
+        ids_b = b_pdf["vec_id"].to_numpy(dtype=np.int64)
+        m_a = np.array(list(a_pdf["embedding"]), dtype=np.float64)  # f32→f64 exact
+        m_b = np.array(list(b_pdf["embedding"]), dtype=np.float64)
+        nrm_a, nrm_b = _norms(m_a), _norms(m_b)
+        # all-pairs dot as 64 outer-product accumulations: each step
+        # is one correctly-rounded multiply + add per pair, i.e. the
+        # left-associated chain, without gathering O(pairs x DIM)
+        # intermediates (4M pairs would gather ~4 GB).
+        acc = np.multiply.outer(m_a[:, 0], m_b[:, 0])
+        for i in range(1, DIM):
+            acc += np.multiply.outer(m_a[:, i], m_b[:, i])
+        cos = acc / np.multiply.outer(nrm_a, nrm_b)
+        mask = cos >= tau
+        if diagonal:
+            # same block on both roles: each unordered pair appears in
+            # both orientations — keep the a < b one.
+            mask &= ids_a[:, None] < ids_b[None, :]
+        ia, ib = np.nonzero(mask)
+        # off-diagonal groups hold each unordered pair exactly once
+        # (blocks are disjoint); emit ids in (min, max) order to match
+        # the oracle's a.vec_id < b.vec_id orientation.
+        va = np.minimum(ids_a[ia], ids_b[ib])
+        vb = np.maximum(ids_a[ia], ids_b[ib])
+        return pd.DataFrame({"vec_a": va, "vec_b": vb, "cosine": cos[ia, ib]})
 
-    return P.fan_out(emb).mapInPandas(compute, schema=out_schema)
+    return both.groupBy("ba", "bb").applyInPandas(compute, schema=out_schema)
 
 
 # --------------------------------------------------------------- IVF ANN
