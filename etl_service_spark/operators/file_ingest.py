@@ -102,19 +102,22 @@ def dedup_new_files(incoming: DataFrame, target: DataFrame | None, key: str = "D
 
 
 def read_sheet(spark: SparkSession, path: str) -> DataFrame:
-    """Sheet reader. Real .xlsx needs openpyxl (not in this container —
-    STUB, import-gated); every other format flows through the same
-    ingest pipeline via pandas/CSV."""
+    """Sheet reader. Real .xlsx decodes via pandas/openpyxl when the
+    library is present, else via the vendored pure-python zip+XML
+    reader (sources/xlsx.py) — scope-equal to the reference's sheet-1
+    value reads (CommandExecuter.cs:1915-2027); every other format
+    flows through the same ingest pipeline via CSV."""
     if path.endswith(".xlsx"):
         try:
             import openpyxl  # noqa: F401
             import pandas as pd
-        except ImportError as e:  # pragma: no cover - environment-dependent
-            raise NotImplementedError(
-                "xlsx decode requires openpyxl (not installed); "
-                "use CSV sheets through the same pipeline"
-            ) from e
-        return spark.createDataFrame(pd.read_excel(path))
+
+            pdf = pd.read_excel(path)
+        except ImportError:  # pragma: no cover - environment-dependent
+            from ..sources.xlsx import read_xlsx_pandas
+
+            pdf = read_xlsx_pandas(path)
+        return spark.createDataFrame(pdf)
     return spark.read.option("header", True).option("inferSchema", True).csv(path)
 
 

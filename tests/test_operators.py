@@ -713,3 +713,155 @@ def test_unpivot_stats_drops_all_null_measure_group(spark):
         """
     ).fetchall()
     assert [tuple(r.asDict().values()) for r in got] == [tuple(r) for r in oracle]
+
+
+def _write_minimal_xlsx(path, header, rows):
+    """Build a REAL .xlsx (zip of OOXML parts) with stdlib only: shared
+    strings for text cells, inline numerics, sparse cells omitted."""
+    import zipfile
+
+    shared: list[str] = []
+
+    def sref(s):
+        if s not in shared:
+            shared.append(s)
+        return shared.index(s)
+
+    def cell(ref, v):
+        if v is None:
+            return ""
+        if isinstance(v, str):
+            return f'<c r="{ref}" t="s"><v>{sref(v)}</v></c>'
+        if isinstance(v, bool):
+            return f'<c r="{ref}" t="b"><v>{1 if v else 0}</v></c>'
+        return f'<c r="{ref}"><v>{v}</v></c>'
+
+    def col_letter(i):
+        out = ""
+        i += 1
+        while i:
+            i, r = divmod(i - 1, 26)
+            out = chr(ord("A") + r) + out
+        return out
+
+    all_rows = [header] + rows
+    sheet_rows = []
+    for rn, vals in enumerate(all_rows, start=1):
+        cells = "".join(cell(f"{col_letter(ci)}{rn}", v) for ci, v in enumerate(vals))
+        sheet_rows.append(f'<row r="{rn}">{cells}</row>')
+    ns = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    rns = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+    pkg_rns = "http://schemas.openxmlformats.org/package/2006/relationships"
+    sheet_xml = f'<worksheet xmlns="{ns}"><sheetData>{"".join(sheet_rows)}</sheetData></worksheet>'
+    from xml.sax.saxutils import escape
+
+    sst = "".join(f"<si><t>{escape(s)}</t></si>" for s in shared)
+    with zipfile.ZipFile(path, "w") as zf:
+        zf.writestr(
+            "[Content_Types].xml",
+            '<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
+            '<Default Extension="xml" ContentType="application/xml"/></Types>',
+        )
+        zf.writestr(
+            "_rels/.rels",
+            f'<Relationships xmlns="{pkg_rns}"><Relationship Id="rId1" '
+            f'Type="{rns}/officeDocument" Target="xl/workbook.xml"/></Relationships>',
+        )
+        zf.writestr(
+            "xl/workbook.xml",
+            f'<workbook xmlns="{ns}" xmlns:r="{rns}"><sheets>'
+            f'<sheet name="Tabelle1" sheetId="1" r:id="rId1"/></sheets></workbook>',
+        )
+        zf.writestr(
+            "xl/_rels/workbook.xml.rels",
+            f'<Relationships xmlns="{pkg_rns}"><Relationship Id="rId1" '
+            f'Type="{rns}/worksheet" Target="worksheets/sheet1.xml"/></Relationships>',
+        )
+        zf.writestr("xl/sharedStrings.xml", f'<sst xmlns="{ns}">{sst}</sst>')
+        zf.writestr("xl/worksheets/sheet1.xml", sheet_xml)
+
+
+def test_vendored_xlsx_reader_values(tmp_path):
+    from etl_service_spark.sources.xlsx import read_xlsx_rows
+
+    p = str(tmp_path / "t.xlsx")
+    _write_minimal_xlsx(
+        p,
+        ["Name", "Menge", "Aktiv"],
+        [["A&B Werk", 3, True], ["Süd", 2.5, False], [None, 7, None]],
+    )
+    rows = read_xlsx_rows(p)
+    assert rows[0] == ["Name", "Menge", "Aktiv"]
+    assert rows[1] == ["A&B Werk", 3, True]
+    assert rows[2] == ["Süd", 2.5, False]
+    assert rows[3] == [None, 7, None]
+
+
+def test_ingest_real_xlsx_end_to_end(spark, tmp_path):
+    """D6 over a REAL workbook: stage -> decode (vendored zip+XML path
+    when openpyxl is absent) -> mapping.csv renames -> audit columns ->
+    Dateiname-partitioned append; values checked against the sheet."""
+    d = tmp_path / "exchange"
+    (d / "Insert").mkdir(parents=True)
+    _write_minimal_xlsx(
+        str(d / "Insert" / "parts_2026.xlsx"),
+        ["OrderKey", "Amount"],
+        [[1, 10.5], [2, 20.25], [3, 30]],
+    )
+    mapping = {"OrderKey": "o_key", "Amount": "amount"}
+    ctx = IngestContext(1, "sheet-import", "spark", "2026-01-01 00:00:00", "2026-01-01")
+    target = str(tmp_path / "target")
+    total, failed = ingest_directory(spark, str(d), target, mapping, ctx)
+    assert (total, failed) == (3, [])
+    out = spark.read.parquet(target)
+    got = {(r["o_key"], float(r["amount"])) for r in out.collect()}
+    assert got == {(1, 10.5), (2, 20.25), (3, 30.0)}
+    row = out.filter("o_key = 2").collect()[0]
+    assert row["Dateiname"] == "parts_2026.xlsx"
+    assert row["Datenherkunft"] == "sheet-import"
+    assert row["Mandanten_ID"] == 1
+
+
+def test_excel_ingest_audit_from_real_workbook_matches_oracle(spark, sf_dir, tmp_path):
+    """The etl_excel_ingest_audit registry case, sourced from a REAL
+    .xlsx instead of the parquet twin: part rows round-trip through the
+    workbook (zip+XML decode), then mapping + audit columns — and the
+    result still hash-matches the registry's DuckDB oracle."""
+    from pyspark.sql import functions as F
+
+    from etl_service_spark.operators.file_ingest import (
+        apply_mapping,
+        inject_audit_columns,
+        read_sheet,
+    )
+    from etl_service_spark.plans.queries import EXCEL_INGEST_ORACLE, views
+    from tests.harness import compare, duck_connect
+
+    v = views(spark, sf_dir)
+    src = [
+        (r["p_partkey"], r["p_name"], r["p_brand"], float(r["p_retailprice"]))
+        for r in v["part"]
+        .select("p_partkey", "p_name", "p_brand", "p_retailprice")
+        .collect()
+    ]
+    wb = str(tmp_path / "parts_2026.xlsx")
+    _write_minimal_xlsx(wb, ["p_partkey", "p_name", "p_brand", "p_retailprice"], [list(t) for t in src])
+
+    mapping = {"p_name": "Produktname", "p_brand": "Marke", "p_retailprice": "Preis"}
+    ctx = IngestContext(
+        mandant_id=1,
+        datenherkunft="sheet-import",
+        producer="spark_engine",
+        query_time="2026-01-01 00:00:00",
+        export_date="2026-01-01",
+    )
+    df = read_sheet(spark, wb)
+    df = apply_mapping(df, mapping)
+    df = inject_audit_columns(df, "parts_2026.xlsx", ctx, pk_col="p_partkey")
+    df = df.withColumn("Exportdatum", F.date_format("Exportdatum", "yyyy-MM-dd")).withColumn(
+        "LoeschDatum", F.col("LoeschDatum").cast("string")
+    )
+    # the sheet yields double for Preis; the oracle's DECIMAL(12,2)
+    # also lands as float64 via .df(), so both sides canonicalize alike
+    oracle = duck_connect(sf_dir).execute(EXCEL_INGEST_ORACLE).df()
+    assert compare(df.toPandas(), oracle) == []
