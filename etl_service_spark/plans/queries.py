@@ -1837,6 +1837,16 @@ def registry() -> dict[str, Case]:
 
     cases["graph_pagerank"] = Case(_pagerank, graph.pagerank_oracle_sql())
 
+    # skew-hardened twin: per-round destination aggregation runs as a
+    # two-stage salted partial aggregate; integer SUM associativity
+    # makes it bit-identical to the unsalted recurrence, so the SAME
+    # recursive-CTE oracle value-checks it.
+    def _pagerank_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+        views(spark, sf_dir)
+        return graph.pagerank(spark, sf_dir, salted=True)
+
+    cases["graph_pagerank_salted"] = Case(_pagerank_salted, graph.pagerank_oracle_sql())
+
     def _contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         views(spark, sf_dir)
         return dedup.contamination_staged(spark)

@@ -255,3 +255,21 @@ def test_privacy_pseudonymize_broadcasts_group_sizes(spark, sf_dir):
     df.collect()
     plan = _plan(df)
     assert "BroadcastHashJoin" in plan, plan[:1500]
+
+
+def test_salted_pagerank_identical_and_two_stage(spark, sf_dir):
+    """graph_pagerank_salted: each round's destination aggregation must
+    be the two-stage salted partial aggregate — a groupBy over
+    (dest, salt) feeding a merge groupBy over dest — and integer SUM
+    associativity must make the result BIT-identical to the unsalted
+    recurrence."""
+    from etl_service_spark.operators.graph import pagerank
+    from etl_service_spark.operators.skew import SALT_COL
+
+    plain = {(r["node"], r["rank"]) for r in pagerank(spark, sf_dir).collect()}
+    salted_df = pagerank(spark, sf_dir, salted=True)
+    salted = {(r["node"], r["rank"]) for r in salted_df.collect()}
+    assert salted == plain
+
+    plan = _plan(salted_df)
+    assert SALT_COL in plan, plan[:1500]  # salt key present in the agg stages
