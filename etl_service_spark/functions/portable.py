@@ -167,6 +167,38 @@ def fan_out(df, parts: int | None = None):
     return df.repartition(target)
 
 
+# Session conf selecting the staging backend for memoized relations
+# (token/fingerprint/posting/bucket staging tables). Unset (default):
+# localCheckpoint — executor-local shuffle files, fastest on a healthy
+# cluster but pinned to live executors and lost on executor death. Set
+# to a directory: each staged relation is written to parquet under
+# <dir>/<name> and read back — durable, spillable, survives executor
+# loss, and visible to other sessions/steps, which is the staging-table
+# shape a 100 TB pipeline wants (SCALE.md "known limits").
+STAGING_DIR_CONF = "spark.etl_service.stagingDir"
+
+
+def staging_dir(spark) -> str:
+    return spark.conf.get(STAGING_DIR_CONF, "") or ""
+
+
+def stage_df(df, name: str):
+    """Materialize a staging relation with truncated lineage — via
+    parquet under ``STAGING_DIR_CONF`` when configured, else
+    localCheckpoint. Callers that memoize the result must include
+    ``staging_dir(spark)`` in their cache key so flipping the conf
+    re-stages instead of returning the old backend's relation."""
+    import os
+
+    spark = df.sparkSession
+    d = staging_dir(spark)
+    if d:
+        path = os.path.join(d, name)
+        df.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+    return df.localCheckpoint(eager=True)
+
+
 def warm_udfs(spark) -> None:
     """Execute each singleton once on a tiny relation: spawns python
     workers, imports numpy/pandas there, and pays the per-instance

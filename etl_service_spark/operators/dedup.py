@@ -239,7 +239,7 @@ def materialize_hashsets(spark: SparkSession, view: str = "documents") -> str:
     from pyspark.sql import functions as F
 
     src = spark.table(view)
-    key = (id(spark), view, tuple(sorted(src.inputFiles())))
+    key = (id(spark), view, tuple(sorted(src.inputFiles())), P.staging_dir(spark))
     cached = _HASHSET_CACHE.get(key)
     if cached is not None:
         return cached
@@ -251,7 +251,7 @@ def materialize_hashsets(spark: SparkSession, view: str = "documents") -> str:
         .withColumn("n", F.size("hs"))
         .filter(F.col("n") > 0)
     )
-    df = hs.localCheckpoint(eager=True)
+    df = P.stage_df(hs, name)
     df.createOrReplaceTempView(name)
     _HASHSET_CACHE[key] = name
     return name
@@ -274,7 +274,7 @@ def materialize_prefix_postings(
     relation referenced by BOTH sides of the candidate self-join would
     otherwise re-run the explode + df-aggregate + per-doc window twice."""
     hs_rel = materialize_hashsets(spark, view)
-    key = (id(spark), view, tau_frac, hs_rel)
+    key = (id(spark), view, tau_frac, hs_rel, P.staging_dir(spark))
     cached = _PEXP_CACHE.get(key)
     if cached is not None:
         return cached
@@ -288,7 +288,7 @@ def materialize_prefix_postings(
         **_hashset_frags(view),
     )[0]
     name = f"__jaccard_pexp_{len(_PEXP_CACHE)}"
-    spark.sql(body).localCheckpoint(eager=True).createOrReplaceTempView(name)
+    P.stage_df(spark.sql(body), name).createOrReplaceTempView(name)
     _PEXP_CACHE[key] = name
     return name
 

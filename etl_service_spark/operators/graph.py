@@ -96,20 +96,22 @@ def dup_clusters(spark: SparkSession, tau: float = 0.8) -> DataFrame:
     like the training pipeline join the staged result)."""
     from . import dedup
 
+    from ..functions import portable as P
+
     hs_rel = dedup.materialize_hashsets(spark)
-    key = (id(spark), tau, hs_rel)
+    key = (id(spark), tau, hs_rel, P.staging_dir(spark))
     name = _PAIRS_CACHE.get(key)
     if name is None:
         name = f"__jaccard_pairs_{len(_PAIRS_CACHE)}"
         pairs = dedup.ngram_jaccard_staged(spark, tau=tau)
-        pairs.localCheckpoint(eager=True).createOrReplaceTempView(name)
+        P.stage_df(pairs, name).createOrReplaceTempView(name)
         _PAIRS_CACHE[key] = name
     ckey = (id(spark), tau, name)
     cname = _CLUSTERS_CACHE.get(ckey)
     if cname is None:
         cname = f"__dup_clusters_{len(_CLUSTERS_CACHE)}"
         cc = connected_components(spark.table(name))
-        cc.localCheckpoint(eager=True).createOrReplaceTempView(cname)
+        P.stage_df(cc, cname).createOrReplaceTempView(cname)
         _CLUSTERS_CACHE[ckey] = cname
     return spark.table(cname)
 

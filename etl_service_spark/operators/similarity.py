@@ -34,12 +34,15 @@ _STAGE_CACHE: dict[tuple, str] = {}
 
 
 def _stage_view(spark: SparkSession, df_fn, kind: str, view: str, params: tuple) -> str:
-    key = (id(spark), kind, params, tuple(sorted(spark.table(view).inputFiles())))
+    key = (
+        id(spark), kind, params,
+        tuple(sorted(spark.table(view).inputFiles())), P.staging_dir(spark),
+    )
     cached = _STAGE_CACHE.get(key)
     if cached is not None:
         return cached
     name = f"__{kind}_{view}_{len(_STAGE_CACHE)}"
-    df_fn().localCheckpoint(eager=True).createOrReplaceTempView(name)
+    P.stage_df(df_fn(), name).createOrReplaceTempView(name)
     _STAGE_CACHE[key] = name
     return name
 

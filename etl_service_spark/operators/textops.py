@@ -519,7 +519,7 @@ _TOKENS_CACHE: dict[tuple, str] = {}
 
 def materialize_tokens(spark, view: str = "documents") -> str:
     src = spark.table(view)
-    key = (id(spark), view, tuple(sorted(src.inputFiles())))
+    key = (id(spark), view, tuple(sorted(src.inputFiles())), P.staging_dir(spark))
     cached = _TOKENS_CACHE.get(key)
     if cached is not None:
         return cached
@@ -546,12 +546,12 @@ def materialize_tokens(spark, view: str = "documents") -> str:
             yield pd.DataFrame({"doc_id": doc_ids, "lang": langs, "tok": toks, "h": h})
 
     name = f"__tokens_{view}_{len(_TOKENS_CACHE)}"
-    (
-        P.fan_out(src.select("doc_id", "lang", "text"))
-        .mapInPandas(kernel, schema="doc_id bigint, lang string, tok string, h bigint")
-        .localCheckpoint(eager=True)
-        .createOrReplaceTempView(name)
-    )
+    P.stage_df(
+        P.fan_out(src.select("doc_id", "lang", "text")).mapInPandas(
+            kernel, schema="doc_id bigint, lang string, tok string, h bigint"
+        ),
+        name,
+    ).createOrReplaceTempView(name)
     _TOKENS_CACHE[key] = name
     return name
 

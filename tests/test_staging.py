@@ -1,0 +1,58 @@
+"""Parquet staging backend for the memoized relations: with
+spark.etl_service.stagingDir set, every staged relation (shingle
+hash-sets, prefix postings, token mass, dup pairs/clusters, IVF/LSH
+stages) writes to parquet under the run-scoped dir and reads back —
+the durable staging-table shape for a real cluster — and all oracle
+checks stay green."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from etl_service_spark.functions.portable import STAGING_DIR_CONF
+from etl_service_spark.plans.queries import registry
+
+from .harness import run_case
+
+CASES = registry()
+
+STAGED_FAMILIES = [
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_cluster_components",
+    "text_tfidf_top_terms",
+    "text_top_terms_per_language",
+    "ann_ivf_topk",
+    "ann_lsh_bucketed",
+    "corpus_training_pipeline",
+]
+
+
+@pytest.fixture()
+def staging_dir(spark, tmp_path):
+    d = str(tmp_path / "staging")
+    spark.conf.set(STAGING_DIR_CONF, d)
+    try:
+        yield d
+    finally:
+        spark.conf.unset(STAGING_DIR_CONF)
+
+
+@pytest.mark.parametrize("name", STAGED_FAMILIES)
+def test_staged_families_green_with_parquet_staging(spark, sf_dir, staging_dir, name):
+    case = CASES[name]
+    problems = run_case(spark, sf_dir, case.spark, case.oracle)
+    assert not problems, f"{name}: " + " | ".join(problems)
+
+
+def test_parquet_staging_actually_writes(spark, sf_dir, staging_dir):
+    from etl_service_spark.operators import dedup
+    from etl_service_spark.plans.queries import views
+
+    views(spark, sf_dir)
+    rel = dedup.materialize_hashsets(spark)
+    assert os.path.isdir(os.path.join(staging_dir, rel))  # parquet dir, not a checkpoint
+    assert spark.table(rel).count() > 0
