@@ -551,6 +551,42 @@ LEFT JOIN (SELECT DISTINCT l_partkey AS pk FROM lineitem) e
   ON p.p_partkey = e.pk
 """
 
+# The mail-report renderer's row-level input frame (plans/report.py,
+# Helper.cs:806-905): the A6 event-sourced current-state collapse
+# (latest event per run wins, deterministic tiebreak), then the module
+# table's computed cells — "Paket <id>" label, duration label with the
+# renderer's Minuten-when-rounded-minutes-positive-else-Sekunden rule,
+# and the {True, False, -} success mapping. Duration rounding is
+# half-up INTEGER math ((secs + 30) DIV 60): identical in both engines,
+# and equal to the renderer's Python round() everywhere except an exact
+# half-minute tie (banker's rounding), which the synthetic seconds
+# (secs % 60 <= 28) cannot hit — asserted in tests.
+ANA_REPORT_ROWS_TEMPLATE = """
+WITH state AS (
+  SELECT run_id, name, Startzeitpunkt, secs FROM (
+    SELECT o_orderkey % 200 AS run_id,
+           concat('WF_', CAST(o_orderkey % 200 AS {str_t})) AS name,
+           {start_fmt} AS Startzeitpunkt,
+           (o_orderkey % 90) * 60 + (o_orderkey % 29) AS secs,
+           ROW_NUMBER() OVER (
+             PARTITION BY o_orderkey % 200
+             ORDER BY o_orderdate DESC, o_orderkey DESC
+           ) AS rn
+    FROM orders
+  ) s WHERE rn = 1
+)
+SELECT concat('Paket ', CAST(run_id AS {str_t})) AS modul,
+       name,
+       Startzeitpunkt,
+       CASE WHEN (secs + 30) {idiv} 60 > 0
+            THEN concat(CAST((secs + 30) {idiv} 60 AS {str_t}), ' Minuten')
+            ELSE concat(CAST(secs AS {str_t}), ' Sekunden') END AS dauer,
+       CASE WHEN run_id % 3 = 0 THEN 'True'
+            WHEN run_id % 3 = 1 THEN 'False'
+            ELSE '-' END AS erfolgreich
+FROM state
+"""
+
 # Correlated scalar subquery (TPC-H q17 shape): Catalyst decorrelates
 # the per-part average into an aggregate + join — written declaratively,
 # no manual rewrite.
@@ -1653,6 +1689,15 @@ def registry() -> dict[str, Case]:
         money_sum=P.money_sum(P.dec("l.l_extendedprice", 12, 2), "total_price"),
     )
     cases["ana_runstructure_real"] = _bi_case(ANA_RUNSTRUCTURE_TEMPLATE)
+    cases["ana_report_rows"] = _bi_case(
+        ANA_REPORT_ROWS_TEMPLATE,
+        start_fmt=(
+            "date_format(o_orderdate, 'yyyy-MM-dd HH:mm:ss')",
+            "strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')",
+        ),
+        idiv=("DIV", "//"),
+        str_t=("STRING", "VARCHAR"),
+    )
 
     # --- TPC-H-style headliners
     cases["tpch_q1_pricing"] = _bi_case(TPCH_Q1_TEMPLATE)

@@ -171,3 +171,22 @@ def test_module_row_escapes_name_exactly_once():
     html = _module_row("package", row, None)
     assert "A&amp;B &lt;x&gt;" in html
     assert "amp;amp" not in html
+
+
+def test_report_duration_rule_matches_registry_sql_form():
+    """ana_report_rows computes the duration cell with half-up integer
+    math; the renderer's duration_label uses Python round (banker's).
+    They agree everywhere except an exact half-minute tie, which the
+    registry's synthetic seconds (secs % 60 <= 28) cannot produce —
+    verified over the full synthetic domain."""
+    from datetime import datetime, timedelta
+
+    from etl_service_spark.plans.report import duration_label
+
+    for k in range(0, 3000):
+        secs = (k % 90) * 60 + (k % 29)
+        sql_mins = (secs + 30) // 60
+        sql_label = f"{sql_mins} Minuten" if sql_mins > 0 else f"{secs} Sekunden"
+        t0 = datetime(2026, 1, 1)
+        py_label = duration_label(str(t0), str(t0 + timedelta(seconds=secs)))
+        assert py_label == sql_label, (secs, py_label, sql_label)
