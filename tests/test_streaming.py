@@ -65,41 +65,71 @@ def test_stream_restart_incremental_parquet_sink(spark, sf_dir, tmp_path):
     )
     assert spark.read.parquet(out).count() == first
 
+def _drop_sentinel_event(landing: str, template_file: str, name: str) -> None:
+    """Land a single far-future event (user_id -1) matching the landing
+    schema exactly — advances the watermark past every real gap."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    sch = pq.read_schema(template_file)
+    tbl = pq.read_table(template_file).slice(0, 1)
+    pdf = tbl.to_pandas()
+    pdf["event_id"] = 10**9
+    pdf["user_id"] = -1
+    pdf["event_type"] = "flush"
+    pdf["ts"] = pdf["ts"] + __import__("pandas").Timedelta(days=365)
+    pq.write_table(pa.Table.from_pandas(pdf, schema=sch), os.path.join(landing, name))
+
+
 def test_sessionize_stream_matches_batch(spark, sf_dir, tmp_path):
-    """applyInPandasWithState gap-sessionization: every CLOSED session
-    emitted by the stream must be byte-identical to a session from the
-    batch window-function twin (plans/queries.EVENTS_SESSIONIZE)."""
+    """applyInPandasWithState gap-sessionization: after a far-future
+    sentinel advances the watermark (closing every real session), the
+    streamed session set must equal the batch window-function twin
+    (plans/queries.EVENTS_SESSIONIZE) EXACTLY — full-frame equality,
+    not just a subset check."""
     import shutil
 
     from etl_service_spark.plans.queries import registry
     from etl_service_spark.streaming.sessionize import sessionize_stream
 
-    landing, ckpt = str(tmp_path / "landing"), str(tmp_path / "ckpt")
+    landing, ckpt, out = [str(tmp_path / d) for d in ("landing", "ckpt", "out")]
     os.makedirs(landing)
     shutil.copy(os.path.join(sf_dir, "events.parquet"), os.path.join(landing, "d1.parquet"))
 
-    stream = read_event_stream(spark, landing)
-    q = (
-        sessionize_stream(stream)
-        .writeStream.outputMode("append")
-        .format("memory")
-        .queryName("sessions_out")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    def run():
+        q = (
+            sessionize_stream(read_event_stream(spark, landing))
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run()
+    partial = {
+        (r["user_id"], r["session_start_us"], r["session_end_us"], r["n_events"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert partial, "no sessions closed by event-time timeout"
+
+    # flush: sentinel a year ahead -> watermark passes every gap ->
+    # every real open session times out and closes on the next run
+    _drop_sentinel_event(landing, os.path.join(sf_dir, "events.parquet"), "d2.parquet")
+    run()
     got = {
         (r["user_id"], r["session_start_us"], r["session_end_us"], r["n_events"])
-        for r in spark.table("sessions_out").collect()
+        for r in spark.read.parquet(out).filter("user_id >= 0").collect()
     }
     batch = registry()["events_sessionize"].spark(spark, sf_dir).collect()
     expect = {
         (r["user_id"], r["session_start_us"], r["session_end_us"], r["n_events"])
         for r in batch
     }
-    assert got, "no sessions closed by event-time timeout"
-    assert got <= expect, f"stream emitted sessions unknown to batch: {sorted(got - expect)[:3]}"
+    assert partial <= got
+    assert got == expect  # full-frame equality with the batch twin
 
 
 def test_stream_dedup_suppresses_redelivery(spark, sf_dir, tmp_path):
@@ -187,14 +217,17 @@ def test_stream_stream_attribution_join_matches_batch(spark, sf_dir, tmp_path):
         .start()
     )
     q.awaitTermination()
-    got = {tuple(r) for r in spark.table("attrib_out").collect()}
+    from tests.harness import canonicalize
 
+    got_pdf = spark.table("attrib_out").toPandas()
     batch = with_event_time(
         spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     )
-    expect = {tuple(r) for r in attribute_conversions(batch).collect()}
-    assert got == expect
-    assert len(got) > 0
+    expect_pdf = attribute_conversions(batch).toPandas()
+    # multiset full-frame equality (sets would mask duplicate-row
+    # multiplicity differences between the stream and the batch join)
+    assert len(got_pdf) > 0
+    assert canonicalize(got_pdf) == canonicalize(expect_pdf)
 
 def test_foreachbatch_upsert_keeps_aggregate_table_fresh(spark, sf_dir, tmp_path):
     """Streaming upsert into a plain-parquet aggregate table: after a
@@ -332,20 +365,41 @@ def test_streaming_corpus_curation(spark, tmp_path):
     curated = spark.read.parquet(out)
     # one row per text hash, ever — replays and cross-drop dups absorbed
     assert curated.groupBy("text_hash").count().filter("count > 1").count() == 0
-    # curated set == quality-passing distinct texts of everything seen
+
+    # FULL-FRAME equality with the batch twin of the same delivery
+    # order: keeper per hash = first-delivered min doc_id (drop 1's
+    # subset wins over drop 2 re-deliveries), then quality gate + the
+    # deterministic split — every column, every row, hash-compared.
     from etl_service_spark.operators.textops import quality_scores_df
+    from tests.harness import canonicalize
 
     scored = quality_scores_df(src).select("doc_id", "quality")
-    expected_hashes = (
-        P.fan_out(src.join(scored, "doc_id").filter("quality >= 0.45"))
-        .selectExpr("lower(text) AS lt")
-        .select(P.pd_poly_hash_udf()("lt").alias("h"))
-        .distinct()
-        .count()
+    hashed = (
+        P.fan_out(src)
+        .selectExpr("doc_id", "lower(text) AS lt")
+        .select("doc_id", P.pd_poly_hash_udf()("lt").alias("text_hash"))
     )
-    assert curated.select("text_hash").distinct().count() == expected_hashes
-    # split column is the deterministic bucket function of doc_id
-    bad = curated.filter(f"split != ({SPLIT_EXPR})").count()
-    assert bad == 0
+    k1 = (
+        hashed.filter("doc_id % 3 = 0")
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    k2 = (
+        hashed.join(k1.select("text_hash"), "text_hash", "left_anti")
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    expected = (
+        k1.union(k2)
+        .join(src, "doc_id")
+        .join(scored, "doc_id")
+        .filter("quality >= 0.45")
+        .withColumn("split", F.expr(SPLIT_EXPR))
+    )
+    cols = sorted(curated.columns)
+    assert sorted(expected.columns) == cols
+    assert canonicalize(curated.select(cols).toPandas()) == canonicalize(
+        expected.select(cols).toPandas()
+    )
     # physical layout: one directory per split
     assert any(d.startswith("split=") for d in os.listdir(out))
