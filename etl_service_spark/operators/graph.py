@@ -276,3 +276,31 @@ pr(it, node, rank) AS (
 )
 SELECT node, CAST(rank AS BIGINT) AS rank FROM pr WHERE it = {PR_ITERS}
 """
+
+
+DEGREE_DIST_TEMPLATE = """
+WITH pairs AS ({pairs_sql}),
+edges AS (
+  SELECT a, b FROM pairs UNION SELECT b, a FROM pairs
+),
+deg AS (SELECT a AS node, COUNT(*) AS d FROM edges GROUP BY a)
+SELECT length(bin(d)) AS deg_msb,
+       COUNT(*) AS n_nodes,
+       CAST(MIN(d) AS BIGINT) AS min_deg,
+       CAST(MAX(d) AS BIGINT) AS max_deg
+FROM deg
+GROUP BY length(bin(d))
+"""
+
+
+def degree_distribution_sql() -> tuple[str, str]:
+    """Log2-bucketed degree histogram of the interaction graph — the
+    first thing to look at before running any iterative graph op at
+    scale (a heavy power-law tail means salt the destinations, see
+    pagerank(salted=True)). Bucket = position of the degree's most
+    significant bit via length(bin(d)): pure integer math, identical
+    in both engines (float log2 at exact powers of two is libm-
+    dependent). One edge aggregate + one 64-row histogram aggregate."""
+    return DEGREE_DIST_TEMPLATE.format(pairs_sql=PR_PAIRS_SQL), DEGREE_DIST_TEMPLATE.format(
+        pairs_sql=PR_PAIRS_SQL
+    )

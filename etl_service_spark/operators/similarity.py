@@ -793,3 +793,38 @@ GROUP BY j"""
         return "WITH " + ",\n".join(cte) + final
 
     return body(spark_elem, spark_dims), body(duck_elem, duck_dims)
+
+
+# ------------------------------------------------------ cosine range search
+RANGE_SEARCH_TEMPLATE = """
+WITH q AS (
+  SELECT vec_id AS q_id, embedding AS qv FROM {view} WHERE vec_id < {n_queries}
+)
+SELECT q.q_id, e.vec_id AS n_id,
+       ({dot}) / (({qnorm}) * ({enorm})) AS cosine
+FROM q JOIN {view} e ON e.vec_id <> q.q_id
+WHERE ({dot}) / (({qnorm}) * ({enorm})) >= {tau}
+"""
+
+
+def range_search_sql(
+    tau: float = 0.4, n_queries: int = 5, view: str = "embeddings"
+) -> tuple[str, str]:
+    """Radius (range) search: ALL neighbors above a similarity floor,
+    the retrieval complement of top-k (recall-bounded instead of
+    count-bounded — what dedup-against-index and contamination checks
+    want). Exact O(Q·N) scan with the bit-exact dot chain; Q stays
+    small, and the same LSH/IVF stages remain the linear-scale path
+    when it grows."""
+    return P.bi_sql(
+        RANGE_SEARCH_TEMPLATE,
+        dot=(_dot("qv", "e.embedding", one_based=False), _dot("qv", "e.embedding", one_based=True)),
+        qnorm=(_norm("qv", one_based=False), _norm("qv", one_based=True)),
+        enorm=(
+            _norm("e.embedding", one_based=False),
+            _norm("e.embedding", one_based=True),
+        ),
+        view=view,
+        tau=str(tau),
+        n_queries=str(n_queries),
+    )

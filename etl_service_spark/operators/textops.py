@@ -615,3 +615,94 @@ FROM (
 WHERE rk <= {k}
 """
     )
+
+
+# ----------------------------------------------- vocabulary statistics
+def vocab_by_source_staged(spark, view: str = "documents") -> DataFrame:
+    """Per-source vocabulary profile over the staged token relation:
+    total token mass, distinct vocabulary, type-token ratio. One hash
+    aggregate per source after the (cheap) doc_id join to recover the
+    source column the token stage does not carry; COUNT(DISTINCT tok)
+    plans as a two-phase partial-distinct aggregate, so the shuffle
+    carries (source, tok) partials, never raw token rows. A 100 TB
+    corpus profile is exactly this query, run per ingest batch."""
+    tok = materialize_tokens(spark, view)
+    return spark.sql(
+        f"""
+SELECT d.source,
+       COUNT(*) AS n_tokens,
+       COUNT(DISTINCT t.tok) AS n_vocab,
+       CAST(COUNT(DISTINCT t.tok) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         AS type_token_ratio
+FROM {tok} t JOIN {view} d ON d.doc_id = t.doc_id
+GROUP BY d.source
+"""
+    )
+
+
+def oracle_vocab_by_source(view: str = "documents") -> str:
+    tok = P.duck_tokens("text")
+    return f"""
+SELECT source,
+       COUNT(*) AS n_tokens,
+       COUNT(DISTINCT tok) AS n_vocab,
+       CAST(COUNT(DISTINCT tok) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         AS type_token_ratio
+FROM (SELECT d.source, unnest({tok}) AS tok FROM {view} d)
+GROUP BY source
+"""
+
+
+def vocab_growth_staged(spark, n_buckets: int = 10, view: str = "documents") -> DataFrame:
+    """Heaps-law vocabulary growth curve WITHOUT rescanning per prefix:
+    a token's contribution to the running vocabulary is fully described
+    by its FIRST occurrence (min doc_id), so one aggregate per token +
+    one bucket aggregate + a cumulative window over n_buckets rows
+    yields distinct-vocabulary-so-far at every corpus decile. The naive
+    form (distinct count per prefix) is n_buckets full scans; this is
+    one. Buckets come from integer math over the doc_id domain, so the
+    curve is deterministic and engine-identical."""
+    tok = materialize_tokens(spark, view)
+    return spark.sql(
+        f"""
+WITH m AS (SELECT MAX(doc_id) + 1 AS n FROM {view}),
+fs AS (SELECT tok, MIN(doc_id) AS first_seen FROM {tok} GROUP BY tok),
+vocab_b AS (
+  SELECT CAST(({n_buckets} * first_seen) DIV (SELECT n FROM m) AS BIGINT) AS bucket,
+         COUNT(*) AS new_vocab
+  FROM fs GROUP BY 1
+),
+mass_b AS (
+  SELECT CAST(({n_buckets} * doc_id) DIV (SELECT n FROM m) AS BIGINT) AS bucket,
+         COUNT(*) AS toks
+  FROM {tok} GROUP BY 1
+)
+SELECT b.bucket,
+       SUM(b.toks) OVER (ORDER BY b.bucket) AS tokens_cum,
+       SUM(coalesce(v.new_vocab, 0)) OVER (ORDER BY b.bucket) AS vocab_cum
+FROM mass_b b LEFT JOIN vocab_b v ON v.bucket = b.bucket
+"""
+    )
+
+
+def oracle_vocab_growth(n_buckets: int = 10, view: str = "documents") -> str:
+    tok = P.duck_tokens("text")
+    return f"""
+WITH m AS (SELECT MAX(doc_id) + 1 AS n FROM {view}),
+ex AS (SELECT doc_id, unnest({tok}) AS tok FROM {view}),
+fs AS (SELECT tok, MIN(doc_id) AS first_seen FROM ex GROUP BY tok),
+vocab_b AS (
+  SELECT CAST(({n_buckets} * first_seen) // (SELECT n FROM m) AS BIGINT) AS bucket,
+         COUNT(*) AS new_vocab
+  FROM fs GROUP BY 1
+),
+mass_b AS (
+  SELECT CAST(({n_buckets} * doc_id) // (SELECT n FROM m) AS BIGINT) AS bucket,
+         COUNT(*) AS toks
+  FROM ex GROUP BY 1
+)
+SELECT b.bucket,
+       SUM(b.toks) OVER (ORDER BY b.bucket) AS tokens_cum,
+       SUM(coalesce(v.new_vocab, 0)) OVER (ORDER BY b.bucket) AS vocab_cum
+FROM mass_b b LEFT JOIN vocab_b v ON v.bucket = b.bucket
+"""

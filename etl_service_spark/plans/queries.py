@@ -55,6 +55,10 @@ _VIEW_CACHE: dict[tuple[int, str], dict[str, DataFrame]] = {}
 # interleaved-sf oracle run; single-sf sessions never hit this).
 _LAST_SF: dict[int, str] = {}
 
+# (tag, session id, sf_dir) -> staged json-lines directory for the
+# FILE-JSON round-trip case (written once per session+sf).
+_JSONL_STAGE: dict[tuple, str] = {}
+
 
 def views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     key = (id(spark), sf_dir)
@@ -1919,6 +1923,95 @@ def registry() -> dict[str, Case]:
     cases["text_top_terms_per_language"] = _pair_case(
         textops.top_terms_per_language_sql()
     )
+
+    # --- vocabulary statistics over the staged token relation
+    # --- FILE-JSON source round-trip: documents written once per
+    # (session, sf) as json-lines, read back through the typed
+    # connector with an EXPLICIT schema (no inference scan — at 100 TB
+    # inference is a full extra read), value-hashed against the parquet
+    # originals. Proves the JSON source path end-to-end, not just the
+    # option assembly.
+    def _jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import os
+        import tempfile
+
+        from ..sources.connectors import Connection, reader_for
+
+        views(spark, sf_dir)
+        key = ("jsonl_roundtrip", id(spark), sf_dir)
+        path = _JSONL_STAGE.get(key)
+        if path is None:
+            path = tempfile.mkdtemp(prefix="etl_jsonl_")
+            spark.table("documents").write.mode("overwrite").json(
+                os.path.join(path, "documents.json")
+            )
+            _JSONL_STAGE[key] = path
+        conn = Connection(
+            conn_id=1,
+            type_name="FILE-JSON",
+            path=path,
+            options={
+                "schema": "doc_id bigint, text string, lang string, source string, n_chars bigint"
+            },
+        )
+        return reader_for(spark, conn, "documents").select(
+            "doc_id", "text", "lang", "source", "n_chars"
+        )
+
+    cases["src_jsonl_roundtrip"] = Case(
+        _jsonl_roundtrip,
+        "SELECT doc_id, text, lang, source, n_chars FROM documents",
+    )
+
+    def _degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+        views(spark, sf_dir)
+        return spark.sql(graph.degree_distribution_sql()[0])
+
+    cases["graph_degree_distribution"] = Case(
+        _degree_dist, graph.degree_distribution_sql()[1]
+    )
+
+    def _vocab_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+        views(spark, sf_dir)
+        return textops.vocab_by_source_staged(spark)
+
+    cases["text_vocab_by_source"] = Case(
+        _vocab_by_source, textops.oracle_vocab_by_source()
+    )
+
+    def _vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+        views(spark, sf_dir)
+        return textops.vocab_growth_staged(spark)
+
+    cases["text_vocab_growth"] = Case(_vocab_growth, textops.oracle_vocab_growth())
+
+    # --- curriculum deciles: NTILE over the quality score with a full
+    # deterministic tiebreak (quality, doc_id). The Spark global sort is
+    # a range-partitioned exchange (1 row per doc, never text); per
+    # decile stats feed quality-mixture sampling.
+    _CURRICULUM_BODY = """
+WITH d AS (
+  SELECT doc_id, n_tokens, quality,
+         NTILE(10) OVER (ORDER BY quality, doc_id) AS decile
+  FROM ({q})
+)
+SELECT decile, COUNT(*) AS n_docs,
+       MIN(quality) AS min_q, MAX(quality) AS max_q,
+       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+FROM d GROUP BY decile
+"""
+
+    def _curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+        v = views(spark, sf_dir)
+        q = textops.quality_score(v["documents"])
+        tmp = f"__curriculum_q_{id(q)}"
+        q.createOrReplaceTempView(tmp)
+        return spark.sql(_CURRICULUM_BODY.format(q=f"SELECT * FROM {tmp}"))
+
+    cases["corpus_quality_curriculum"] = Case(
+        _curriculum,
+        _CURRICULUM_BODY.format(q=textops.oracle_quality_score()),
+    )
     # Spark runs the O(n) cumulative-difference form; the declarative
     # RANGE-frame template stays as the DuckDB oracle (see the comment
     # at EVENTS_MOVING_AVG_SPARK_SQL for why they differ).
@@ -1976,6 +2069,7 @@ def registry() -> dict[str, Case]:
         return similarity.ivf_ann_staged(spark)
 
     cases["ann_ivf_topk"] = Case(_ivf_staged, similarity.ivf_ann_sql()[1])
+    cases["ann_range_search"] = _pair_case(similarity.range_search_sql())
 
     # --- skew handling: salted plans are RESULT-IDENTICAL to the plain
     # plans, so the oracles are the unsalted SQL — proving the salt
