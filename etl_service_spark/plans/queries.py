@@ -2142,6 +2142,30 @@ FROM documents
     # --- multimodal plumbing
     cases["media_binary_stats"] = _pair_case(multimodal.media_stats_sql())
 
+    # the Arrow feature-extraction kernel (the slot a real image/audio
+    # decoder plugs into) with a FULL value oracle: the deterministic
+    # byte-histogram features are recomputed per-codepoint in DuckDB —
+    # equivalent because the synthetic corpus is ASCII (byte == codepoint);
+    # the kernel itself is byte-true for arbitrary payloads.
+    def _feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+        v = views(spark, sf_dir)
+        return multimodal.extract_features(multimodal.documents_as_media(v["documents"]))
+
+    cases["media_feature_extract"] = Case(
+        _feature_extract,
+        """
+SELECT doc_id AS media_id,
+       'text/plain' AS media_type,
+       CAST(length(text) AS BIGINT) AS n_bytes,
+       CASE WHEN length(text) = 0 THEN 0.0
+            ELSE CAST(list_sum(list_transform(range(1, length(text) + 1),
+                                              i -> unicode(text[i]))) AS DOUBLE)
+                 / length(text) / 255.0 END AS feat_mean,
+       CAST(2 AS BIGINT) AS feat_dim
+FROM documents
+""",
+    )
+
     def _q_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
         v = views(spark, sf_dir)
         return multimodal.chunk_payload(

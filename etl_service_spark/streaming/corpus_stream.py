@@ -104,3 +104,15 @@ def run_corpus_curation(
         .start()
     )
     q.awaitTermination()
+
+
+def read_curated(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Exactly-once view over the at-least-once curated store: a crash
+    between the curated append and the fingerprint append replays one
+    batch as duplicate rows (see the module docstring's write-ordering
+    contract), so readers that need exact-once rows dedup on doc_id
+    here. The window is one shuffle over the curated store — but
+    split-partition pruning applies first, and in steady state (no
+    crash) every group has exactly one row."""
+    cur = spark.read.parquet(out_dir)
+    return cur.dropDuplicates(["doc_id"])

@@ -403,3 +403,45 @@ def test_streaming_corpus_curation(spark, tmp_path):
     )
     # physical layout: one directory per split
     assert any(d.startswith("split=") for d in os.listdir(out))
+
+
+def test_read_curated_absorbs_crash_replay_duplicates(spark, tmp_path):
+    """Simulate the documented crash window: curated rows written, then
+    the batch replayed (fingerprints never landed) — the raw store has
+    duplicates, read_curated returns exact-once rows."""
+    import os
+    import shutil
+
+    from etl_service_spark.functions import portable as P
+    from etl_service_spark.streaming.corpus_stream import (
+        read_curated,
+        read_document_stream,
+        run_corpus_curation,
+    )
+
+    P.warm_udfs(spark)
+    src = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").filter(
+        "doc_id % 5 = 0"
+    )
+    landing, ckpt, fps, out = [
+        str(tmp_path / d) for d in ("landing", "ckpt", "fps", "curated")
+    ]
+    os.makedirs(landing)
+    tmp = str(tmp_path / "_one")
+    src.coalesce(1).write.parquet(tmp)
+    part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+    shutil.move(os.path.join(tmp, part), os.path.join(landing, "d1.parquet"))
+
+    run_corpus_curation(read_document_stream(spark, landing), ckpt, fps, out)
+    # crash simulation: wipe the fingerprint state and replay the SAME
+    # drop under a FRESH checkpoint — the anti-join can't suppress it,
+    # so the curated store gains one duplicate batch
+    shutil.rmtree(fps)
+    run_corpus_curation(
+        read_document_stream(spark, landing), str(tmp_path / "ckpt2"), fps, out
+    )
+
+    raw = spark.read.parquet(out)
+    exact = read_curated(spark, out)
+    assert raw.count() == 2 * exact.count()  # every row exactly doubled
+    assert exact.groupBy("doc_id").count().filter("count > 1").count() == 0
