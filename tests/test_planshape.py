@@ -273,3 +273,28 @@ def test_salted_pagerank_identical_and_two_stage(spark, sf_dir):
 
     plan = _plan(salted_df)
     assert SALT_COL in plan, plan[:1500]  # salt key present in the agg stages
+
+
+def test_vocab_by_source_broadcasts_docs_and_partials_distinct(spark, sf_dir):
+    """text_vocab_by_source: the (doc_id, source) relation must come in
+    as the broadcast side of the token join, and COUNT(DISTINCT tok)
+    must plan as the two-phase partial-distinct aggregate (shuffle
+    carries (source, tok) partials, never raw token rows)."""
+    df = CASES["text_vocab_by_source"].spark(spark, sf_dir)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan, plan[:1500]
+    assert "partial_count(distinct" in plan or "partial_count(1)" in plan, plan[:1500]
+    assert plan.count("Exchange hashpartitioning") >= 2  # (src,tok) then src
+
+
+def test_vocab_growth_is_one_pass_not_per_prefix(spark, sf_dir):
+    """text_vocab_growth: the Heaps curve must come from ONE token
+    aggregate (first-occurrence min) + a bucket join + a cumulative
+    window over n_buckets rows — not a distinct scan per prefix (which
+    would show 10+ scans of the documents text column)."""
+    df = CASES["text_vocab_growth"].spark(spark, sf_dir)
+    plan = _plan(df)
+    assert plan.count("Window") == 1, plan[:1200]
+    # text is scanned by the (shared, memoized) token stage, not by this
+    # plan: only doc_id leaves the parquet scans here
+    assert "text#" not in plan.split("Window")[0] or "FileScan parquet [doc_id" in plan
