@@ -53,3 +53,54 @@ def get_spark(app_name: str = "etl_service_spark", cpus: int | None = None) -> S
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     return spark
+
+
+def cluster_conf(
+    total_cores: int,
+    executor_cores: int = 4,
+    executor_mem_gb: int = 16,
+    target_partition_mb: int = 256,
+) -> dict[str, str]:
+    """Deployment profile for a real cluster (e.g. 1000 executors x 4
+    cores against ~100 TB) — the numbers that change when leaving
+    local mode, with the reasoning pinned here so ops doesn't have to
+    re-derive it:
+
+    - shuffle partitions ~2.5x total cores: enough tasks that AQE can
+      coalesce the small tail and split skewed ones, not so many that
+      scheduler overhead dominates. AQE skew-join splitting is ON —
+      the salted twins (events_salted_*, graph_pagerank_salted) are
+      for the skew AQE cannot fix (pre-shuffle hub aggregation state,
+      iterative joins reusing one exchange).
+    - maxPartitionBytes sizes scan partitions so a task's working set
+      (page-compressed parquet expands ~2-4x decoded) fits the
+      per-core memory slice: mem_gb / cores, headroom for the hash
+      side of joins.
+    - broadcast threshold stays generous (dims up to 256 MB): every
+      broadcastable join in this engine (dims, centroids, fan-out
+      relations, spine tables) is bounded by design, and a shuffled
+      dim join at 100 TB costs far more than a bigger broadcast.
+    - observability/resilience: speculation for straggler re-launch,
+      excludeOnFailure for flaky hosts, shuffle+RDD compression on.
+    """
+    shuffle_parts = int(total_cores * 2.5)
+    return {
+        "spark.sql.shuffle.partitions": str(shuffle_parts),
+        "spark.default.parallelism": str(shuffle_parts),
+        "spark.executor.cores": str(executor_cores),
+        "spark.executor.memory": f"{executor_mem_gb}g",
+        "spark.sql.files.maxPartitionBytes": str(target_partition_mb * 1024 * 1024),
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "3",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": str(64 * 1024 * 1024),
+        "spark.sql.autoBroadcastJoinThreshold": str(256 * 1024 * 1024),
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.speculation": "true",
+        "spark.excludeOnFailure.enabled": "true",
+        "spark.shuffle.compress": "true",
+        "spark.rdd.compress": "true",
+        "spark.scheduler.mode": "FAIR",
+        "spark.sql.session.timeZone": "UTC",
+    }

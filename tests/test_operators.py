@@ -865,3 +865,14 @@ def test_excel_ingest_audit_from_real_workbook_matches_oracle(spark, sf_dir, tmp
     # also lands as float64 via .df(), so both sides canonicalize alike
     oracle = duck_connect(sf_dir).execute(EXCEL_INGEST_ORACLE).df()
     assert compare(df.toPandas(), oracle) == []
+
+
+def test_cluster_conf_profile_sanity():
+    from etl_service_spark.session import cluster_conf
+
+    conf = cluster_conf(total_cores=4000)
+    assert conf["spark.sql.shuffle.partitions"] == "10000"
+    assert conf["spark.sql.adaptive.skewJoin.enabled"] == "true"
+    assert int(conf["spark.sql.files.maxPartitionBytes"]) == 256 * 1024 * 1024
+    # every value must be a plain string (SparkConf contract)
+    assert all(isinstance(v, str) for v in conf.values())
