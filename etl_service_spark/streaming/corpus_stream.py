@@ -62,8 +62,18 @@ def curate_batch(
     fingerprint_dir: str,
     out_dir: str,
     q_min: float = 0.45,
+    benchmark_fps_dir: str | None = None,
 ) -> None:
-    """One micro-batch through dedup → quality → split → append."""
+    """One micro-batch through dedup → contamination gate → quality →
+    split → append.
+
+    ``benchmark_fps_dir``: optional parquet table of benchmark text
+    hashes (``text_hash`` column) — eval-set decontamination AT INGEST:
+    a doc whose exact text hash appears in any held-out benchmark never
+    enters the curated store. Benchmark sets are tiny, so the anti-join
+    broadcasts; the doc's fingerprint IS still recorded (it was seen —
+    re-deliveries must not reprocess it). The batch twin is the
+    corpus_contamination registry query; this is its streaming gate."""
     from ..operators import textops
     from ..operators.dedup import incremental_dedup
 
@@ -72,8 +82,12 @@ def curate_batch(
     # defer the fingerprint append: curated rows must be durable first,
     # else a crash between the writes loses the batch on replay
     fresh = incremental_dedup(spark, batch_df, fingerprint_dir, append_fingerprints=False)
+    kept = fresh
+    if benchmark_fps_dir is not None:
+        bench = spark.read.parquet(benchmark_fps_dir).select("text_hash")
+        kept = fresh.join(F.broadcast(bench), "text_hash", "left_anti")
     # restore the non-text columns dropped by the dedup projection
-    docs = fresh.select("doc_id", "text_hash").join(batch_df, "doc_id")
+    docs = kept.select("doc_id", "text_hash").join(batch_df, "doc_id")
     scored = textops.quality_scores_df(docs).select("doc_id", "quality")
     curated = (
         docs.join(scored, "doc_id")
@@ -82,8 +96,8 @@ def curate_batch(
     )
     curated.write.mode("append").partitionBy("split").parquet(out_dir)
     # curated rows are durable — now record the batch's fingerprints
-    # (ALL fresh docs, including quality-rejected ones: dedup state
-    # tracks seen text, not kept text)
+    # (ALL fresh docs, including quality-rejected and benchmark-
+    # contaminated ones: dedup state tracks seen text, not kept text)
     fresh.select("text_hash", "doc_id").write.mode("append").parquet(fingerprint_dir)
 
 
@@ -93,12 +107,17 @@ def run_corpus_curation(
     fingerprint_dir: str,
     out_dir: str,
     q_min: float = 0.45,
+    benchmark_fps_dir: str | None = None,
 ) -> None:
     """Drain the landing backlog through the curation pipeline — the
     production trigger would be processingTime, like the event poll."""
     q = (
         docs.writeStream.outputMode("append")
-        .foreachBatch(lambda df, _id: curate_batch(df, fingerprint_dir, out_dir, q_min))
+        .foreachBatch(
+            lambda df, _id: curate_batch(
+                df, fingerprint_dir, out_dir, q_min, benchmark_fps_dir
+            )
+        )
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

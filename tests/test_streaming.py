@@ -445,3 +445,101 @@ def test_read_curated_absorbs_crash_replay_duplicates(spark, tmp_path):
     exact = read_curated(spark, out)
     assert raw.count() == 2 * exact.count()  # every row exactly doubled
     assert exact.groupBy("doc_id").count().filter("count > 1").count() == 0
+
+
+def test_streaming_quality_rollup_matches_batch(spark, tmp_path):
+    """Per-(source, lang) quality monitoring: partial rows appended per
+    micro-batch, merged on read — across two drops the maintained
+    stats must equal the one-shot batch recomputation EXACTLY (integer
+    micro-unit sums are associative; a float sum would drift with
+    batching)."""
+    import os
+    import shutil
+
+    from etl_service_spark.functions import portable as P
+    from etl_service_spark.streaming.quality_stream import (
+        quality_partials,
+        read_document_stream,
+        read_quality_stats,
+        run_quality_rollup,
+    )
+    from tests.harness import canonicalize
+
+    P.warm_udfs(spark)
+    src = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    landing, ckpt, table = [str(tmp_path / d) for d in ("landing", "ckpt", "stats")]
+    os.makedirs(landing)
+
+    def drop(df, name):
+        tmp = str(tmp_path / f"_tmp_{name}")
+        df.coalesce(1).write.parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        shutil.move(os.path.join(tmp, part), os.path.join(landing, name))
+
+    drop(src.filter("doc_id % 2 = 0"), "d1.parquet")
+    run_quality_rollup(read_document_stream(spark, landing), ckpt, table)
+    drop(src.filter("doc_id % 2 = 1"), "d2.parquet")
+    run_quality_rollup(read_document_stream(spark, landing), ckpt, table)
+
+    maintained = read_quality_stats(spark, table)
+    expect = quality_partials(src).withColumn(
+        "mean_quality",
+        F.col("sum_quality_ppm") / F.col("n_docs") / F.lit(1e6),
+    )
+    cols = sorted(maintained.columns)
+    assert sorted(expect.columns) == cols
+    assert canonicalize(maintained.select(cols).toPandas()) == canonicalize(
+        expect.select(cols).toPandas()
+    )
+
+
+def test_curation_contamination_gate_excludes_benchmark_texts(spark, tmp_path):
+    """Eval-set decontamination at ingest: docs whose text hash appears
+    in the benchmark fingerprint table never reach the curated store —
+    but their fingerprints ARE recorded, so a re-delivery doesn't
+    reprocess them either."""
+    import os
+    import shutil
+
+    from etl_service_spark.functions import portable as P
+    from etl_service_spark.streaming.corpus_stream import (
+        read_document_stream,
+        run_corpus_curation,
+    )
+
+    P.warm_udfs(spark)
+    src = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    landing, ckpt, fps, out, bench = [
+        str(tmp_path / d) for d in ("landing", "ckpt", "fps", "curated", "bench")
+    ]
+    os.makedirs(landing)
+
+    # benchmark = the texts of docs 0..19 (by hash)
+    bench_hashes = (
+        P.fan_out(src.filter("doc_id < 20"))
+        .selectExpr("lower(text) AS lt")
+        .select(P.pd_poly_hash_udf()("lt").alias("text_hash"))
+        .distinct()
+    )
+    bench_hashes.write.parquet(bench)
+    n_bench = bench_hashes.count()
+    assert n_bench > 0
+
+    tmp = str(tmp_path / "_one")
+    src.coalesce(1).write.parquet(tmp)
+    part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+    shutil.move(os.path.join(tmp, part), os.path.join(landing, "d1.parquet"))
+
+    run_corpus_curation(
+        read_document_stream(spark, landing), ckpt, fps, out, benchmark_fps_dir=bench
+    )
+
+    curated = spark.read.parquet(out)
+    contaminated = curated.join(
+        spark.read.parquet(bench), "text_hash", "left_semi"
+    ).count()
+    assert contaminated == 0  # no benchmark text in the curated store
+    assert curated.count() > 0  # the rest flowed through
+    # the contaminated docs were still fingerprinted as seen
+    fp = spark.read.parquet(fps)
+    assert fp.join(spark.read.parquet(bench), "text_hash", "left_semi").count() == n_bench
