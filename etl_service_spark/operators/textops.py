@@ -706,3 +706,44 @@ SELECT b.bucket,
        SUM(coalesce(v.new_vocab, 0)) OVER (ORDER BY b.bucket) AS vocab_cum
 FROM mass_b b LEFT JOIN vocab_b v ON v.bucket = b.bucket
 """
+
+
+def token_estimate_staged(spark, view: str = "documents") -> DataFrame:
+    """Subword (BPE-ish) token-budget estimate per document: every
+    whitespace/alnum token contributes ceil(len/4) subword units (the
+    ~4-chars-per-token heuristic real tokenizers average on English
+    text) — the number a packing/batching planner needs BEFORE the
+    real tokenizer runs. Pure integer math over the staged token
+    relation: one aggregate, shuffle carries (doc_id, partials)."""
+    tok = materialize_tokens(spark, view)
+    return spark.sql(
+        f"""
+SELECT d.doc_id,
+       coalesce(t.n_words, CAST(0 AS BIGINT)) AS n_words,
+       coalesce(t.est_subwords, CAST(0 AS BIGINT)) AS est_subwords
+FROM {view} d
+LEFT JOIN (
+  SELECT doc_id,
+         COUNT(*) AS n_words,
+         SUM((length(tok) + 3) DIV 4) AS est_subwords
+  FROM {tok} GROUP BY doc_id
+) t ON t.doc_id = d.doc_id
+"""
+    )
+
+
+def oracle_token_estimate(view: str = "documents") -> str:
+    tok = P.duck_tokens("text")
+    return f"""
+SELECT d.doc_id,
+       coalesce(t.n_words, CAST(0 AS BIGINT)) AS n_words,
+       coalesce(t.est_subwords, CAST(0 AS BIGINT)) AS est_subwords
+FROM {view} d
+LEFT JOIN (
+  SELECT doc_id,
+         COUNT(*) AS n_words,
+         SUM((length(tok) + 3) // 4) AS est_subwords
+  FROM (SELECT doc_id, unnest({tok}) AS tok FROM {view})
+  GROUP BY doc_id
+) t ON t.doc_id = d.doc_id
+"""

@@ -1985,6 +1985,14 @@ def registry() -> dict[str, Case]:
 
     cases["text_vocab_growth"] = Case(_vocab_growth, textops.oracle_vocab_growth())
 
+    def _token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+        views(spark, sf_dir)
+        return textops.token_estimate_staged(spark)
+
+    cases["text_token_estimate_bpe"] = Case(
+        _token_estimate, textops.oracle_token_estimate()
+    )
+
     # --- curriculum deciles: NTILE over the quality score with a full
     # deterministic tiebreak (quality, doc_id). The Spark global sort is
     # a range-partitioned exchange (1 row per doc, never text); per
