@@ -1567,9 +1567,11 @@ def unpivot_stats(df: DataFrame, measures: tuple[str, ...]) -> DataFrame:
 
 # Names the driver already value-verified in a prior round — the union of
 # CORRECTNESS_r01.json and CORRECTNESS_r02.json key sets (50 + 50 distinct).
-# The driver samples a PREFIX of the registry, so registry() floats the 16
-# still-unverified entries ahead of these, interleaved one per family so
-# whatever prefix is sampled covers every family.
+# The driver samples a PREFIX of the registry, so registry() floats the
+# still-unverified entries (the 16 never-sampled r1/r2 leftovers plus every
+# round-3 addition — 26 as of round 3, all inside the 50-entry sample
+# prefix) ahead of these, interleaved one per family so whatever prefix is
+# sampled covers every family.
 _DRIVER_VERIFIED = frozenset(
     {
         # round 1 (CORRECTNESS_r01.json)
@@ -1960,6 +1962,32 @@ def registry() -> dict[str, Case]:
 
     cases["src_jsonl_roundtrip"] = Case(
         _jsonl_roundtrip,
+        "SELECT doc_id, text, lang, source, n_chars FROM documents",
+    )
+
+    # ORC round-trip: Spark's other built-in columnar format (a lake
+    # migration target the reference's MS-SQL-centric world never had);
+    # same write-once-per-(session, sf) staging and the same value-hash
+    # oracle against the parquet originals.
+    def _orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import os
+        import tempfile
+
+        views(spark, sf_dir)
+        key = ("orc_roundtrip", id(spark), sf_dir)
+        path = _JSONL_STAGE.get(key)
+        if path is None:
+            path = tempfile.mkdtemp(prefix="etl_orc_")
+            spark.table("documents").write.mode("overwrite").orc(
+                os.path.join(path, "documents.orc")
+            )
+            _JSONL_STAGE[key] = path
+        return spark.read.orc(os.path.join(path, "documents.orc")).select(
+            "doc_id", "text", "lang", "source", "n_chars"
+        )
+
+    cases["src_orc_roundtrip"] = Case(
+        _orc_roundtrip,
         "SELECT doc_id, text, lang, source, n_chars FROM documents",
     )
 

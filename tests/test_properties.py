@@ -187,3 +187,56 @@ def test_hll_rank_matches_python_reference(user_ids):
         ).fetchone()[0]
         assert got == expected
     con.close()
+
+
+# ------------------------------------------------- blocked all-pairs cosine
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.floats(-4, 4, allow_nan=False, width=32), min_size=64, max_size=64
+        ),
+        min_size=2,
+        max_size=24,
+    ),
+    st.integers(1, 5),
+)
+def test_blocked_neardup_equals_reference_all_pairs(spark, vecs, n_blocks):
+    """The block-pair decomposition must emit EXACTLY the pairs (and
+    bit-identical cosines) of a single-process numpy reference, for any
+    random vector set and any block count — including blocks that are
+    empty, single-row, or hold both roles of a diagonal group."""
+    import math
+
+    import numpy as np
+
+    from etl_service_spark.operators.similarity import embedding_neardup_pandas
+
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    spark.createDataFrame(rows, "vec_id bigint, embedding array<float>").createOrReplaceTempView(
+        "__prop_emb"
+    )
+    got = {
+        (r["vec_a"], r["vec_b"]): r["cosine"]
+        for r in embedding_neardup_pandas(
+            spark, tau=0.4, view="__prop_emb", n_blocks=n_blocks
+        ).collect()
+    }
+
+    m = np.array([v for _, v in rows], dtype=np.float32).astype(np.float64)
+    acc = m[:, 0][:, None] * m[:, 0][None, :]
+    for i in range(1, 64):
+        acc += m[:, i][:, None] * m[:, i][None, :]
+    nrm = np.sqrt(np.diag(acc).copy())
+    want = {}
+    n = len(rows)
+    for a in range(n):
+        for b in range(a + 1, n):
+            c = acc[a, b] / (nrm[a] * nrm[b])
+            if c >= 0.4:
+                want[(a, b)] = c
+    assert set(got) == set(want)
+    for k, v in want.items():
+        assert math.isclose(got[k], v, rel_tol=0, abs_tol=0) or (
+            math.isnan(got[k]) and math.isnan(v)
+        )
