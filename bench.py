@@ -111,6 +111,12 @@ HEADLINERS = [
     "sketch_kmv_audience_overlap",
     "sketch_hll_distinct",
     "events_gapfill_hourly",
+    "text_bigram_lm_score",
+    "dedup_chunk_exact",
+    "events_hopping_window",
+    "events_user_rate_cap",
+    "privacy_l_diversity",
+    "corpus_shard_plan",
 ]
 
 

@@ -272,6 +272,49 @@ def duck_shingles(tokens_expr: str, n: int = 3) -> str:
     )
 
 
+def spark_ngrams(tokens_expr: str, n: int = 2) -> str:
+    """Spark SQL expr: word n-grams WITH multiplicity (unlike
+    spark_shingles, which deduplicates for set-similarity use). The
+    multiplicity-preserving form is what frequency models (bigram LM
+    scoring) need: repeating a rare bigram must weigh each occurrence."""
+    grams = ", ".join(f"element_at({tokens_expr}, i + {j})" for j in range(n))
+    return (
+        f"if(size({tokens_expr}) < {n}, array(), "
+        f"transform(sequence(1, size({tokens_expr}) - {n - 1}), "
+        f"i -> concat_ws(' ', {grams})))"
+    )
+
+
+def duck_ngrams(tokens_expr: str, n: int = 2) -> str:
+    grams = ", ".join(f"{tokens_expr}[i + {j}]" for j in range(n))
+    return (
+        f"CASE WHEN len({tokens_expr}) < {n} THEN CAST([] AS VARCHAR[]) "
+        f"ELSE list_transform(range(1, len({tokens_expr}) - {n - 2}), "
+        f"i -> concat_ws(' ', {grams})) END"
+    )
+
+
+def spark_chunks(tokens_expr: str, w: int = 8) -> str:
+    """Spark SQL expr: NON-overlapping w-token chunks of a token array
+    (last chunk may be shorter). The unit of exact-substring
+    deduplication: a chunk string repeated across documents marks
+    copied spans at w-token granularity."""
+    return (
+        f"if(size({tokens_expr}) = 0, array(), "
+        f"transform(sequence(0, (size({tokens_expr}) - 1) DIV {w}), "
+        f"j -> concat_ws(' ', slice({tokens_expr}, j * {w} + 1, {w}))))"
+    )
+
+
+def duck_chunks(tokens_expr: str, w: int = 8) -> str:
+    # operands are non-negative, so DuckDB floor-div == Spark trunc-div
+    return (
+        f"CASE WHEN len({tokens_expr}) = 0 THEN CAST([] AS VARCHAR[]) "
+        f"ELSE list_transform(range(0, (len({tokens_expr}) - 1) // {w} + 1), "
+        f"j -> array_to_string(list_slice({tokens_expr}, j * {w} + 1, j * {w} + {w}), ' ')) END"
+    )
+
+
 # ------------------------------------------------------ decimal money agg
 # Determinism policy: NEVER round doubles (engines may tie-break
 # differently). Aggregate money in DECIMAL (exact + associative →

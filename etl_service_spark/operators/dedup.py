@@ -652,3 +652,54 @@ def incremental_dedup(
     if append_fingerprints:
         fresh.select("text_hash", "doc_id").write.mode("append").parquet(fingerprint_path)
     return fresh.select("doc_id", "text_hash", "text")
+
+
+def chunk_dedup_sql(w: int = 8, view: str = "documents") -> tuple[str, str]:
+    """Cross-document exact-substring deduplication at w-token chunk
+    granularity — the bounded-memory proxy for suffix-array ExactSubstr
+    dedup (Lee et al., "Deduplicating Training Data Makes Language
+    Models Better"): a chunk string shared by ≥2 documents marks a
+    copied span. Per doc: chunk count, shared-chunk count, and the
+    duplicated-span share in ppm (integer arithmetic — cross-engine
+    exact).
+
+    Scale shape: chunking is a map-side array transform (non-
+    overlapping windows → N/w chunk rows, LESS than token mass, unlike
+    overlapping shingles); one (chunk → doc-count) hash agg; join back
+    on the chunk key (bounded posting lists — a chunk is w tokens, so
+    pathological hot chunks are repeated *spans*, exactly the thing
+    being measured); one per-doc re-aggregation. No all-pairs stage
+    anywhere — cost is linear in corpus token mass at any scale."""
+    # tokenize ONCE in an inner projection — the chunk builder
+    # references its token array per chunk (slice + size + guard);
+    # inlining the tokenizer would re-split the document per chunk
+    # (same fix measured >10× on the bigram sibling).
+    spark_ch = (
+        f"SELECT doc_id, chunk FROM "
+        f"(SELECT doc_id, {P.spark_tokens('text')} AS t FROM {view}) "
+        f"LATERAL VIEW explode({P.spark_chunks('t', w)}) x AS chunk"
+    )
+    duck_ch = (
+        f"SELECT doc_id, unnest({P.duck_chunks('t', w)}) AS chunk "
+        f"FROM (SELECT doc_id, {P.duck_tokens('text')} AS t FROM {view})"
+    )
+
+    def body(ch_sql: str, idiv: str) -> str:
+        return f"""
+WITH ch AS ({ch_sql}),
+cf AS (SELECT chunk, COUNT(DISTINCT doc_id) AS n_docs FROM ch GROUP BY chunk),
+doc AS (
+  SELECT c.doc_id,
+         COUNT(*) AS n_chunks,
+         SUM(CASE WHEN f.n_docs > 1 THEN 1 ELSE 0 END) AS n_shared
+  FROM ch c JOIN cf f ON c.chunk = f.chunk
+  GROUP BY c.doc_id
+)
+SELECT doc_id,
+       CAST(n_chunks AS BIGINT) AS n_chunks,
+       CAST(n_shared AS BIGINT) AS n_shared,
+       CAST(n_shared * 1000000 {idiv} n_chunks AS BIGINT) AS dup_span_ppm
+FROM doc
+"""
+
+    return body(spark_ch, "DIV"), body(duck_ch, "//")

@@ -747,3 +747,66 @@ LEFT JOIN (
   GROUP BY doc_id
 ) t ON t.doc_id = d.doc_id
 """
+
+
+def bigram_lm_score_sql(view: str = "documents") -> tuple[str, str]:
+    """Corpus-frequency bigram fluency score per document — the log-free
+    stand-in for the LM-perplexity quality filter (CCNet trains a
+    5-gram KenLM and keeps low-perplexity text; reference has no text
+    plane at all, this extends the DIZ quality-gate discipline,
+    `Helper.cs` audit plane, to corpus curation). Two integer metrics
+    per doc:
+
+    - ``singleton_ppm``: share of the doc's bigrams that occur nowhere
+      else in the corpus (high → gibberish / OOV-heavy text);
+    - ``avg_freq_ppm``: mean corpus frequency of the doc's bigrams in
+      ppm of total bigram mass (high → text made of common
+      transitions).
+
+    Rational integer arithmetic only (DETERMINISM.md): LN-perplexity
+    would diverge in the last ulp across engines; the integer ratios
+    preserve the same ranking for thresholding.
+
+    Scale shape: one explode → (bigram) hash agg; the bigram frequency
+    relation is vocabulary²-bounded (far below corpus size — at 100 TB
+    it is still ≤ |V|² rows, and the heavy head dominates), joined back
+    onto the per-doc bigram relation by bigram key; one per-doc
+    re-aggregation. Docs with < 2 tokens have no bigrams and drop out,
+    matching SQL's empty-group elimination."""
+    # tokenize ONCE in an inner projection: the n-gram builder
+    # references its token array several times per element (element_at
+    # ×2, size, guard), and inlining the tokenizer expression would
+    # re-split the document for every bigram — O(tokens²) per doc
+    # (measured 12.7 s → 1.15 s at sf0.1 for this exact query).
+    spark_big = (
+        f"SELECT doc_id, bg FROM "
+        f"(SELECT doc_id, {P.spark_tokens('text')} AS t FROM {view}) "
+        f"LATERAL VIEW explode({P.spark_ngrams('t', 2)}) x AS bg"
+    )
+    duck_big = (
+        f"SELECT doc_id, unnest({P.duck_ngrams('t', 2)}) AS bg "
+        f"FROM (SELECT doc_id, {P.duck_tokens('text')} AS t FROM {view})"
+    )
+
+    def body(big_sql: str, idiv: str) -> str:
+        return f"""
+WITH big AS ({big_sql}),
+bf AS (SELECT bg, COUNT(*) AS cnt FROM big GROUP BY bg),
+tot AS (SELECT SUM(cnt) AS mass FROM bf),
+doc AS (
+  SELECT b.doc_id,
+         COUNT(*) AS n_bigrams,
+         SUM(CASE WHEN f.cnt = 1 THEN 1 ELSE 0 END) AS n_singleton,
+         SUM(f.cnt) AS freq_mass
+  FROM big b JOIN bf f ON b.bg = f.bg
+  GROUP BY b.doc_id
+)
+SELECT doc_id,
+       CAST(n_bigrams AS BIGINT) AS n_bigrams,
+       CAST(n_singleton * 1000000 {idiv} n_bigrams AS BIGINT) AS singleton_ppm,
+       CAST(freq_mass * 1000000 {idiv} (n_bigrams * (SELECT mass FROM tot))
+            AS BIGINT) AS avg_freq_ppm
+FROM doc
+"""
+
+    return body(spark_big, "DIV"), body(duck_big, "//")

@@ -2259,4 +2259,212 @@ ORDER BY metric
 """,
     )
 
+    # ---- corpus-frequency bigram LM score (CCNet-style quality filter
+    # proxy; see textops.bigram_lm_score_sql for the scale argument)
+    cases["text_bigram_lm_score"] = _pair_case(textops.bigram_lm_score_sql())
+
+    # ---- cross-doc exact-substring dedup at 8-token chunk granularity
+    # (ExactSubstr proxy; see dedup.chunk_dedup_sql)
+    cases["dedup_chunk_exact"] = _pair_case(dedup.chunk_dedup_sql(8))
+
+    # ---- hopping (sliding) time windows: Spark's native F.window with
+    # a slide — each event lands in windowDuration/slide = 2 windows.
+    # The streaming twin is the canonical watermarked sliding aggregate
+    # (streaming/events_stream.py). Oracle materializes the two window
+    # starts per event explicitly: s ∈ {floor30(t), floor30(t) − 30min}.
+    # Scale shape: the window expansion is a map-side 1→2 Expand, then
+    # ONE hash agg keyed (window, type) — grain is windows × types, far
+    # below event count; partial aggregation absorbs the 2× expansion
+    # before the shuffle.
+    def _hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
+        views(spark, sf_dir)
+        e = spark.table("events").where("ts_us IS NOT NULL")
+        return (
+            e.groupBy(
+                F.window(F.timestamp_micros(F.col("ts_us")), "1 hour", "30 minutes").alias("w"),
+                "event_type",
+            )
+            .agg(
+                F.count("*").alias("n_events"),
+                F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total_value"),
+            )
+            .select(
+                F.unix_micros(F.col("w.start")).alias("win_start_us"),
+                "event_type",
+                "n_events",
+                "total_value",
+            )
+        )
+
+    cases["events_hopping_window"] = Case(
+        _hopping,
+        """
+WITH ev AS (
+  SELECT event_type, value, epoch_us(ts) AS tu FROM events WHERE ts IS NOT NULL
+),
+w AS (
+  SELECT event_type, value, (tu - tu % 1800000000) - off AS win_start_us
+  FROM ev CROSS JOIN (SELECT unnest([CAST(0 AS BIGINT), CAST(1800000000 AS BIGINT)]) AS off) o
+)
+SELECT win_start_us, event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+FROM w GROUP BY win_start_us, event_type
+""",
+    )
+
+    # ---- ingestion rate-cap (throttle): keep the first k=5 events per
+    # (user, hour) — the dedup-adjacent sampling gate a firehose
+    # ingestion applies before the expensive pipeline stages. One
+    # window over (user, hour); deterministic via the event_id tiebreak.
+    cases["events_user_rate_cap"] = _sql_case(
+        *P.bi_sql(
+            """
+SELECT user_id, event_id, ts_us, rn
+FROM (
+  SELECT user_id, event_id, {ts_us} AS ts_us,
+         ROW_NUMBER() OVER (
+           PARTITION BY user_id, ({ts_us} - {ts_us} % 3600000000)
+           ORDER BY {ts_us}, event_id) AS rn
+  FROM events
+  WHERE user_id IS NOT NULL AND {ts_us} IS NOT NULL
+) t
+WHERE rn <= 5
+""",
+            ts_us=TS_US,
+        )
+    )
+
+    # ---- l-diversity audit: k-anonymity's companion — a QI group is
+    # safe only if the SENSITIVE attribute is diverse within it.
+    # QI = (nation, acctbal band), sensitive = market segment. One hash
+    # agg with a distinct-count; output bounded by the QI domain.
+    cases["privacy_l_diversity"] = _sql_case(
+        *P.bi_sql(
+            """
+SELECT c_nationkey,
+       CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS acct_band,
+       COUNT(*) AS grp_n,
+       COUNT(DISTINCT c_mktsegment) AS l_distinct,
+       CASE WHEN COUNT(DISTINCT c_mktsegment) < 3 THEN 1 ELSE 0 END AS below_l
+FROM customer
+GROUP BY c_nationkey, CAST(FLOOR(c_acctbal / 1000) AS BIGINT)
+"""
+        )
+    )
+
+    # ---- shard plan: deterministic hash-mod shard assignment + per-
+    # shard doc/char/token budgets — the layout step before writing
+    # training shards (WebDataset/Megatron-style): balanced shards are
+    # a pure function of doc_id, reproducible across runs and engines.
+    # One scan + one 64-group agg; the balance check (max_doc_tokens)
+    # rides the same aggregate.
+    cases["corpus_shard_plan"] = _sql_case(
+        *P.bi_sql(
+            """
+WITH sh AS (
+  SELECT ((doc_id * 2654435761) % 1000000007) % 64 AS shard,
+         n_chars,
+         (n_chars + 3) {idiv} 4 AS tok_est
+  FROM documents
+)
+SELECT shard,
+       COUNT(*) AS n_docs,
+       SUM(n_chars) AS char_mass,
+       SUM(tok_est) AS token_budget,
+       MAX(tok_est) AS max_doc_tokens
+FROM sh GROUP BY shard
+""",
+            idiv=("DIV", "//"),
+        )
+    )
+
+    # ---- binaryFile source: Spark's ingestion path for raw media
+    # blobs (path, modificationTime, length, content). Stage writes the
+    # payload files EXECUTOR-side (foreachPartition — the driver never
+    # holds the corpus), once per (session, sf); the read exercises the
+    # real DataSource including pathGlobFilter pushdown and the
+    # path→key parse. At 100 TB this is the entry point for image/
+    # audio/video archives: one task per file group, no driver hop.
+    # Oracle: byte length + poly hash of the same text from parquet.
+    def _binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import os
+
+        views(spark, sf_dir)
+        key = ("binaryfile", id(spark), sf_dir)
+        path = _JSONL_STAGE.get(key)
+        if path is None:
+            import tempfile
+
+            path = tempfile.mkdtemp(prefix="etl_binfiles_")
+
+            def _write(rows):
+                for r in rows:
+                    p = os.path.join(path, f"doc_{r['doc_id']}.bin")
+                    with open(p, "wb") as fh:
+                        fh.write(r["text"].encode("utf-8"))
+
+            spark.table("documents").where("text IS NOT NULL").select(
+                "doc_id", "text"
+            ).foreachPartition(_write)
+            _JSONL_STAGE[key] = path
+        return (
+            spark.read.format("binaryFile")
+            .option("pathGlobFilter", "*.bin")
+            .load(path)
+            .select(
+                F.regexp_extract(F.col("path"), r"doc_(\d+)\.bin", 1)
+                .cast("bigint")
+                .alias("doc_id"),
+                F.col("length").alias("n_bytes"),
+                F.expr(P.spark_poly_hash("decode(content, 'UTF-8')")).alias("payload_hash"),
+            )
+        )
+
+    cases["src_binaryfile_ingest"] = Case(
+        _binaryfile,
+        f"""
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       {P.duck_poly_hash('text')} AS payload_hash
+FROM documents WHERE text IS NOT NULL
+""",
+    )
+
+    # ---- Spark 4 Python DataSource (sources/pydatasource.py): the
+    # engine's extension point for formats it doesn't ship, proven by
+    # round-tripping the documents table through the custom etl_jsonl
+    # format — partition-per-file parallel read, explicit schema (no
+    # inference scan), value-hashed against the parquet originals.
+    def _python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import os
+        import tempfile
+
+        from ..sources.pydatasource import JsonLinesDataSource
+
+        views(spark, sf_dir)
+        key = ("pyds_jsonl", id(spark), sf_dir)
+        path = _JSONL_STAGE.get(key)
+        if path is None:
+            path = tempfile.mkdtemp(prefix="etl_pyds_")
+            spark.table("documents").write.mode("overwrite").json(
+                os.path.join(path, "documents.json")
+            )
+            _JSONL_STAGE[key] = path
+        if not getattr(spark, "_etl_jsonl_registered", False):
+            spark.dataSource.register(JsonLinesDataSource)
+            spark._etl_jsonl_registered = True
+        return (
+            spark.read.format("etl_jsonl")
+            .option(
+                "schema",
+                "doc_id bigint, text string, lang string, source string, n_chars bigint",
+            )
+            .load(os.path.join(path, "documents.json"))
+        )
+
+    cases["src_python_datasource"] = Case(
+        _python_datasource,
+        "SELECT doc_id, text, lang, source, n_chars FROM documents",
+    )
+
     return _driver_order(cases)

@@ -92,16 +92,27 @@ def read_event_stream(spark: SparkSession, landing_dir: str) -> DataFrame:
     return with_event_time(spark.readStream.schema(schema).parquet(landing_dir))
 
 
-def windowed_event_counts(events: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
-    """Watermarked tumbling-window aggregation per event type.
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    slide: str | None = None,
+) -> DataFrame:
+    """Watermarked windowed aggregation per event type — tumbling by
+    default, HOPPING when ``slide`` is given (each event then lands in
+    window/slide overlapping windows; the batch twin is the
+    events_hopping_window registry query).
 
     The watermark bounds state: late events beyond 2h are dropped, so
     the state store holds only open windows — the property that keeps
-    this runnable forever on an unbounded stream.
+    this runnable forever on an unbounded stream. A slide multiplies
+    in-flight windows by window/slide, not by event volume: state is
+    still O(open windows × event types).
     """
+    w = F.window("ts", window) if slide is None else F.window("ts", window, slide)
     return (
         events.withWatermark("ts", watermark)
-        .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .groupBy(w.alias("w"), F.col("event_type"))
         .agg(
             F.count("*").alias("n_events"),
             F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total_value"),

@@ -218,3 +218,54 @@ def test_file_json_engine(spark, sf_dir, tmp_path):
     a = {r["n_nationkey"]: r["n_name"] for r in typed.collect()}
     b = {r["n_nationkey"]: r["n_name"] for r in src.collect()}
     assert a == b
+
+
+def test_python_datasource_partition_per_file(spark, tmp_path):
+    """Spark 4 Python DataSource (etl_jsonl): one input partition per
+    landing file — executors open only their own file; schema is
+    mandatory (no inference scan)."""
+    import json
+
+    import pytest
+
+    from etl_service_spark.sources.pydatasource import JsonLinesDataSource
+
+    d = tmp_path / "drops"
+    d.mkdir()
+    for i in range(3):
+        with open(d / f"part-{i}.json", "w") as fh:
+            for j in range(10):
+                fh.write(json.dumps({"k": i * 10 + j, "s": f"row{i}_{j}"}) + "\n")
+
+    if not getattr(spark, "_etl_jsonl_registered", False):
+        spark.dataSource.register(JsonLinesDataSource)
+        spark._etl_jsonl_registered = True
+
+    df = (
+        spark.read.format("etl_jsonl")
+        .option("schema", "k bigint, s string")
+        .load(str(d))
+    )
+    assert df.rdd.getNumPartitions() == 3
+    rows = {r["k"]: r["s"] for r in df.collect()}
+    assert len(rows) == 30 and rows[17] == "row1_7"
+
+    # schema is mandatory — inference would be a second full scan
+    with pytest.raises(Exception, match="schema"):
+        spark.read.format("etl_jsonl").load(str(d)).collect()
+
+
+def test_binaryfile_source_reads_payload_bytes(spark, tmp_path):
+    """binaryFile DataSource: path/length/content columns with
+    pathGlobFilter pushdown — the raw-media ingestion path."""
+    (tmp_path / "a.bin").write_bytes(b"hello spark")
+    (tmp_path / "skip.txt").write_bytes(b"nope")
+
+    df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(str(tmp_path))
+    )
+    rows = df.select("path", "length", "content").collect()
+    assert len(rows) == 1
+    assert rows[0]["length"] == 11 and bytes(rows[0]["content"]) == b"hello spark"
