@@ -125,13 +125,91 @@ def run_corpus_curation(
     q.awaitTermination()
 
 
-def read_curated(spark: SparkSession, out_dir: str) -> DataFrame:
+def read_curated(
+    spark: SparkSession, out_dir: str, tombstone_dir: str | None = None
+) -> DataFrame:
     """Exactly-once view over the at-least-once curated store: a crash
     between the curated append and the fingerprint append replays one
     batch as duplicate rows (see the module docstring's write-ordering
     contract), so readers that need exact-once rows dedup on doc_id
     here. The window is one shuffle over the curated store — but
     split-partition pruning applies first, and in steady state (no
-    crash) every group has exactly one row."""
+    crash) every group has exactly one row.
+
+    ``tombstone_dir``: optional forget-table (see :func:`forget_docs`)
+    — tombstoned doc_ids are anti-joined away, so a takedown is
+    effective at READ time the moment the tombstone lands, independent
+    of when the physical rewrite (:func:`purge_forgotten`) runs.
+    Takedown sets are tiny relative to the corpus → broadcast."""
+    cur = spark.read.parquet(out_dir).dropDuplicates(["doc_id"])
+    if tombstone_dir is not None:
+        try:
+            tombs = spark.read.parquet(tombstone_dir).select("doc_id")
+        except Exception:  # no tombstones yet
+            return cur
+        cur = cur.join(F.broadcast(tombs.dropDuplicates(["doc_id"])), "doc_id", "left_anti")
+    return cur
+
+
+def forget_docs(spark: SparkSession, tombstone_dir: str, doc_ids) -> None:
+    """Right-to-be-forgotten / takedown, step 1 of 2 — LOGICAL delete:
+    durably append the doc_ids to an append-only tombstone table.
+    Append-only is the crash-safe shape (same argument as the HLL
+    register log, sketch_stream.py): re-appending the same ids is
+    idempotent under the read-side anti-join. From this moment every
+    ``read_curated(..., tombstone_dir=...)`` reader excludes the docs;
+    no rewrite of the 100 TB store is on the takedown's critical path."""
+    df = (
+        doc_ids
+        if isinstance(doc_ids, DataFrame)
+        else spark.createDataFrame([(int(i),) for i in doc_ids], "doc_id bigint")
+    )
+    df.select("doc_id").write.mode("append").parquet(tombstone_dir)
+
+
+def purge_forgotten(spark: SparkSession, out_dir: str, tombstone_dir: str) -> dict:
+    """Takedown step 2 of 2 — PHYSICAL delete, run as maintenance (not
+    on the takedown critical path): rewrite ONLY the parquet files that
+    contain tombstoned rows, identified via input_file_name() — the
+    poor-engine's delete-vector path on plain parquet. At 100 TB a
+    takedown touches a handful of files; everything else is untouched
+    bytes.
+
+    Crash ordering mirrors the curated append: cleaned survivor rows
+    are APPENDED first, originals removed after. A crash between the
+    two leaves survivors duplicated (absorbed by read_curated's doc_id
+    dedup) and the tombstoned rows still present in the originals
+    (absorbed by the read-side anti-join) — every crash point converges
+    on re-run. Returns {files_rewritten, rows_dropped}."""
+    try:
+        tombs = spark.read.parquet(tombstone_dir).select("doc_id").dropDuplicates(["doc_id"])
+    except Exception:
+        return {"files_rewritten": 0, "rows_dropped": 0}
     cur = spark.read.parquet(out_dir)
-    return cur.dropDuplicates(["doc_id"])
+    # file list containing tombstoned rows: bounded by the takedown
+    # size, metadata-sized — the one acceptable driver collect
+    affected = [
+        r["f"]
+        for r in cur.withColumn("f", F.input_file_name())
+        .join(F.broadcast(tombs), "doc_id")
+        .select("f")
+        .distinct()
+        .collect()
+    ]
+    if not affected:
+        return {"files_rewritten": 0, "rows_dropped": 0}
+    # basePath keeps the split partition column on per-file reads
+    victims = spark.read.option("basePath", out_dir).parquet(*affected)
+    survivors = victims.join(F.broadcast(tombs), "doc_id", "left_anti")
+    n_before = victims.count()
+    n_after = survivors.count()
+    # parquet reads drop the split partition column from file paths only
+    # when reading whole-store; per-file reads keep columns as stored —
+    # append survivors back under their split directories
+    for split in [r["split"] for r in victims.select("split").distinct().collect()]:
+        survivors.filter(F.col("split") == split).drop("split").write.mode("append").parquet(
+            os.path.join(out_dir, f"split={split}")
+        )
+    for f in affected:
+        os.remove(f.removeprefix("file://"))
+    return {"files_rewritten": len(affected), "rows_dropped": n_before - n_after}

@@ -572,3 +572,55 @@ def test_curation_contamination_gate_excludes_benchmark_texts(spark, tmp_path):
     # the contaminated docs were still fingerprinted as seen
     fp = spark.read.parquet(fps)
     assert fp.join(spark.read.parquet(bench), "text_hash", "left_semi").count() == n_bench
+
+
+def test_forget_docs_and_purge_rewrite_only_affected_files(spark, tmp_path):
+    """Right-to-be-forgotten: tombstones take effect at READ time
+    immediately; the physical purge rewrites ONLY files containing
+    tombstoned rows, survivors are intact, and re-running the purge is
+    a no-op."""
+    import os
+
+    from etl_service_spark.streaming.corpus_stream import (
+        SPLIT_EXPR,
+        forget_docs,
+        purge_forgotten,
+        read_curated,
+    )
+
+    out, tombs = str(tmp_path / "curated"), str(tmp_path / "tombs")
+    src = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .withColumn("split", F.expr(SPLIT_EXPR))
+    )
+    # several files per split so the purge has unaffected files to skip
+    src.repartition(4).write.partitionBy("split").parquet(out)
+    n_files_before = sum(
+        1 for _, _, fs in os.walk(out) for f in fs if f.endswith(".parquet")
+    )
+
+    victims = [r["doc_id"] for r in src.limit(3).collect()]
+    forget_docs(spark, tombs, victims)
+
+    # logical delete is immediate
+    cur = read_curated(spark, out, tombstone_dir=tombs)
+    assert cur.filter(F.col("doc_id").isin(victims)).count() == 0
+    n_expected = src.count() - len(victims)
+    assert cur.count() == n_expected
+
+    stats = purge_forgotten(spark, out, tombs)
+    assert stats["rows_dropped"] == len(victims)
+    assert 0 < stats["files_rewritten"] < n_files_before
+
+    # physically gone even WITHOUT the tombstone filter
+    raw = spark.read.parquet(out)
+    assert raw.filter(F.col("doc_id").isin(victims)).count() == 0
+    assert raw.count() == n_expected
+    # survivors untouched: full-frame check against the source
+    assert raw.select("doc_id").subtract(src.select("doc_id")).count() == 0
+
+    # idempotent: second purge touches nothing
+    assert purge_forgotten(spark, out, tombs) == {
+        "files_rewritten": 0,
+        "rows_dropped": 0,
+    }
