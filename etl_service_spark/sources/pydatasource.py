@@ -22,7 +22,12 @@ from __future__ import annotations
 import json
 import os
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 
 class JsonLinesDataSource(DataSource):
@@ -88,3 +93,86 @@ class JsonLinesReader(DataSourceReader):
                     continue
                 rec = json.loads(line)
                 yield tuple(conv(rec.get(name)) for name, conv in self._fields)
+
+
+class JsonLinesStreamDataSource(DataSource):
+    """Streaming twin: ``spark.readStream.format("etl_jsonl_stream")``
+    over a grow-only landing directory of JSON-lines files.
+
+    This is the extension point for feeds Spark's built-in file stream
+    can't read (an external queue, a vendor drop-box protocol). Offset
+    model: the lexicographically-sorted file list is the log, the
+    offset is a cursor {"count": N} into it — so the landing contract
+    is the same one every file-queue integration documents: files land
+    complete, named in monotonically increasing order (timestamp/seq
+    prefixes), and are never mutated. Replays between two committed
+    offsets re-read exactly the files in [start, end) — exactly-once
+    into a checkpointed sink.
+
+    The cursor offset is O(1) regardless of history (unlike an
+    explicit file-set offset, which grows with the stream) — at 100 TB
+    of drops the checkpoint stays bytes-sized.
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "etl_jsonl_stream"
+
+    def schema(self):
+        ddl = self.options.get("schema")
+        if not ddl:
+            raise ValueError("etl_jsonl_stream requires an explicit 'schema' option")
+        return ddl
+
+    def simpleStreamReader(self, schema) -> "JsonLinesStreamReader":
+        return JsonLinesStreamReader(schema, self.options)
+
+
+class JsonLinesStreamReader(SimpleDataSourceStreamReader):
+    def __init__(self, schema, options):
+        self._fields = [(f.name, _converter(f.dataType.typeName())) for f in schema.fields]
+        self._root = options.get("path")
+        if self._root is None:
+            raise ValueError("etl_jsonl_stream: no path given")
+
+    def _files(self) -> list[str]:
+        if not os.path.isdir(self._root):
+            return []
+        return sorted(
+            f
+            for f in os.listdir(self._root)
+            if not f.startswith(("_", ".")) and not f.endswith(".crc")
+        )
+
+    def _rows(self, names):
+        # a LIST iterator, not a generator: the engine's prefetch cache
+        # copy.copy()-es the returned iterator (datasource_internal),
+        # and generators are not copyable. The simple-reader contract
+        # is driver-side micro-batch prefetch anyway, so the batch is
+        # in memory either way.
+        out = []
+        for name in names:
+            with open(os.path.join(self._root, name), encoding="utf-8") as fh:
+                for line in fh:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    rec = json.loads(line)
+                    out.append(tuple(conv(rec.get(n)) for n, conv in self._fields))
+        return iter(out)
+
+    def initialOffset(self) -> dict:
+        return {"count": 0}
+
+    def read(self, start: dict):
+        files = self._files()
+        newly = files[start["count"]:]
+        return self._rows(newly), {"count": len(files)}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        # recovery replay: the sorted grow-only listing makes the slice
+        # [start, end) identical to what the original batch read
+        return self._rows(self._files()[start["count"]:end["count"]])
+
+    def commit(self, end: dict) -> None:
+        pass  # files are the log; nothing to truncate

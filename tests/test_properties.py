@@ -240,3 +240,39 @@ def test_blocked_neardup_equals_reference_all_pairs(spark, vecs, n_blocks):
         assert math.isclose(got[k], v, rel_tol=0, abs_tol=0) or (
             math.isnan(got[k]) and math.isnan(v)
         )
+
+
+def test_ngram_and_chunk_builders_match_duckdb(spark):
+    """spark_ngrams/spark_chunks == duck_ngrams/duck_chunks on edge
+    cases: empty, single token, punctuation-only, exact multiples of
+    the chunk width, unicode separators. One Spark batch for all."""
+    texts = [
+        "", " ", "a", "a b", "one two three four five six seven eight",
+        "one two three four five six seven eight nine",
+        "x " * 16, "..!?", "Tabs\tand\nnewlines here", "ÄÖÜ umlauts señor",
+        "a b c d e f g h", "0 1 2 3 4 5 6 7 8 9 10 11 12 13 14 15 16",
+        "dup dup dup dup dup dup dup dup dup",
+    ]
+    pdf = pd.DataFrame({"i": range(len(texts)), "s": texts})
+    spark.createDataFrame(pdf).createOrReplaceTempView("ngram_probe")
+    con = duckdb.connect()
+    con.register("ngram_probe", pdf)
+    for s_expr, d_expr in [
+        (P.spark_ngrams(P.spark_tokens("s"), 2), P.duck_ngrams(P.duck_tokens("s"), 2)),
+        (P.spark_ngrams(P.spark_tokens("s"), 3), P.duck_ngrams(P.duck_tokens("s"), 3)),
+        (P.spark_chunks(P.spark_tokens("s"), 4), P.duck_chunks(P.duck_tokens("s"), 4)),
+        (P.spark_chunks(P.spark_tokens("s"), 8), P.duck_chunks(P.duck_tokens("s"), 8)),
+    ]:
+        got = [
+            list(r["v"])
+            for r in spark.sql(
+                f"SELECT {s_expr} AS v FROM ngram_probe ORDER BY i"
+            ).collect()
+        ]
+        want = [
+            list(r[0])
+            for r in con.execute(
+                f"SELECT {d_expr} FROM ngram_probe ORDER BY i"
+            ).fetchall()
+        ]
+        assert got == want

@@ -624,3 +624,54 @@ def test_forget_docs_and_purge_rewrite_only_affected_files(spark, tmp_path):
         "files_rewritten": 0,
         "rows_dropped": 0,
     }
+
+
+def test_python_stream_datasource_incremental_exactly_once(spark, tmp_path):
+    """Custom Spark 4 streaming DataSource (etl_jsonl_stream): a
+    checkpointed drain reads only files beyond the committed cursor;
+    re-dropping nothing yields nothing; a new file yields exactly its
+    rows."""
+    import json as _json
+
+    from etl_service_spark.sources.pydatasource import JsonLinesStreamDataSource
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "out")
+
+    def drop(name, lo, hi):
+        with open(landing / name, "w") as fh:
+            for k in range(lo, hi):
+                fh.write(_json.dumps({"k": k, "s": f"v{k}"}) + "\n")
+
+    drop("0001.jsonl", 0, 20)
+    drop("0002.jsonl", 20, 30)
+
+    if not getattr(spark, "_etl_jsonl_stream_registered", False):
+        spark.dataSource.register(JsonLinesStreamDataSource)
+        spark._etl_jsonl_stream_registered = True
+
+    def drain():
+        q = (
+            spark.readStream.format("etl_jsonl_stream")
+            .option("schema", "k bigint, s string")
+            .load(str(landing))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    assert spark.read.parquet(out).count() == 30
+
+    drain()  # nothing new behind the cursor
+    assert spark.read.parquet(out).count() == 30
+
+    drop("0003.jsonl", 30, 45)
+    drain()
+    got = spark.read.parquet(out)
+    assert got.count() == 45
+    assert {r["k"] for r in got.collect()} == set(range(45))
