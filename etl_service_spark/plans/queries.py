@@ -2259,6 +2259,69 @@ ORDER BY metric
 """,
     )
 
+    # ---- robust outlier detection: median absolute deviation (MAD) —
+    # the heavy-tail-safe twin of events_zscore_outliers (mean/stdev
+    # are dragged by the very outliers being hunted; median/MAD are
+    # not). percentile_disc returns an actual group element (no
+    # interpolation → cross-engine exact); deviations are double
+    # subtractions over identical operands (IEEE-identical). Shape:
+    # inherently two passes (median, then deviations) + the flag agg;
+    # the med/mad relations are event-type-sized → broadcast back.
+    cases["events_anomaly_mad"] = _sql_case(
+        *P.bi_sql(
+            """
+WITH med AS (
+  SELECT event_type, {pd} AS med
+  FROM events WHERE value IS NOT NULL GROUP BY event_type
+),
+dev AS (
+  SELECT e.event_type, abs(e.value - m.med) AS adev
+  FROM events e JOIN med m ON e.event_type = m.event_type
+  WHERE e.value IS NOT NULL
+),
+mad AS (SELECT event_type, {pd_adev} AS mad FROM dev GROUP BY event_type)
+SELECT e.event_type,
+       COUNT(*) AS n,
+       m.med AS median_value,
+       d.mad AS mad_value,
+       SUM(CASE WHEN abs(e.value - m.med) > 3 * d.mad THEN 1 ELSE 0 END) AS n_outliers
+FROM events e
+JOIN med m ON e.event_type = m.event_type
+JOIN mad d ON e.event_type = d.event_type
+WHERE e.value IS NOT NULL
+GROUP BY e.event_type, m.med, d.mad
+""",
+            pd=(
+                "percentile_disc(0.5) WITHIN GROUP (ORDER BY value)",
+                "quantile_disc(value, 0.5)",
+            ),
+            pd_adev=(
+                "percentile_disc(0.5) WITHIN GROUP (ORDER BY adev)",
+                "quantile_disc(adev, 0.5)",
+            ),
+        )
+    )
+
+    # ---- doc-length histogram per language: log2 buckets via the
+    # integer msb (length(bin(x)) — float log2 is libm-dependent at
+    # exact powers of two). The corpus profile a packing/batching
+    # planner reads first; output bounded by 64 × languages.
+    cases["corpus_length_histogram"] = _sql_case(
+        *P.bi_sql(
+            """
+SELECT lang,
+       length(bin(n_chars)) AS len_msb,
+       COUNT(*) AS n_docs,
+       CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+       CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+       SUM(n_chars) AS char_mass
+FROM documents
+WHERE n_chars > 0
+GROUP BY lang, length(bin(n_chars))
+"""
+        )
+    )
+
     # ---- corpus-frequency bigram LM score (CCNet-style quality filter
     # proxy; see textops.bigram_lm_score_sql for the scale argument)
     cases["text_bigram_lm_score"] = _pair_case(textops.bigram_lm_score_sql())

@@ -298,3 +298,40 @@ def test_vocab_growth_is_one_pass_not_per_prefix(spark, sf_dir):
     # text is scanned by the (shared, memoized) token stage, not by this
     # plan: only doc_id leaves the parquet scans here
     assert "text#" not in plan.split("Window")[0] or "FileScan parquet [doc_id" in plan
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark, sf_dir):
+    """Catalyst's runtime Bloom-filter join: a selective dimension
+    filter injects a bloom_filter_agg on the build side and a
+    might_contain probe on the fact scan — the shuffle-volume saver
+    when the fact side is too big to avoid a shuffled join. Local
+    testdata sits under the 10 GiB application-side default, so the
+    thresholds are lowered HERE ONLY to prove the rewrite fires; at
+    the 100 TB deployment the defaults fire on their own."""
+    views(spark, sf_dir)
+    old_scan = spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    )
+    old_bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = _plan(
+            spark.sql(
+                """
+            SELECT l.l_orderkey, l.l_extendedprice
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE o.o_orderpriority = '1-URGENT' AND o.o_totalprice > 400000
+            """
+            )
+        )
+        assert "bloom_filter_agg" in plan, plan[:1200]
+        assert "might_contain" in plan, plan[:1200]
+    finally:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            old_scan,
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bcast)
