@@ -1882,6 +1882,71 @@ def registry() -> dict[str, Case]:
         _dup_clusters, graph.dup_clusters_oracle_sql()
     )
 
+    # ---- keeper election by QUALITY: per near-dup cluster keep the
+    # highest-quality member (production curation policy; the training
+    # pipeline's min-doc_id keeper is the reproducibility-first
+    # variant). Shares the staged pairs/clusters relation; quality is
+    # the engine-shared floor-6 expression, so the argmax (quality
+    # DESC, doc_id tiebreak) is deterministic in both engines. One
+    # window over the cluster table — cluster-grain, tiny output.
+    def _best_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql import Window
+
+        views(spark, sf_dir)
+        clusters = graph.dup_clusters(spark)
+        q = textops.quality_score(spark.table("documents")).select("doc_id", "quality")
+        m = clusters.join(q, "doc_id")
+        w = Window.partitionBy("cluster_id").orderBy(
+            F.col("quality").desc(), F.col("doc_id")
+        )
+        wc = Window.partitionBy("cluster_id")
+        return (
+            m.withColumn("rk", F.row_number().over(w))
+            .withColumn("n_members", F.count("*").over(wc).cast("bigint"))
+            .filter("rk = 1")
+            .select(
+                "cluster_id",
+                "n_members",
+                F.col("doc_id").alias("keeper_doc_id"),
+                F.col("quality").alias("keeper_quality"),
+            )
+        )
+
+    _keeper_oracle = f"""
+WITH RECURSIVE pairs AS (
+  SELECT doc_a, doc_b FROM ({dedup.ngram_jaccard_sql(tau=0.8)[1].strip()}) p
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+closure(node, reach) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT c.node, e.b FROM closure c JOIN edges e ON c.reach = e.a
+),
+cl AS (SELECT node AS doc_id, MIN(reach) AS cluster_id FROM closure GROUP BY node),
+q AS ({textops.oracle_quality_score()}),
+m AS (
+  SELECT cl.cluster_id, cl.doc_id, q.quality
+  FROM cl JOIN q ON q.doc_id = cl.doc_id
+),
+ranked AS (
+  SELECT m.*,
+         ROW_NUMBER() OVER (PARTITION BY cluster_id
+                            ORDER BY quality DESC, doc_id) AS rk,
+         COUNT(*) OVER (PARTITION BY cluster_id) AS nm
+  FROM m
+)
+SELECT cluster_id,
+       CAST(nm AS BIGINT) AS n_members,
+       doc_id AS keeper_doc_id,
+       quality AS keeper_quality
+FROM ranked WHERE rk = 1
+"""
+    cases["dedup_best_keeper"] = Case(_best_keeper, _keeper_oracle)
+
     def _pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         views(spark, sf_dir)
         return graph.pagerank(spark, sf_dir)
