@@ -2172,6 +2172,44 @@ FROM d GROUP BY decile
     cases["ann_ivf_topk"] = Case(_ivf_staged, similarity.ivf_ann_sql()[1])
     cases["ann_range_search"] = _pair_case(similarity.range_search_sql())
 
+    # ---- ANN self-evaluation: recall@k of the IVF path against the
+    # exact top-k ground truth ("measure, don't guess" — the number
+    # that justifies nprobe/n_cells before anyone trusts the ANN
+    # index). Reuses both staged relations; the comparison is one
+    # (q_id, n_id) left join + a query-grain aggregate — query-set
+    # sized, trivial next to the searches themselves.
+    def _ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+        views(spark, sf_dir)
+        exact = similarity.cosine_topk_staged(spark).select("q_id", "n_id")
+        approx = similarity.ivf_ann_staged(spark).select("q_id", "n_id")
+        return (
+            exact.join(approx.withColumn("hit", F.lit(1)), ["q_id", "n_id"], "left")
+            .groupBy("q_id")
+            .agg(
+                F.count("*").alias("k"),
+                F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hits"),
+            )
+            .select(
+                "q_id",
+                "k",
+                "n_hits",
+                F.expr("CAST(n_hits * 1000000 DIV k AS BIGINT)").alias("recall_ppm"),
+            )
+        )
+
+    _ann_recall_oracle = f"""
+WITH j AS (
+  SELECT e.q_id, CASE WHEN a.n_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+  FROM ({similarity.cosine_topk_sql()[1].strip()}) e
+  LEFT JOIN ({similarity.ivf_ann_sql()[1].strip()}) a
+    ON a.q_id = e.q_id AND a.n_id = e.n_id
+)
+SELECT q_id, COUNT(*) AS k, SUM(hit) AS n_hits,
+       CAST(SUM(hit) * 1000000 // COUNT(*) AS BIGINT) AS recall_ppm
+FROM j GROUP BY q_id
+"""
+    cases["ann_recall_report"] = Case(_ann_recall, _ann_recall_oracle)
+
     # --- skew handling: salted plans are RESULT-IDENTICAL to the plain
     # plans, so the oracles are the unsalted SQL — proving the salt
     # never leaks into results.
