@@ -703,3 +703,44 @@ FROM doc
 """
 
     return body(spark_ch, "DIV"), body(duck_ch, "//")
+
+
+_CHUNK_CACHE: dict[tuple, str] = {}
+
+
+def chunk_dedup_staged(spark: SparkSession, w: int = 8, view: str = "documents") -> DataFrame:
+    """Spark path for chunk_dedup_sql over a STAGED chunk relation —
+    same motivation as textops.bigram_lm_score_staged: the chunk CTE
+    is referenced twice and CTE inlining would tokenize+chunk the
+    corpus twice. Oracle stays the single-statement SQL."""
+    from . import textops  # noqa: F401  (shared staging conventions)
+
+    src = spark.table(view)
+    key = (id(spark), view, w, tuple(sorted(src.inputFiles())), P.staging_dir(spark))
+    name = _CHUNK_CACHE.get(key)
+    if name is None:
+        name = f"__chunks_{view}_{len(_CHUNK_CACHE)}"
+        ch_sql = (
+            f"SELECT doc_id, chunk FROM "
+            f"(SELECT doc_id, {P.spark_tokens('text')} AS t FROM {view}) "
+            f"LATERAL VIEW explode({P.spark_chunks('t', w)}) x AS chunk"
+        )
+        P.stage_df(P.fan_out(spark.sql(ch_sql)), name).createOrReplaceTempView(name)
+        _CHUNK_CACHE[key] = name
+    return spark.sql(
+        f"""
+WITH cf AS (SELECT chunk, COUNT(DISTINCT doc_id) AS n_docs FROM {name} GROUP BY chunk),
+doc AS (
+  SELECT c.doc_id,
+         COUNT(*) AS n_chunks,
+         SUM(CASE WHEN f.n_docs > 1 THEN 1 ELSE 0 END) AS n_shared
+  FROM {name} c JOIN cf f ON c.chunk = f.chunk
+  GROUP BY c.doc_id
+)
+SELECT doc_id,
+       CAST(n_chunks AS BIGINT) AS n_chunks,
+       CAST(n_shared AS BIGINT) AS n_shared,
+       CAST(n_shared * 1000000 DIV n_chunks AS BIGINT) AS dup_span_ppm
+FROM doc
+"""
+    )

@@ -826,3 +826,48 @@ FROM doc
 """
 
     return body(spark_big, "DIV"), body(duck_big, "//")
+
+
+_BIGRAM_CACHE: dict[tuple, str] = {}
+
+
+def bigram_lm_score_staged(spark, view: str = "documents") -> DataFrame:
+    """Spark path for bigram_lm_score_sql over a STAGED bigram
+    relation: the single-statement form references the exploded bigram
+    CTE twice (frequency build + per-doc join) and Spark inlines CTEs,
+    so tokenize+explode would run twice (plan showed 6 Generate nodes).
+    Staging pays the explode once — SCALE.md ground rule #3 — and the
+    memo keys on (session, view, input files) like the token stage.
+    Oracle stays the single-statement SQL."""
+    src = spark.table(view)
+    key = (id(spark), view, tuple(sorted(src.inputFiles())), P.staging_dir(spark))
+    name = _BIGRAM_CACHE.get(key)
+    if name is None:
+        name = f"__bigrams_{view}_{len(_BIGRAM_CACHE)}"
+        big_sql = (
+            f"SELECT doc_id, bg FROM "
+            f"(SELECT doc_id, {P.spark_tokens('text')} AS t FROM {view}) "
+            f"LATERAL VIEW explode({P.spark_ngrams('t', 2)}) x AS bg"
+        )
+        P.stage_df(P.fan_out(spark.sql(big_sql)), name).createOrReplaceTempView(name)
+        _BIGRAM_CACHE[key] = name
+    return spark.sql(
+        f"""
+WITH bf AS (SELECT bg, COUNT(*) AS cnt FROM {name} GROUP BY bg),
+tot AS (SELECT SUM(cnt) AS mass FROM bf),
+doc AS (
+  SELECT b.doc_id,
+         COUNT(*) AS n_bigrams,
+         SUM(CASE WHEN f.cnt = 1 THEN 1 ELSE 0 END) AS n_singleton,
+         SUM(f.cnt) AS freq_mass
+  FROM {name} b JOIN bf f ON b.bg = f.bg
+  GROUP BY b.doc_id
+)
+SELECT doc_id,
+       CAST(n_bigrams AS BIGINT) AS n_bigrams,
+       CAST(n_singleton * 1000000 DIV n_bigrams AS BIGINT) AS singleton_ppm,
+       CAST(freq_mass * 1000000 DIV (n_bigrams * (SELECT mass FROM tot))
+            AS BIGINT) AS avg_freq_ppm
+FROM doc
+"""
+    )

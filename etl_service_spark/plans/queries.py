@@ -2426,12 +2426,24 @@ GROUP BY lang, length(bin(n_chars))
     )
 
     # ---- corpus-frequency bigram LM score (CCNet-style quality filter
-    # proxy; see textops.bigram_lm_score_sql for the scale argument)
-    cases["text_bigram_lm_score"] = _pair_case(textops.bigram_lm_score_sql())
+    # proxy; see textops.bigram_lm_score_sql for the scale argument).
+    # Spark side runs over the STAGED bigram relation (the exploded CTE
+    # is consumed twice and Spark inlines CTEs); oracle stays the
+    # single-statement SQL.
+    def _bigram_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
+        views(spark, sf_dir)
+        return textops.bigram_lm_score_staged(spark)
+
+    cases["text_bigram_lm_score"] = Case(_bigram_staged, textops.bigram_lm_score_sql()[1])
 
     # ---- cross-doc exact-substring dedup at 8-token chunk granularity
-    # (ExactSubstr proxy; see dedup.chunk_dedup_sql)
-    cases["dedup_chunk_exact"] = _pair_case(dedup.chunk_dedup_sql(8))
+    # (ExactSubstr proxy; see dedup.chunk_dedup_sql). Staged Spark path
+    # for the same double-consumption reason.
+    def _chunk_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
+        views(spark, sf_dir)
+        return dedup.chunk_dedup_staged(spark, 8)
+
+    cases["dedup_chunk_exact"] = Case(_chunk_staged, dedup.chunk_dedup_sql(8)[1])
 
     # ---- hopping (sliding) time windows: Spark's native F.window with
     # a slide — each event lands in windowDuration/slide = 2 windows.
