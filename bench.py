@@ -117,6 +117,12 @@ HEADLINERS = [
     "events_user_rate_cap",
     "privacy_l_diversity",
     "corpus_shard_plan",
+    "dedup_best_keeper",
+    "ann_recall_report",
+    "text_langid_confusion",
+    "corpus_resample_plan",
+    "corpus_length_histogram",
+    "events_anomaly_mad",
 ]
 
 

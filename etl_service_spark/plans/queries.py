@@ -2362,6 +2362,52 @@ ORDER BY metric
 """,
     )
 
+    # ---- lang-id self-evaluation: confusion matrix of the stopword
+    # heuristic against the labeled lang column — the same "measure,
+    # don't guess" discipline as ann_recall_report, for the text
+    # plane. One aggregate over the lang-id projection; output bounded
+    # by |langs|².
+    def _langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+        views(spark, sf_dir)
+        return (
+            textops.lang_id(spark.table("documents"))
+            .groupBy("lang_true", "lang_pred")
+            .agg(F.count("*").alias("n_docs"))
+        )
+
+    cases["text_langid_confusion"] = Case(
+        _langid_confusion,
+        f"""
+SELECT lang_true, lang_pred, COUNT(*) AS n_docs
+FROM ({textops.oracle_lang_id()}) l
+GROUP BY lang_true, lang_pred
+""",
+    )
+
+    # ---- mixture resample plan: per-source token mass, corpus share,
+    # and the repeat factor (epochs, ppm) to hit a UNIFORM target mix —
+    # the static up/down-sampling table a pretraining data loader is
+    # driven by. Pure integer arithmetic over one source-grain
+    # aggregate; the scalar total broadcasts.
+    cases["corpus_resample_plan"] = _sql_case(
+        *P.bi_sql(
+            """
+WITH m AS (
+  SELECT source, SUM((n_chars + 3) {idiv} 4) AS toks
+  FROM documents GROUP BY source
+),
+tot AS (SELECT SUM(toks) AS t, COUNT(*) AS n_sources FROM m)
+SELECT source,
+       toks AS token_mass,
+       CAST(toks * 1000000 {idiv} (SELECT t FROM tot) AS BIGINT) AS share_ppm,
+       CAST((SELECT t FROM tot) * 1000000
+            {idiv} ((SELECT n_sources FROM tot) * toks) AS BIGINT) AS repeat_ppm
+FROM m
+""",
+            idiv=("DIV", "//"),
+        )
+    )
+
     # ---- robust outlier detection: median absolute deviation (MAD) —
     # the heavy-tail-safe twin of events_zscore_outliers (mean/stdev
     # are dragged by the very outliers being hunted; median/MAD are

@@ -675,3 +675,56 @@ def test_python_stream_datasource_incremental_exactly_once(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == 45
     assert {r["k"] for r in got.collect()} == set(range(45))
+
+
+def test_purge_crash_window_converges(spark, tmp_path):
+    """Simulate the purge's documented crash point: survivors appended
+    but originals NOT yet removed. The read view stays exact (dedup +
+    tombstone anti-join absorb both artifacts) and re-running the purge
+    converges to the clean physical state."""
+    import os
+
+    from etl_service_spark.streaming.corpus_stream import (
+        SPLIT_EXPR,
+        forget_docs,
+        purge_forgotten,
+        read_curated,
+    )
+
+    out, tombs = str(tmp_path / "curated"), str(tmp_path / "tombs")
+    src = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .withColumn("split", F.expr(SPLIT_EXPR))
+    )
+    src.repartition(4).write.partitionBy("split").parquet(out)
+    victims = [r["doc_id"] for r in src.limit(3).collect()]
+    forget_docs(spark, tombs, victims)
+
+    # crash simulation: replay the purge's append step WITHOUT removal —
+    # survivors from one affected file now exist twice
+    tomb_df = spark.read.parquet(tombs).select("doc_id")
+    cur = spark.read.parquet(out)
+    f = (
+        cur.withColumn("f", F.input_file_name())
+        .join(F.broadcast(tomb_df), "doc_id")
+        .select("f")
+        .first()["f"]
+    )
+    one = spark.read.option("basePath", out).parquet(f)
+    surv = one.join(F.broadcast(tomb_df), "doc_id", "left_anti")
+    for split in [r["split"] for r in surv.select("split").distinct().collect()]:
+        surv.filter(F.col("split") == split).drop("split").write.mode("append").parquet(
+            os.path.join(out, f"split={split}")
+        )
+
+    n_expected = src.count() - len(victims)
+    cur_view = read_curated(spark, out, tombstone_dir=tombs)
+    assert cur_view.count() == n_expected  # duplicates + victims absorbed
+    assert cur_view.filter(F.col("doc_id").isin(victims)).count() == 0
+
+    # re-run converges: victims physically gone, duplicates remain only
+    # in raw files (the read view dedups), view still exact
+    purge_forgotten(spark, out, tombs)
+    raw = spark.read.parquet(out)
+    assert raw.filter(F.col("doc_id").isin(victims)).count() == 0
+    assert read_curated(spark, out, tombstone_dir=tombs).count() == n_expected
