@@ -744,3 +744,80 @@ SELECT doc_id,
 FROM doc
 """
     )
+
+
+def batch_band_keys(
+    batch_docs: DataFrame, k: int = 16, bands: int = 8
+) -> DataFrame:
+    """(doc_id, band_key) for an arbitrary batch of documents-table
+    rows: shingle-hash sets in the Arrow kernel, K minhash mins in ONE
+    hash aggregation, bands as a single array explode — the same
+    physical shape as minhash_lsh_staged, usable on a micro-batch."""
+    from pyspark.sql import functions as F
+
+    sig_cols = [
+        F.expr(f"MIN(({a} * h + {b}) % {P.HASH_MOD})").alias(f"sig_{i}")
+        for i, (a, b) in enumerate(P.minhash_params(k))
+    ]
+    hs = (
+        P.fan_out(batch_docs)
+        .select("doc_id", P.pd_shingle_hash_sets_udf()("text").alias("hs"))
+        .filter(F.size("hs") > 0)
+    )
+    sig = hs.select("doc_id", F.explode("hs").alias("h")).groupBy("doc_id").agg(*sig_cols)
+    return sig.select(
+        "doc_id", F.explode(F.expr(_band_arr(k, bands)[0])).alias("band_key")
+    )
+
+
+def incremental_neardup(
+    spark: SparkSession,
+    batch_docs: DataFrame,
+    state_dir: str,
+    k: int = 16,
+    bands: int = 8,
+    append_state: bool = True,
+) -> DataFrame:
+    """Streaming/incremental NEAR-dup gate — the minhash-LSH companion
+    of incremental_dedup (which only suppresses byte-identical text).
+    A batch doc is suppressed when any of its band keys collides with
+    (a) the persisted band-key state (near-dup of anything seen in any
+    earlier batch) or (b) a smaller-doc_id batch peer (in-batch
+    near-dup; clusters collapse to their min id deterministically).
+
+    Candidate-level suppression — no pairwise verify — is the standard
+    production trade (Dolma/RefinedWeb-style MinHash dedup): banding
+    FPs drop a rare non-dup, banding FNs admit a rare near-dup, both
+    controlled by (k, bands). The gate's cost per batch: one Arrow
+    shingle pass + one hash agg + two band-keyed joins against state —
+    state grows with corpus bands, so bucket it by band_key at scale.
+
+    ALL batch docs' band keys are appended (seen, not kept — same
+    contract as incremental_dedup's fingerprints), so re-delivered or
+    future near-dup text is suppressed regardless of which copy won.
+    Caller orders durable writes: curated store first, then state
+    (crash between the two replays as bounded duplicates, never loss).
+    """
+    from pyspark.sql import functions as F
+
+    batch_docs = batch_docs.localCheckpoint(eager=True)
+    bk = batch_band_keys(batch_docs, k, bands).localCheckpoint(eager=True)
+
+    try:
+        hist = spark.read.parquet(state_dir).select("band_key")
+        hist_hits = bk.join(hist, "band_key", "left_semi").select("doc_id").distinct()
+    except Exception:  # first batch: no state yet
+        hist_hits = bk.select("doc_id").limit(0)
+
+    bucket_min = bk.groupBy("band_key").agg(F.min("doc_id").alias("min_id"))
+    peer_hits = (
+        bk.join(bucket_min, "band_key")
+        .filter(F.col("doc_id") > F.col("min_id"))
+        .select("doc_id")
+        .distinct()
+    )
+    dropped = hist_hits.union(peer_hits).distinct()
+    survivors = batch_docs.join(dropped, "doc_id", "left_anti")
+    if append_state:
+        bk.write.mode("append").parquet(state_dir)
+    return survivors

@@ -106,3 +106,73 @@ def run_hll_register_rollup(events: DataFrame, checkpoint_dir: str, table_dir: s
         .start()
     )
     q.awaitTermination()
+
+
+# ---- streaming count-min sketch (heavy-hitter grid) maintenance ----
+# Same constants as operators/sketch.cms_heavy_hitters_sql: d rows of
+# w counters, deterministic multiplicative hashes, 31-bit-masked keys.
+_CMS_MULTS = [2654435761 % 2147483648, 2246822519 % 2147483648, 1540483477, 1274126177]
+_CMS_ADDS = [1, 7, 13, 31]
+
+
+def _cms_bucket(width: int) -> str:
+    case_m = " ".join(f"WHEN {i} THEN {m}" for i, m in enumerate(_CMS_MULTS))
+    case_a = " ".join(f"WHEN {i} THEN {a}" for i, a in enumerate(_CMS_ADDS))
+    return (
+        f"(((user_id % 2147483648) * (CASE d {case_m} END)"
+        f" + (CASE d {case_a} END)) % 4294967296) % {width}"
+    )
+
+
+def cms_grid(events: DataFrame, depth: int = 4, width: int = 1024) -> DataFrame:
+    """(d, bucket, cnt) count-min grid of a batch of events — the
+    fixed-size (d×w cells) MERGEABLE summary; merge operator is
+    cell-wise SUM."""
+    depths = " UNION ALL ".join(f"SELECT {i} AS d" for i in range(depth))
+    spark = events.sparkSession
+    events.createOrReplaceTempView("__cms_batch")
+    return spark.sql(
+        f"""
+SELECT d, {_cms_bucket(width)} AS bucket, COUNT(*) AS cnt
+FROM __cms_batch CROSS JOIN ({depths}) depths
+WHERE user_id IS NOT NULL
+GROUP BY d, {_cms_bucket(width)}
+"""
+    )
+
+
+def run_cms_rollup(events: DataFrame, checkpoint_dir: str, table_dir: str) -> None:
+    """Maintain the CMS grid from a stream. Unlike the HLL registers
+    (MAX — idempotent, absorbs replays by itself), the CMS merge is
+    SUM, which double-counts a replayed batch — so each appended grid
+    carries its batch_id and the reader dedups per (batch_id, d,
+    bucket) before summing: at-least-once appends compact to an
+    exactly-once grid. The log is O(batches × d×w) rows of integers —
+    compact it by rewriting SUM-merged cells under a single batch_id
+    when it grows."""
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        cms_grid(batch_df).withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(table_dir)
+
+    q = (
+        events.writeStream.outputMode("append")
+        .foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_cms_grid(spark: SparkSession, table_dir: str) -> DataFrame:
+    """Compact the append-only grid log into the current sketch:
+    dedup replayed batch cells (identical rows — any survivor is
+    correct), then cell-wise SUM across batches."""
+    return (
+        spark.read.parquet(table_dir)
+        .dropDuplicates(["batch_id", "d", "bucket"])
+        .groupBy("d", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )

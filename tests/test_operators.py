@@ -876,3 +876,42 @@ def test_cluster_conf_profile_sanity():
     assert int(conf["spark.sql.files.maxPartitionBytes"]) == 256 * 1024 * 1024
     # every value must be a plain string (SparkConf contract)
     assert all(isinstance(v, str) for v in conf.values())
+
+
+def test_incremental_neardup_across_batches(spark, tmp_path):
+    """MinHash-LSH near-dup gate with persisted band-key state: exact
+    re-deliveries AND near-duplicates of earlier batches are
+    suppressed; genuinely new text survives; replay is idempotent."""
+    from pyspark.sql import functions as F
+
+    from etl_service_spark.operators.dedup import incremental_neardup
+
+    state = str(tmp_path / "bands")
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+
+    def docs(rows):
+        return spark.createDataFrame(
+            [(i, t, "en", "s", len(t)) for i, t in rows],
+            "doc_id bigint, text string, lang string, source string, n_chars bigint",
+        )
+
+    b1 = docs([(1, base), (2, "completely different text about spark shuffle partitions and joins here")])
+    s1 = incremental_neardup(spark, b1, state)
+    assert {r["doc_id"] for r in s1.collect()} == {1, 2}
+
+    b2 = docs(
+        [
+            (10, base),  # exact re-delivery -> all bands collide
+            (11, base.replace("today", "tonight")),  # near-dup of doc 1
+            (12, "an entirely unrelated document discussing parquet row group statistics"),
+            (13, "an entirely unrelated document discussing parquet row group statistics"),  # in-batch dup of 12
+        ]
+    )
+    s2 = incremental_neardup(spark, b2, state)
+    got = {r["doc_id"] for r in s2.collect()}
+    assert 10 not in got and 11 not in got  # history suppression (exact + near)
+    assert 12 in got and 13 not in got  # in-batch collapse to min id
+
+    # replay of batch 2: everything already in state -> nothing survives
+    s2r = incremental_neardup(spark, b2, state, append_state=False)
+    assert s2r.count() == 0

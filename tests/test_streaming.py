@@ -728,3 +728,40 @@ def test_purge_crash_window_converges(spark, tmp_path):
     raw = spark.read.parquet(out)
     assert raw.filter(F.col("doc_id").isin(victims)).count() == 0
     assert read_curated(spark, out, tombstone_dir=tombs).count() == n_expected
+
+
+def test_streaming_cms_rollup_matches_batch(spark, sf_dir, tmp_path):
+    """The maintained CMS grid equals the batch grid over all events
+    ever seen (cell-wise SUM merge is exact on integer counts), and a
+    crash-replayed batch append is absorbed by the batch_id dedup."""
+    import shutil
+
+    from etl_service_spark.streaming.sketch_stream import (
+        cms_grid,
+        read_cms_grid,
+        run_cms_rollup,
+    )
+
+    landing, ckpt, table = [str(tmp_path / d) for d in ("landing", "ckpt", "cms")]
+    os.makedirs(landing)
+    src = os.path.join(sf_dir, "events.parquet")
+    events = spark.read.parquet(src)
+
+    shutil.copy(src, os.path.join(landing, "d1.parquet"))
+    stream = spark.readStream.schema(events.schema).parquet(landing)
+    run_cms_rollup(stream, ckpt, table)
+
+    maintained = {
+        (r["d"], r["bucket"]): r["cnt"] for r in read_cms_grid(spark, table).collect()
+    }
+    batch = {(r["d"], r["bucket"]): r["cnt"] for r in cms_grid(events).collect()}
+    assert maintained == batch
+
+    # crash replay: the same batch's grid appended AGAIN under its
+    # batch_id — the reader's dedup keeps the grid unchanged
+    grid0 = spark.read.parquet(table)
+    grid0.write.mode("append").parquet(table)
+    replayed = {
+        (r["d"], r["bucket"]): r["cnt"] for r in read_cms_grid(spark, table).collect()
+    }
+    assert replayed == batch
