@@ -828,3 +828,143 @@ def range_search_sql(
         tau=str(tau),
         n_queries=str(n_queries),
     )
+
+
+def pq_codes_sql(
+    m: int = 4, ncent: int = 8, view: str = "embeddings"
+) -> tuple[str, str]:
+    """Product quantization (Jégou et al., "Product Quantization for
+    Nearest Neighbor Search", TPAMI'11) — the storage path that turns a
+    64-float vector into m sub-codes (here 4×3 bits vs 64×32 bits, a
+    ~21× compression): split dims into m subspaces, code each
+    subvector as its nearest of ``ncent`` centroids.
+
+    Determinism contract (same recipe as IVF/kmeans): centroids are
+    the first ``ncent`` vectors' subvectors (no RNG), every value is
+    quantized to the integer grid FLOOR(64·v) before any distance
+    math, so sub-distances are exact small-integer sums — bit-identical
+    across engines — and the argmin (ties → lower centroid id) is a
+    deterministic ROW_NUMBER. ``sq_err`` (the summed quantization
+    distortion, the number you watch when sizing m/ncent) is integer-
+    exact and oracle-checked.
+
+    Scale shape: the centroid relation is m×ncent subvectors —
+    broadcast at any corpus size; assignment is a map-side cross join
+    producing N×ncent×m candidate rows collapsed by one per-(vec,sub)
+    window; no data-sized shuffle except the final per-vector pivot
+    aggregate."""
+    dsub = DIM // m
+
+    def dist_terms(s: int, off: int) -> str:
+        return " + ".join(
+            f"(FLOOR(CAST(v.embedding[{s * dsub + i + off}] AS DOUBLE) * 64)"
+            f" - FLOOR(CAST(c.cv[{s * dsub + i + off}] AS DOUBLE) * 64))"
+            f" * (FLOOR(CAST(v.embedding[{s * dsub + i + off}] AS DOUBLE) * 64)"
+            f" - FLOOR(CAST(c.cv[{s * dsub + i + off}] AS DOUBLE) * 64))"
+            for i in range(dsub)
+        )
+
+    def body(off: int) -> str:
+        case = " ".join(
+            f"WHEN {s} THEN ({dist_terms(s, off)})" for s in range(m)
+        )
+        subs = " UNION ALL ".join(f"SELECT {s} AS s" for s in range(m))
+        codes = ", ".join(
+            f"MAX(CASE WHEN s = {s} THEN c_id END) AS code_{s}" for s in range(m)
+        )
+        return f"""
+WITH c AS (
+  SELECT vec_id AS c_id, embedding AS cv FROM {view} WHERE vec_id < {ncent}
+),
+d AS (
+  SELECT v.vec_id, sub.s, c.c_id,
+         CAST(CASE sub.s {case} END AS BIGINT) AS dist
+  FROM {view} v
+  CROSS JOIN c
+  CROSS JOIN ({subs}) sub
+),
+ranked AS (
+  SELECT vec_id, s, c_id, dist,
+         ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                            ORDER BY dist, c_id) AS rk
+  FROM d
+)
+SELECT vec_id, {codes}, SUM(dist) AS sq_err
+FROM ranked WHERE rk = 1
+GROUP BY vec_id
+"""
+
+    return body(0), body(1)
+
+
+def pq_adc_topk_sql(
+    m: int = 4,
+    ncent: int = 8,
+    k: int = 10,
+    n_queries: int = 5,
+    view: str = "embeddings",
+) -> tuple[str, str]:
+    """PQ search by asymmetric distance computation (ADC): the query
+    stays un-quantized; each database vector's distance is approximated
+    as the sum over subspaces of the query→centroid[code] distance —
+    one lookup-table build of n_queries×m×ncent entries, never a
+    touch of the original database vectors. This is how a 100 TB
+    vector store is actually scanned: codes (a few bits/vector) stream
+    through a broadcast LUT join; the full floats never leave cold
+    storage.
+
+    Same integer-grid determinism as pq_codes_sql; ranking ties break
+    on vec_id. The LUT is broadcast-sized by construction; the only
+    data-sized operation is the per-(query, vector) partial-sum
+    aggregate over N×m code rows."""
+    dsub = DIM // m
+
+    def dist_case(off: int) -> str:
+        def terms(s: int) -> str:
+            return " + ".join(
+                f"(FLOOR(CAST(v.embedding[{s * dsub + i + off}] AS DOUBLE) * 64)"
+                f" - FLOOR(CAST(c.cv[{s * dsub + i + off}] AS DOUBLE) * 64))"
+                f" * (FLOOR(CAST(v.embedding[{s * dsub + i + off}] AS DOUBLE) * 64)"
+                f" - FLOOR(CAST(c.cv[{s * dsub + i + off}] AS DOUBLE) * 64))"
+                for i in range(dsub)
+            )
+
+        return " ".join(f"WHEN {s} THEN ({terms(s)})" for s in range(m))
+
+    def body(off: int) -> str:
+        subs = " UNION ALL ".join(f"SELECT {s} AS s" for s in range(m))
+        return f"""
+WITH c AS (
+  SELECT vec_id AS c_id, embedding AS cv FROM {view} WHERE vec_id < {ncent}
+),
+d AS (
+  SELECT v.vec_id, sub.s, c.c_id,
+         CAST(CASE sub.s {dist_case(off)} END AS BIGINT) AS dist
+  FROM {view} v
+  CROSS JOIN c
+  CROSS JOIN ({subs}) sub
+),
+codes AS (
+  SELECT vec_id, s, c_id FROM (
+    SELECT vec_id, s, c_id,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY dist, c_id) AS rk
+    FROM d
+  ) r WHERE rk = 1
+),
+lut AS (
+  SELECT vec_id AS q_id, s, c_id, dist AS qd FROM d WHERE vec_id < {n_queries}
+),
+est AS (
+  SELECT l.q_id, co.vec_id AS n_id, SUM(l.qd) AS adc_dist
+  FROM codes co JOIN lut l ON l.s = co.s AND l.c_id = co.c_id
+  WHERE co.vec_id <> l.q_id
+  GROUP BY l.q_id, co.vec_id
+)
+SELECT q_id, n_id, adc_dist, rnk FROM (
+  SELECT q_id, n_id, adc_dist,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc_dist, n_id) AS rnk
+  FROM est
+) r WHERE rnk <= {k}
+"""
+
+    return body(0), body(1)

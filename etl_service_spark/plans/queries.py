@@ -2171,6 +2171,8 @@ FROM d GROUP BY decile
 
     cases["ann_ivf_topk"] = Case(_ivf_staged, similarity.ivf_ann_sql()[1])
     cases["ann_range_search"] = _pair_case(similarity.range_search_sql())
+    cases["emb_pq_codes"] = _pair_case(similarity.pq_codes_sql())
+    cases["ann_pq_adc_topk"] = _pair_case(similarity.pq_adc_topk_sql())
 
     # ---- ANN self-evaluation: recall@k of the IVF path against the
     # exact top-k ground truth ("measure, don't guess" — the number
