@@ -798,6 +798,24 @@ def incremental_neardup(
     Caller orders durable writes: curated store first, then state
     (crash between the two replays as bounded duplicates, never loss).
     """
+    survivors, bk = neardup_gate(spark, batch_docs, state_dir, k, bands)
+    if append_state:
+        bk.write.mode("append").parquet(state_dir)
+    return survivors
+
+
+def neardup_gate(
+    spark: SparkSession,
+    batch_docs: DataFrame,
+    state_dir: str,
+    k: int = 16,
+    bands: int = 8,
+) -> tuple[DataFrame, DataFrame]:
+    """The gate with the state append DEFERRED to the caller: returns
+    (survivors, band_keys) — for pipelines that must order durable
+    writes (curated store first, then every state table — see
+    corpus_stream.curate_batch). band_keys is checkpointed, so the
+    Arrow shingle pass runs exactly once however the caller uses it."""
     from pyspark.sql import functions as F
 
     batch_docs = batch_docs.localCheckpoint(eager=True)
@@ -818,6 +836,4 @@ def incremental_neardup(
     )
     dropped = hist_hits.union(peer_hits).distinct()
     survivors = batch_docs.join(dropped, "doc_id", "left_anti")
-    if append_state:
-        bk.write.mode("append").parquet(state_dir)
-    return survivors
+    return survivors, bk

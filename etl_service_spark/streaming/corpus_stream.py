@@ -63,6 +63,7 @@ def curate_batch(
     out_dir: str,
     q_min: float = 0.45,
     benchmark_fps_dir: str | None = None,
+    neardup_state_dir: str | None = None,
 ) -> None:
     """One micro-batch through dedup → contamination gate → quality →
     split → append.
@@ -73,9 +74,15 @@ def curate_batch(
     enters the curated store. Benchmark sets are tiny, so the anti-join
     broadcasts; the doc's fingerprint IS still recorded (it was seen —
     re-deliveries must not reprocess it). The batch twin is the
-    corpus_contamination registry query; this is its streaming gate."""
+    corpus_contamination registry query; this is its streaming gate.
+
+    ``neardup_state_dir``: optional minhash band-key state — adds the
+    NEAR-dup gate (dedup.neardup_gate) after the exact one, so
+    paraphrased/lightly-edited re-crawls of anything seen in earlier
+    batches are suppressed too. Its state append obeys the same
+    curated-first write ordering."""
     from ..operators import textops
-    from ..operators.dedup import incremental_dedup
+    from ..operators.dedup import incremental_dedup, neardup_gate
 
     spark = batch_df.sparkSession
     batch_df = batch_df.localCheckpoint(eager=True)  # stable across the two uses
@@ -83,9 +90,14 @@ def curate_batch(
     # else a crash between the writes loses the batch on replay
     fresh = incremental_dedup(spark, batch_df, fingerprint_dir, append_fingerprints=False)
     kept = fresh
+    band_keys = None
+    if neardup_state_dir is not None:
+        fresh_docs = fresh.select("doc_id", "text_hash").join(batch_df, "doc_id")
+        kept_nd, band_keys = neardup_gate(spark, fresh_docs, neardup_state_dir)
+        kept = kept_nd.select("doc_id", "text_hash", "text")
     if benchmark_fps_dir is not None:
         bench = spark.read.parquet(benchmark_fps_dir).select("text_hash")
-        kept = fresh.join(F.broadcast(bench), "text_hash", "left_anti")
+        kept = kept.join(F.broadcast(bench), "text_hash", "left_anti")
     # restore the non-text columns dropped by the dedup projection
     docs = kept.select("doc_id", "text_hash").join(batch_df, "doc_id")
     scored = textops.quality_scores_df(docs).select("doc_id", "quality")
@@ -99,6 +111,10 @@ def curate_batch(
     # (ALL fresh docs, including quality-rejected and benchmark-
     # contaminated ones: dedup state tracks seen text, not kept text)
     fresh.select("text_hash", "doc_id").write.mode("append").parquet(fingerprint_dir)
+    if band_keys is not None:
+        # ALL fresh docs' band keys (seen, not kept) — near-dups of a
+        # suppressed doc must stay suppressed in future batches
+        band_keys.write.mode("append").parquet(neardup_state_dir)
 
 
 def run_corpus_curation(
@@ -108,6 +124,7 @@ def run_corpus_curation(
     out_dir: str,
     q_min: float = 0.45,
     benchmark_fps_dir: str | None = None,
+    neardup_state_dir: str | None = None,
 ) -> None:
     """Drain the landing backlog through the curation pipeline — the
     production trigger would be processingTime, like the event poll."""
@@ -115,7 +132,8 @@ def run_corpus_curation(
         docs.writeStream.outputMode("append")
         .foreachBatch(
             lambda df, _id: curate_batch(
-                df, fingerprint_dir, out_dir, q_min, benchmark_fps_dir
+                df, fingerprint_dir, out_dir, q_min, benchmark_fps_dir,
+                neardup_state_dir,
             )
         )
         .option("checkpointLocation", checkpoint_dir)

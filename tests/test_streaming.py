@@ -765,3 +765,68 @@ def test_streaming_cms_rollup_matches_batch(spark, sf_dir, tmp_path):
         (r["d"], r["bucket"]): r["cnt"] for r in read_cms_grid(spark, table).collect()
     }
     assert replayed == batch
+
+
+def test_curation_neardup_gate_suppresses_paraphrases(spark, tmp_path):
+    """With neardup_state_dir set, a second drop whose docs are light
+    edits of the first drop's docs never reaches the curated store;
+    genuinely new text still lands."""
+    import os as _os
+
+    from etl_service_spark.streaming.corpus_stream import (
+        read_curated,
+        read_document_stream,
+        run_corpus_curation,
+    )
+
+    landing, ckpt, fps, bands, out = [
+        str(tmp_path / d) for d in ("landing", "ckpt", "fps", "bands", "curated")
+    ]
+    _os.makedirs(landing)
+
+    base = (
+        "the quick brown fox jumps over the lazy dog near the river bank "
+        "while the miller watches the slow water turn the old wheel today"
+    )
+    other = (
+        "completely unrelated prose describing parquet row group statistics "
+        "and shuffle partition sizing for adaptive query execution in spark"
+    )
+
+    def docs(rows):
+        return spark.createDataFrame(
+            [(i, t, "en", "s", len(t)) for i, t in rows],
+            "doc_id bigint, text string, lang string, source string, n_chars bigint",
+        )
+
+    def drop(df, name):
+        import shutil
+
+        tmp = str(tmp_path / f"_tmp_{name}")
+        df.coalesce(1).write.parquet(tmp)
+        part = next(f for f in _os.listdir(tmp) if f.endswith(".parquet"))
+        shutil.move(_os.path.join(tmp, part), _os.path.join(landing, name))
+
+    drop(docs([(1, base), (2, other)]), "d1.parquet")
+    run_corpus_curation(
+        read_document_stream(spark, landing), ckpt, fps, out,
+        q_min=0.0, neardup_state_dir=bands,
+    )
+    ids1 = {r["doc_id"] for r in read_curated(spark, out).collect()}
+    assert ids1 == {1, 2}
+
+    fresh_text = (
+        "a genuinely new document about calendar spine gapfill resampling "
+        "with hourly aggregation and carry forward staleness markers here"
+    )
+    drop(
+        docs([(10, base.replace("today", "tonight")), (11, fresh_text)]),
+        "d2.parquet",
+    )
+    run_corpus_curation(
+        read_document_stream(spark, landing), ckpt, fps, out,
+        q_min=0.0, neardup_state_dir=bands,
+    )
+    ids2 = {r["doc_id"] for r in read_curated(spark, out).collect()}
+    assert 10 not in ids2  # paraphrase of doc 1 suppressed by the band state
+    assert 11 in ids2 and ids2 >= {1, 2, 11}
