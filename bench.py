@@ -123,6 +123,9 @@ HEADLINERS = [
     "corpus_resample_plan",
     "corpus_length_histogram",
     "events_anomaly_mad",
+    "emb_pq_codes",
+    "ann_pq_adc_topk",
+    "ann_pq_recall_report",
 ]
 
 

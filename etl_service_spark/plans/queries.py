@@ -2212,6 +2212,41 @@ FROM j GROUP BY q_id
 """
     cases["ann_recall_report"] = Case(_ann_recall, _ann_recall_oracle)
 
+    # same measurement for the PQ/ADC path — coarse 8-centroid
+    # codebooks trade recall for ~21× storage; this query is the
+    # number that trade is judged by.
+    def _pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+        views(spark, sf_dir)
+        exact = similarity.cosine_topk_staged(spark).select("q_id", "n_id")
+        approx = spark.sql(similarity.pq_adc_topk_sql()[0]).select("q_id", "n_id")
+        return (
+            exact.join(approx.withColumn("hit", F.lit(1)), ["q_id", "n_id"], "left")
+            .groupBy("q_id")
+            .agg(
+                F.count("*").alias("k"),
+                F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hits"),
+            )
+            .select(
+                "q_id",
+                "k",
+                "n_hits",
+                F.expr("CAST(n_hits * 1000000 DIV k AS BIGINT)").alias("recall_ppm"),
+            )
+        )
+
+    _pq_recall_oracle = f"""
+WITH j AS (
+  SELECT e.q_id, CASE WHEN a.n_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+  FROM ({similarity.cosine_topk_sql()[1].strip()}) e
+  LEFT JOIN ({similarity.pq_adc_topk_sql()[1].strip()}) a
+    ON a.q_id = e.q_id AND a.n_id = e.n_id
+)
+SELECT q_id, COUNT(*) AS k, SUM(hit) AS n_hits,
+       CAST(SUM(hit) * 1000000 // COUNT(*) AS BIGINT) AS recall_ppm
+FROM j GROUP BY q_id
+"""
+    cases["ann_pq_recall_report"] = Case(_pq_recall, _pq_recall_oracle)
+
     # --- skew handling: salted plans are RESULT-IDENTICAL to the plain
     # plans, so the oracles are the unsalted SQL — proving the salt
     # never leaks into results.
