@@ -968,3 +968,86 @@ SELECT q_id, n_id, adc_dist, rnk FROM (
 """
 
     return body(0), body(1)
+
+
+_PQ_DIST_CACHE: dict[tuple, str] = {}
+
+
+def _pq_dist_staged(
+    spark: SparkSession, m: int = 4, ncent: int = 8, view: str = "embeddings"
+) -> str:
+    """Stage the (vec_id, s, c_id, dist) PQ distance relation once per
+    (session, view, params): both the code assignment and the ADC
+    lookup table consume it, and Spark's CTE inlining would otherwise
+    evaluate the 64-term distance chain twice over N×ncent×m rows."""
+    src = spark.table(view)
+    key = (id(spark), view, m, ncent, tuple(sorted(src.inputFiles())), P.staging_dir(spark))
+    name = _PQ_DIST_CACHE.get(key)
+    if name is None:
+        name = f"__pq_dist_{len(_PQ_DIST_CACHE)}"
+        # the d-CTE body of pq_adc_topk_sql, spark dialect
+        full = pq_adc_topk_sql(m, ncent, view=view)[0]
+        d_body = full.split("d AS (", 1)[1].split("),\ncodes AS", 1)[0]
+        c_body = full.split("WITH c AS (", 1)[1].split("),\nd AS", 1)[0]
+        P.stage_df(
+            P.fan_out(spark.sql(f"WITH c AS ({c_body}) {d_body}")), name
+        ).createOrReplaceTempView(name)
+        _PQ_DIST_CACHE[key] = name
+    return name
+
+
+def pq_adc_topk_staged(
+    spark: SparkSession,
+    m: int = 4,
+    ncent: int = 8,
+    k: int = 10,
+    n_queries: int = 5,
+    view: str = "embeddings",
+) -> DataFrame:
+    d_rel = _pq_dist_staged(spark, m, ncent, view)
+    return spark.sql(
+        f"""
+WITH codes AS (
+  SELECT vec_id, s, c_id FROM (
+    SELECT vec_id, s, c_id,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY dist, c_id) AS rk
+    FROM {d_rel}
+  ) r WHERE rk = 1
+),
+lut AS (
+  SELECT vec_id AS q_id, s, c_id, dist AS qd FROM {d_rel} WHERE vec_id < {n_queries}
+),
+est AS (
+  SELECT l.q_id, co.vec_id AS n_id, SUM(l.qd) AS adc_dist
+  FROM codes co JOIN lut l ON l.s = co.s AND l.c_id = co.c_id
+  WHERE co.vec_id <> l.q_id
+  GROUP BY l.q_id, co.vec_id
+)
+SELECT q_id, n_id, adc_dist, rnk FROM (
+  SELECT q_id, n_id, adc_dist,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc_dist, n_id) AS rnk
+  FROM est
+) r WHERE rnk <= {k}
+"""
+    )
+
+
+def pq_codes_staged(
+    spark: SparkSession, m: int = 4, ncent: int = 8, view: str = "embeddings"
+) -> DataFrame:
+    """Code assignment over the shared staged distance relation."""
+    d_rel = _pq_dist_staged(spark, m, ncent, view)
+    codes = ", ".join(
+        f"MAX(CASE WHEN s = {s} THEN c_id END) AS code_{s}" for s in range(m)
+    )
+    return spark.sql(
+        f"""
+SELECT vec_id, {codes}, SUM(dist) AS sq_err
+FROM (
+  SELECT vec_id, s, c_id, dist,
+         ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY dist, c_id) AS rk
+  FROM {d_rel}
+) r WHERE rk = 1
+GROUP BY vec_id
+"""
+    )

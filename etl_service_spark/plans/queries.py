@@ -1630,6 +1630,7 @@ _FAMILY_PREFIXES: tuple[tuple[str, ...], ...] = (
     ("privacy_", "dq_", "profile_"),
     ("graph_",),
     ("events_",),
+    ("src_",),
 )
 
 
@@ -2171,8 +2172,20 @@ FROM d GROUP BY decile
 
     cases["ann_ivf_topk"] = Case(_ivf_staged, similarity.ivf_ann_sql()[1])
     cases["ann_range_search"] = _pair_case(similarity.range_search_sql())
-    cases["emb_pq_codes"] = _pair_case(similarity.pq_codes_sql())
-    cases["ann_pq_adc_topk"] = _pair_case(similarity.pq_adc_topk_sql())
+    # PQ paths run over the SHARED staged distance relation (code
+    # assignment and the ADC LUT both consume it; CTE inlining would
+    # evaluate the 64-term distance chain twice) — oracles stay the
+    # single-statement forms.
+    def _pq_codes_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
+        views(spark, sf_dir)
+        return similarity.pq_codes_staged(spark)
+
+    def _pq_adc_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
+        views(spark, sf_dir)
+        return similarity.pq_adc_topk_staged(spark)
+
+    cases["emb_pq_codes"] = Case(_pq_codes_staged, similarity.pq_codes_sql()[1])
+    cases["ann_pq_adc_topk"] = Case(_pq_adc_staged, similarity.pq_adc_topk_sql()[1])
 
     # ---- ANN self-evaluation: recall@k of the IVF path against the
     # exact top-k ground truth ("measure, don't guess" — the number
@@ -2218,7 +2231,7 @@ FROM j GROUP BY q_id
     def _pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         views(spark, sf_dir)
         exact = similarity.cosine_topk_staged(spark).select("q_id", "n_id")
-        approx = spark.sql(similarity.pq_adc_topk_sql()[0]).select("q_id", "n_id")
+        approx = similarity.pq_adc_topk_staged(spark).select("q_id", "n_id")
         return (
             exact.join(approx.withColumn("hit", F.lit(1)), ["q_id", "n_id"], "left")
             .groupBy("q_id")
