@@ -203,3 +203,39 @@ GROUP BY GROUPING SETS ((event_type, day_bucket, hour_bucket),
         template.format(ts_us="ts_us", idiv="DIV"),
         template.format(ts_us="epoch_us(ts)", idiv="//"),
     )
+
+
+def funnel_windowed_sql(
+    stages: tuple[str, str, str] = ("signup", "click", "purchase"),
+    max_gap_us: int = 3_600_000_000,
+    view: str = "events",
+) -> tuple[str, str]:
+    """Funnel with a conversion WINDOW: stage i+1 counts only within
+    ``max_gap_us`` after the user's stage-i time — the form product
+    analytics actually ships ("purchased within an hour of clicking"),
+    where the unbounded funnel badly overcounts. Same shape and cost
+    as funnel_sql: three per-user MIN aggregations, tiny inter-stage
+    joins that AQE broadcasts, integer time comparisons only."""
+    s1, s2, s3 = stages
+    template = f"""
+WITH st1 AS (
+  SELECT e.user_id, MIN({{ts_us}}) AS t1 FROM {view} e
+  WHERE e.event_type = '{s1}' GROUP BY e.user_id
+),
+st2 AS (
+  SELECT e.user_id, MIN({{ts_us}}) AS t2 FROM {view} e
+  JOIN st1 ON e.user_id = st1.user_id
+  WHERE e.event_type = '{s2}' AND {{ts_us}} > st1.t1
+    AND {{ts_us}} <= st1.t1 + {max_gap_us} GROUP BY e.user_id
+),
+st3 AS (
+  SELECT e.user_id, MIN({{ts_us}}) AS t3 FROM {view} e
+  JOIN st2 ON e.user_id = st2.user_id
+  WHERE e.event_type = '{s3}' AND {{ts_us}} > st2.t2
+    AND {{ts_us}} <= st2.t2 + {max_gap_us} GROUP BY e.user_id
+)
+SELECT (SELECT COUNT(*) FROM st1) AS n_{s1},
+       (SELECT COUNT(*) FROM st2) AS n_{s2}_within,
+       (SELECT COUNT(*) FROM st3) AS n_{s3}_within
+"""
+    return template.format(ts_us="ts_us"), template.format(ts_us="epoch_us(e.ts)")

@@ -1786,6 +1786,31 @@ def registry() -> dict[str, Case]:
     )
     cases["events_asof_join"] = _pair_case(asof.asof_join_sql())
     cases["events_funnel"] = _pair_case(asof.funnel_sql())
+    cases["events_funnel_windowed"] = _pair_case(asof.funnel_windowed_sql())
+
+    # customer-LTV cohort triangle: cohort = first-order month, value
+    # accumulated per months-since-cohort — the money-grain companion
+    # of events_cohort_retention. Two hash aggs on custkey + one
+    # broadcast-sized cohort map join; DECIMAL money, integer month
+    # arithmetic (identical engine-shared SQL text).
+    _LTV_SQL = """
+WITH firstm AS (
+  SELECT o_custkey,
+         MIN(year(o_orderdate) * 12 + month(o_orderdate) - 1) AS cohort_m
+  FROM orders GROUP BY o_custkey
+)
+SELECT f.cohort_m,
+       (year(o.o_orderdate) * 12 + month(o.o_orderdate) - 1) - f.cohort_m
+         AS month_offset,
+       COUNT(DISTINCT o.o_custkey) AS n_active,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders o
+JOIN firstm f ON f.o_custkey = o.o_custkey
+GROUP BY f.cohort_m,
+         (year(o.o_orderdate) * 12 + month(o.o_orderdate) - 1) - f.cohort_m
+"""
+    cases["orders_ltv_cohort"] = _sql_case(_LTV_SQL, _LTV_SQL)
     cases["events_range_join"] = _pair_case(asof.range_join_sql())
     cases["events_pivot_by_user"] = _sql_case(EVENTS_PIVOT_TEMPLATE, EVENTS_PIVOT_TEMPLATE)
     cases["events_multires_rollup"] = _pair_case(asof.multires_rollup_sql())
