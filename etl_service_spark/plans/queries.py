@@ -1811,6 +1811,45 @@ GROUP BY f.cohort_m,
          (year(o.o_orderdate) * 12 + month(o.o_orderdate) - 1) - f.cohort_m
 """
     cases["orders_ltv_cohort"] = _sql_case(_LTV_SQL, _LTV_SQL)
+
+    # year-over-year growth: yearly revenue per order priority with the
+    # previous year's value and the delta via LAG over the (tiny)
+    # aggregated relation — window-over-aggregate, the standard BI
+    # shape. Growth is kept as an exact DECIMAL-diff double; no
+    # division (a ratio of doubles would be fine too, but the diff is
+    # the determinism-cheapest form).
+    _YOY_SQL = """
+WITH yearly AS (
+  SELECT o_orderpriority AS priority,
+         year(o_orderdate) AS yr,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+  FROM orders
+  GROUP BY o_orderpriority, year(o_orderdate)
+)
+SELECT priority, yr, revenue,
+       LAG(revenue) OVER (PARTITION BY priority ORDER BY yr) AS prev_revenue,
+       revenue - LAG(revenue) OVER (PARTITION BY priority ORDER BY yr) AS yoy_delta
+FROM yearly
+"""
+    cases["orders_yoy_growth"] = _sql_case(_YOY_SQL, _YOY_SQL)
+
+    # market-basket co-occurrence: brand pairs bought together in one
+    # order — frequent-itemset mining's first pass. Self-join keyed on
+    # the order (co-partitioned equi-join; the per-order pair blowup is
+    # bounded by basket size squared, ~dozens, never corpus-quadratic),
+    # then a pair-grain aggregate bounded by |brands|².
+    _BASKET_SQL = """
+WITH ob AS (
+  SELECT DISTINCT l.l_orderkey, p.p_brand
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+)
+SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+       COUNT(*) AS n_orders_together
+FROM ob a JOIN ob b
+  ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+GROUP BY a.p_brand, b.p_brand
+"""
+    cases["basket_brand_pairs"] = _sql_case(_BASKET_SQL, _BASKET_SQL)
     cases["events_range_join"] = _pair_case(asof.range_join_sql())
     cases["events_pivot_by_user"] = _sql_case(EVENTS_PIVOT_TEMPLATE, EVENTS_PIVOT_TEMPLATE)
     cases["events_multires_rollup"] = _pair_case(asof.multires_rollup_sql())
