@@ -1,0 +1,65 @@
+#!/usr/bin/env python
+"""Mechanical bench regression diff: BENCH_LOCAL.json vs the per-query
+table recorded in BASELINE_LOCAL.md.
+
+BASELINE_LOCAL.md promises "diff the next round's BENCH_LOCAL.json
+against this file to detect regressions mechanically" — this is that
+diff. Policy mirrors the doc: sub-second entries carry ~0.2-0.3 s
+run-to-run noise, so only >=2x AND >=+0.3 s moves are flagged as
+signal; new/removed queries are listed informationally.
+
+Run: python tools/regression_diff.py
+Exit code 1 if any query regressed past the threshold.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def baseline_table() -> dict[str, float]:
+    out: dict[str, float] = {}
+    with open(os.path.join(REPO, "BASELINE_LOCAL.md")) as fh:
+        for line in fh:
+            m = re.match(r"\| (\w+) \| ([\d.]+) \|", line)
+            if m:
+                out[m.group(1)] = float(m.group(2))
+    return out
+
+
+def main() -> int:
+    with open(os.path.join(REPO, "BENCH_LOCAL.json")) as fh:
+        bench = json.load(fh)["queries"]
+    base = baseline_table()
+
+    regressed: list[tuple[str, float, float]] = []
+    for name, now in sorted(bench.items()):
+        was = base.get(name)
+        if was is None:
+            print(f"  new      {name}: {now:.3f}s (no baseline)")
+        elif now >= 2 * was and now - was >= 0.3:
+            regressed.append((name, was, now))
+    for name in sorted(set(base) - set(bench)):
+        print(f"  removed  {name} (baseline {base[name]:.3f}s)")
+
+    common = [n for n in bench if n in base]
+    t_now = sum(bench[n] for n in common)
+    t_was = sum(base[n] for n in common)
+    print(
+        f"common {len(common)} queries: {t_was:.1f}s baseline -> {t_now:.1f}s now "
+        f"({t_now / t_was:.2f}x)"
+    )
+    for name, was, now in sorted(regressed, key=lambda r: r[1] - r[2]):
+        print(f"  REGRESSED {name}: {was:.3f}s -> {now:.3f}s ({now / was:.1f}x)")
+    if not regressed:
+        print("no per-query regression past the 2x/+0.3s threshold")
+    return 1 if regressed else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
