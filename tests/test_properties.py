@@ -276,3 +276,99 @@ def test_ngram_and_chunk_builders_match_duckdb(spark):
             ).fetchall()
         ]
         assert got == want
+
+
+def test_pq_assignment_matches_numpy_reference(spark):
+    """PQ code assignment == a numpy brute-force reference on random
+    vectors: same integer grid (floor(64·v) on float32-widened
+    doubles), same argmin with lower-centroid tiebreak, exact summed
+    distortion."""
+    import numpy as np
+
+    from etl_service_spark.operators.similarity import DIM, pq_codes_staged
+
+    rng = np.random.RandomState(7)
+    n, m, ncent = 40, 4, 8
+    dsub = DIM // m
+    vecs = rng.uniform(-1, 1, size=(n, DIM)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]], 0) for i in range(n)],
+        "vec_id bigint, embedding array<float>, label int",
+    )
+    df.createOrReplaceTempView("pq_probe")
+
+    got = {
+        r["vec_id"]: ([r[f"code_{s}"] for s in range(m)], r["sq_err"])
+        for r in pq_codes_staged(spark, m, ncent, view="pq_probe").collect()
+    }
+
+    q = np.floor(vecs.astype(np.float64) * 64).astype(np.int64)
+    cents = q[:ncent]
+    for i in range(n):
+        codes, err = [], 0
+        for s in range(m):
+            sl = slice(s * dsub, (s + 1) * dsub)
+            dists = [int(((q[i, sl] - cents[c, sl]) ** 2).sum()) for c in range(ncent)]
+            best = min(range(ncent), key=lambda c: (dists[c], c))
+            codes.append(best)
+            err += dists[best]
+        assert got[i] == (codes, err), f"vec {i}: {got[i]} != {(codes, err)}"
+
+
+def test_funnel_windowed_matches_bruteforce(spark):
+    """Windowed funnel == a per-user python brute force on a seeded
+    event set engineered to hit the edges: conversion exactly at the
+    gap boundary (inclusive), just past it (excluded), and unbounded-
+    funnel conversions that the window must reject."""
+    import random
+
+    from etl_service_spark.operators.asof import funnel_windowed_sql
+
+    GAP = 3_600_000_000
+    rng = random.Random(11)
+    rows = []
+    eid = 0
+    for u in range(30):
+        t0 = rng.randrange(0, 10**9)
+        rows.append((eid, t0, u, "signup", 1.0)); eid += 1
+        shape = u % 5
+        if shape == 0:      # converts exactly at the boundary (kept)
+            rows.append((eid, t0 + GAP, u, "click", 1.0)); eid += 1
+            rows.append((eid, t0 + 2 * GAP, u, "purchase", 1.0)); eid += 1
+        elif shape == 1:    # click just past the window (rejected)
+            rows.append((eid, t0 + GAP + 1, u, "click", 1.0)); eid += 1
+        elif shape == 2:    # fast click, slow purchase (stage-2 only)
+            rows.append((eid, t0 + 5, u, "click", 1.0)); eid += 1
+            rows.append((eid, t0 + 5 + GAP + 1, u, "purchase", 1.0)); eid += 1
+        elif shape == 3:    # full fast funnel
+            rows.append((eid, t0 + 10, u, "click", 1.0)); eid += 1
+            rows.append((eid, t0 + 20, u, "purchase", 1.0)); eid += 1
+        # shape 4: signup only
+    df = spark.createDataFrame(
+        [(e, t, u, ty, v) for (e, t, u, ty, v) in rows],
+        "event_id bigint, ts_us bigint, user_id bigint, event_type string, value double",
+    )
+    df.createOrReplaceTempView("funnel_probe")
+
+    got = spark.sql(
+        funnel_windowed_sql(view="funnel_probe")[0]
+    ).collect()[0]
+
+    # brute force
+    by_user: dict = {}
+    for _, t, u, ty, _v in rows:
+        by_user.setdefault(u, []).append((t, ty))
+    n1 = n2 = n3 = 0
+    for evs in by_user.values():
+        s1 = min((t for t, ty in evs if ty == "signup"), default=None)
+        if s1 is None:
+            continue
+        n1 += 1
+        s2 = min((t for t, ty in evs if ty == "click" and s1 < t <= s1 + GAP), default=None)
+        if s2 is None:
+            continue
+        n2 += 1
+        s3 = min((t for t, ty in evs if ty == "purchase" and s2 < t <= s2 + GAP), default=None)
+        if s3 is not None:
+            n3 += 1
+    assert (got["n_signup"], got["n_click_within"], got["n_purchase_within"]) == (n1, n2, n3)
