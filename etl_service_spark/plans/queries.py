@@ -1849,7 +1849,33 @@ FROM ob a JOIN ob b
   ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
 GROUP BY a.p_brand, b.p_brand
 """
-    cases["basket_brand_pairs"] = _sql_case(_BASKET_SQL, _BASKET_SQL)
+    # Spark path stages the (order, brand) relation once — the CTE is
+    # consumed by both sides of the self-join and inlining would run
+    # the lineitem⋈part join twice (plan showed 2 scans of each);
+    # oracle stays the single-statement form.
+    def _basket_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
+        views(spark, sf_dir)
+        ob = P.stage_df(
+            spark.sql(
+                """
+SELECT DISTINCT l.l_orderkey, p.p_brand
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+"""
+            ),
+            "__basket_ob",
+        )
+        ob.createOrReplaceTempView("__basket_ob")
+        return spark.sql(
+            """
+SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+       COUNT(*) AS n_orders_together
+FROM __basket_ob a JOIN __basket_ob b
+  ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+GROUP BY a.p_brand, b.p_brand
+"""
+        )
+
+    cases["basket_brand_pairs"] = Case(_basket_staged, _BASKET_SQL)
     cases["events_range_join"] = _pair_case(asof.range_join_sql())
     cases["events_pivot_by_user"] = _sql_case(EVENTS_PIVOT_TEMPLATE, EVENTS_PIVOT_TEMPLATE)
     cases["events_multires_rollup"] = _pair_case(asof.multires_rollup_sql())
