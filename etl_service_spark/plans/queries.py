@@ -2527,21 +2527,23 @@ GROUP BY lang_true, lang_pred
     # ---- mixture resample plan: per-source token mass, corpus share,
     # and the repeat factor (epochs, ppm) to hit a UNIFORM target mix —
     # the static up/down-sampling table a pretraining data loader is
-    # driven by. Pure integer arithmetic over one source-grain
-    # aggregate; the scalar total broadcasts.
+    # driven by. Pure integer arithmetic; totals come from an
+    # unpartitioned window over the source-grain aggregate (a handful
+    # of rows), so the corpus is scanned exactly ONCE — scalar
+    # subqueries on the aggregate CTE would re-inline and re-scan it
+    # (the plan audit showed 4 scans in that form).
     cases["corpus_resample_plan"] = _sql_case(
         *P.bi_sql(
             """
 WITH m AS (
   SELECT source, SUM((n_chars + 3) {idiv} 4) AS toks
   FROM documents GROUP BY source
-),
-tot AS (SELECT SUM(toks) AS t, COUNT(*) AS n_sources FROM m)
+)
 SELECT source,
        toks AS token_mass,
-       CAST(toks * 1000000 {idiv} (SELECT t FROM tot) AS BIGINT) AS share_ppm,
-       CAST((SELECT t FROM tot) * 1000000
-            {idiv} ((SELECT n_sources FROM tot) * toks) AS BIGINT) AS repeat_ppm
+       CAST(toks * 1000000 {idiv} SUM(toks) OVER () AS BIGINT) AS share_ppm,
+       CAST(SUM(toks) OVER () * 1000000
+            {idiv} (COUNT(*) OVER () * toks) AS BIGINT) AS repeat_ppm
 FROM m
 """,
             idiv=("DIV", "//"),
