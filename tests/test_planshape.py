@@ -335,3 +335,21 @@ def test_runtime_bloom_filter_prunes_probe_side(spark, sf_dir):
             old_scan,
         )
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bcast)
+
+
+def test_staged_relations_eliminate_base_rescans(spark, sf_dir):
+    """The staged Spark paths (bigram LM, chunk dedup, PQ, basket) must
+    read their staged relation, not re-scan the base tables — CTE
+    re-inlining is the regression this guards against. The windowed
+    resample plan must stay a single corpus scan."""
+    import re
+
+    def n_scans(name):
+        df = CASES[name].spark(spark, sf_dir)
+        p = _plan(df)
+        return len(re.findall(r"FileScan parquet \[", p))
+
+    for name in ["text_bigram_lm_score", "dedup_chunk_exact", "emb_pq_codes",
+                 "ann_pq_adc_topk", "basket_brand_pairs"]:
+        assert n_scans(name) == 0, f"{name} re-scans base tables"
+    assert n_scans("corpus_resample_plan") == 1
