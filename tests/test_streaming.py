@@ -830,3 +830,52 @@ def test_curation_neardup_gate_suppresses_paraphrases(spark, tmp_path):
     ids2 = {r["doc_id"] for r in read_curated(spark, out).collect()}
     assert 10 not in ids2  # paraphrase of doc 1 suppressed by the band state
     assert 11 in ids2 and ids2 >= {1, 2, 11}
+
+
+def test_jsonl_stream_source_feeds_corpus_curation(spark, tmp_path):
+    """The custom etl_jsonl_stream source can drive the real curation
+    pipeline: JSON-lines drops -> curate_batch per micro-batch ->
+    curated store identical to the parquet-drop twin over the same
+    rows."""
+    import json as _json
+
+    from etl_service_spark.sources.pydatasource import JsonLinesStreamDataSource
+    from etl_service_spark.streaming.corpus_stream import DOC_SCHEMA, curate_batch, read_curated
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    ckpt, fps, out = [str(tmp_path / d) for d in ("ckpt", "fps", "curated")]
+
+    src = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(60)
+    rows = [r.asDict() for r in src.collect()]
+    for i, chunk in enumerate([rows[:30], rows[30:]]):
+        with open(landing / f"{i:04d}.jsonl", "w") as fh:
+            for r in chunk:
+                fh.write(_json.dumps(r) + "\n")
+
+    if not getattr(spark, "_etl_jsonl_stream_registered", False):
+        spark.dataSource.register(JsonLinesStreamDataSource)
+        spark._etl_jsonl_stream_registered = True
+
+    q = (
+        spark.readStream.format("etl_jsonl_stream")
+        .option("schema", DOC_SCHEMA)
+        .load(str(landing))
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda df, _id: curate_batch(df, fps, out, q_min=0.0))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = read_curated(spark, out)
+    # same pipeline over the same rows via the batch path
+    fps2, out2 = str(tmp_path / "fps2"), str(tmp_path / "out2")
+    curate_batch(src, fps2, out2, q_min=0.0)
+    expect = read_curated(spark, out2)
+    cols = sorted(got.columns)
+    assert sorted(expect.columns) == cols
+    a = sorted(tuple(r) for r in got.select(cols).collect())
+    b = sorted(tuple(r) for r in expect.select(cols).collect())
+    assert a == b and len(a) > 0
