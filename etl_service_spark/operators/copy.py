@@ -259,3 +259,44 @@ def compact_small_files(
     n_out = max(1, math.ceil(total / target_bytes))
     spark.read.parquet(src_dir).coalesce(n_out).write.mode("overwrite").parquet(out_dir)
     return len(files), len(glob.glob(os.path.join(out_dir, "*.parquet")))
+
+
+def expire_partitions(
+    spark, table_dir: str, partition_col: str, keep: set[str] | list[str]
+) -> dict:
+    """Retention/TTL maintenance: drop whole Hive-style partitions
+    (``col=value`` directories) whose value is NOT in ``keep`` — the
+    partition-level companion of the row-level takedown
+    (corpus_stream.purge_forgotten). Deleting a partition directory is
+    the O(1) retention primitive a time-partitioned 100 TB table
+    relies on: no scan, no rewrite, readers prune the dropped range
+    at the directory level the moment it is gone.
+
+    ``keep`` holds the partition VALUES to retain (compute it from the
+    retention policy — e.g. the last N months of the D2 time-sliced
+    copy's month slices). Returns {dropped: [...], kept: [...]};
+    refuses to act if the directory has no ``col=`` partitions at all
+    (a layout mismatch must never delete data)."""
+    import os
+    import shutil
+
+    prefix = f"{partition_col}="
+    parts = [
+        d for d in sorted(os.listdir(table_dir))
+        if d.startswith(prefix) and os.path.isdir(os.path.join(table_dir, d))
+    ]
+    if not parts:
+        raise ValueError(
+            f"expire_partitions: {table_dir} has no {prefix}* partitions — "
+            "refusing to delete anything on a layout mismatch"
+        )
+    keep_vals = {str(v) for v in keep}
+    dropped, kept = [], []
+    for d in parts:
+        val = d[len(prefix):]
+        if val in keep_vals:
+            kept.append(val)
+        else:
+            shutil.rmtree(os.path.join(table_dir, d))
+            dropped.append(val)
+    return {"dropped": dropped, "kept": kept}

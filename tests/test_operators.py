@@ -915,3 +915,36 @@ def test_incremental_neardup_across_batches(spark, tmp_path):
     # replay of batch 2: everything already in state -> nothing survives
     s2r = incremental_neardup(spark, b2, state, append_state=False)
     assert s2r.count() == 0
+
+
+def test_expire_partitions_drops_only_expired(spark, sf_dir, tmp_path):
+    """TTL expiry: partitions outside the keep-set are deleted wholesale,
+    kept ones are untouched byte-for-byte, and a non-partitioned layout
+    is refused."""
+    import pytest
+
+    from etl_service_spark.operators.copy import expire_partitions
+
+    out = str(tmp_path / "sliced")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").withColumn(
+        "yr", F.year("o_orderdate")
+    )
+    orders.write.partitionBy("yr").parquet(out)
+    years = sorted(r["yr"] for r in orders.select("yr").distinct().collect())
+    keep = [str(y) for y in years[-2:]]
+
+    expect_kept = orders.filter(F.col("yr").isin([int(y) for y in keep])).count()
+    stats = expire_partitions(spark, out, "yr", keep)
+    assert sorted(stats["kept"]) == keep
+    assert sorted(stats["dropped"]) == [str(y) for y in years[:-2]]
+    left = spark.read.parquet(out)
+    assert left.count() == expect_kept
+    assert {r["yr"] for r in left.select("yr").distinct().collect()} == {
+        int(y) for y in keep
+    }
+
+    # layout mismatch -> refuse
+    flat = str(tmp_path / "flat")
+    orders.drop("yr").limit(10).write.parquet(flat)
+    with pytest.raises(ValueError, match="refusing"):
+        expire_partitions(spark, flat, "yr", keep)
