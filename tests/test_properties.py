@@ -372,3 +372,24 @@ def test_funnel_windowed_matches_bruteforce(spark):
         if s3 is not None:
             n3 += 1
     assert (got["n_signup"], got["n_click_within"], got["n_purchase_within"]) == (n1, n2, n3)
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.text(alphabet="ab c0.\t-", max_size=100))
+def test_chunk_and_ngram_invariants(text):
+    """Structural invariants on random text (DuckDB evaluation): chunks
+    PARTITION the token sequence losslessly (their join re-concatenates
+    to the token stream), and bigram count is exactly
+    max(0, n_tokens - 1)."""
+    con = duckdb.connect()
+    toks, chunks, grams = con.execute(
+        f"SELECT {P.duck_tokens('t')}, "
+        f"{P.duck_chunks(P.duck_tokens('t'), 4)}, "
+        f"{P.duck_ngrams(P.duck_tokens('t'), 2)} "
+        "FROM (SELECT ? AS t)",
+        [text],
+    ).fetchone()
+    assert " ".join(chunks) == " ".join(toks)
+    assert len(grams) == max(0, len(toks) - 1)
+    if toks:
+        assert all(1 <= len(c.split(" ")) <= 4 for c in chunks)
