@@ -176,3 +176,39 @@ def read_cms_grid(spark: SparkSession, table_dir: str) -> DataFrame:
         .groupBy("d", "bucket")
         .agg(F.sum("cnt").alias("cnt"))
     )
+
+
+def compact_cms_log(spark: SparkSession, table_dir: str) -> dict:
+    """Rewrite the append-only CMS grid log as ONE SUM-merged grid
+    under a single synthetic batch_id — the maintenance step the
+    rollup's docstring defers to. The merged grid is what read_cms_grid
+    would compute anyway (dedup per batch then cell-wise SUM), so the
+    compaction changes bytes, never estimates.
+
+    Crash ordering: the merged grid is APPENDED first (tagged with a
+    batch_id one past the current max — readers dedup per batch, so
+    until the old files are removed the log briefly DOUBLE-counts...
+    which SUM would corrupt — hence the merged rows are written to a
+    temp sibling and the swap is remove-then-rename: after the remove
+    the table is briefly absent (a reader retries), never wrong. A
+    crash before the rename leaves the temp dir and the original log
+    intact; re-running converges."""
+    import os
+    import shutil
+
+    tmp = table_dir.rstrip("/") + "__compacting"
+    if not os.path.exists(table_dir) and os.path.exists(tmp):
+        # crashed between remove and rename: the merged grid is
+        # complete in the temp sibling — finish the swap and be done
+        os.rename(tmp, table_dir)
+        return {"files_before": 0, "files_after": sum(
+            1 for f in os.listdir(table_dir) if f.endswith(".parquet")
+        )}
+    merged = read_cms_grid(spark, table_dir).withColumn("batch_id", F.lit(-1))
+    shutil.rmtree(tmp, ignore_errors=True)
+    merged.select("batch_id", "d", "bucket", "cnt").write.parquet(tmp)
+    n_before = sum(1 for f in os.listdir(table_dir) if f.endswith(".parquet"))
+    shutil.rmtree(table_dir)
+    os.rename(tmp, table_dir)
+    n_after = sum(1 for f in os.listdir(table_dir) if f.endswith(".parquet"))
+    return {"files_before": n_before, "files_after": n_after}

@@ -879,3 +879,67 @@ def test_jsonl_stream_source_feeds_corpus_curation(spark, tmp_path):
     a = sorted(tuple(r) for r in got.select(cols).collect())
     b = sorted(tuple(r) for r in expect.select(cols).collect())
     assert a == b and len(a) > 0
+
+
+def test_cms_log_compaction_preserves_grid(spark, sf_dir, tmp_path):
+    """Compacting the CMS append-log to one merged grid leaves
+    read_cms_grid's answer bit-identical and shrinks the file count."""
+    import shutil
+
+    from etl_service_spark.streaming.sketch_stream import (
+        compact_cms_log,
+        read_cms_grid,
+        run_cms_rollup,
+    )
+
+    landing, ckpt, table = [str(tmp_path / d) for d in ("landing", "ckpt", "cms")]
+    os.makedirs(landing)
+    src = os.path.join(sf_dir, "events.parquet")
+    events = spark.read.parquet(src)
+    # three separate drains -> three appended batch grids
+    for i in range(3):
+        shutil.copy(src, os.path.join(landing, f"d{i}.parquet"))
+        run_cms_rollup(
+            spark.readStream.schema(events.schema).parquet(landing), ckpt, table
+        )
+    before = {(r["d"], r["bucket"]): r["cnt"] for r in read_cms_grid(spark, table).collect()}
+    stats = compact_cms_log(spark, table)
+    after = {(r["d"], r["bucket"]): r["cnt"] for r in read_cms_grid(spark, table).collect()}
+    assert after == before
+    assert stats["files_after"] <= stats["files_before"]
+    # idempotent
+    compact_cms_log(spark, table)
+    assert {(r["d"], r["bucket"]): r["cnt"] for r in read_cms_grid(spark, table).collect()} == before
+
+
+def test_cms_compaction_recovers_from_crash_between_remove_and_rename(spark, sf_dir, tmp_path):
+    """Simulate the one non-atomic window: table dir removed, temp
+    sibling not yet renamed — re-running the compaction finishes the
+    swap with the grid intact."""
+    import shutil
+
+    from etl_service_spark.streaming.sketch_stream import (
+        compact_cms_log,
+        read_cms_grid,
+        run_cms_rollup,
+    )
+
+    landing, ckpt, table = [str(tmp_path / d) for d in ("landing", "ckpt", "cms")]
+    os.makedirs(landing)
+    src = os.path.join(sf_dir, "events.parquet")
+    events = spark.read.parquet(src)
+    shutil.copy(src, os.path.join(landing, "d0.parquet"))
+    run_cms_rollup(spark.readStream.schema(events.schema).parquet(landing), ckpt, table)
+    before = {(r["d"], r["bucket"]): r["cnt"] for r in read_cms_grid(spark, table).collect()}
+
+    # crash simulation: merged grid written to the temp sibling, table
+    # removed, rename never happened
+    tmp_sib = table + "__compacting"
+    read_cms_grid(spark, table).withColumn("batch_id", F.lit(-1)).select(
+        "batch_id", "d", "bucket", "cnt"
+    ).write.parquet(tmp_sib)
+    shutil.rmtree(table)
+
+    compact_cms_log(spark, table)  # recovery path
+    after = {(r["d"], r["bucket"]): r["cnt"] for r in read_cms_grid(spark, table).collect()}
+    assert after == before
