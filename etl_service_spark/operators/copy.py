@@ -300,3 +300,35 @@ def expire_partitions(
             shutil.rmtree(os.path.join(table_dir, d))
             dropped.append(val)
     return {"dropped": dropped, "kept": kept}
+
+
+def compact_state_log(spark, table_dir: str, merge) -> dict:
+    """Generic maintenance for the grow-only state tables the
+    incremental operators keep (dedup fingerprints, near-dup band keys,
+    HLL register log, CMS grid log): rewrite the append-only log as its
+    merged form via a temp-sibling write + remove-then-rename swap.
+
+    ``merge`` maps the raw log DataFrame to its compacted equivalent
+    (distinct for identity states, groupBy MAX for monotone registers —
+    the READ path's own compaction, so bytes change, answers don't).
+    Crash windows: before the remove nothing changed; between remove
+    and rename the merged state sits complete in the temp sibling and
+    a re-run finishes the swap instead of failing on the missing dir."""
+    import os
+    import shutil
+
+    tmp = table_dir.rstrip("/") + "__compacting"
+    if not os.path.exists(table_dir) and os.path.exists(tmp):
+        os.rename(tmp, table_dir)
+        return {"files_before": 0, "files_after": sum(
+            1 for f in os.listdir(table_dir) if f.endswith(".parquet")
+        )}
+    merged = merge(spark.read.parquet(table_dir))
+    shutil.rmtree(tmp, ignore_errors=True)
+    merged.write.parquet(tmp)
+    n_before = sum(1 for f in os.listdir(table_dir) if f.endswith(".parquet"))
+    shutil.rmtree(table_dir)
+    os.rename(tmp, table_dir)
+    return {"files_before": n_before, "files_after": sum(
+        1 for f in os.listdir(table_dir) if f.endswith(".parquet")
+    )}

@@ -948,3 +948,31 @@ def test_expire_partitions_drops_only_expired(spark, sf_dir, tmp_path):
     orders.drop("yr").limit(10).write.parquet(flat)
     with pytest.raises(ValueError, match="refusing"):
         expire_partitions(spark, flat, "yr", keep)
+
+
+def test_compact_state_log_for_fingerprints_and_bands(spark, tmp_path):
+    """The incremental gates' state tables compact without changing
+    gate behavior: fingerprints/band keys dedup to distinct rows, and a
+    batch replayed AFTER compaction is still fully suppressed."""
+    from etl_service_spark.operators.copy import compact_state_log
+    from etl_service_spark.operators.dedup import incremental_dedup, incremental_neardup
+
+    docs = spark.createDataFrame(
+        [(i, f"text number {i} with several words inside it", "en", "s", 40) for i in range(20)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    fps, bands = str(tmp_path / "fps"), str(tmp_path / "bands")
+    # two appends of overlapping batches -> duplicate state rows
+    incremental_dedup(spark, docs.filter("doc_id < 15"), fps)
+    incremental_neardup(spark, docs.filter("doc_id < 15"), bands)
+    incremental_dedup(spark, docs, fps)
+    incremental_neardup(spark, docs, bands)
+
+    s1 = compact_state_log(spark, fps, lambda df: df.dropDuplicates(["text_hash"]))
+    s2 = compact_state_log(spark, bands, lambda df: df.dropDuplicates(["band_key", "doc_id"]))
+    assert s1["files_after"] <= s1["files_before"]
+    assert s2["files_after"] <= s2["files_before"]
+
+    # full replay after compaction: everything still suppressed
+    assert incremental_dedup(spark, docs, fps, append_fingerprints=False).count() == 0
+    assert incremental_neardup(spark, docs, bands, append_state=False).count() == 0
