@@ -203,11 +203,19 @@ def purge_forgotten(spark: SparkSession, out_dir: str, tombstone_dir: str) -> di
         tombs = spark.read.parquet(tombstone_dir).select("doc_id").dropDuplicates(["doc_id"])
     except Exception:
         return {"files_rewritten": 0, "rows_dropped": 0}
+    from urllib.parse import unquote, urlparse
+
+    def _local(uri: str) -> str:
+        # input_file_name() yields a percent-encoded file URI; both the
+        # per-file re-read and os.remove need the decoded local path
+        p = urlparse(uri)
+        return unquote(p.path) if p.scheme else unquote(uri)
+
     cur = spark.read.parquet(out_dir)
     # file list containing tombstoned rows: bounded by the takedown
     # size, metadata-sized — the one acceptable driver collect
     affected = [
-        r["f"]
+        _local(r["f"])
         for r in cur.withColumn("f", F.input_file_name())
         .join(F.broadcast(tombs), "doc_id")
         .select("f")
@@ -229,5 +237,5 @@ def purge_forgotten(spark: SparkSession, out_dir: str, tombstone_dir: str) -> di
             os.path.join(out_dir, f"split={split}")
         )
     for f in affected:
-        os.remove(f.removeprefix("file://"))
+        os.remove(f)
     return {"files_rewritten": len(affected), "rows_dropped": n_before - n_after}
