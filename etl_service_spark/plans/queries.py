@@ -1876,6 +1876,33 @@ GROUP BY a.p_brand, b.p_brand
         )
 
     cases["basket_brand_pairs"] = Case(_basket_staged, _BASKET_SQL)
+
+    # engagement stickiness: per calendar week, distinct weekly actives
+    # and the peak daily actives inside the week — the DAU/WAU ratio in
+    # integer ppm (doubles would be fine, but ppm keeps the hash gate
+    # trivial). Two distinct aggregates over (user, day) grain; the
+    # day-grain relation is bounded by users x days, far below events.
+    cases["events_dau_wau_stickiness"] = _sql_case(
+        *P.bi_sql(
+            """
+WITH ud AS (
+  SELECT DISTINCT user_id,
+         {ts_us} {idiv} 86400000000 AS day_idx,
+         {ts_us} {idiv} 604800000000 AS week_idx
+  FROM events WHERE user_id IS NOT NULL AND {ts_us} IS NOT NULL
+),
+dau AS (SELECT week_idx, day_idx, COUNT(*) AS dau FROM ud GROUP BY week_idx, day_idx),
+wau AS (SELECT week_idx, COUNT(DISTINCT user_id) AS wau FROM ud GROUP BY week_idx)
+SELECT w.week_idx, w.wau,
+       MAX(d.dau) AS peak_dau,
+       CAST(MAX(d.dau) * 1000000 {idiv} w.wau AS BIGINT) AS stickiness_ppm
+FROM wau w JOIN dau d ON d.week_idx = w.week_idx
+GROUP BY w.week_idx, w.wau
+""",
+            ts_us=TS_US,
+            idiv=("DIV", "//"),
+        )
+    )
     cases["events_range_join"] = _pair_case(asof.range_join_sql())
     cases["events_pivot_by_user"] = _sql_case(EVENTS_PIVOT_TEMPLATE, EVENTS_PIVOT_TEMPLATE)
     cases["events_multires_rollup"] = _pair_case(asof.multires_rollup_sql())
