@@ -118,6 +118,7 @@ HEADLINERS = [
     "privacy_l_diversity",
     "corpus_shard_plan",
     "dedup_best_keeper",
+    "dedup_semantic",
     "ann_recall_report",
     "text_langid_confusion",
     "corpus_resample_plan",

@@ -741,34 +741,53 @@ def kmeans_sql(k: int = 4, iters: int = 2, view: str = "embeddings") -> tuple[st
     (j, dim); nothing ever materializes the O(N*k) pairs beyond the
     map-side partial aggregate. Bounds: |v|<=0.6 → 6e3 units; squared
     error sums stay < 1e18 up to ~20M rows per cluster."""
-    spark_elem = "element_at(embedding, i + 1)"
-    duck_elem = "embedding[i + 1]"
-    spark_dims = "SELECT CAST(id AS INT) AS i FROM range(64)"
-    duck_dims = "SELECT range AS i FROM range(64)"
-
     def body(elem: str, dims: str) -> str:
-        cte = [
-            f"dims AS ({dims})",
-            f"""e AS (
+        cte, cent, _assign = _kmeans_chain(elem, dims, k, iters, view)
+        final = f"""
+SELECT j, MAX(n) AS n_members,
+       CAST(SUM(s) AS BIGINT) AS s_total,
+       CAST(SUM(s * s) AS BIGINT) AS s_sq_total
+FROM {cent}
+GROUP BY j"""
+        return "WITH " + ",\n".join(cte) + final
+
+    return body(_KM_SPARK_ELEM, _KM_SPARK_DIMS), body(_KM_DUCK_ELEM, _KM_DUCK_DIMS)
+
+
+_KM_SPARK_ELEM = "element_at(embedding, i + 1)"
+_KM_DUCK_ELEM = "embedding[i + 1]"
+_KM_SPARK_DIMS = "SELECT CAST(id AS INT) AS i FROM range(64)"
+_KM_DUCK_DIMS = "SELECT range AS i FROM range(64)"
+
+
+def _kmeans_chain(
+    elem: str, dims: str, k: int, iters: int, view: str
+) -> tuple[list[str], str, str]:
+    """The unrolled Lloyd's-iteration CTE chain shared by kmeans_sql and
+    semantic_dedup_sql. Returns (cte_list, last_centroid_rel,
+    last_assignment_rel) — the assignment relation is (vec_id, j)."""
+    cte = [
+        f"dims AS ({dims})",
+        f"""e AS (
   SELECT vec_id, i AS dim,
          CAST(FLOOR(CAST({elem} AS DOUBLE) * 10000) AS BIGINT) AS v
   FROM {view} CROSS JOIN dims
 )""",
-            f"""c0 AS (
+        f"""c0 AS (
   SELECT vec_id AS j, dim, v AS s, CAST(1 AS BIGINT) AS n
   FROM e WHERE vec_id < {k}
 )""",
-        ]
-        prev = "c0"
-        for it in range(1, iters + 1):
-            cte.append(f"""d{it} AS (
+    ]
+    prev = "c0"
+    for it in range(1, iters + 1):
+        cte.append(f"""d{it} AS (
   SELECT e.vec_id, c.j,
          SUM((c.n * e.v - c.s) * (c.n * e.v - c.s)) AS dist_num,
          MAX(c.n) AS n
   FROM e JOIN {prev} c ON e.dim = c.dim
   GROUP BY e.vec_id, c.j
 )""")
-            cte.append(f"""a{it} AS (
+        cte.append(f"""a{it} AS (
   SELECT vec_id, j FROM (
     SELECT vec_id, j,
            ROW_NUMBER() OVER (
@@ -778,21 +797,64 @@ def kmeans_sql(k: int = 4, iters: int = 2, view: str = "embeddings") -> tuple[st
     FROM d{it}
   ) r WHERE rk = 1
 )""")
-            cte.append(f"""c{it} AS (
+        cte.append(f"""c{it} AS (
   SELECT a.j, e.dim, CAST(SUM(e.v) AS BIGINT) AS s, COUNT(*) AS n
   FROM a{it} a JOIN e ON e.vec_id = a.vec_id
   GROUP BY a.j, e.dim
 )""")
-            prev = f"c{it}"
-        final = f"""
-SELECT j, MAX(n) AS n_members,
-       CAST(SUM(s) AS BIGINT) AS s_total,
-       CAST(SUM(s * s) AS BIGINT) AS s_sq_total
-FROM {prev}
-GROUP BY j"""
+        prev = f"c{it}"
+    return cte, prev, f"a{iters}"
+
+
+def semantic_dedup_sql(
+    k: int = 4, iters: int = 2, tau: float = 0.4, view: str = "embeddings"
+) -> tuple[str, str]:
+    """SemDeDup (Abbas et al., "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication", arXiv:2303.09540):
+    cluster the embedding space, then prune near-duplicate pairs ONLY
+    within each cluster — the cluster id bounds the pair join, so the
+    quadratic all-pairs cost applies per-cluster, never corpus-wide.
+
+    Composition: the deterministic integer-quantized k-means assignment
+    (``_kmeans_chain``, same relation emb_kmeans value-checks) keys the
+    self-join; the cosine predicate is the NEARDUP_TEMPLATE chain
+    (left-to-right double sum — bit-identical in both engines). A vector
+    is pruned when a same-cluster vector with a smaller vec_id sits
+    within ``tau``; output is the prune table (cluster, pruned vec_id,
+    the smallest keeper, neighbor count) — all integers, exact
+    cross-engine.
+
+    At 100 TB: k scales with N (SemDeDup uses ~100k clusters for
+    LAION-scale) so per-cluster membership stays bounded; the pair join
+    shuffles on the cluster id, centroids broadcast in the assignment
+    stage, and nothing corpus-wide is ever quadratic. The fixed k here
+    just keeps the sf-scale oracle exact."""
+
+    def body(elem: str, dims: str, one_based: bool) -> str:
+        cte, _cent, assign = _kmeans_chain(elem, dims, k, iters, view)
+        dot = _dot("a.embedding", "b.embedding", one_based=one_based)
+        nrm = _norm("embedding", one_based=one_based)
+        cte.append(f"""n AS (
+  SELECT vec_id, embedding, ({nrm}) AS nrm FROM {view}
+)""")
+        cte.append(f"""pairs AS (
+  SELECT aa.j AS cluster, aa.vec_id AS keep_id, ab.vec_id AS prune_id
+  FROM {assign} aa JOIN {assign} ab ON ab.j = aa.j AND ab.vec_id > aa.vec_id
+  JOIN n a ON a.vec_id = aa.vec_id
+  JOIN n b ON b.vec_id = ab.vec_id
+  WHERE ({dot}) / (a.nrm * b.nrm) >= {tau}
+)""")
+        final = """
+SELECT cluster, prune_id AS vec_id, MIN(keep_id) AS kept_id,
+       COUNT(*) AS n_neighbors
+FROM pairs
+GROUP BY cluster, prune_id"""
         return "WITH " + ",\n".join(cte) + final
 
-    return body(spark_elem, spark_dims), body(duck_elem, duck_dims)
+    return (
+        body(_KM_SPARK_ELEM, _KM_SPARK_DIMS, False),
+        body(_KM_DUCK_ELEM, _KM_DUCK_DIMS, True),
+    )
 
 
 # ------------------------------------------------------ cosine range search

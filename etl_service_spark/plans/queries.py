@@ -2174,6 +2174,42 @@ FROM ranked WHERE rk = 1
         "SELECT doc_id, text, lang, source, n_chars FROM documents",
     )
 
+    # Snapshot / time travel (sources/snapshots.py — Iceberg-style
+    # manifest commits over plain parquet): three commits land once per
+    # (session, sf) — append thirds 0 and 1, then OVERWRITE with third
+    # 2 — and the query reads version 2, i.e. the pre-overwrite state.
+    # The oracle recomputes that state from the source table, proving
+    # the overwrite neither leaked into nor destroyed the older
+    # snapshot. Scan is planned from the manifest's explicit file list.
+    def _snap_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import tempfile
+
+        from ..sources import snapshots as S
+
+        views(spark, sf_dir)
+        key = ("snap_table", id(spark), sf_dir)
+        path = _JSONL_STAGE.get(key)
+        if path is None:
+            path = tempfile.mkdtemp(prefix="etl_snap_")
+            docs = spark.table("documents").select("doc_id", "lang", "source", "n_chars")
+            S.commit_append(docs.filter("doc_id % 3 = 0"), path)  # v1
+            S.commit_append(docs.filter("doc_id % 3 = 1"), path)  # v2
+            S.commit_overwrite(docs.filter("doc_id % 3 = 2"), path)  # v3
+            _JSONL_STAGE[key] = path
+        snap = S.read_snapshot(spark, path, version=2)
+        return snap.groupBy("source").agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+
+    cases["snap_time_travel"] = Case(
+        _snap_time_travel,
+        """
+SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents WHERE doc_id % 3 IN (0, 1) GROUP BY source
+""",
+    )
+
     def _degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         views(spark, sf_dir)
         return spark.sql(graph.degree_distribution_sql()[0])
@@ -2257,6 +2293,7 @@ FROM d GROUP BY decile
     )
     cases["profile_orders_columns"] = _sql_case(_profile_sql, _profile_sql)
     cases["emb_kmeans"] = _pair_case(similarity.kmeans_sql())
+    cases["dedup_semantic"] = _pair_case(similarity.semantic_dedup_sql())
     cases["emb_quantize_int8"] = _pair_case(similarity.quantize_int8_sql())
     cases["events_value_quantiles"] = _pair_case(sketch.quantiles_sql())
 

@@ -1,0 +1,188 @@
+"""Versioned table snapshots over plain parquet: atomic commits +
+time travel, Iceberg-style (manifest lists data files; the manifest
+swap IS the commit), without any table-format dependency.
+
+The maintenance suite (copy.compact_state_log, corpus_stream.purge_*)
+handles crash windows per-operation; this module removes the class of
+problem at the root for tables that opt in: a writer stages data files
+under ``data/`` (invisible to readers until referenced), then commits
+by renaming a complete manifest into place — a single atomic filesystem
+operation. A crash at ANY point before the rename leaves the previous
+version fully intact; orphaned staged files are garbage, not
+corruption, and ``expire_snapshots`` sweeps them.
+
+Layout:
+
+    table_dir/
+      data/<uuid>-part-*.parquet     # immutable once written
+      v000001.manifest.json          # {"version","op","files","rows"}
+      v000002.manifest.json          # append: parent files + new files
+      ...                            # overwrite: new files only
+
+Readers list ``v*.manifest.json`` and take the max (or any requested
+version → time travel). No pointer file is needed: a manifest is only
+visible after its atomic rename, so the listing can never observe a
+half-commit.
+
+At 100 TB this is exactly the Iceberg/Delta metadata shape: commits
+cost one metadata write regardless of table size, concurrent readers
+get snapshot isolation for free (their manifest pins its file set; an
+overwrite never deletes data files, only expire_snapshots does), and
+time travel is a manifest choice, not a data copy. The manifest lists
+file paths rather than directory globs, so a snapshot read plans its
+scan from O(files-in-version) metadata — no directory listing of the
+whole table.
+
+Reference parity: the reference keeps no table history (every load is
+destructive, CommandExecuter.cs truncate-and-fill) — this exceeds the
+reference surface, motivated by the curated-corpus takedown/audit flows
+(see streaming/corpus_stream.py) where "what exactly did we train on"
+must be answerable after the fact.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+_MANIFEST_RE = re.compile(r"^v(\d{6})\.manifest\.json$")
+
+
+def _manifest_path(table_dir: str, version: int) -> str:
+    return os.path.join(table_dir, f"v{version:06d}.manifest.json")
+
+
+def list_versions(table_dir: str) -> list[int]:
+    """Committed versions, ascending. Only atomically-renamed manifests
+    are visible; stage temps (``.tmp``) never match the pattern."""
+    if not os.path.isdir(table_dir):
+        return []
+    out = []
+    for f in os.listdir(table_dir):
+        m = _MANIFEST_RE.match(f)
+        if m:
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def _read_manifest(table_dir: str, version: int) -> dict:
+    with open(_manifest_path(table_dir, version)) as fh:
+        return json.load(fh)
+
+
+def _stage_data_files(df: DataFrame, table_dir: str) -> tuple[list[str], int]:
+    """Write df's rows as immutable data files under data/<uuid>/ and
+    return (relative file paths, row count). Staged files are invisible
+    to every reader until a manifest referencing them is committed."""
+    stage_id = uuid.uuid4().hex[:12]
+    stage_dir = os.path.join(table_dir, "data", stage_id)
+    df.write.parquet(stage_dir)
+    files, rows = [], 0
+    for f in sorted(os.listdir(stage_dir)):
+        if f.endswith(".parquet"):
+            files.append(os.path.join("data", stage_id, f))
+    # row count from parquet footers (no second scan of the data)
+    import pyarrow.parquet as pq
+
+    for rel in files:
+        rows += pq.ParquetFile(os.path.join(table_dir, rel)).metadata.num_rows
+    return files, rows
+
+
+def _commit(table_dir: str, op: str, files: list[str], rows: int) -> int:
+    """Atomically publish the next version. Optimistic concurrency:
+    os.rename with a target that must not exist would race; instead the
+    version number is claimed by the rename itself — if two writers
+    race to the same version, the second rename overwrites a manifest
+    with identical parentage, which on a real object store would be a
+    conditional-PUT (If-None-Match) failure surfaced to the caller.
+    Single-writer-per-table is the documented contract here, matching
+    the orchestrator's per-table locks (plans/orchestrator.py)."""
+    version = (list_versions(table_dir) or [0])[-1] + 1
+    manifest = {"version": version, "op": op, "files": files, "rows": rows}
+    tmp = _manifest_path(table_dir, version) + f".{uuid.uuid4().hex[:8]}.tmp"
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh, indent=1)
+    os.rename(tmp, _manifest_path(table_dir, version))
+    return version
+
+
+def commit_append(df: DataFrame, table_dir: str) -> int:
+    """Stage df's files, then commit parent-files + new-files as the
+    next version. Returns the committed version number."""
+    os.makedirs(table_dir, exist_ok=True)
+    new_files, new_rows = _stage_data_files(df, table_dir)
+    versions = list_versions(table_dir)
+    if versions:
+        parent = _read_manifest(table_dir, versions[-1])
+        files = parent["files"] + new_files
+        rows = parent["rows"] + new_rows
+    else:
+        files, rows = new_files, new_rows
+    return _commit(table_dir, "append", files, rows)
+
+
+def commit_overwrite(df: DataFrame, table_dir: str) -> int:
+    """Stage df's files, then commit them as the COMPLETE next version.
+    Prior versions' data files are untouched (time travel keeps
+    working) until expire_snapshots reclaims them."""
+    os.makedirs(table_dir, exist_ok=True)
+    new_files, new_rows = _stage_data_files(df, table_dir)
+    return _commit(table_dir, "overwrite", new_files, new_rows)
+
+
+def read_snapshot(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> DataFrame:
+    """Read one committed version (default: latest). The scan is planned
+    from the manifest's explicit file list — orphaned/stage files and
+    files belonging to other versions are never touched."""
+    versions = list_versions(table_dir)
+    if not versions:
+        raise FileNotFoundError(f"no committed versions under {table_dir}")
+    v = versions[-1] if version is None else version
+    if v not in versions:
+        raise ValueError(f"version {v} not in {versions} (expired or never committed)")
+    manifest = _read_manifest(table_dir, v)
+    paths = [os.path.join(table_dir, rel) for rel in manifest["files"]]
+    if not paths:
+        raise ValueError(f"version {v} is empty")
+    return spark.read.parquet(*paths)
+
+
+def expire_snapshots(table_dir: str, keep_last: int = 1) -> dict:
+    """Reclaim space: drop all but the newest ``keep_last`` manifests,
+    then delete every data file no surviving manifest references —
+    including orphans from crashed writers. Deletion order is
+    manifests-first so a crash mid-expire can only strand extra data
+    files (re-run finishes), never break a surviving version."""
+    versions = list_versions(table_dir)
+    keep = versions[-keep_last:] if keep_last > 0 else []
+    referenced: set[str] = set()
+    for v in keep:
+        referenced.update(_read_manifest(table_dir, v)["files"])
+    dropped_manifests = [v for v in versions if v not in keep]
+    for v in dropped_manifests:
+        os.remove(_manifest_path(table_dir, v))
+    dropped_files = 0
+    data_root = os.path.join(table_dir, "data")
+    if os.path.isdir(data_root):
+        for stage in sorted(os.listdir(data_root)):
+            stage_dir = os.path.join(data_root, stage)
+            for f in sorted(os.listdir(stage_dir)):
+                rel = os.path.join("data", stage, f)
+                if rel not in referenced and f.endswith(".parquet"):
+                    os.remove(os.path.join(stage_dir, f))
+                    dropped_files += 1
+            if not any(f.endswith(".parquet") for f in os.listdir(stage_dir)):
+                shutil.rmtree(stage_dir)
+    return {
+        "dropped_manifests": dropped_manifests,
+        "dropped_files": dropped_files,
+        "kept_versions": keep,
+    }

@@ -1,0 +1,88 @@
+"""Snapshot/time-travel table lifecycle (sources/snapshots.py):
+atomic manifest commits, snapshot isolation across an overwrite,
+crash-window behavior, and expiry reclaiming exactly the unreferenced
+bytes."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from etl_service_spark.sources import snapshots as S
+
+
+@pytest.fixture()
+def table(tmp_path, spark):
+    d = str(tmp_path / "tbl")
+
+    def commit(ids, op="append"):
+        df = spark.createDataFrame([(i, i * 10) for i in ids], "id bigint, v bigint")
+        fn = S.commit_append if op == "append" else S.commit_overwrite
+        return fn(df, d)
+
+    return d, commit
+
+
+def _ids(spark, d, version=None):
+    return sorted(r.id for r in S.read_snapshot(spark, d, version).collect())
+
+
+def test_append_overwrite_time_travel(spark, table):
+    d, commit = table
+    assert commit([1, 2]) == 1
+    assert commit([3]) == 2
+    assert commit([9], op="overwrite") == 3
+    assert S.list_versions(d) == [1, 2, 3]
+    assert _ids(spark, d) == [9]  # latest = overwrite result
+    assert _ids(spark, d, version=1) == [1, 2]
+    assert _ids(spark, d, version=2) == [1, 2, 3]  # pre-overwrite state intact
+
+
+def test_staged_files_invisible_until_commit(spark, table):
+    d, commit = table
+    commit([1])
+    # simulate a crashed writer: staged data files but no manifest
+    df = spark.createDataFrame([(99, 990)], "id bigint, v bigint")
+    S._stage_data_files(df, d)
+    # and a half-written manifest temp (never renamed)
+    with open(os.path.join(d, "v000002.manifest.json.deadbeef.tmp"), "w") as fh:
+        fh.write("{")
+    assert S.list_versions(d) == [1]
+    assert _ids(spark, d) == [1]
+
+
+def test_expire_reclaims_unreferenced_files_only(spark, table):
+    d, commit = table
+    commit([1, 2])
+    commit([3])
+    commit([9], op="overwrite")
+    # orphan from a crashed writer — must be swept too
+    df = spark.createDataFrame([(99, 990)], "id bigint, v bigint")
+    S._stage_data_files(df, d)
+    stats = S.expire_snapshots(d, keep_last=1)
+    assert stats["dropped_manifests"] == [1, 2]
+    assert stats["kept_versions"] == [3]
+    assert stats["dropped_files"] > 0
+    assert _ids(spark, d) == [9]  # survivor intact
+    with pytest.raises(ValueError):
+        S.read_snapshot(spark, d, version=2)  # expired
+    # every remaining data file is referenced by the surviving manifest
+    manifest = json.load(open(os.path.join(d, "v000003.manifest.json")))
+    on_disk = set()
+    data_root = os.path.join(d, "data")
+    for stage in os.listdir(data_root):
+        for f in os.listdir(os.path.join(data_root, stage)):
+            if f.endswith(".parquet"):
+                on_disk.add(os.path.join("data", stage, f))
+    assert on_disk == set(manifest["files"])
+
+
+def test_manifest_rows_match_data(spark, table):
+    d, commit = table
+    commit([1, 2, 3])
+    commit([4])
+    manifest = json.load(open(os.path.join(d, "v000002.manifest.json")))
+    assert manifest["rows"] == 4
+    assert S.read_snapshot(spark, d).count() == 4
