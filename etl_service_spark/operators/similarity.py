@@ -857,6 +857,108 @@ GROUP BY cluster, prune_id"""
     )
 
 
+def semantic_dedup_staged(
+    spark: SparkSession,
+    k: int = 4,
+    iters: int = 2,
+    tau: float = 0.4,
+    view: str = "embeddings",
+    rows_per_block: int = 700,
+    n_blocks: int | None = None,
+) -> DataFrame:
+    """Execution path for :func:`semantic_dedup_sql`'s semantics: the
+    k-means assignment stays declarative SQL (centroids broadcast, one
+    argmin window — the emb_kmeans plan), but the within-cluster pair
+    stage runs the SAME block-pair Arrow kernel as
+    :func:`embedding_neardup_pandas` — the giant explicit SQL dot chain
+    defeats whole-stage codegen and goes interpreted over millions of
+    pair rows (~10x slower measured at sf0.1), while the kernel keeps
+    the quadratic loop in vectorized numpy replaying the oracle's exact
+    left-associated FP chain.
+
+    Scale shape: groups are keyed (cluster, block_a, block_b), so group
+    size is bounded by rows_per_block regardless of cluster size — a
+    hot cluster fans out across block pairs instead of serializing into
+    one task. Cross-cluster pairs never meet: each row carries its own
+    cluster id into the group key."""
+    import numpy as np
+    import pandas as pd
+
+    cte, _cent, assign = _kmeans_chain(_KM_SPARK_ELEM, _KM_SPARK_DIMS, k, iters, view)
+    assign_df = spark.sql(
+        "WITH " + ",\n".join(cte) + f"\nSELECT vec_id, j FROM {assign}"
+    )
+
+    emb = spark.table(view).select("vec_id", "embedding")
+    if n_blocks is None:
+        ckey = (id(spark), "neardup_count", view, tuple(sorted(emb.inputFiles())))
+        if ckey not in _STAGE_CACHE:
+            _STAGE_CACHE[ckey] = str(emb.count())
+        n = int(_STAGE_CACHE[ckey])
+        n_blocks = max(1, -(-n // max(1, rows_per_block)))
+    rel = [
+        (blk, a, b, 0 if blk == a else 1)
+        for a in range(n_blocks)
+        for b in range(a, n_blocks)
+        for blk in {a, b}
+    ]
+    rel += [(a, a, a, 1) for a in range(n_blocks)]
+    fan = spark.createDataFrame(rel, "blk int, ba int, bb int, role int")
+
+    blk = emb.withColumn("blk", F.pmod(F.col("vec_id"), F.lit(n_blocks)).cast("int"))
+    both = (
+        blk.join(assign_df, "vec_id")
+        .join(F.broadcast(fan), "blk")
+        .select("j", "ba", "bb", "role", "vec_id", "embedding")
+    )
+
+    def _norms(m: "np.ndarray") -> "np.ndarray":
+        acc = m[:, 0] * m[:, 0]
+        for i in range(1, DIM):
+            acc = acc + m[:, i] * m[:, i]
+        return np.sqrt(acc)
+
+    pair_schema = StructType(
+        [
+            StructField("cluster", LongType()),
+            StructField("vec_a", LongType()),
+            StructField("vec_b", LongType()),
+        ]
+    )
+
+    def compute(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        j, ba, bb = key
+        empty = pd.DataFrame({"cluster": [], "vec_a": [], "vec_b": []}).astype(
+            {"cluster": "int64", "vec_a": "int64", "vec_b": "int64"}
+        )
+        a_pdf = pdf[pdf["role"] == 0]
+        b_pdf = pdf[pdf["role"] == 1]
+        if not len(a_pdf) or not len(b_pdf):
+            return empty
+        ids_a = a_pdf["vec_id"].to_numpy(dtype=np.int64)
+        ids_b = b_pdf["vec_id"].to_numpy(dtype=np.int64)
+        m_a = np.array(list(a_pdf["embedding"]), dtype=np.float64)
+        m_b = np.array(list(b_pdf["embedding"]), dtype=np.float64)
+        nrm_a, nrm_b = _norms(m_a), _norms(m_b)
+        acc = np.multiply.outer(m_a[:, 0], m_b[:, 0])
+        for i in range(1, DIM):
+            acc += np.multiply.outer(m_a[:, i], m_b[:, i])
+        cos = acc / np.multiply.outer(nrm_a, nrm_b)
+        mask = cos >= tau
+        if ba == bb:
+            mask &= ids_a[:, None] < ids_b[None, :]
+        ia, ib = np.nonzero(mask)
+        va = np.minimum(ids_a[ia], ids_b[ib])
+        vb = np.maximum(ids_a[ia], ids_b[ib])
+        return pd.DataFrame({"cluster": np.full(len(va), j, dtype=np.int64), "vec_a": va, "vec_b": vb})
+
+    pairs = both.groupBy("j", "ba", "bb").applyInPandas(compute, schema=pair_schema)
+    # prune table: larger id is pruned, kept_id = smallest near keeper
+    return pairs.groupBy("cluster", F.col("vec_b").alias("vec_id")).agg(
+        F.min("vec_a").alias("kept_id"), F.count("*").alias("n_neighbors")
+    )
+
+
 # ------------------------------------------------------ cosine range search
 RANGE_SEARCH_TEMPLATE = """
 WITH q AS (

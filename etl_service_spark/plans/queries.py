@@ -2293,7 +2293,11 @@ FROM d GROUP BY decile
     )
     cases["profile_orders_columns"] = _sql_case(_profile_sql, _profile_sql)
     cases["emb_kmeans"] = _pair_case(similarity.kmeans_sql())
-    cases["dedup_semantic"] = _pair_case(similarity.semantic_dedup_sql())
+    def _semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+        views(spark, sf_dir)
+        return similarity.semantic_dedup_staged(spark)
+
+    cases["dedup_semantic"] = Case(_semantic_dedup, similarity.semantic_dedup_sql()[1])
     cases["emb_quantize_int8"] = _pair_case(similarity.quantize_int8_sql())
     cases["events_value_quantiles"] = _pair_case(sketch.quantiles_sql())
 
