@@ -119,6 +119,7 @@ HEADLINERS = [
     "corpus_shard_plan",
     "dedup_best_keeper",
     "dedup_semantic",
+    "text_sentence_split",
     "ann_recall_report",
     "text_langid_confusion",
     "corpus_resample_plan",

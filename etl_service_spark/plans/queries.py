@@ -27,6 +27,7 @@ from pyspark.sql.types import (
 )
 
 from ..functions import portable as P
+from ..functions import udtf as udtf_fns
 from ..functions.placeholders import resolve_placeholders
 from ..operators import asof, corpus, dedup, graph, multimodal, profile, similarity, sketch, skew, textops
 from ..operators.align import AuditContext, align_to_schema
@@ -2209,6 +2210,23 @@ SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
 FROM documents WHERE doc_id % 3 IN (0, 1) GROUP BY source
 """,
     )
+
+    # Sentence splitting as a Spark 4 Python UDTF (functions/udtf.py):
+    # per-row 1→N fan-out callable from SQL via LATERAL — scan →
+    # generate, zero shuffle; Arrow-batched transfer. The oracle
+    # replays the same regex split with DuckDB's parallel unnest.
+    def _sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from ..functions.udtf import register_udtfs
+
+        views(spark, sf_dir)
+        register_udtfs(spark)
+        return spark.sql(
+            "SELECT d.doc_id, s.sent_idx, s.sentence, s.n_chars "
+            "FROM documents d, "
+            f"LATERAL sentence_split(d.text, '{udtf_fns.SENTENCE_PATTERN}') s"
+        )
+
+    cases["text_sentence_split"] = Case(_sentence_split, udtf_fns.SENTENCE_SPLIT_ORACLE)
 
     def _degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         views(spark, sf_dir)

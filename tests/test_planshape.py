@@ -353,3 +353,13 @@ def test_staged_relations_eliminate_base_rescans(spark, sf_dir):
                  "ann_pq_adc_topk", "basket_brand_pairs"]:
         assert n_scans(name) == 0, f"{name} re-scans base tables"
     assert n_scans("corpus_resample_plan") == 1
+
+
+def test_sentence_split_udtf_no_shuffle(spark, sf_dir):
+    """The UDTF fan-out must stay scan → generate: one parquet scan,
+    zero Exchange — at 100 TB sentence chunking is embarrassingly
+    parallel and must never move data."""
+    df = CASES["text_sentence_split"].spark(spark, sf_dir)
+    plan = _plan(df)
+    assert "Exchange" not in plan, plan[:1500]
+    assert plan.count("FileScan parquet") == 1
