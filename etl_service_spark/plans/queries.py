@@ -1635,13 +1635,31 @@ _FAMILY_PREFIXES: tuple[tuple[str, ...], ...] = (
 )
 
 
+# The 16 registry entries never sampled in rounds 1-2 (VERDICT.md round 2,
+# "What's missing" #1): these MUST land in round 3's 50-entry sample, so
+# they form a priority tier ahead of the (larger-than-the-sample) set of
+# round-3 additions — whichever pending entries overflow the prefix, it is
+# never these.
+_PRIORITY_PENDING = (
+    "corpus_contamination", "corpus_dup_rate_by_source", "dedup_fuzzy_names",
+    "lineitem_unpivot_stats", "text_repetition_quality",
+    "text_top_terms_per_language", "events_gapfill_hourly",
+    "events_interarrival_stats", "events_json_extract",
+    "events_moving_average", "events_multires_rollup", "events_pivot_by_user",
+    "events_value_quantiles", "events_salted_agg", "events_salted_join",
+    "events_zscore_outliers",
+)
+
+
 def _driver_order(cases: dict[str, Case]) -> dict[str, Case]:
-    """Interleave the driver-unverified entries one-per-family ahead of
-    the entries a prior round's CORRECTNESS_r*.json already value-verified
-    (original order preserved within each group). Pure reordering — same
-    keys/cases."""
+    """Order the registry for the driver's prefix sample: first the
+    never-yet-sampled priority tier, then the remaining driver-unverified
+    entries interleaved one-per-family, then everything a prior round's
+    CORRECTNESS_r*.json already value-verified (original order preserved
+    within each group). Pure reordering — same keys/cases."""
     names = list(cases)
-    pending = [n for n in names if n not in _DRIVER_VERIFIED]
+    prio = [n for n in _PRIORITY_PENDING if n in cases and n not in _DRIVER_VERIFIED]
+    pending = [n for n in names if n not in _DRIVER_VERIFIED and n not in prio]
     queues = []
     claimed: set[str] = set()
     for prefixes in _FAMILY_PREFIXES:
@@ -1649,7 +1667,7 @@ def _driver_order(cases: dict[str, Case]) -> dict[str, Case]:
         queues.append(q)
         claimed.update(q)
     queues.append([n for n in pending if n not in claimed])  # unfamiliar tail
-    ordered: list[str] = []
+    ordered: list[str] = list(prio)
     while any(queues):
         for q in queues:
             if q:
