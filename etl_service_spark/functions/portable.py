@@ -182,6 +182,22 @@ def staging_dir(spark) -> str:
     return spark.conf.get(STAGING_DIR_CONF, "") or ""
 
 
+def stage_name(prefix: str, key: tuple) -> str:
+    """Deterministic content-addressed name for a staged relation: a
+    digest of the staging inputs (params + input files), NOT a
+    per-process counter. Counters collide across processes sharing a
+    staging dir — two sessions would both write <dir>/__tokens_0 and
+    silently serve each other's rows; with content addressing, sessions
+    share a path exactly when they stage identical content (the shared
+    staging-table shape the conf advertises), and different content
+    always gets a different path. Pass the cache key MINUS the session
+    id component."""
+    import hashlib
+
+    digest = hashlib.sha1(repr(key).encode()).hexdigest()[:12]
+    return f"__{prefix}_{digest}"
+
+
 def stage_df(df, name: str):
     """Materialize a staging relation with truncated lineage — via
     parquet under ``STAGING_DIR_CONF`` when configured, else

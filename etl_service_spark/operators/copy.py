@@ -290,10 +290,18 @@ def expire_partitions(
             f"expire_partitions: {table_dir} has no {prefix}* partitions — "
             "refusing to delete anything on a layout mismatch"
         )
+    from urllib.parse import unquote
+
     keep_vals = {str(v) for v in keep}
     dropped, kept = [], []
     for d in parts:
-        val = d[len(prefix):]
+        # Hive-style writers percent-escape partition values in the
+        # directory name ('2024/01' -> '2024%2F01', ':' -> '%3A');
+        # the retention policy speaks RAW values, so decode before
+        # comparing — else an escapable kept value never matches and
+        # its partition is deleted (same class as purge_forgotten's
+        # store-path decoding).
+        val = unquote(d[len(prefix):])
         if val in keep_vals:
             kept.append(val)
         else:
@@ -311,24 +319,41 @@ def compact_state_log(spark, table_dir: str, merge) -> dict:
     ``merge`` maps the raw log DataFrame to its compacted equivalent
     (distinct for identity states, groupBy MAX for monotone registers —
     the READ path's own compaction, so bytes change, answers don't).
-    Crash windows: before the remove nothing changed; between remove
-    and rename the merged state sits complete in the temp sibling and
-    a re-run finishes the swap instead of failing on the missing dir."""
+
+    The swap never deletes the live log in place — a crash mid-rmtree
+    would leave a PARTIAL log that a re-run would compact as if it were
+    the whole state, silently losing everything in the already-deleted
+    files. Instead: write merged to a temp sibling, rename the live log
+    ASIDE (atomic), rename the temp into place (atomic), then delete
+    the set-aside copy. Every crash window converges on re-run: before
+    the first rename nothing changed (stale temp is discarded);
+    between the renames the complete merged state is in the temp and
+    recovery finishes the swap; mid-delete of the set-aside copy the
+    live log is already complete and recovery just finishes the
+    delete."""
     import os
     import shutil
 
-    tmp = table_dir.rstrip("/") + "__compacting"
-    if not os.path.exists(table_dir) and os.path.exists(tmp):
-        os.rename(tmp, table_dir)
-        return {"files_before": 0, "files_after": sum(
-            1 for f in os.listdir(table_dir) if f.endswith(".parquet")
-        )}
+    base = table_dir.rstrip("/")
+    tmp = base + "__compacting"
+    old = base + "__replaced"
+    # recovery from a prior crash, in reverse order of the crash windows
+    if not os.path.exists(table_dir):
+        if os.path.exists(tmp):
+            os.rename(tmp, table_dir)  # finish an interrupted swap
+        elif os.path.exists(old):
+            os.rename(old, table_dir)  # restore (temp was lost pre-write)
+        else:
+            raise FileNotFoundError(table_dir)
+    if os.path.exists(old):
+        shutil.rmtree(old)  # swap completed; finish the deferred delete
     merged = merge(spark.read.parquet(table_dir))
     shutil.rmtree(tmp, ignore_errors=True)
     merged.write.parquet(tmp)
     n_before = sum(1 for f in os.listdir(table_dir) if f.endswith(".parquet"))
-    shutil.rmtree(table_dir)
+    os.rename(table_dir, old)
     os.rename(tmp, table_dir)
+    shutil.rmtree(old)
     return {"files_before": n_before, "files_after": sum(
         1 for f in os.listdir(table_dir) if f.endswith(".parquet")
     )}

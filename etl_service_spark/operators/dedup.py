@@ -244,7 +244,7 @@ def materialize_hashsets(spark: SparkSession, view: str = "documents") -> str:
     if cached is not None:
         return cached
 
-    name = f"__hashsets_{view}_{len(_HASHSET_CACHE)}"
+    name = P.stage_name(f"hashsets_{view}", key[1:])
     hs = (
         P.fan_out(src)
         .select("doc_id", P.pd_shingle_hash_sets_udf()("text").alias("hs"))
@@ -287,7 +287,7 @@ def materialize_prefix_postings(
         tau_den_m1=str(den - 1),
         **_hashset_frags(view),
     )[0]
-    name = f"__jaccard_pexp_{len(_PEXP_CACHE)}"
+    name = P.stage_name("jaccard_pexp", key[1:])
     P.stage_df(spark.sql(body), name).createOrReplaceTempView(name)
     _PEXP_CACHE[key] = name
     return name
@@ -642,10 +642,15 @@ def incremental_dedup(
     w_min = hashed.groupBy("text_hash").agg(F.min("doc_id").alias("doc_id"))
     batch_unique = hashed.join(w_min, ["text_hash", "doc_id"])
 
-    try:
+    import os
+
+    if os.path.isdir(fingerprint_path):
+        # existence-gated, not try/except: once state exists a read
+        # failure must propagate — silently skipping the anti-join
+        # would re-admit every historical duplicate as "fresh"
         seen = spark.read.parquet(fingerprint_path).select("text_hash")
         fresh = batch_unique.join(seen, "text_hash", "left_anti")
-    except Exception:  # first batch: no fingerprint table yet
+    else:  # first batch: no fingerprint table yet
         fresh = batch_unique
 
     fresh = fresh.localCheckpoint(eager=True)  # stable before the append below
@@ -719,7 +724,7 @@ def chunk_dedup_staged(spark: SparkSession, w: int = 8, view: str = "documents")
     key = (id(spark), view, w, tuple(sorted(src.inputFiles())), P.staging_dir(spark))
     name = _CHUNK_CACHE.get(key)
     if name is None:
-        name = f"__chunks_{view}_{len(_CHUNK_CACHE)}"
+        name = P.stage_name(f"chunks_{view}", key[1:])
         ch_sql = (
             f"SELECT doc_id, chunk FROM "
             f"(SELECT doc_id, {P.spark_tokens('text')} AS t FROM {view}) "
@@ -821,10 +826,12 @@ def neardup_gate(
     batch_docs = batch_docs.localCheckpoint(eager=True)
     bk = batch_band_keys(batch_docs, k, bands).localCheckpoint(eager=True)
 
-    try:
+    import os
+
+    if os.path.isdir(state_dir):  # same existence-gate rule as incremental_dedup
         hist = spark.read.parquet(state_dir).select("band_key")
         hist_hits = bk.join(hist, "band_key", "left_semi").select("doc_id").distinct()
-    except Exception:  # first batch: no state yet
+    else:  # first batch: no state yet
         hist_hits = bk.select("doc_id").limit(0)
 
     bucket_min = bk.groupBy("band_key").agg(F.min("doc_id").alias("min_id"))

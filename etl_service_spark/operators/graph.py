@@ -102,14 +102,14 @@ def dup_clusters(spark: SparkSession, tau: float = 0.8) -> DataFrame:
     key = (id(spark), tau, hs_rel, P.staging_dir(spark))
     name = _PAIRS_CACHE.get(key)
     if name is None:
-        name = f"__jaccard_pairs_{len(_PAIRS_CACHE)}"
+        name = P.stage_name("jaccard_pairs", key[1:])
         pairs = dedup.ngram_jaccard_staged(spark, tau=tau)
         P.stage_df(pairs, name).createOrReplaceTempView(name)
         _PAIRS_CACHE[key] = name
     ckey = (id(spark), tau, name)
     cname = _CLUSTERS_CACHE.get(ckey)
     if cname is None:
-        cname = f"__dup_clusters_{len(_CLUSTERS_CACHE)}"
+        cname = P.stage_name("dup_clusters", ckey[1:])
         cc = connected_components(spark.table(name))
         P.stage_df(cc, cname).createOrReplaceTempView(cname)
         _CLUSTERS_CACHE[ckey] = cname

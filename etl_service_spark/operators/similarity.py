@@ -41,7 +41,7 @@ def _stage_view(spark: SparkSession, df_fn, kind: str, view: str, params: tuple)
     cached = _STAGE_CACHE.get(key)
     if cached is not None:
         return cached
-    name = f"__{kind}_{view}_{len(_STAGE_CACHE)}"
+    name = P.stage_name(f"{kind}_{view}", key[1:])
     P.stage_df(df_fn(), name).createOrReplaceTempView(name)
     _STAGE_CACHE[key] = name
     return name
@@ -348,6 +348,13 @@ def embedding_neardup_pandas(
         for i in range(1, DIM):
             acc += np.multiply.outer(m_a[:, i], m_b[:, i])
         cos = acc / np.multiply.outer(nrm_a, nrm_b)
+        # Zero-norm vectors: numpy yields NaN, and `NaN >= tau` is
+        # False, so the pair is DROPPED — which is exactly what the
+        # DuckDB oracle does (0/0 -> NULL there, and NULL fails the
+        # predicate). The Spark-SQL twin would instead raise
+        # DIVIDE_BY_ZERO under this session's ANSI mode, so the kernel
+        # + oracle pair is the defined behavior for degenerate inputs
+        # (pinned by test_neardup_kernel_drops_zero_norm_like_oracle).
         mask = cos >= tau
         if diagonal:
             # same block on both roles: each unordered pair appears in
@@ -944,6 +951,8 @@ def semantic_dedup_staged(
         for i in range(1, DIM):
             acc += np.multiply.outer(m_a[:, i], m_b[:, i])
         cos = acc / np.multiply.outer(nrm_a, nrm_b)
+        # zero-norm -> NaN -> dropped, matching the DuckDB oracle's
+        # 0/0 -> NULL predicate failure (see embedding_neardup_pandas)
         mask = cos >= tau
         if ba == bb:
             mask &= ids_a[:, None] < ids_b[None, :]
@@ -1017,35 +1026,17 @@ def pq_codes_sql(
     producing N×ncent×m candidate rows collapsed by one per-(vec,sub)
     window; no data-sized shuffle except the final per-vector pivot
     aggregate."""
-    dsub = DIM // m
-
-    def dist_terms(s: int, off: int) -> str:
-        return " + ".join(
-            f"(FLOOR(CAST(v.embedding[{s * dsub + i + off}] AS DOUBLE) * 64)"
-            f" - FLOOR(CAST(c.cv[{s * dsub + i + off}] AS DOUBLE) * 64))"
-            f" * (FLOOR(CAST(v.embedding[{s * dsub + i + off}] AS DOUBLE) * 64)"
-            f" - FLOOR(CAST(c.cv[{s * dsub + i + off}] AS DOUBLE) * 64))"
-            for i in range(dsub)
-        )
-
     def body(off: int) -> str:
-        case = " ".join(
-            f"WHEN {s} THEN ({dist_terms(s, off)})" for s in range(m)
-        )
-        subs = " UNION ALL ".join(f"SELECT {s} AS s" for s in range(m))
+        c_sel, d_sel = _pq_cd_selects(m, ncent, view, off)
         codes = ", ".join(
             f"MAX(CASE WHEN s = {s} THEN c_id END) AS code_{s}" for s in range(m)
         )
         return f"""
 WITH c AS (
-  SELECT vec_id AS c_id, embedding AS cv FROM {view} WHERE vec_id < {ncent}
+  {c_sel}
 ),
 d AS (
-  SELECT v.vec_id, sub.s, c.c_id,
-         CAST(CASE sub.s {case} END AS BIGINT) AS dist
-  FROM {view} v
-  CROSS JOIN c
-  CROSS JOIN ({subs}) sub
+  {d_sel}
 ),
 ranked AS (
   SELECT vec_id, s, c_id, dist,
@@ -1059,6 +1050,39 @@ GROUP BY vec_id
 """
 
     return body(0), body(1)
+
+
+def _pq_dist_case(m: int, off: int) -> str:
+    """The per-subspace integer-grid squared-distance CASE over (v, c)
+    — the one 64-term chain both PQ statements and the staged distance
+    relation share (a single builder, so the staged path can never
+    drift from the oracle text)."""
+    dsub = DIM // m
+
+    def terms(s: int) -> str:
+        return " + ".join(
+            f"(FLOOR(CAST(v.embedding[{s * dsub + i + off}] AS DOUBLE) * 64)"
+            f" - FLOOR(CAST(c.cv[{s * dsub + i + off}] AS DOUBLE) * 64))"
+            f" * (FLOOR(CAST(v.embedding[{s * dsub + i + off}] AS DOUBLE) * 64)"
+            f" - FLOOR(CAST(c.cv[{s * dsub + i + off}] AS DOUBLE) * 64))"
+            for i in range(dsub)
+        )
+
+    return " ".join(f"WHEN {s} THEN ({terms(s)})" for s in range(m))
+
+
+def _pq_cd_selects(m: int, ncent: int, view: str, off: int) -> tuple[str, str]:
+    """(centroid SELECT, distance SELECT) shared by pq_codes_sql,
+    pq_adc_topk_sql and _pq_dist_staged. The distance SELECT references
+    the centroid relation as CTE name ``c``."""
+    subs = " UNION ALL ".join(f"SELECT {s} AS s" for s in range(m))
+    c_sel = f"SELECT vec_id AS c_id, embedding AS cv FROM {view} WHERE vec_id < {ncent}"
+    d_sel = f"""SELECT v.vec_id, sub.s, c.c_id,
+         CAST(CASE sub.s {_pq_dist_case(m, off)} END AS BIGINT) AS dist
+  FROM {view} v
+  CROSS JOIN c
+  CROSS JOIN ({subs}) sub"""
+    return c_sel, d_sel
 
 
 def pq_adc_topk_sql(
@@ -1081,32 +1105,14 @@ def pq_adc_topk_sql(
     on vec_id. The LUT is broadcast-sized by construction; the only
     data-sized operation is the per-(query, vector) partial-sum
     aggregate over N×m code rows."""
-    dsub = DIM // m
-
-    def dist_case(off: int) -> str:
-        def terms(s: int) -> str:
-            return " + ".join(
-                f"(FLOOR(CAST(v.embedding[{s * dsub + i + off}] AS DOUBLE) * 64)"
-                f" - FLOOR(CAST(c.cv[{s * dsub + i + off}] AS DOUBLE) * 64))"
-                f" * (FLOOR(CAST(v.embedding[{s * dsub + i + off}] AS DOUBLE) * 64)"
-                f" - FLOOR(CAST(c.cv[{s * dsub + i + off}] AS DOUBLE) * 64))"
-                for i in range(dsub)
-            )
-
-        return " ".join(f"WHEN {s} THEN ({terms(s)})" for s in range(m))
-
     def body(off: int) -> str:
-        subs = " UNION ALL ".join(f"SELECT {s} AS s" for s in range(m))
+        c_sel, d_sel = _pq_cd_selects(m, ncent, view, off)
         return f"""
 WITH c AS (
-  SELECT vec_id AS c_id, embedding AS cv FROM {view} WHERE vec_id < {ncent}
+  {c_sel}
 ),
 d AS (
-  SELECT v.vec_id, sub.s, c.c_id,
-         CAST(CASE sub.s {dist_case(off)} END AS BIGINT) AS dist
-  FROM {view} v
-  CROSS JOIN c
-  CROSS JOIN ({subs}) sub
+  {d_sel}
 ),
 codes AS (
   SELECT vec_id, s, c_id FROM (
@@ -1148,13 +1154,11 @@ def _pq_dist_staged(
     key = (id(spark), view, m, ncent, tuple(sorted(src.inputFiles())), P.staging_dir(spark))
     name = _PQ_DIST_CACHE.get(key)
     if name is None:
-        name = f"__pq_dist_{len(_PQ_DIST_CACHE)}"
-        # the d-CTE body of pq_adc_topk_sql, spark dialect
-        full = pq_adc_topk_sql(m, ncent, view=view)[0]
-        d_body = full.split("d AS (", 1)[1].split("),\ncodes AS", 1)[0]
-        c_body = full.split("WITH c AS (", 1)[1].split("),\nd AS", 1)[0]
+        name = P.stage_name("pq_dist", key[1:])
+        # same builder as the SQL statements — no text scraping
+        c_sel, d_sel = _pq_cd_selects(m, ncent, view, 0)
         P.stage_df(
-            P.fan_out(spark.sql(f"WITH c AS ({c_body}) {d_body}")), name
+            P.fan_out(spark.sql(f"WITH c AS ({c_sel}) {d_sel}")), name
         ).createOrReplaceTempView(name)
         _PQ_DIST_CACHE[key] = name
     return name

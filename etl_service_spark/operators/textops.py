@@ -561,7 +561,7 @@ def materialize_tokens(spark, view: str = "documents") -> str:
                 }
             )
 
-    name = f"__tokens_{view}_{len(_TOKENS_CACHE)}"
+    name = P.stage_name(f"tokens_{view}", key[1:])
     P.stage_df(
         P.fan_out(src.select("doc_id", "lang", "text")).mapInArrow(
             kernel, schema="doc_id bigint, lang string, tok string, h bigint"
@@ -843,7 +843,7 @@ def bigram_lm_score_staged(spark, view: str = "documents") -> DataFrame:
     key = (id(spark), view, tuple(sorted(src.inputFiles())), P.staging_dir(spark))
     name = _BIGRAM_CACHE.get(key)
     if name is None:
-        name = f"__bigrams_{view}_{len(_BIGRAM_CACHE)}"
+        name = P.stage_name(f"bigrams_{view}", key[1:])
         big_sql = (
             f"SELECT doc_id, bg FROM "
             f"(SELECT doc_id, {P.spark_tokens('text')} AS t FROM {view}) "

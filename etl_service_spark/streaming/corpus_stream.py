@@ -160,11 +160,12 @@ def read_curated(
     of when the physical rewrite (:func:`purge_forgotten`) runs.
     Takedown sets are tiny relative to the corpus → broadcast."""
     cur = spark.read.parquet(out_dir).dropDuplicates(["doc_id"])
-    if tombstone_dir is not None:
-        try:
-            tombs = spark.read.parquet(tombstone_dir).select("doc_id")
-        except Exception:  # no tombstones yet
-            return cur
+    if tombstone_dir is not None and os.path.isdir(tombstone_dir):
+        # existence check, NOT try/except: a takedown filter that is
+        # silently skipped on a transient read error would serve
+        # tombstoned documents while looking like success — once the
+        # tombstone table exists, any failure to read it must propagate
+        tombs = spark.read.parquet(tombstone_dir).select("doc_id")
         cur = cur.join(F.broadcast(tombs.dropDuplicates(["doc_id"])), "doc_id", "left_anti")
     return cur
 
@@ -199,10 +200,11 @@ def purge_forgotten(spark: SparkSession, out_dir: str, tombstone_dir: str) -> di
     dedup) and the tombstoned rows still present in the originals
     (absorbed by the read-side anti-join) — every crash point converges
     on re-run. Returns {files_rewritten, rows_dropped}."""
-    try:
-        tombs = spark.read.parquet(tombstone_dir).select("doc_id").dropDuplicates(["doc_id"])
-    except Exception:
+    if not os.path.isdir(tombstone_dir):
         return {"files_rewritten": 0, "rows_dropped": 0}
+    # existence-gated, not try/except: a real read error must propagate
+    # rather than report a clean no-op purge (same rule as read_curated)
+    tombs = spark.read.parquet(tombstone_dir).select("doc_id").dropDuplicates(["doc_id"])
     from urllib.parse import unquote, urlparse
 
     def _local(uri: str) -> str:

@@ -130,11 +130,15 @@ def cms_grid(events: DataFrame, depth: int = 4, width: int = 1024) -> DataFrame:
     cell-wise SUM."""
     depths = " UNION ALL ".join(f"SELECT {i} AS d" for i in range(depth))
     spark = events.sparkSession
-    events.createOrReplaceTempView("__cms_batch")
+    # id-suffixed view name: two rollup streams (or threads) in one
+    # session must not race on a shared fixed name between view
+    # creation and SQL analysis (same rule as similarity's staged views)
+    view = f"__cms_batch_{id(events)}"
+    events.createOrReplaceTempView(view)
     return spark.sql(
         f"""
 SELECT d, {_cms_bucket(width)} AS bucket, COUNT(*) AS cnt
-FROM __cms_batch CROSS JOIN ({depths}) depths
+FROM {view} CROSS JOIN ({depths}) depths
 WHERE user_id IS NOT NULL
 GROUP BY d, {_cms_bucket(width)}
 """
@@ -183,32 +187,17 @@ def compact_cms_log(spark: SparkSession, table_dir: str) -> dict:
     under a single synthetic batch_id — the maintenance step the
     rollup's docstring defers to. The merged grid is what read_cms_grid
     would compute anyway (dedup per batch then cell-wise SUM), so the
-    compaction changes bytes, never estimates.
+    compaction changes bytes, never estimates. The swap protocol and
+    its crash-window analysis live in copy.compact_state_log."""
+    from ..operators.copy import compact_state_log
 
-    Crash ordering: the merged grid is APPENDED first (tagged with a
-    batch_id one past the current max — readers dedup per batch, so
-    until the old files are removed the log briefly DOUBLE-counts...
-    which SUM would corrupt — hence the merged rows are written to a
-    temp sibling and the swap is remove-then-rename: after the remove
-    the table is briefly absent (a reader retries), never wrong. A
-    crash before the rename leaves the temp dir and the original log
-    intact; re-running converges."""
-    import os
-    import shutil
+    def merge(raw: DataFrame) -> DataFrame:
+        return (
+            raw.dropDuplicates(["batch_id", "d", "bucket"])
+            .groupBy("d", "bucket")
+            .agg(F.sum("cnt").alias("cnt"))
+            .withColumn("batch_id", F.lit(-1))
+            .select("batch_id", "d", "bucket", "cnt")
+        )
 
-    tmp = table_dir.rstrip("/") + "__compacting"
-    if not os.path.exists(table_dir) and os.path.exists(tmp):
-        # crashed between remove and rename: the merged grid is
-        # complete in the temp sibling — finish the swap and be done
-        os.rename(tmp, table_dir)
-        return {"files_before": 0, "files_after": sum(
-            1 for f in os.listdir(table_dir) if f.endswith(".parquet")
-        )}
-    merged = read_cms_grid(spark, table_dir).withColumn("batch_id", F.lit(-1))
-    shutil.rmtree(tmp, ignore_errors=True)
-    merged.select("batch_id", "d", "bucket", "cnt").write.parquet(tmp)
-    n_before = sum(1 for f in os.listdir(table_dir) if f.endswith(".parquet"))
-    shutil.rmtree(table_dir)
-    os.rename(tmp, table_dir)
-    n_after = sum(1 for f in os.listdir(table_dir) if f.endswith(".parquet"))
-    return {"files_before": n_before, "files_after": n_after}
+    return compact_state_log(spark, table_dir, merge)

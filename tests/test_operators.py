@@ -976,3 +976,97 @@ def test_compact_state_log_for_fingerprints_and_bands(spark, tmp_path):
     # full replay after compaction: everything still suppressed
     assert incremental_dedup(spark, docs, fps, append_fingerprints=False).count() == 0
     assert incremental_neardup(spark, docs, bands, append_state=False).count() == 0
+
+
+def test_neardup_kernel_drops_zero_norm_like_oracle(spark):
+    """Degenerate zero-norm embeddings: the numpy kernels produce NaN
+    cosine and drop the pair — exactly what the DuckDB oracle does
+    (0/0 -> NULL there, which fails the >= tau predicate). This pins
+    the kernel/oracle agreement; the Spark-SQL twin is NOT part of the
+    contract for degenerate inputs (ANSI mode raises DIVIDE_BY_ZERO)."""
+    import duckdb
+    import pandas as pd
+
+    from etl_service_spark.operators import similarity as sim
+
+    dim = 64
+    rows = [
+        (0, [0.0] * dim),              # zero norm
+        (1, [0.1] * dim),
+        (2, [0.1] * dim),              # exact dup of 1 -> cosine 1.0
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    df.createOrReplaceTempView("emb_zero_norm_probe")
+
+    got = sim.embedding_neardup_pandas(
+        spark, tau=0.4, view="emb_zero_norm_probe", n_blocks=2
+    )
+    kernel_pairs = {(r.vec_a, r.vec_b) for r in got.collect()}
+
+    con = duckdb.connect()
+    con.register(
+        "emb_zero_norm_probe",
+        pd.DataFrame({"vec_id": [0, 1, 2], "embedding": [r[1] for r in rows]}),
+    )
+    duck_sql = sim.embedding_neardup_sql(0.4, view="emb_zero_norm_probe")[1]
+    duck_pairs = {(a, b) for a, b, _cos in con.execute(duck_sql).fetchall()}
+
+    assert kernel_pairs == duck_pairs
+    assert (1, 2) in kernel_pairs
+    assert not any(0 in p for p in kernel_pairs)  # zero-norm pairs dropped
+
+    # semantic dedup's kernel follows the same rule: cluster assignment
+    # still succeeds (distances are integer), zero-norm pairs never
+    # survive the cosine gate
+    sd = sim.semantic_dedup_staged(spark, k=2, view="emb_zero_norm_probe", n_blocks=2)
+    assert not any(r.vec_id == 0 or r.kept_id == 0 for r in sd.collect())
+
+
+def test_compact_state_log_converges_after_crash_windows(spark, tmp_path):
+    """The compaction swap never deletes the live log in place; every
+    crash window converges on re-run with the complete state. Simulates
+    the two windows the rename-aside protocol introduces."""
+    import os
+    import shutil
+
+    from etl_service_spark.operators.copy import compact_state_log
+
+    d = str(tmp_path / "log")
+    spark.range(100).selectExpr("id % 10 AS k", "id AS v").write.parquet(d)
+
+    def merge(df):
+        return df.dropDuplicates(["k"])
+
+    tmp, old = d + "__compacting", d + "__replaced"
+    # window A: crashed between rename-aside and rename-into-place —
+    # live dir is GONE, merged state complete in the temp sibling
+    spark.read.parquet(d).dropDuplicates(["k"]).write.parquet(tmp)
+    os.rename(d, old)
+    compact_state_log(spark, d, merge)
+    assert spark.read.parquet(d).select("k").distinct().count() == 10
+    assert not os.path.exists(old) and not os.path.exists(tmp)
+
+    # window B: crashed after the swap, set-aside copy left behind —
+    # live dir is already the merged state
+    shutil.copytree(d, old)
+    compact_state_log(spark, d, merge)
+    assert spark.read.parquet(d).select("k").distinct().count() == 10
+    assert not os.path.exists(old) and not os.path.exists(tmp)
+
+
+def test_expire_partitions_decodes_escaped_values(spark, tmp_path):
+    """Partition values with escapable characters: Spark writes
+    percent-encoded directory names ('2024/01' -> '2024%2F01'); the
+    retention policy speaks raw values, and a kept partition must
+    never be deleted because of the encoding mismatch."""
+    from etl_service_spark.operators.copy import expire_partitions
+
+    d = str(tmp_path / "t")
+    df = spark.createDataFrame([("2024/01", 1), ("2024/02", 2)], "sl string, v int")
+    df.write.partitionBy("sl").parquet(d)
+
+    stats = expire_partitions(spark, d, "sl", keep={"2024/01"})
+    assert stats["kept"] == ["2024/01"]
+    assert stats["dropped"] == ["2024/02"]
+    kept = spark.read.option("basePath", d).parquet(d)
+    assert [r.sl for r in kept.select("sl").collect()] == ["2024/01"]

@@ -34,7 +34,7 @@ from pyspark.sql import functions as F  # noqa: E402
 from etl_service_spark.operators import skew  # noqa: E402
 from etl_service_spark.session import get_spark  # noqa: E402
 
-HOT_FRAC = 0.3  # the hub key's share of all rows
+HOT_FRAC = 0.3  # requested hub share; realized share is 1/int(1/HOT_FRAC)
 TAIL_KEYS = 100_000
 REPEATS = 3
 
@@ -101,7 +101,7 @@ def main() -> None:
     agg_plain()  # warm the JVM/codegen once
     out = {
         "n_rows": n_rows,
-        "hot_frac": HOT_FRAC,
+        "hot_frac": round(1 / int(1 / HOT_FRAC), 4),  # realized share (1/3), not the requested 0.3
         "agg_unsalted_sec": _time(agg_plain),
         "agg_salted_sec": _time(agg_salted),
         "join_unsalted_sec": _time(join_plain),
