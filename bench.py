@@ -46,6 +46,7 @@ HEADLINERS = [
     "etl_copy_timesliced",
     "etl_copy_align_audit",
     "dim_scd2_merge",
+    "dim_scd2_pit_lookup",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",

@@ -129,3 +129,58 @@ SELECT u.custkey, u.acctbal_cents, '{V1}', NULL
 FROM updates u
 WHERE u.custkey % 7 = 0 OR u.custkey >= 90000000
 """
+
+
+def scd2_pit_lookup(spark, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension lookup — the query SCD2 history exists
+    FOR: join each fact row to the dimension version in effect at its
+    event time (valid_from <= t < valid_to, open version = NULL
+    valid_to). Facts = orders probing two dates that straddle the
+    scd2_customers merge boundary, so March probes must resolve to the
+    ORIGINAL balance of the %7-changed keys (their later version is
+    invisible at that time) and September probes to the updated one.
+
+    Scale shape: the join is EQUI on the dimension key — the range
+    predicate is a residual filter over that key's few versions, never
+    a pair blowup (versions-per-key is bounded by change frequency, not
+    corpus size). Output is aggregated per (probe_date, version) so the
+    oracle is a full value check. Reference parity: the reference's
+    destructive truncate-and-fill loads (CommandExecuter.cs) have no
+    history to probe; this is the standard warehouse companion of D1's
+    dimension copy."""
+    dim = scd2_customers(spark, sf_dir)
+    probes = spark.table("orders").select(
+        F.col("o_custkey").alias("custkey"),
+        F.when(F.col("o_orderkey") % 2 == 0, F.lit("2025-03-01"))
+        .otherwise(F.lit("2025-09-01"))
+        .alias("probe_date"),
+    )
+    j = probes.join(dim, "custkey").filter(
+        (F.col("valid_from") <= F.col("probe_date"))
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > F.col("probe_date")))
+    )
+    return j.groupBy("probe_date", "valid_from").agg(
+        F.count("*").alias("n_lookups"),
+        F.sum("acctbal_cents").alias("sum_cents"),
+    )
+
+
+def scd2_pit_oracle_sql() -> str:
+    """DuckDB twin: the scd2 merge oracle as a nested-WITH subquery +
+    the same equi-join with residual range predicate."""
+    return f"""
+WITH dim AS ({scd2_oracle_sql()}),
+probes AS (
+  SELECT o_custkey AS custkey,
+         CASE WHEN o_orderkey % 2 = 0 THEN '2025-03-01'
+              ELSE '2025-09-01' END AS probe_date
+  FROM orders
+)
+SELECT p.probe_date, d.valid_from,
+       COUNT(*) AS n_lookups,
+       CAST(SUM(d.acctbal_cents) AS BIGINT) AS sum_cents
+FROM probes p JOIN dim d ON d.custkey = p.custkey
+WHERE d.valid_from <= p.probe_date
+  AND (d.valid_to IS NULL OR d.valid_to > p.probe_date)
+GROUP BY p.probe_date, d.valid_from
+"""

@@ -1770,6 +1770,14 @@ def registry() -> dict[str, Case]:
     from ..operators import scd as _scd
 
     cases["dim_scd2_merge"] = Case(_q_scd2, _scd.scd2_oracle_sql())
+
+    def _q_scd2_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from ..operators import scd
+
+        views(spark, sf_dir)
+        return scd.scd2_pit_lookup(spark, sf_dir)
+
+    cases["dim_scd2_pit_lookup"] = Case(_q_scd2_pit, _scd.scd2_pit_oracle_sql())
     cases["events_value_time_corr"] = _bi_case(
         EVENTS_CORR_TEMPLATE, ts_us=TS_US, idiv=("DIV", "//")
     )

@@ -28,6 +28,12 @@ STAGED_FAMILIES = [
     "ann_ivf_topk",
     "ann_lsh_bucketed",
     "corpus_training_pipeline",
+    "text_bigram_lm_score",
+    "dedup_chunk_exact",
+    "emb_pq_codes",
+    "ann_pq_adc_topk",
+    "basket_brand_pairs",
+    "dedup_best_keeper",
 ]
 
 
