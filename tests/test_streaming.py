@@ -943,3 +943,71 @@ def test_cms_compaction_recovers_from_crash_between_remove_and_rename(spark, sf_
     compact_cms_log(spark, table)  # recovery path
     after = {(r["d"], r["bucket"]): r["cnt"] for r in read_cms_grid(spark, table).collect()}
     assert after == before
+
+
+def test_scd2_stream_matches_sequential_merges_and_time_travels(spark, tmp_path):
+    """Streaming SCD2 maintenance: two update drops folded through
+    foreachBatch must equal the sequential batch merges, and the
+    snapshot layer must expose the post-batch-1 history as version 1
+    (the dimension's own history is time-travelable)."""
+    import os
+
+    from etl_service_spark.operators.scd import scd2_merge
+    from etl_service_spark.sources import snapshots
+    from etl_service_spark.streaming.dim_stream import (
+        _empty_history,
+        run_scd2_maintenance,
+    )
+
+    landing = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+    table = str(tmp_path / "dim")
+    os.makedirs(landing)
+
+    b1 = spark.createDataFrame([(1, 10), (2, 20)], "k bigint, v bigint")
+    b2 = spark.createDataFrame([(1, 10), (2, 99), (3, 30)], "k bigint, v bigint")
+    ts = lambda bid: f"2025-0{bid + 1}-01"  # noqa: E731
+
+    def drain():
+        stream = spark.readStream.schema("k bigint, v bigint").parquet(landing)
+        run_scd2_maintenance(stream, ckpt, table, "k", ["v"], ts)
+
+    b1.write.mode("append").parquet(landing)
+    drain()
+    b2.write.mode("append").parquet(landing)
+    drain()
+
+    def rows(df):
+        return {tuple(r) for r in df.select("k", "v", "valid_from", "valid_to").collect()}
+
+    expect1 = scd2_merge(_empty_history(spark, b1), b1, "k", ["v"], ts(0))
+    expect2 = scd2_merge(expect1, b2, "k", ["v"], ts(1))
+    assert rows(snapshots.read_snapshot(spark, table)) == rows(expect2)
+    assert snapshots.list_versions(table) == [1, 2]
+    assert rows(snapshots.read_snapshot(spark, table, version=1)) == rows(expect1)
+    # the %-changed key carries a closed + an open version
+    final = rows(snapshots.read_snapshot(spark, table))
+    assert (2, 20, "2025-01-01", "2025-02-01") in final
+    assert (2, 99, "2025-02-01", None) in final
+
+
+def test_scd2_stream_replay_is_idempotent(spark, tmp_path):
+    """Crash/replay contract: re-merging an already-applied batch with
+    the SAME batch ts finds no tracked change and publishes an equal
+    history — at-least-once processing converges."""
+    from etl_service_spark.sources import snapshots
+    from etl_service_spark.streaming.dim_stream import merge_batch_into_history
+
+    table = str(tmp_path / "dim")
+    b = spark.createDataFrame([(1, 10), (2, 20)], "k bigint, v bigint")
+    v1 = merge_batch_into_history(b, table, "k", ["v"], "2025-01-01")
+    v2 = merge_batch_into_history(b, table, "k", ["v"], "2025-01-01")  # replay
+    assert [v1, v2] == [1, 2]
+
+    def rows(v):
+        return {
+            tuple(r)
+            for r in snapshots.read_snapshot(spark, table, version=v).collect()
+        }
+
+    assert rows(1) == rows(2)
