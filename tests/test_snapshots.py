@@ -86,3 +86,51 @@ def test_manifest_rows_match_data(spark, table):
     manifest = json.load(open(os.path.join(d, "v000002.manifest.json")))
     assert manifest["rows"] == 4
     assert S.read_snapshot(spark, d).count() == 4
+
+
+from hypothesis import given, settings, strategies as st
+
+# model-based: a random sequence of append/overwrite/expire commits,
+# checked against a pure-Python model of version -> row multiset.
+OP = st.one_of(
+    st.tuples(st.just("append"), st.lists(st.integers(0, 50), min_size=1, max_size=5)),
+    st.tuples(st.just("overwrite"), st.lists(st.integers(0, 50), min_size=1, max_size=5)),
+    st.tuples(st.just("expire"), st.integers(1, 3)),
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(OP, min_size=1, max_size=8))
+def test_snapshot_layer_matches_model(spark, tmp_path_factory, ops):
+    import collections
+
+    tmp = tmp_path_factory.mktemp("snapmodel")
+    d = str(tmp / "tbl")
+    model: dict[int, "collections.Counter"] = {}  # version -> row multiset
+    live: "collections.Counter" = collections.Counter()
+    nxt = 1
+    for op, arg in ops:
+        if op == "append":
+            live = live + collections.Counter(arg)
+            df = spark.createDataFrame([(i,) for i in arg], "id bigint")
+            assert S.commit_append(df, d) == nxt
+            model[nxt] = collections.Counter(live)
+            nxt += 1
+        elif op == "overwrite":
+            live = collections.Counter(arg)
+            df = spark.createDataFrame([(i,) for i in arg], "id bigint")
+            assert S.commit_overwrite(df, d) == nxt
+            model[nxt] = collections.Counter(live)
+            nxt += 1
+        else:  # expire keep_last=arg
+            if not model:
+                continue
+            S.expire_snapshots(d, keep_last=arg)
+            keep = sorted(model)[-arg:]
+            model = {v: model[v] for v in keep}
+    assert S.list_versions(d) == sorted(model)
+    for v, expect in model.items():
+        got = collections.Counter(
+            r.id for r in S.read_snapshot(spark, d, version=v).collect()
+        )
+        assert got == expect, f"version {v}"
