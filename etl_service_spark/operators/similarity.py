@@ -891,10 +891,17 @@ def semantic_dedup_staged(
     import numpy as np
     import pandas as pd
 
-    cte, _cent, assign = _kmeans_chain(_KM_SPARK_ELEM, _KM_SPARK_DIMS, k, iters, view)
-    assign_df = spark.sql(
-        "WITH " + ",\n".join(cte) + f"\nSELECT vec_id, j FROM {assign}"
-    )
+    def _assignment():
+        cte, _cent, assign = _kmeans_chain(
+            _KM_SPARK_ELEM, _KM_SPARK_DIMS, k, iters, view
+        )
+        return spark.sql("WITH " + ",\n".join(cte) + f"\nSELECT vec_id, j FROM {assign}")
+
+    # standard memoized stage: the unrolled Lloyd chain runs once per
+    # (session, params, files); repeats and other consumers read the
+    # staged (vec_id, j) relation
+    assign_rel = _stage_view(spark, _assignment, "km_assign", view, (k, iters))
+    assign_df = spark.table(assign_rel)
 
     emb = spark.table(view).select("vec_id", "embedding")
     if n_blocks is None:
