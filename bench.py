@@ -117,6 +117,7 @@ HEADLINERS = [
     "events_hopping_window",
     "events_user_rate_cap",
     "privacy_l_diversity",
+    "privacy_scrub_pii",
     "corpus_shard_plan",
     "dedup_best_keeper",
     "dedup_semantic",

@@ -2590,6 +2590,53 @@ FROM documents
         ),
     )
 
+    # --- span-level PII scrubbing with an oracle: the synthetic corpus
+    # carries no PII, so the case INJECTS it deterministically (email +
+    # phone + IPv4 derived from doc_id, appended in SQL) and then runs
+    # the JVM scrubber (profile.scrub_pii — regexp chain, one map-side
+    # projection, no shuffle). The oracle replays the injection and the
+    # same pattern chain with DuckDB's RE2 ('g' flag; counts from the
+    # ORIGINAL text like the Spark op). Patterns are the RE2-safe
+    # subset by design (profile.PII_PATTERNS).
+    def _scrub_inject(cast_str: str) -> str:
+        return (
+            "concat(text, ' contact user', CAST(doc_id AS " + cast_str + "), "
+            "'@mail.example.org call +1 555-0', CAST(doc_id % 10 AS " + cast_str + "), "
+            "'23 ip 10.0.', CAST(doc_id % 250 AS " + cast_str + "), '.7')"
+        )
+
+    def _q_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+        views(spark, sf_dir)
+        injected = spark.sql(
+            f"SELECT doc_id, {_scrub_inject('STRING')} AS text FROM documents"
+        )
+        out = profile.scrub_pii(injected)
+        return out.select(
+            "doc_id",
+            F.col("n_email").cast("bigint").alias("n_email"),
+            F.col("n_phone").cast("bigint").alias("n_phone"),
+            F.col("n_ipv4").cast("bigint").alias("n_ipv4"),
+            "text_scrubbed",
+        )
+
+    _pii = profile.PII_PATTERNS
+    _SCRUB_ORACLE = f"""
+WITH inj AS (
+  SELECT doc_id, {_scrub_inject('VARCHAR')} AS text FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_pii["email"]}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(text, '{_pii["phone"]}')) AS BIGINT) AS n_phone,
+       CAST(len(regexp_extract_all(text, '{_pii["ipv4"]}')) AS BIGINT) AS n_ipv4,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(text, '{_pii["email"]}', '<EMAIL>', 'g'),
+           '{_pii["phone"]}', '<PHONE>', 'g'),
+         '{_pii["ipv4"]}', '<IPV4>', 'g') AS text_scrubbed
+FROM inj
+"""
+    cases["privacy_scrub_pii"] = Case(_q_scrub_pii, _SCRUB_ORACLE)
+
     # --- Gopher-style repetition quality (text family). Spark side:
     # per-doc metrics are a pure function of one document → single
     # zero-shuffle Arrow pass (repetition_quality_staged); the
