@@ -123,6 +123,7 @@ HEADLINERS = [
     "dedup_semantic",
     "text_sentence_split",
     "ann_recall_report",
+    "dedup_lsh_recall_report",
     "text_langid_confusion",
     "corpus_resample_plan",
     "corpus_length_histogram",
