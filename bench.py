@@ -52,6 +52,7 @@ HEADLINERS = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_cluster_components",
+    "dedup_cluster_twophase",
     "graph_pagerank",
     "sketch_kmv_distinct",
     "sketch_cms_heavy_hitters",

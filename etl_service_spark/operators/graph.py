@@ -73,6 +73,85 @@ def connected_components(
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
+def connected_components_twophase(
+    edges: DataFrame, src: str = "doc_a", dst: str = "doc_b", max_rounds: int = 30
+) -> DataFrame:
+    """Alternating large-star / small-star contraction (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14) — the
+    scale path next to :func:`connected_components`'s label
+    propagation. Propagation needs O(diameter) rounds: fine for dup
+    graphs (near-cliques), quadratic-wall for chain-shaped components
+    (A≈B≈C≈... transitive near-dups), where diameter grows with the
+    chain. Star contraction converges in O(log n) rounds on ANY shape:
+
+    - large-star: every node points its LARGER neighbors at the
+      minimum of its neighborhood (keeps the component's min reachable
+      while halving long paths);
+    - small-star: every node folds its smaller-or-equal neighbors onto
+      that minimum (builds the star).
+
+    Each phase is one groupBy(min) + one join — the same shuffle
+    primitives as a word count, no per-round growth. Convergence probe:
+    the per-node min-neighbor label sum, monotone non-increasing with
+    equality exactly at the fixpoint (same argument as label
+    propagation's probe). Returns the identical (doc_id, cluster_id =
+    component min) relation — result-equality with the propagation
+    path is pinned by tests."""
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).filter(
+        F.col("u") != F.col("v")
+    ).distinct()
+
+    def _min_nbr(sym: DataFrame) -> DataFrame:
+        return (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least(F.col("mn"), F.col("u")).alias("m"))
+        )
+
+    def _sym(e: DataFrame) -> DataFrame:
+        return e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+
+    labels = _min_nbr(_sym(e)).localCheckpoint(eager=True)
+    total = labels.agg(F.sum("m")).collect()[0][0]
+
+    for _ in range(max_rounds):
+        # large-star: per node u, attach strictly-larger neighbors to
+        # m(u) = min(N(u) ∪ {u})
+        sym = _sym(e)
+        m = _min_nbr(sym)
+        large = (
+            sym.filter(F.col("v") > F.col("u"))
+            .join(m, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star: orient each edge toward its larger endpoint, then
+        # fold the smaller neighbors (and u itself) onto the minimum
+        oriented = large.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        m2 = (
+            oriented.groupBy("u")
+            .agg(F.min("v").alias("m"))
+        )
+        small = (
+            oriented.join(m2, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(m2.select("u", F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        e = small.localCheckpoint(eager=True)
+        labels = _min_nbr(_sym(e))
+        new_total = labels.agg(F.sum("m")).collect()[0][0]
+        if new_total == total:
+            break
+        total = new_total
+
+    return labels.select(F.col("u").alias("doc_id"), F.col("m").alias("cluster_id"))
+
+
 # (session id, tau, fingerprint files) -> staged pairs view. In a real
 # pipeline the near-dup pair list is written to a staging table once
 # and clustering reads it from there; recomputing the PPJoin per

@@ -2082,6 +2082,23 @@ FROM j
         _dup_clusters, graph.dup_clusters_oracle_sql()
     )
 
+    # ---- the O(log n)-round scale path for the same clustering:
+    # alternating large-star/small-star contraction over the SAME
+    # staged pair relation, checked against the SAME recursive-CTE
+    # oracle — label propagation (above) pays O(diameter) rounds, which
+    # a chain-shaped component (transitive near-dups) turns into a
+    # wall; star contraction does not care about shape.
+    def _dup_clusters_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+        views(spark, sf_dir)
+        from ..operators.dedup import ngram_jaccard_staged
+
+        pairs = ngram_jaccard_staged(spark, tau=0.8)
+        return graph.connected_components_twophase(pairs)
+
+    cases["dedup_cluster_twophase"] = Case(
+        _dup_clusters_twophase, graph.dup_clusters_oracle_sql()
+    )
+
     # ---- keeper election by QUALITY: per near-dup cluster keep the
     # highest-quality member (production curation policy; the training
     # pipeline's min-doc_id keeper is the reproducibility-first

@@ -1070,3 +1070,26 @@ def test_expire_partitions_decodes_escaped_values(spark, tmp_path):
     assert stats["dropped"] == ["2024/02"]
     kept = spark.read.option("basePath", d).parquet(d)
     assert [r.sl for r in kept.select("sl").collect()] == ["2024/01"]
+
+
+def test_twophase_cc_matches_propagation_on_chain(spark):
+    """Star contraction must equal label propagation on every shape,
+    including the long chain where propagation's O(diameter) rounds is
+    the scale wall the two-phase variant exists to remove."""
+    import random
+
+    from etl_service_spark.operators.graph import (
+        connected_components,
+        connected_components_twophase,
+    )
+
+    random.seed(11)
+    edges = [(random.randrange(200), random.randrange(200)) for _ in range(120)]
+    edges += [(1000 + i, 1000 + i + 1) for i in range(150)]  # chain: diameter 150
+    df = spark.createDataFrame(
+        [(a, b) for a, b in edges if a != b], "doc_a bigint, doc_b bigint"
+    )
+    prop = {(r.doc_id, r.cluster_id) for r in connected_components(df, max_rounds=200).collect()}
+    star = {(r.doc_id, r.cluster_id) for r in connected_components_twophase(df).collect()}
+    assert prop == star
+    assert {c for d, c in star if d >= 1000} == {1000}  # chain is ONE cluster
