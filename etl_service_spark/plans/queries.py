@@ -2309,6 +2309,42 @@ FROM documents WHERE doc_id % 3 IN (0, 1) GROUP BY source
 """,
     )
 
+    # Change-data-capture between two committed versions: rows added
+    # and removed across the v2 -> v3 overwrite, as two anti-joins over
+    # the manifest-pinned file sets (no log replay needed — versions
+    # are full snapshots, so the delta is a set difference). The
+    # per-source aggregate oracle recomputes both sides from the
+    # documents thirds.
+    def _snap_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from ..sources import snapshots as S
+
+        _snap_time_travel(spark, sf_dir)  # ensure the 3 commits exist
+        path = _JSONL_STAGE[("snap_table", id(spark), sf_dir)]
+        old = S.read_snapshot(spark, path, version=2)
+        new = S.read_snapshot(spark, path, version=3)
+        added = new.join(old.select("doc_id"), "doc_id", "left_anti").select(
+            "source", F.lit("added").alias("change")
+        )
+        removed = old.join(new.select("doc_id"), "doc_id", "left_anti").select(
+            "source", F.lit("removed").alias("change")
+        )
+        return (
+            added.unionByName(removed)
+            .groupBy("source", "change")
+            .agg(F.count("*").alias("n_docs"))
+        )
+
+    cases["snap_version_diff"] = Case(
+        _snap_version_diff,
+        """
+SELECT source, 'added' AS change, COUNT(*) AS n_docs
+FROM documents WHERE doc_id % 3 = 2 GROUP BY source
+UNION ALL
+SELECT source, 'removed', COUNT(*)
+FROM documents WHERE doc_id % 3 IN (0, 1) GROUP BY source
+""",
+    )
+
     # Sentence splitting as a Spark 4 Python UDTF (functions/udtf.py):
     # per-row 1→N fan-out callable from SQL via LATERAL — scan →
     # generate, zero shuffle; Arrow-batched transfer. The oracle
