@@ -1,0 +1,142 @@
+#!/usr/bin/env python
+"""Mechanical anti-pattern audit over every headline query's EXECUTED
+plan — the automated version of eyeballing PLANS.md. Flags the shapes
+that break at 100 TB:
+
+- CartesianProduct / BroadcastNestedLoopJoin with a non-trivial build
+  side (an unkeyed pair blowup; the only sanctioned instance is a
+  broadcast of a literal/1-row relation);
+- BatchEvalPython (row-at-a-time Python UDF — everything Python-side
+  must be Arrow-batched: ArrowEvalPython / mapInPandas / applyInPandas
+  / UDTF);
+- parquet scans of the big fact tables (lineitem/orders/events)
+  reading every column (no projection reached the scan).
+
+Exit 1 with one line per violation; a clean run prints the audit
+summary. Run after plan-affecting changes and before record refreshes:
+    python tools/plan_audit.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from bench import HEADLINERS  # noqa: E402
+from etl_service_spark.functions import portable as P  # noqa: E402
+from etl_service_spark.plans.queries import registry, views  # noqa: E402
+from etl_service_spark.session import get_spark  # noqa: E402
+
+# fact tables whose full-width scan is never right; widths are read
+# from the live schema so the audit tracks the testdata layout
+FACTS = ("lineitem", "orders", "events")
+FULL_WIDTH: dict[str, int] = {}
+
+def _marker_col(line: str) -> int | None:
+    """Column of this line's tree marker (':-' or '+-'), or None for
+    non-node lines."""
+    m = re.search(r"[:+]- ", line)
+    return m.start() if m else None
+
+
+def _broadcast_build_subtrees(plan: str) -> list[str]:
+    """The subtree under each BroadcastExchange that feeds a
+    BroadcastNestedLoopJoin — the build side whose size decides whether
+    the nested loop is a bounded expand or a pair blowup."""
+    lines = plan.splitlines()
+    out = []
+    for i, line in enumerate(lines):
+        if "BroadcastExchange" not in line:
+            continue
+        col = _marker_col(line)
+        if col is None:
+            continue
+        # owning join = nearest preceding node line at a strictly
+        # smaller marker column (the direct parent); a no-marker line
+        # is the plan root
+        owner = None
+        for j in range(i - 1, -1, -1):
+            c = _marker_col(lines[j])
+            if c is None and lines[j].strip() and not lines[j].startswith(" "):
+                owner = lines[j]
+                break
+            if c is not None and c < col:
+                owner = lines[j]
+                break
+        if owner is None or "BroadcastNestedLoopJoin" not in owner:
+            continue
+        sub = [line]
+        for k in range(i + 1, len(lines)):
+            c = _marker_col(lines[k])
+            if c is not None and c <= col:
+                break
+            sub.append(lines[k])
+        out.append("\n".join(sub))
+    return out
+
+
+def _bounded(subtree: str) -> bool:
+    """A broadcast build side is bounded iff it scans no table files
+    (literal Range/Union/LocalTableScan) or reduces whatever it scans
+    through a GLOBAL aggregate (keys=[] -> exactly one row)."""
+    if "Scan parquet" not in subtree and "FileScan" not in subtree:
+        return True
+    return "HashAggregate(keys=[]" in subtree
+
+
+def audit_one(name: str, plan: str) -> list[str]:
+    bad = []
+    if "CartesianProduct" in plan:
+        bad.append(f"{name}: CartesianProduct in executed plan")
+    for sub in _broadcast_build_subtrees(plan):
+        if not _bounded(sub):
+            bad.append(
+                f"{name}: BroadcastNestedLoopJoin with unbounded build side "
+                f"({sub.splitlines()[0][:70]}...)"
+            )
+    if "BatchEvalPython" in plan:
+        bad.append(f"{name}: row-at-a-time BatchEvalPython (non-Arrow UDF)")
+    for fact in FACTS:
+        for m in re.finditer(
+            rf"FileScan parquet \[([^\]]*)\][^\n]*{fact}\.parquet", plan
+        ):
+            ncols = len([c for c in m.group(1).split(",") if c.strip()])
+            if ncols >= FULL_WIDTH[fact]:
+                bad.append(
+                    f"{name}: full-width {fact} scan ({ncols} cols — projection "
+                    "did not reach the scan)"
+                )
+    return bad
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark("plan_audit")
+    cases = registry()
+    views(spark, sf_dir)
+    P.warm_udfs(spark)
+    for fact in FACTS:
+        FULL_WIDTH[fact] = len(spark.table(fact).columns)
+    violations: list[str] = []
+    for name in HEADLINERS:
+        df = cases[name].spark(spark, sf_dir)
+        # executedPlan without running AQE re-plan; good enough for the
+        # static anti-patterns this audit targets
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        violations.extend(audit_one(name, plan))
+    spark.stop()
+    if violations:
+        print(f"PLAN AUDIT: {len(violations)} violation(s)")
+        for v in violations:
+            print("  " + v)
+        return 1
+    print(f"plan audit clean: {len(HEADLINERS)} headline queries, 0 anti-patterns")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
