@@ -1093,3 +1093,36 @@ def test_twophase_cc_matches_propagation_on_chain(spark):
     star = {(r.doc_id, r.cluster_id) for r in connected_components_twophase(df).collect()}
     assert prop == star
     assert {c for d, c in star if d >= 1000} == {1000}  # chain is ONE cluster
+
+
+def test_driver_order_invariants():
+    """The registry reordering is pure and total: same key set, the
+    never-sampled priority tier leads in its declared order, every
+    other pending entry precedes every driver-verified one."""
+    from etl_service_spark.plans.queries import (
+        _DRIVER_VERIFIED,
+        _PRIORITY_PENDING,
+        registry,
+    )
+
+    names = list(registry())
+    assert len(names) == len(set(names))
+    prio = [n for n in _PRIORITY_PENDING if n in names]
+    assert names[: len(prio)] == prio
+    first_verified = min(
+        (names.index(n) for n in names if n in _DRIVER_VERIFIED), default=len(names)
+    )
+    for n in names[first_verified:]:
+        assert n in _DRIVER_VERIFIED, f"pending {n} sorted after a verified entry"
+
+
+def test_stage_name_is_content_addressed():
+    """Same staging inputs -> same name (cross-process path sharing);
+    different inputs -> different name (no counter collisions)."""
+    from etl_service_spark.functions.portable import stage_name
+
+    a = stage_name("tokens_documents", ("x", ("f1", "f2"), ""))
+    assert a == stage_name("tokens_documents", ("x", ("f1", "f2"), ""))
+    assert a != stage_name("tokens_documents", ("x", ("f1", "f3"), ""))
+    assert a != stage_name("bigrams_documents", ("x", ("f1", "f2"), ""))
+    assert a.startswith("__tokens_documents_") and len(a) <= 64
