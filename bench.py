@@ -125,6 +125,8 @@ HEADLINERS = [
     "text_sentence_split",
     "ann_recall_report",
     "dedup_lsh_recall_report",
+    "dedup_strategy_sweep",
+    "events_variant_extract",
     "text_langid_confusion",
     "corpus_resample_plan",
     "corpus_length_histogram",

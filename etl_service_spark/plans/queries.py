@@ -1953,6 +1953,30 @@ GROUP BY w.week_idx, w.wau
         ),
     )
 
+    # Same semantics through Spark 4's VARIANT type: parse once into
+    # the binary semi-structured encoding, then typed path extraction —
+    # the engine-native path for JSON-heavy event streams (one parse,
+    # no per-access string re-scan; shredding-ready at rest). Oracle is
+    # DuckDB's JSON extraction — identical values, so this pins
+    # VARIANT extraction semantics against an independent engine.
+    _VARIANT_SPARK = """
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(SUM(variant_get(parse_json(props), '$.k', 'int')) AS BIGINT) AS sum_k,
+       MIN(variant_get(parse_json(props), '$.k', 'int')) AS min_k,
+       MAX(variant_get(parse_json(props), '$.k', 'int')) AS max_k
+FROM events WHERE props IS NOT NULL
+GROUP BY event_type
+"""
+    _VARIANT_DUCK = """
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+       MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+FROM events WHERE props IS NOT NULL
+GROUP BY event_type
+"""
+    cases["events_variant_extract"] = _sql_case(_VARIANT_SPARK, _VARIANT_DUCK)
+
     # --- text analysis
     cases["text_token_stats"] = _text_case(textops.token_stats, textops.oracle_token_stats)
     # quality: zero-shuffle Arrow kernel replaying the oracle's exact FP
@@ -2098,6 +2122,73 @@ FROM j
     cases["dedup_cluster_twophase"] = Case(
         _dup_clusters_twophase, graph.dup_clusters_oracle_sql()
     )
+
+    # ---- cross-strategy dedup sweep: how many documents each dedup
+    # strategy flags for removal, one row per strategy — the planning
+    # report a curation run starts from ("what does each knob cost in
+    # docs before I commit to one"). Pure composition: all six numbers
+    # come off the already-staged relations, so the report adds six
+    # tiny aggregates on top of work the pipeline does anyway.
+    # Removal rules per strategy: exact/simhash = group_size - 1 per
+    # duplicate group; jaccard = nodes - components; minhash = docs
+    # with a smaller near-dup partner; chunk = docs with >= 50% of
+    # token chunks shared; semantic = pruned embedding vectors
+    # (embeddings plane, labeled as such).
+    def _dedup_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+        views(spark, sf_dir)
+
+        def one(tag: str, agg_df: DataFrame) -> DataFrame:
+            return agg_df.select(
+                F.lit(tag).alias("strategy"),
+                F.col("n").cast("bigint").alias("n_flagged"),
+            )
+
+        exact = dedup.exact_dedup_staged(spark).agg(
+            (F.sum("n_copies") - F.count("*")).alias("n")
+        )
+        clus = graph.dup_clusters(spark).agg(
+            (F.countDistinct("doc_id") - F.countDistinct("cluster_id")).alias("n")
+        )
+        mh = dedup.minhash_lsh_staged(spark).agg(F.countDistinct("doc_b").alias("n"))
+        sh = dedup.simhash_pairs_staged(spark).agg(
+            (F.sum("group_size") - F.count("*")).alias("n")
+        )
+        ck = (
+            dedup.chunk_dedup_staged(spark)
+            .filter(F.col("dup_span_ppm") >= 500000)
+            .agg(F.count("*").alias("n"))
+        )
+        sem = similarity.semantic_dedup_staged(spark).agg(F.count("*").alias("n"))
+        return (
+            one("exact", exact)
+            .union(one("jaccard_cluster", clus))
+            .union(one("minhash_pair", mh))
+            .union(one("simhash_group", sh))
+            .union(one("chunk_span", ck))
+            .union(one("semantic_embedding", sem))
+        )
+
+    _SWEEP_ORACLE = f"""
+SELECT 'exact' AS strategy, CAST(SUM(n_copies) - COUNT(*) AS BIGINT) AS n_flagged
+FROM ({dedup.exact_dedup_sql()[1].strip()})
+UNION ALL
+SELECT 'jaccard_cluster',
+       CAST(COUNT(DISTINCT doc_id) - COUNT(DISTINCT cluster_id) AS BIGINT)
+FROM ({graph.dup_clusters_oracle_sql().strip()})
+UNION ALL
+SELECT 'minhash_pair', CAST(COUNT(DISTINCT doc_b) AS BIGINT)
+FROM ({dedup.minhash_lsh_sql()[1].strip()})
+UNION ALL
+SELECT 'simhash_group', CAST(SUM(group_size) - COUNT(*) AS BIGINT)
+FROM ({dedup.simhash_pairs_sql()[1].strip()})
+UNION ALL
+SELECT 'chunk_span', CAST(COUNT(*) AS BIGINT)
+FROM ({dedup.chunk_dedup_sql()[1].strip()}) WHERE dup_span_ppm >= 500000
+UNION ALL
+SELECT 'semantic_embedding', CAST(COUNT(*) AS BIGINT)
+FROM ({similarity.semantic_dedup_sql()[1].strip()})
+"""
+    cases["dedup_strategy_sweep"] = Case(_dedup_sweep, _SWEEP_ORACLE)
 
     # ---- keeper election by QUALITY: per near-dup cluster keep the
     # highest-quality member (production curation policy; the training
