@@ -190,3 +190,45 @@ def test_report_duration_rule_matches_registry_sql_form():
         t0 = datetime(2026, 1, 1)
         py_label = duration_label(str(t0), str(t0 + timedelta(seconds=secs)))
         assert py_label == sql_label, (secs, py_label, sql_label)
+
+
+def test_build_corpus_ledger_and_idempotent_rebuild(spark, tmp_path):
+    """The materializing corpus build: every stage's removal is
+    accounted in the ledger, the published snapshot matches the ledger,
+    no benchmark/contaminated doc survives, and a rebuild publishes an
+    identical next version (time travel keeps the first)."""
+    from etl_service_spark.operators.dedup import contamination_staged
+    from etl_service_spark.plans.corpus_build import build_corpus
+    from etl_service_spark.sources import snapshots
+
+    sf_dir = "/root/testdata/sf0.01"
+    table = str(tmp_path / "corpus")
+    rep = build_corpus(spark, sf_dir, table)
+
+    # monotone ledger: each stage can only remove
+    seq = [
+        rep["n_input"],
+        rep["n_after_exact"],
+        rep["n_after_neardup"],
+        rep["n_after_decontamination"],
+        rep["n_after_quality"],
+    ]
+    assert all(a >= b for a, b in zip(seq, seq[1:])), seq
+    assert rep["n_after_neardup"] < rep["n_input"]  # the corpus has dups
+
+    cur = snapshots.read_snapshot(spark, table, rep["version"])
+    assert cur.count() == rep["n_after_quality"] == sum(rep["n_per_split"].values())
+    # holdout + decontamination actually hold
+    assert cur.filter("doc_id < 50").count() == 0
+    flagged = {
+        r.train_id for r in contamination_staged(spark).select("train_id").collect()
+    }
+    survivors = {r.doc_id for r in cur.select("doc_id").collect()}
+    assert not (flagged & survivors)
+    assert set(rep["n_per_split"]) <= {"train", "val", "test"}
+
+    rep2 = build_corpus(spark, sf_dir, table)  # rebuild
+    assert rep2["version"] == rep["version"] + 1
+    again = snapshots.read_snapshot(spark, table, rep2["version"])
+    assert {tuple(r) for r in again.collect()} == {tuple(r) for r in cur.collect()}
+    assert snapshots.list_versions(table) == [1, 2]
