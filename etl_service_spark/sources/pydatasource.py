@@ -25,8 +25,10 @@ import os
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 
@@ -48,6 +50,9 @@ class JsonLinesDataSource(DataSource):
 
     def reader(self, schema) -> "JsonLinesReader":
         return JsonLinesReader(schema, self.options)
+
+    def writer(self, schema, overwrite: bool) -> "JsonLinesWriter":
+        return JsonLinesWriter(schema, self.options, overwrite)
 
 
 class _FilePartition(InputPartition):
@@ -93,6 +98,64 @@ class JsonLinesReader(DataSourceReader):
                     continue
                 rec = json.loads(line)
                 yield tuple(conv(rec.get(name)) for name, conv in self._fields)
+
+
+class _StagedFile(WriterCommitMessage):
+    def __init__(self, staged: str, rows: int):
+        self.staged = staged
+        self.rows = rows
+
+
+class JsonLinesWriter(DataSourceWriter):
+    """Write side of the custom source — the full two-phase commit
+    protocol the DataSourceWriter API exists for: each TASK writes its
+    rows to a hidden ``.staged-*`` file (invisible to the reader's
+    dot-file filter) and returns the name as its commit message; the
+    DRIVER's ``commit`` renames every staged file into place only after
+    all tasks succeeded (and, for overwrite mode, removes the prior
+    part files first); ``abort`` deletes the staged files. A failed or
+    speculatively-duplicated task therefore never leaves a readable
+    half-written part — the same staged-files-then-publish shape as
+    sources/snapshots.py, here per write job instead of per table
+    version."""
+
+    def __init__(self, schema, options, overwrite: bool):
+        self._names = [f.name for f in schema.fields]
+        self._path = options.get("path")
+        if self._path is None:
+            raise ValueError("etl_jsonl: no path given")
+        self._overwrite = overwrite
+
+    def write(self, iterator) -> _StagedFile:
+        import uuid
+
+        os.makedirs(self._path, exist_ok=True)
+        staged = f".staged-{uuid.uuid4().hex}.jsonl"
+        n = 0
+        with open(os.path.join(self._path, staged), "w", encoding="utf-8") as fh:
+            for row in iterator:
+                rec = {k: v for k, v in zip(self._names, row)}
+                fh.write(json.dumps(rec, default=str) + "\n")
+                n += 1
+        return _StagedFile(staged, n)
+
+    def commit(self, messages) -> None:
+        if self._overwrite:
+            for f in os.listdir(self._path):
+                if f.startswith("part-") and f.endswith(".jsonl"):
+                    os.remove(os.path.join(self._path, f))
+        for m in messages:
+            os.rename(
+                os.path.join(self._path, m.staged),
+                os.path.join(self._path, "part-" + m.staged[len(".staged-"):]),
+            )
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            try:
+                os.remove(os.path.join(self._path, m.staged))
+            except FileNotFoundError:
+                pass
 
 
 class JsonLinesStreamDataSource(DataSource):

@@ -269,3 +269,44 @@ def test_binaryfile_source_reads_payload_bytes(spark, tmp_path):
     rows = df.select("path", "length", "content").collect()
     assert len(rows) == 1
     assert rows[0]["length"] == 11 and bytes(rows[0]["content"]) == b"hello spark"
+
+
+def test_python_datasource_writer_two_phase_roundtrip(spark, tmp_path):
+    """Write side of the custom source: tasks stage hidden files, the
+    driver's commit publishes them atomically; append accumulates,
+    overwrite replaces; the SAME source reads its own output back
+    value-identically."""
+    import os
+
+    from etl_service_spark.sources.pydatasource import JsonLinesDataSource
+
+    if not getattr(spark, "_etl_jsonl_registered", False):
+        spark.dataSource.register(JsonLinesDataSource)
+        spark._etl_jsonl_registered = True
+
+    d = str(tmp_path / "out")
+    df = spark.range(40).selectExpr("id AS k", "concat('row', id) AS s")
+    df.repartition(4).write.format("etl_jsonl").mode("append").save(d)
+
+    files = sorted(os.listdir(d))
+    assert all(f.startswith("part-") and f.endswith(".jsonl") for f in files)
+    assert len(files) == 4  # one published file per task
+    back = (
+        spark.read.format("etl_jsonl").option("schema", "k bigint, s string").load(d)
+    )
+    assert {(r.k, r.s) for r in back.collect()} == {
+        (i, f"row{i}") for i in range(40)
+    }
+
+    # append accumulates (re-load: the reader pins its file list at
+    # load() time, like any snapshot-isolated scan)
+    df.limit(5).write.format("etl_jsonl").mode("append").save(d)
+    assert (
+        spark.read.format("etl_jsonl").option("schema", "k bigint, s string").load(d)
+    ).count() == 45
+    # overwrite replaces every published part
+    df.limit(3).repartition(1).write.format("etl_jsonl").mode("overwrite").save(d)
+    assert (
+        spark.read.format("etl_jsonl").option("schema", "k bigint, s string").load(d)
+    ).count() == 3
+    assert not any(f.startswith(".staged-") for f in os.listdir(d))
