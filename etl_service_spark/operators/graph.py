@@ -97,9 +97,17 @@ def connected_components_twophase(
     propagation's probe). Returns the identical (doc_id, cluster_id =
     component min) relation — result-equality with the propagation
     path is pinned by tests."""
-    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).filter(
-        F.col("u") != F.col("v")
-    ).distinct()
+    raw = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    # node universe BEFORE dropping self-loops: a node whose only edge
+    # is (x, x) must still appear in the output (as its own singleton
+    # cluster), exactly like the propagation path
+    nodes0 = (
+        raw.select(F.col("u").alias("node"))
+        .union(raw.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    e = raw.filter(F.col("u") != F.col("v")).distinct()
 
     def _min_nbr(sym: DataFrame) -> DataFrame:
         return (
@@ -149,7 +157,14 @@ def connected_components_twophase(
             break
         total = new_total
 
-    return labels.select(F.col("u").alias("doc_id"), F.col("m").alias("cluster_id"))
+    out = labels.select(F.col("u").alias("doc_id"), F.col("m").alias("cluster_id"))
+    return (
+        nodes0.join(out, nodes0["node"] == out["doc_id"], "left")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.coalesce(F.col("cluster_id"), F.col("node")).alias("cluster_id"),
+        )
+    )
 
 
 # (session id, tau, fingerprint files) -> staged pairs view. In a real

@@ -45,7 +45,6 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..functions import portable as P
 from ..operators import graph, textops
 from ..sources import snapshots
 
@@ -70,21 +69,24 @@ def build_corpus(
     """Run the full build; returns the per-stage report dict and
     commits the curated corpus as the next snapshot version of
     ``table_dir``."""
-    from ..operators.dedup import contamination_staged
+    from ..operators.dedup import contamination_staged, exact_dedup_staged
     from ..plans.queries import views
 
     views(spark, sf_dir)
     docs = spark.table("documents")
     report: dict = {"sf_dir": sf_dir, "n_input": docs.count()}
 
-    # 1. exact dedup (keep min doc_id per lowercased text hash)
-    hashed = (
-        P.fan_out(docs)
-        .select("doc_id", F.lower(F.col("text")).alias("lt"))
-        .select("doc_id", P.pd_poly_hash_udf()("lt").alias("text_hash"))
+    # Each stage's survivor set is lineage-truncated (the repo's
+    # standard staging idiom) so the ledger count AND the next stage
+    # read the materialized result instead of re-executing the whole
+    # upstream chain per action.
+
+    # 1. exact dedup — the registry operator itself, keepers only
+    exact_kept = (
+        exact_dedup_staged(spark)
+        .select(F.col("keeper_id").alias("doc_id"))
+        .localCheckpoint(eager=True)
     )
-    keepers = hashed.groupBy("text_hash").agg(F.min("doc_id").alias("doc_id"))
-    exact_kept = hashed.join(keepers, ["text_hash", "doc_id"]).select("doc_id")
     report["n_after_exact"] = exact_kept.count()
 
     # 2. near-dup collapse: cluster members above tau keep the min id
@@ -92,15 +94,19 @@ def build_corpus(
     near_pruned = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
         "doc_id"
     )
-    kept = exact_kept.join(near_pruned, "doc_id", "left_anti")
+    kept = exact_kept.join(near_pruned, "doc_id", "left_anti").localCheckpoint(
+        eager=True
+    )
     report["n_after_neardup"] = kept.count()
 
     # 3. benchmark holdout + shingle-overlap decontamination
     contaminated = contamination_staged(
         spark, k_shared=k_shared, bench_max_id=bench_max_id
     ).select(F.col("train_id").alias("doc_id")).distinct()
-    kept = kept.filter(F.col("doc_id") >= bench_max_id).join(
-        contaminated, "doc_id", "left_anti"
+    kept = (
+        kept.filter(F.col("doc_id") >= bench_max_id)
+        .join(contaminated, "doc_id", "left_anti")
+        .localCheckpoint(eager=True)
     )
     report["n_after_decontamination"] = kept.count()
 
@@ -108,7 +114,11 @@ def build_corpus(
     scored = textops.quality_scores_df(docs.join(kept, "doc_id")).select(
         "doc_id", "quality"
     )
-    kept = scored.filter(F.col("quality") >= q_min).select("doc_id", "quality")
+    kept = (
+        scored.filter(F.col("quality") >= q_min)
+        .select("doc_id", "quality")
+        .localCheckpoint(eager=True)
+    )
     report["n_after_quality"] = kept.count()
 
     # 5. deterministic split + 6. one atomic snapshot commit

@@ -2371,7 +2371,10 @@ FROM ranked WHERE rk = 1
     # The oracle recomputes that state from the source table, proving
     # the overwrite neither leaked into nor destroyed the older
     # snapshot. Scan is planned from the manifest's explicit file list.
-    def _snap_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def _snap_table_path(spark: SparkSession, sf_dir: str) -> str:
+        """Memoized three-commit snapshot table (v1/v2 appends of
+        thirds 0 and 1, v3 overwrite with third 2) — the single owner
+        of the memo key, shared by the time-travel and diff cases."""
         import tempfile
 
         from ..sources import snapshots as S
@@ -2386,6 +2389,12 @@ FROM ranked WHERE rk = 1
             S.commit_append(docs.filter("doc_id % 3 = 1"), path)  # v2
             S.commit_overwrite(docs.filter("doc_id % 3 = 2"), path)  # v3
             _JSONL_STAGE[key] = path
+        return path
+
+    def _snap_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from ..sources import snapshots as S
+
+        path = _snap_table_path(spark, sf_dir)
         snap = S.read_snapshot(spark, path, version=2)
         return snap.groupBy("source").agg(
             F.count("*").alias("n_docs"),
@@ -2409,8 +2418,7 @@ FROM documents WHERE doc_id % 3 IN (0, 1) GROUP BY source
     def _snap_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         from ..sources import snapshots as S
 
-        _snap_time_travel(spark, sf_dir)  # ensure the 3 commits exist
-        path = _JSONL_STAGE[("snap_table", id(spark), sf_dir)]
+        path = _snap_table_path(spark, sf_dir)
         old = S.read_snapshot(spark, path, version=2)
         new = S.read_snapshot(spark, path, version=3)
         added = new.join(old.select("doc_id"), "doc_id", "left_anti").select(

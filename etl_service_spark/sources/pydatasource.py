@@ -140,15 +140,28 @@ class JsonLinesWriter(DataSourceWriter):
         return _StagedFile(staged, n)
 
     def commit(self, messages) -> None:
-        if self._overwrite:
-            for f in os.listdir(self._path):
-                if f.startswith("part-") and f.endswith(".jsonl"):
-                    os.remove(os.path.join(self._path, f))
+        # publish-first, remove-old-second: a crash mid-commit leaves
+        # old+new parts visible together (bounded duplicates a re-run
+        # replaces) — never the old parts deleted with the new rows
+        # still hidden (silent loss). Same loss-ordering convention as
+        # corpus_stream's curated-first write and purge_forgotten.
+        old_parts = [
+            f
+            for f in os.listdir(self._path)
+            if f.startswith("part-") and f.endswith(".jsonl")
+        ]
+        published = set()
         for m in messages:
             os.rename(
                 os.path.join(self._path, m.staged),
                 os.path.join(self._path, "part-" + m.staged[len(".staged-"):]),
             )
+            published.add("part-" + m.staged[len(".staged-"):])
+        if self._overwrite:
+            for f in old_parts:
+                if f not in published:
+                    os.remove(os.path.join(self._path, f))
+        self._sweep_orphans()
 
     def abort(self, messages) -> None:
         for m in messages:
@@ -156,6 +169,21 @@ class JsonLinesWriter(DataSourceWriter):
                 os.remove(os.path.join(self._path, m.staged))
             except FileNotFoundError:
                 pass
+        self._sweep_orphans()
+
+    def _sweep_orphans(self) -> None:
+        # failed/speculative attempts never return a commit message, so
+        # their staged files are unreachable through `messages`. Under
+        # this source's single-writer-per-directory contract (the same
+        # contract snapshots._commit documents) any .staged-* remaining
+        # at job end belongs to this job's dead attempts — sweep them
+        # so long-lived append directories don't grow invisible garbage.
+        for f in os.listdir(self._path):
+            if f.startswith(".staged-"):
+                try:
+                    os.remove(os.path.join(self._path, f))
+                except FileNotFoundError:
+                    pass
 
 
 class JsonLinesStreamDataSource(DataSource):

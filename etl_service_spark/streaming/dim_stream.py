@@ -17,10 +17,20 @@ the atomic snapshot layer (sources/snapshots.commit_overwrite):
   no tracked-attribute change, and emits the identical history — the
   re-commit publishes an equal version (at-least-once processing,
   convergent state), pinned by test_scd2_stream_replay_is_idempotent;
-- at 100 TB the per-batch cost is O(open rows + batch) — the closed
-  history passes through the merge untouched as a union branch, and the
-  full-outer join keys on the dimension key. Snapshot expiry bounds
-  metadata growth (expire_snapshots keeps the audit window you need).
+- per-batch JOIN cost is O(open rows + batch) — the closed history
+  passes through the merge untouched as a union branch and the
+  full-outer join keys on the dimension key. Per-batch PUBLISH cost,
+  however, is O(full history): commit_overwrite re-stages every row as
+  the new version's files. That full-snapshot shape is what buys the
+  per-batch audit trail, and it is the right trade while the dimension
+  is dimension-sized (even a 100M-row customer dimension is a rounding
+  error next to the fact tables). For a truly huge slowly-changing
+  table the scalable variant partitions the history by valid_from and
+  rewrites only the touched partitions per batch
+  (copy.write_copy_idempotent's dynamic partition overwrite), or
+  extends the manifest layer to reuse unchanged parent files —
+  recorded as a known limit in SCALE.md. Snapshot expiry bounds
+  metadata and storage growth either way.
 """
 
 from __future__ import annotations

@@ -1094,6 +1094,13 @@ def test_twophase_cc_matches_propagation_on_chain(spark):
     assert prop == star
     assert {c for d, c in star if d >= 1000} == {1000}  # chain is ONE cluster
 
+    # a node whose ONLY edge is a self-loop must survive as its own
+    # singleton cluster in both paths
+    loop = spark.createDataFrame([(7, 7), (8, 9)], "doc_a bigint, doc_b bigint")
+    p2 = {(r.doc_id, r.cluster_id) for r in connected_components(loop).collect()}
+    s2 = {(r.doc_id, r.cluster_id) for r in connected_components_twophase(loop).collect()}
+    assert p2 == s2 == {(7, 7), (8, 8), (9, 8)}
+
 
 def test_driver_order_invariants():
     """The registry reordering is pure and total: same key set, the
