@@ -57,6 +57,113 @@ SPLIT_EXPR = (
 )
 
 
+class _BuildContext:
+    """Mutable state threaded through the stages: the surviving doc-id
+    relation (lineage-truncated per stage — the ledger count AND the
+    next stage read materialized results, never the re-executed
+    upstream chain) plus the row ledger."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str, table_dir: str):
+        self.spark = spark
+        self.sf_dir = sf_dir
+        self.table_dir = table_dir
+        self.docs: DataFrame | None = None
+        self.kept: DataFrame | None = None
+        self.report: dict = {}
+
+
+def _stages(
+    ctx: _BuildContext,
+    q_min: float,
+    bench_max_id: int,
+    k_shared: int,
+    tau: float,
+) -> list[tuple[str, callable]]:
+    """The ordered build stages as (name, thunk) — ONE definition
+    shared by the sequential runner and the orchestrator workflow, so
+    the two execution modes cannot drift."""
+    from ..operators.dedup import contamination_staged, exact_dedup_staged
+    from ..plans.queries import views
+
+    spark = ctx.spark
+
+    def s_ingest() -> None:
+        views(spark, ctx.sf_dir)
+        ctx.docs = spark.table("documents")
+        ctx.report.update(sf_dir=ctx.sf_dir, n_input=ctx.docs.count())
+
+    def s_exact() -> None:
+        ctx.kept = (
+            exact_dedup_staged(spark)
+            .select(F.col("keeper_id").alias("doc_id"))
+            .localCheckpoint(eager=True)
+        )
+        ctx.report["n_after_exact"] = ctx.kept.count()
+
+    def s_neardup() -> None:
+        clusters = graph.dup_clusters(spark, tau=tau)
+        pruned = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
+            "doc_id"
+        )
+        ctx.kept = ctx.kept.join(pruned, "doc_id", "left_anti").localCheckpoint(
+            eager=True
+        )
+        ctx.report["n_after_neardup"] = ctx.kept.count()
+
+    def s_decontaminate() -> None:
+        contaminated = (
+            contamination_staged(spark, k_shared=k_shared, bench_max_id=bench_max_id)
+            .select(F.col("train_id").alias("doc_id"))
+            .distinct()
+        )
+        ctx.kept = (
+            ctx.kept.filter(F.col("doc_id") >= bench_max_id)
+            .join(contaminated, "doc_id", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        ctx.report["n_after_decontamination"] = ctx.kept.count()
+
+    def s_quality() -> None:
+        scored = textops.quality_scores_df(ctx.docs.join(ctx.kept, "doc_id")).select(
+            "doc_id", "quality"
+        )
+        ctx.kept = (
+            scored.filter(F.col("quality") >= q_min)
+            .select("doc_id", "quality")
+            .localCheckpoint(eager=True)
+        )
+        ctx.report["n_after_quality"] = ctx.kept.count()
+
+    def s_publish() -> None:
+        curated = (
+            ctx.docs.join(ctx.kept, "doc_id")
+            .withColumn("split", F.expr(SPLIT_EXPR))
+            .select("doc_id", "split", "quality", "lang", "source", "n_chars", "text")
+        )
+        version = snapshots.commit_overwrite(curated, ctx.table_dir)
+        ctx.report["version"] = version
+        ctx.report["n_per_split"] = {
+            r["split"]: r["n"]
+            for r in snapshots.read_snapshot(spark, ctx.table_dir, version)
+            .groupBy("split")
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        with open(
+            os.path.join(ctx.table_dir, f"report_v{version:06d}.json"), "w"
+        ) as fh:
+            json.dump(ctx.report, fh, indent=1, sort_keys=True)
+
+    return [
+        ("ingest", s_ingest),
+        ("exact_dedup", s_exact),
+        ("neardup_collapse", s_neardup),
+        ("decontaminate", s_decontaminate),
+        ("quality_gate", s_quality),
+        ("publish", s_publish),
+    ]
+
+
 def build_corpus(
     spark: SparkSession,
     sf_dir: str,
@@ -66,76 +173,59 @@ def build_corpus(
     k_shared: int = 5,
     tau: float = 0.8,
 ) -> dict:
-    """Run the full build; returns the per-stage report dict and
-    commits the curated corpus as the next snapshot version of
+    """Run the full build sequentially; returns the per-stage report
+    dict and commits the curated corpus as the next snapshot version of
     ``table_dir``."""
-    from ..operators.dedup import contamination_staged, exact_dedup_staged
-    from ..plans.queries import views
+    ctx = _BuildContext(spark, sf_dir, table_dir)
+    for _name, stage in _stages(ctx, q_min, bench_max_id, k_shared, tau):
+        stage()
+    return ctx.report
 
-    views(spark, sf_dir)
-    docs = spark.table("documents")
-    report: dict = {"sf_dir": sf_dir, "n_input": docs.count()}
 
-    # Each stage's survivor set is lineage-truncated (the repo's
-    # standard staging idiom) so the ledger count AND the next stage
-    # read the materialized result instead of re-executing the whole
-    # upstream chain per action.
+def corpus_build_workflow(
+    spark: SparkSession,
+    sf_dir: str,
+    table_dir: str,
+    q_min: float = 0.45,
+    bench_max_id: int = 50,
+    k_shared: int = 5,
+    tau: float = 0.8,
+):
+    """The same build as an ORCHESTRATOR workflow (plans/orchestrator:
+    the reference's package/realization/step machine): one package per
+    stage, chained by depends_on, publish marked exclusive with its
+    target table declared — so the corpus build runs under the same
+    admission control, table locks and run accounting as every ETL
+    workflow, and the reference-style run artifacts (runlog close-out,
+    HTML report, run graph) apply to the LLM pipeline unchanged.
 
-    # 1. exact dedup — the registry operator itself, keepers only
-    exact_kept = (
-        exact_dedup_staged(spark)
-        .select(F.col("keeper_id").alias("doc_id"))
-        .localCheckpoint(eager=True)
-    )
-    report["n_after_exact"] = exact_kept.count()
+    Returns (Workflow, ctx) — run with Orchestrator().run(wf); the
+    ledger lands in ctx.report exactly as build_corpus produces it
+    (same stage closures, by construction)."""
+    from .orchestrator import Package, Realization, Step, Workflow
 
-    # 2. near-dup collapse: cluster members above tau keep the min id
-    clusters = graph.dup_clusters(spark, tau=tau)
-    near_pruned = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
-        "doc_id"
-    )
-    kept = exact_kept.join(near_pruned, "doc_id", "left_anti").localCheckpoint(
-        eager=True
-    )
-    report["n_after_neardup"] = kept.count()
-
-    # 3. benchmark holdout + shingle-overlap decontamination
-    contaminated = contamination_staged(
-        spark, k_shared=k_shared, bench_max_id=bench_max_id
-    ).select(F.col("train_id").alias("doc_id")).distinct()
-    kept = (
-        kept.filter(F.col("doc_id") >= bench_max_id)
-        .join(contaminated, "doc_id", "left_anti")
-        .localCheckpoint(eager=True)
-    )
-    report["n_after_decontamination"] = kept.count()
-
-    # 4. quality gate over the surviving docs only
-    scored = textops.quality_scores_df(docs.join(kept, "doc_id")).select(
-        "doc_id", "quality"
-    )
-    kept = (
-        scored.filter(F.col("quality") >= q_min)
-        .select("doc_id", "quality")
-        .localCheckpoint(eager=True)
-    )
-    report["n_after_quality"] = kept.count()
-
-    # 5. deterministic split + 6. one atomic snapshot commit
-    curated = (
-        docs.join(kept, "doc_id")
-        .withColumn("split", F.expr(SPLIT_EXPR))
-        .select("doc_id", "split", "quality", "lang", "source", "n_chars", "text")
-    )
-    version = snapshots.commit_overwrite(curated, table_dir)
-    report["version"] = version
-    report["n_per_split"] = {
-        r["split"]: r["n"]
-        for r in snapshots.read_snapshot(spark, table_dir, version)
-        .groupBy("split")
-        .agg(F.count("*").alias("n"))
-        .collect()
-    }
-    with open(os.path.join(table_dir, f"report_v{version:06d}.json"), "w") as fh:
-        json.dump(report, fh, indent=1, sort_keys=True)
-    return report
+    ctx = _BuildContext(spark, sf_dir, table_dir)
+    stages = _stages(ctx, q_min, bench_max_id, k_shared, tau)
+    packages: dict[str, Package] = {}
+    prev: str | None = None
+    for name, thunk in stages:
+        packages[name] = Package(
+            name=name,
+            realizations=(
+                Realization(
+                    name=f"{name}_r",
+                    steps=(
+                        Step(
+                            name=f"{name}_step",
+                            action=thunk,
+                            exclusive=(name == "publish"),
+                            target_tables=("corpus",) if name == "publish" else (),
+                        ),
+                    ),
+                ),
+            ),
+            depends_on=(prev,) if prev else (),
+        )
+        prev = name
+    wf = Workflow(name="corpus_build", packages=packages, master="publish")
+    return wf, ctx

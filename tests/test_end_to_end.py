@@ -232,3 +232,41 @@ def test_build_corpus_ledger_and_idempotent_rebuild(spark, tmp_path):
     again = snapshots.read_snapshot(spark, table, rep2["version"])
     assert {tuple(r) for r in again.collect()} == {tuple(r) for r in cur.collect()}
     assert snapshots.list_versions(table) == [1, 2]
+
+
+def test_corpus_build_runs_under_the_orchestrator(spark, tmp_path):
+    """The same stage closures run as an orchestrator workflow (one
+    package per stage, chained depends_on, exclusive publish): the run
+    succeeds end-to-end, executes the stages in dependency order, and
+    produces the identical ledger and published rows as the sequential
+    runner."""
+    from etl_service_spark.plans.corpus_build import (
+        build_corpus,
+        corpus_build_workflow,
+    )
+    from etl_service_spark.plans.orchestrator import Orchestrator
+    from etl_service_spark.sources import snapshots
+
+    sf_dir = "/root/testdata/sf0.01"
+    seq_table = str(tmp_path / "seq")
+    wf_table = str(tmp_path / "wf")
+
+    seq_report = build_corpus(spark, sf_dir, seq_table)
+    wf, ctx = corpus_build_workflow(spark, sf_dir, wf_table)
+    run = Orchestrator().run(wf)
+
+    assert not run.failed and not run.skipped
+    order = run.package_order
+    assert order.index("ingest") < order.index("exact_dedup") < order.index(
+        "neardup_collapse"
+    ) < order.index("decontaminate") < order.index("quality_gate") < order.index(
+        "publish"
+    )
+    # identical ledger modulo the table-specific fields
+    drop = {"version"}
+    assert {k: v for k, v in ctx.report.items() if k not in drop} == {
+        k: v for k, v in seq_report.items() if k not in drop
+    }
+    a = snapshots.read_snapshot(spark, seq_table)
+    b = snapshots.read_snapshot(spark, wf_table)
+    assert {tuple(r) for r in a.collect()} == {tuple(r) for r in b.collect()}
