@@ -127,12 +127,17 @@ def connected_components_twophase(
         # m(u) = min(N(u) ∪ {u})
         sym = _sym(e)
         m = _min_nbr(sym)
+        # no per-round distinct: each sym edge instance maps to at most
+        # one output instance per phase (multiplicity never grows past
+        # the initial dedup), and every consumer is a MIN aggregate
+        # that absorbs duplicates — dropping the two distincts saves
+        # two shuffles per round, which IS the cost in the small-graph
+        # regime where rounds are fixed-overhead-bound
         large = (
             sym.filter(F.col("v") > F.col("u"))
             .join(m, "u")
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .filter(F.col("u") != F.col("v"))
-            .distinct()
         )
         # small-star: orient each edge toward its larger endpoint, then
         # fold the smaller neighbors (and u itself) onto the minimum
@@ -148,7 +153,6 @@ def connected_components_twophase(
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .union(m2.select("u", F.col("m").alias("v")))
             .filter(F.col("u") != F.col("v"))
-            .distinct()
         )
         e = small.localCheckpoint(eager=True)
         labels = _min_nbr(_sym(e))
