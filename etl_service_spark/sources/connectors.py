@@ -203,3 +203,40 @@ def write_jdbc(df: DataFrame, conn: Connection, table: str, batchsize: int = 50_
         .mode("append")
         .save()
     )
+
+
+def read_json_with_quarantine(
+    spark, path: str, ddl_schema: str, quarantine_dir: str
+) -> tuple["DataFrame", int]:
+    """Production JSON ingest with a corrupt-record quarantine: rows
+    that fail to parse against the declared schema land as raw lines in
+    ``quarantine_dir`` (append-only, for repair-and-replay) instead of
+    silently becoming all-NULL rows or killing the job.
+
+    Mechanics: PERMISSIVE mode with ``columnNameOfCorruptRecord``
+    captures the raw text of each unparseable line; the relation is
+    lineage-truncated before splitting (Spark refuses to filter on the
+    corrupt column of an uncached scan — the column exists only during
+    parsing), then bad rows append to the quarantine and the clean
+    relation is returned with the sidecar column dropped. Returns
+    (clean_df, n_quarantined). At 100 TB both halves are map-side
+    projections of the one parse pass; the quarantine append is sized
+    by the error rate, not the corpus."""
+    from pyspark.sql import functions as F
+
+    corrupt = "_corrupt_record"
+    parsed = (
+        spark.read.schema(f"{ddl_schema}, {corrupt} STRING")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt)
+        .json(path)
+        .localCheckpoint(eager=True)
+    )
+    bad = parsed.filter(F.col(corrupt).isNotNull()).select(
+        F.col(corrupt).alias("raw_line")
+    )
+    n_bad = bad.count()
+    if n_bad:
+        bad.write.mode("append").parquet(quarantine_dir)
+    clean = parsed.filter(F.col(corrupt).isNull()).drop(corrupt)
+    return clean, n_bad

@@ -310,3 +310,41 @@ def test_python_datasource_writer_two_phase_roundtrip(spark, tmp_path):
         spark.read.format("etl_jsonl").option("schema", "k bigint, s string").load(d)
     ).count() == 3
     assert not any(f.startswith(".staged-") for f in os.listdir(d))
+
+
+def test_write_copy_observed_counts_during_the_write(spark, tmp_path):
+    """Observation metrics ride the write job itself (no second scan)
+    and must equal a recount of what landed."""
+    from etl_service_spark.operators.copy import write_copy_observed
+
+    df = spark.range(1000).selectExpr("id", "id * 2 AS v")
+    out = str(tmp_path / "out")
+    m = write_copy_observed(df, out, checksum_col="v")
+    assert m["n_rows"] == 1000
+    back = spark.read.parquet(out)
+    assert back.count() == 1000
+    assert m["checksum"] == back.selectExpr("sum(v)").collect()[0][0]
+
+
+def test_json_quarantine_splits_corrupt_lines(spark, tmp_path):
+    """Unparseable lines land in the quarantine as raw text; parseable
+    rows come back clean without the sidecar column."""
+    from etl_service_spark.sources.connectors import read_json_with_quarantine
+
+    d = tmp_path / "in"
+    d.mkdir()
+    with open(d / "drop.json", "w") as fh:
+        fh.write('{"k": 1, "s": "ok"}\n')
+        fh.write("THIS IS NOT JSON\n")
+        fh.write('{"k": 2, "s": "also ok"}\n')
+        fh.write('{"k": "not-an-int...\n')
+
+    q = str(tmp_path / "quarantine")
+    clean, n_bad = read_json_with_quarantine(
+        spark, str(d), "k bigint, s string", q
+    )
+    assert n_bad == 2
+    assert {(r.k, r.s) for r in clean.collect()} == {(1, "ok"), (2, "also ok")}
+    assert "_corrupt_record" not in clean.columns
+    quarantined = {r.raw_line for r in spark.read.parquet(q).collect()}
+    assert quarantined == {"THIS IS NOT JSON", '{"k": "not-an-int...'}
