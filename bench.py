@@ -127,6 +127,8 @@ HEADLINERS = [
     "dedup_lsh_recall_report",
     "dedup_strategy_sweep",
     "events_variant_extract",
+    "events_gaps_islands",
+    "orders_rfm_segments",
     "text_langid_confusion",
     "corpus_resample_plan",
     "corpus_length_histogram",

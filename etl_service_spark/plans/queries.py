@@ -1921,6 +1921,54 @@ GROUP BY a.p_brand, b.p_brand
     # integer ppm (doubles would be fine, but ppm keeps the hash gate
     # trivial). Two distinct aggregates over (user, day) grain; the
     # day-grain relation is bounded by users x days, far below events.
+    # Gaps-and-islands over the event-id sequence (the classic
+    # completeness check: did the upstream feed skip ids?). A synthetic
+    # drop of every 97th id makes the island structure deterministic
+    # and non-trivial. The global ROW_NUMBER is the textbook form and
+    # fine while distinct ids fit one task's sort; at 100 TB the scale
+    # path is per-range islands (repartitionByRange on event_id, the
+    # same difference trick per range) + a boundary-merge pass over the
+    # range endpoints — islands only merge at the seams, so the merge
+    # input is 2 rows per range, never data-sized.
+    _ISLANDS_TEMPLATE = """
+WITH e AS (
+  SELECT DISTINCT event_id FROM events WHERE event_id % 97 <> 0
+),
+d AS (
+  SELECT event_id,
+         event_id - ROW_NUMBER() OVER (ORDER BY event_id) AS grp
+  FROM e
+)
+SELECT MIN(event_id) AS island_start, MAX(event_id) AS island_end,
+       COUNT(*) AS island_len
+FROM d GROUP BY grp
+"""
+    cases["events_gaps_islands"] = _sql_case(_ISLANDS_TEMPLATE, _ISLANDS_TEMPLATE)
+
+    # RFM segmentation (recency/frequency/monetary quintiles — the
+    # classic customer-value grid). NTILE is made deterministic by the
+    # unique (metric, custkey) ordering; money stays DECIMAL until the
+    # final aggregate. Output is the bounded 5x5x5 segment grid.
+    _RFM_TEMPLATE = """
+WITH per_cust AS (
+  SELECT o_custkey AS custkey,
+         MAX(o_orderdate) AS last_order,
+         COUNT(*) AS n_orders,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+  FROM orders GROUP BY o_custkey
+),
+scored AS (
+  SELECT custkey,
+         NTILE(5) OVER (ORDER BY last_order, custkey) AS r_bucket,
+         NTILE(5) OVER (ORDER BY n_orders, custkey) AS f_bucket,
+         NTILE(5) OVER (ORDER BY spend, custkey) AS m_bucket
+  FROM per_cust
+)
+SELECT r_bucket, f_bucket, m_bucket, COUNT(*) AS n_customers
+FROM scored GROUP BY r_bucket, f_bucket, m_bucket
+"""
+    cases["orders_rfm_segments"] = _sql_case(_RFM_TEMPLATE, _RFM_TEMPLATE)
+
     cases["events_dau_wau_stickiness"] = _sql_case(
         *P.bi_sql(
             """
