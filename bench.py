@@ -136,6 +136,10 @@ HEADLINERS = [
     "emb_pq_codes",
     "ann_pq_adc_topk",
     "ann_pq_recall_report",
+    "graph_triangle_count",
+    "corpus_temperature_mixture",
+    "orders_pareto_share",
+    "join_bloom_prefilter_revenue",
 ]
 
 

@@ -195,6 +195,43 @@ GROUP BY r.source
     return P.bi_sql(template, idiv=("DIV", "//"))
 
 
+def temperature_mixture_sql(budget: int = 1000, view: str = "documents") -> tuple[str, str]:
+    """Temperature-scaled source mixing (the multilingual/multi-source
+    rebalancing rule of mT5 / XLM-R: sample source i with probability
+    proportional to p_i^alpha, alpha = 1/T < 1) — upweights tail
+    sources relative to raw proportional sampling without flattening
+    to uniform. This is the OTHER standard mixer next to
+    :func:`mixture_sample_sql`'s explicit weight table: there the
+    weights are curated inputs, here they are a power of the observed
+    counts.
+
+    Pinned at T = 2 (alpha = 0.5): n^0.5 is SQRT, which IEEE-754
+    requires to be correctly rounded — bit-identical in Spark and
+    DuckDB — whereas general POW(n, 1/T) is libm-dependent and NOT
+    oracle-safe (same determinism stance as the log2-free degree
+    histogram, graph.py). Weights are quantized to integer micro-units
+    BEFORE the window sum so every downstream op is exact integer
+    arithmetic; quotas use floor-div and are capped at the source's
+    actual size (a tail source cannot be over-drawn).
+
+    Scale shape: one map-side-combined count per source, then a window
+    over the tiny per-source relation — the document table is scanned
+    once; at 100 TB the quota relation is a few hundred rows joined
+    back broadcast, exactly like the mixture sampler."""
+    template = f"""
+WITH src AS (SELECT source, COUNT(*) AS n FROM {view} GROUP BY source),
+w AS (
+  SELECT source, n,
+         CAST(ROUND(SQRT(CAST(n AS DOUBLE)) * 1000000) AS BIGINT) AS w_micro
+  FROM src
+)
+SELECT source, CAST(n AS BIGINT) AS n_docs, w_micro,
+       CAST(LEAST(({budget} * w_micro) {{idiv}} SUM(w_micro) OVER (), n) AS BIGINT) AS quota
+FROM w
+"""
+    return P.bi_sql(template, idiv=("DIV", "//"))
+
+
 def training_pipeline(spark: SparkSession, q_min: float = 0.45) -> DataFrame:
     """The flagship composition: the whole pretraining-data pipeline —
     quality filter → near-dup cluster keeper → deterministic train

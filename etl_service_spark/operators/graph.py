@@ -186,12 +186,11 @@ _PAIRS_CACHE: dict[tuple, str] = {}
 _CLUSTERS_CACHE: dict[tuple, str] = {}
 
 
-def dup_clusters(spark: SparkSession, tau: float = 0.8) -> DataFrame:
-    """Clusters of the n-gram-Jaccard near-dup graph (shares the
-    memoized fingerprint relation with the other dedup consumers, and
-    stages both the pair list and the cluster assignment — clustering
-    consumes the pairs table and WRITES the clusters table; readers
-    like the training pipeline join the staged result)."""
+def staged_pairs_view(spark: SparkSession, tau: float = 0.8) -> str:
+    """Name of the staged near-dup pair view (written once per
+    (session, tau, fingerprint relation) — see _PAIRS_CACHE). Shared by
+    the clustering path and the triangle census below, exactly like a
+    pairs staging table shared by two pipeline readers."""
     from . import dedup
 
     from ..functions import portable as P
@@ -204,6 +203,18 @@ def dup_clusters(spark: SparkSession, tau: float = 0.8) -> DataFrame:
         pairs = dedup.ngram_jaccard_staged(spark, tau=tau)
         P.stage_df(pairs, name).createOrReplaceTempView(name)
         _PAIRS_CACHE[key] = name
+    return name
+
+
+def dup_clusters(spark: SparkSession, tau: float = 0.8) -> DataFrame:
+    """Clusters of the n-gram-Jaccard near-dup graph (shares the
+    memoized fingerprint relation with the other dedup consumers, and
+    stages both the pair list and the cluster assignment — clustering
+    consumes the pairs table and WRITES the clusters table; readers
+    like the training pipeline join the staged result)."""
+    from ..functions import portable as P
+
+    name = staged_pairs_view(spark, tau)
     ckey = (id(spark), tau, name)
     cname = _CLUSTERS_CACHE.get(ckey)
     if cname is None:
@@ -373,6 +384,115 @@ pr(it, node, rank) AS (
   GROUP BY p.it, e.b
 )
 SELECT node, CAST(rank AS BIGINT) AS rank FROM pr WHERE it = {PR_ITERS}
+"""
+
+
+def triangle_stats(edges: DataFrame, a: str = "doc_a", b: str = "doc_b") -> DataFrame:
+    """Triangle / wedge census of an undirected graph — the standard
+    QA metric for a near-dup pair relation: high transitivity means
+    the pair graph is close to a disjoint union of cliques (safe to
+    collapse with a cluster keeper), low transitivity means chains of
+    borderline pairs (collapsing over-merges; raise tau or re-verify).
+
+    Enumeration is DEGREE-ORIENTED (Cohen, "Graph twiddling in a
+    MapReduce world", CiSE'09; Suri & Vassilvitskii, "Counting
+    triangles and the curse of the last reducer", WWW'11): each
+    undirected edge points from its lower-(degree, id) endpoint to the
+    higher one, so every node's out-degree is O(sqrt(|E|)) on any
+    graph — the wedge self-join that a hub would otherwise quadratically
+    dominate is bounded BY CONSTRUCTION, the same discipline as the
+    PPJoin prefix index. Each triangle is counted exactly once (at its
+    unique minimum-(degree, id) corner); the count is orientation-
+    invariant, so the id-oriented single-statement oracle must agree
+    bit-for-bit. All-integer outputs: counts plus floor-div
+    transitivity (3T/wedges) in permille.
+
+    Shuffle shape: one distinct + one degree aggregate + two joins
+    keyed on node ids; no global sort, no driver materialization.
+    """
+    raw = edges.select(F.col(a).alias("x"), F.col(b).alias("y"))
+    canon = (
+        raw.filter(F.col("x") != F.col("y"))
+        .select(
+            F.least("x", "y").alias("u"), F.greatest("x", "y").alias("v")
+        )
+        .distinct()
+    )
+    deg = (
+        canon.select(F.col("u").alias("node"))
+        .unionAll(canon.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    with_deg = canon.join(du, "u").join(dv, "v")
+    lower_u = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = with_deg.select(
+        F.when(lower_u, F.col("u")).otherwise(F.col("v")).alias("x"),
+        F.when(lower_u, F.col("v")).otherwise(F.col("u")).alias("y"),
+    )
+    p, q = oriented.alias("p"), oriented.alias("q")
+    wedge = p.join(
+        q, (F.col("p.x") == F.col("q.x")) & (F.col("p.y") < F.col("q.y"))
+    ).select(
+        F.least("p.y", "q.y").alias("u"), F.greatest("p.y", "q.y").alias("v")
+    )
+    tri = wedge.join(canon, ["u", "v"]).agg(F.count("*").alias("t"))
+    edge_n = canon.agg(F.count("*").alias("n_edges"))
+    deg_n = deg.agg(
+        F.count("*").alias("n_nodes"),
+        F.coalesce(
+            F.sum(F.expr("d * (d - 1) DIV 2")), F.lit(0).cast("long")
+        ).alias("n_wedges"),
+    )
+    return (
+        deg_n.crossJoin(edge_n)
+        .crossJoin(tri)
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            F.col("t").alias("n_triangles"),
+            F.expr("3000 * t DIV GREATEST(n_wedges, 1)").alias(
+                "transitivity_permille"
+            ),
+        )
+    )
+
+
+def triangle_stats_oracle_sql(tau: float = 0.8) -> str:
+    """Single-statement DuckDB oracle: identical census with the
+    id-oriented (u < v < w) enumeration — triangle count is
+    orientation-invariant, so the degree-oriented Spark plan must
+    match exactly."""
+    from . import dedup
+
+    pairs_sql = dedup.ngram_jaccard_sql(tau=tau)[1].strip()
+    return f"""
+WITH pairs AS (SELECT doc_a, doc_b FROM ({pairs_sql}) p),
+e AS (
+  SELECT DISTINCT LEAST(doc_a, doc_b) AS u, GREATEST(doc_a, doc_b) AS v
+  FROM pairs WHERE doc_a <> doc_b
+),
+deg AS (
+  SELECT node, COUNT(*) AS d
+  FROM (SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e)
+  GROUP BY node
+),
+tri AS (
+  SELECT COUNT(*) AS t
+  FROM e e1 JOIN e e2 ON e2.u = e1.v JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+)
+SELECT CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_nodes,
+       CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+       CAST((SELECT COALESCE(SUM(d * (d - 1) // 2), 0) FROM deg) AS BIGINT) AS n_wedges,
+       CAST((SELECT t FROM tri) AS BIGINT) AS n_triangles,
+       CAST(3000 * (SELECT t FROM tri)
+            // GREATEST((SELECT COALESCE(SUM(d * (d - 1) // 2), 0) FROM deg), 1)
+            AS BIGINT) AS transitivity_permille
 """
 
 

@@ -43,6 +43,77 @@ def salted_agg(
     return partial.groupBy(key).agg(*[m.alias(alias) for _, m, alias in aggs])
 
 
+def bloom_prefilter_semi_join(
+    fact: DataFrame,
+    keys: DataFrame,
+    fact_key: str,
+    keys_key: str,
+    k: int = 3,
+    m: int = 65536,
+) -> DataFrame:
+    """Semi-join reduction through a broadcast Bloom bitset (Bloom,
+    CACM'70) — the runtime-filter pattern Catalyst injects for shuffle
+    joins (InjectRuntimeFilter; its bloom_filter_agg/might_contain
+    expressions are internal, not SQL-resolvable, so this builds the
+    same shape from public built-ins).
+
+    Regime: the key side is too big to broadcast as a join hash table
+    but its m-bit set is not (m/8 bytes regardless of key count; FPR
+    ~= (1 - e^(-kn/m))^k). The fact side is probed MAP-SIDE against
+    the broadcast bitset — k xxhash64 bit tests, O(1) array access
+    per row inside codegen, no Python — and only survivors (true
+    members + FPR false positives) enter the exact semi-join shuffle;
+    at a 1% hit rate that shuffle carries ~1% of the fact table. The
+    exact semi join then removes the false positives, so the result is
+    IDENTICAL to a plain semi join (the registry pins it against that
+    oracle: the filter never leaks).
+
+    Build shape: positions -> 64-bit words via bit_or aggregation
+    (<= m/64 rows), densified into ONE array<bigint> row and broadcast
+    via crossJoin — the same bounded single-row build the plan audit
+    whitelists; no driver collect.
+    """
+    n_words = (m + 63) // 64
+    pos = keys.select(
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(F.xxhash64(F.col(keys_key), F.lit(i)), F.lit(m))
+                    for i in range(k)
+                ]
+            )
+        ).alias("pos")
+    ).distinct()
+    words = pos.groupBy(F.expr("CAST(pos DIV 64 AS INT)").alias("w")).agg(
+        F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT)))").alias(
+            "mask"
+        )
+    )
+    bits = words.agg(
+        F.map_from_entries(F.collect_list(F.struct("w", "mask"))).alias("wm")
+    ).select(
+        F.expr(
+            f"transform(sequence(0, {n_words - 1}),"
+            " i -> coalesce(element_at(wm, i), CAST(0 AS BIGINT)))"
+        ).alias("_bf")
+    )
+    tests = []
+    for i in range(k):
+        p = f"pmod(xxhash64({fact_key}, {i}), {m})"
+        tests.append(
+            f"(shiftright(element_at(_bf, CAST({p} DIV 64 AS INT) + 1),"
+            f" CAST({p} % 64 AS INT)) & 1) = 1"
+        )
+    pruned = (
+        fact.crossJoin(F.broadcast(bits)).filter(" AND ".join(tests)).drop("_bf")
+    )
+    return pruned.join(
+        keys.select(keys_key).distinct(),
+        pruned[fact_key] == F.col(keys_key),
+        "left_semi",
+    )
+
+
 def salted_broadcastable_join(
     big: DataFrame, small: DataFrame, key: str, n_salts: int = 16
 ) -> DataFrame:

@@ -1796,6 +1796,44 @@ def registry() -> dict[str, Case]:
     cases["anti_join_never_shipped"] = _bi_case(ANTI_JOIN_TEMPLATE)
     cases["semi_join_urgent_customers"] = _bi_case(SEMI_JOIN_TEMPLATE)
 
+    # semi join through skew.bloom_prefilter_semi_join: the fact scan
+    # is pruned map-side by a broadcast Bloom bitset BEFORE the exact
+    # semi-join shuffle (Catalyst's runtime-filter pattern, built from
+    # public built-ins). Result-identical to the plain semi join — the
+    # oracle is exactly that, so a filter that dropped a true member
+    # (impossible by construction) or leaked a false positive (removed
+    # by the exact join) would hash-mismatch.
+    _BLOOM_ORACLE = """
+SELECT CAST(EXTRACT(YEAR FROM o_orderdate) * 100
+            + EXTRACT(MONTH FROM o_orderdate) AS BIGINT) AS ym,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) * 100 AS BIGINT) AS revenue_cents
+FROM orders
+WHERE o_custkey IN (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+)
+GROUP BY 1
+"""
+
+    def _bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+        v = views(spark, sf_dir)
+        seg = v["customer"].filter(F.col("c_mktsegment") == "AUTOMOBILE")
+        pruned = skew.bloom_prefilter_semi_join(
+            v["orders"], seg, "o_custkey", "c_custkey"
+        )
+        return pruned.groupBy(
+            (F.year("o_orderdate") * 100 + F.month("o_orderdate"))
+            .cast("long")
+            .alias("ym")
+        ).agg(
+            F.count("*").alias("n_orders"),
+            (F.sum(F.col("o_totalprice").cast("decimal(14,2)")) * 100)
+            .cast("long")
+            .alias("revenue_cents"),
+        )
+
+    cases["join_bloom_prefilter_revenue"] = Case(_bloom_join, _BLOOM_ORACLE)
+
     # --- events
     cases["events_window_agg"] = _bi_case(EVENTS_WINDOW_TEMPLATE, ts_us=TS_US)
     cases["events_sessionize"] = _bi_case(
@@ -1969,6 +2007,79 @@ FROM scored GROUP BY r_bucket, f_bucket, m_bucket
 """
     cases["orders_rfm_segments"] = _sql_case(_RFM_TEMPLATE, _RFM_TEMPLATE)
 
+    # Pareto / revenue-concentration curve ("how many customers make
+    # half the revenue; what share does the top 20% hold"). The oracle
+    # is the textbook single-window cumulative form; the Spark side
+    # runs the SAME total order through scan.global_ranked_cumsum —
+    # range-partitioned two-phase prefix sums, no Exchange
+    # SinglePartition over the customer relation (the 100 TB shape).
+    # Money is summed as DECIMAL then quantized to integer cents before
+    # any running sum, so both paths are exact and order-insensitive.
+    _PARETO_CENTS = """
+SELECT o_custkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) * 100 AS BIGINT) AS cents
+FROM orders GROUP BY o_custkey
+"""
+    _PARETO_ORACLE = f"""
+WITH c AS ({_PARETO_CENTS}),
+r AS (
+  SELECT cents,
+         ROW_NUMBER() OVER (ORDER BY cents DESC, o_custkey) AS rk,
+         SUM(cents) OVER (ORDER BY cents DESC, o_custkey
+                          ROWS UNBOUNDED PRECEDING) AS cum
+  FROM c
+),
+t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+             CAST(SUM(cents) AS BIGINT) AS total_cents FROM c)
+SELECT t.n_customers, t.total_cents,
+       CAST(MIN(CASE WHEN r.cum * 2 >= t.total_cents THEN r.rk END) AS BIGINT) AS n_for_half,
+       CAST(MIN(CASE WHEN r.cum * 10 >= t.total_cents * 9 THEN r.rk END) AS BIGINT) AS n_for_90pct,
+       CAST(MAX(CASE WHEN r.rk * 5 <= t.n_customers THEN r.cum END) * 1000
+            // t.total_cents AS BIGINT) AS top20_share_permille
+FROM r CROSS JOIN t
+GROUP BY t.n_customers, t.total_cents
+"""
+
+    def _pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from ..operators import scan
+
+        views(spark, sf_dir)
+        c = spark.sql(_PARETO_CENTS)
+        r = scan.global_ranked_cumsum(c, "cents", "o_custkey")
+        t = c.agg(
+            F.count("*").alias("n_customers"),
+            F.sum("cents").alias("total_cents"),
+        )
+        return (
+            r.crossJoin(F.broadcast(t))
+            .agg(
+                F.max("n_customers").alias("n_customers"),
+                F.max("total_cents").alias("total_cents"),
+                F.min(
+                    F.when(F.col("cum") * 2 >= F.col("total_cents"), F.col("rk"))
+                ).alias("n_for_half"),
+                F.min(
+                    F.when(
+                        F.col("cum") * 10 >= F.col("total_cents") * 9, F.col("rk")
+                    )
+                ).alias("n_for_90pct"),
+                F.max(
+                    F.when(F.col("rk") * 5 <= F.col("n_customers"), F.col("cum"))
+                ).alias("_top20_cum"),
+            )
+            .select(
+                "n_customers",
+                "total_cents",
+                "n_for_half",
+                "n_for_90pct",
+                F.expr("_top20_cum * 1000 DIV total_cents").alias(
+                    "top20_share_permille"
+                ),
+            )
+        )
+
+    cases["orders_pareto_share"] = Case(_pareto, _PARETO_ORACLE)
+
     cases["events_dau_wau_stickiness"] = _sql_case(
         *P.bi_sql(
             """
@@ -2048,6 +2159,7 @@ GROUP BY event_type
     )
     cases["corpus_source_composition"] = _pair_case(corpus.source_composition_sql())
     cases["corpus_mixture_sample"] = _pair_case(corpus.mixture_sample_sql())
+    cases["corpus_temperature_mixture"] = _pair_case(corpus.temperature_mixture_sql())
     cases["corpus_pack_sequences"] = _pair_case(corpus.pack_sequences_sql())
 
     def _training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2318,6 +2430,20 @@ FROM ranked WHERE rk = 1
         return graph.pagerank(spark, sf_dir, salted=True)
 
     cases["graph_pagerank_salted"] = Case(_pagerank_salted, graph.pagerank_oracle_sql())
+
+    # triangle/wedge census of the near-dup pair graph (degree-oriented
+    # enumeration; shares the staged pairs view with the clustering
+    # path). Transitivity is the go/no-go gauge for the cluster-keeper
+    # collapse: near-clique pair graphs collapse safely, chain-shaped
+    # ones over-merge.
+    def _triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+        views(spark, sf_dir)
+        pairs = spark.table(graph.staged_pairs_view(spark, tau=0.8))
+        return graph.triangle_stats(pairs)
+
+    cases["graph_triangle_count"] = Case(
+        _triangles, graph.triangle_stats_oracle_sql(tau=0.8)
+    )
 
     def _contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         views(spark, sf_dir)

@@ -393,3 +393,105 @@ def test_chunk_and_ngram_invariants(text):
     assert len(grams) == max(0, len(toks) - 1)
     if toks:
         assert all(1 <= len(c.split(" ")) <= 4 for c in chunks)
+
+
+# ------------------------------------------------------- triangle census
+def _brute_triangle_stats(edges):
+    """Reference census: canonical undirected edge set, per-node degrees,
+    wedges = sum C(d,2), triangles by set-probe enumeration."""
+    e = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    nodes = {n for pair in e for n in pair}
+    deg = {n: 0 for n in nodes}
+    for u, v in e:
+        deg[u] += 1
+        deg[v] += 1
+    wedges = sum(d * (d - 1) // 2 for d in deg.values())
+    tris = sum(
+        1
+        for (u, v) in e
+        for w in nodes
+        if v < w and (u, w) in e and (v, w) in e
+    )
+    return len(nodes), len(e), wedges, tris
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 25), st.integers(0, 25)),
+        min_size=1,
+        max_size=80,
+    )
+)
+def test_triangle_stats_matches_bruteforce(spark, edges):
+    """Degree-oriented distributed census == brute force on any random
+    multigraph (self-loops, duplicate and reversed edges included —
+    canonicalization must absorb them all)."""
+    from etl_service_spark.operators.graph import triangle_stats
+
+    df = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    row = triangle_stats(df).collect()[0]
+    n_nodes, n_edges, wedges, tris = _brute_triangle_stats(edges)
+    assert (row.n_nodes, row.n_edges, row.n_wedges, row.n_triangles) == (
+        n_nodes,
+        n_edges,
+        wedges,
+        tris,
+    )
+    assert row.transitivity_permille == 3000 * tris // max(wedges, 1)
+
+
+# ------------------------------------------------- distributed prefix scan
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(st.integers(0, 50), min_size=1, max_size=60),
+    st.integers(1, 5),
+)
+def test_global_ranked_cumsum_matches_single_window(spark, values, n_parts):
+    """Two-phase range-partitioned scan == the single-window definition
+    under the same total order, for ANY partition count (boundary
+    placement must never leak into rank or running sum). Values carry
+    duplicates; the tiebreak id is unique."""
+    from etl_service_spark.operators.scan import global_ranked_cumsum
+
+    rows = [(v, i) for i, v in enumerate(values)]
+    df = spark.createDataFrame(rows, ["val", "tid"])
+    got = {
+        (r.tid, r.rk, r.cum)
+        for r in global_ranked_cumsum(df, "val", "tid", n_parts=n_parts).collect()
+    }
+    ordered = sorted(rows, key=lambda r: (-r[0], r[1]))
+    cum = 0
+    want = set()
+    for rk, (v, tid) in enumerate(ordered, start=1):
+        cum += v
+        want.add((tid, rk, cum))
+    assert got == want
+
+
+# ------------------------------------------------------ bloom prefilter
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(st.integers(0, 200), min_size=0, max_size=60),
+    st.lists(st.integers(0, 200), min_size=1, max_size=60),
+    st.sampled_from([64, 256, 65536]),
+)
+def test_bloom_prefilter_equals_plain_semi_join(spark, keys, fact, m):
+    """bloom_prefilter_semi_join is result-identical to the plain semi
+    join for any keys/fact multiset — including tiny m (dense bitset,
+    many false positives: the exact join must absorb them) and empty
+    key sets (filter passes nothing)."""
+    from etl_service_spark.operators.skew import bloom_prefilter_semi_join
+
+    keys_df = spark.createDataFrame(
+        [(k,) for k in keys] or [(None,)], "c_key bigint"
+    ).filter("c_key IS NOT NULL")
+    fact_df = spark.createDataFrame([(f, f % 7) for f in fact], "f_key bigint, grp bigint")
+    got = sorted(
+        (r.f_key, r.grp)
+        for r in bloom_prefilter_semi_join(
+            fact_df, keys_df, "f_key", "c_key", m=m
+        ).collect()
+    )
+    want = sorted((f, f % 7) for f in fact if f in set(keys))
+    assert got == want
