@@ -137,6 +137,7 @@ HEADLINERS = [
     "ann_pq_adc_topk",
     "ann_pq_recall_report",
     "graph_triangle_count",
+    "dedup_containment",
     "corpus_temperature_mixture",
     "orders_pareto_share",
     "join_bloom_prefilter_revenue",

@@ -330,6 +330,98 @@ def ngram_jaccard_pairs(spark: SparkSession, tau: float = 0.8) -> DataFrame:
     return ngram_jaccard_staged(spark, tau)
 
 
+# ------------------------------------------- asymmetric containment dedup
+# C(A→B) = |A∩B| / |A| >= tau: the "quote expansion" dups Jaccard
+# misses — a short document embedded in a much longer one has tiny
+# Jaccard (union is dominated by B) but containment ~1. The prefix
+# theorem holds one-sided: if |A∩B| >= ceil(tau*|A|), removing A's
+# df-ordered prefix of length |A| - ceil(tau*|A|) + 1 leaves only
+# ceil(tau*|A|) - 1 elements (pigeonhole), so the prefix must hit B's
+# FULL set — candidates are A's prefix postings joined against the
+# full posting list (not both prefixes: containment is asymmetric).
+# The length filter is one-sided too: only |B| >= tau*|A| survives
+# (nothing bounds |B| above). Thresholding is pure integer math
+# (c2 * den >= n_a * num) — no floating point anywhere in the result.
+CONTAINMENT_BODY = JACCARD_PREFIX_BODY + """,
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM pexp a JOIN ex b
+    ON a.h = b.h AND a.doc_id <> b.doc_id
+   AND b.n * {tau_den} >= a.n * {tau_num}
+),
+verified AS (
+  SELECT c.doc_a, c.doc_b,
+         {arr_len}({arr_intersect}(x.hs, y.hs)) AS c2, x.n AS nx
+  FROM cand c
+  JOIN {hs_rel} x ON x.doc_id = c.doc_a
+  JOIN {hs_rel} y ON y.doc_id = c.doc_b
+)
+SELECT doc_a AS contained_id, doc_b AS container_id,
+       CAST(c2 * 1000 {idiv} nx AS BIGINT) AS containment_permille
+FROM verified
+WHERE c2 * {tau_den} >= nx * {tau_num}
+"""
+
+
+def containment_dedup_sql(
+    view: str = "documents", tau_frac: tuple[int, int] = (4, 5)
+) -> tuple[str, str]:
+    """Single-statement bi-engine form (the DuckDB side is the oracle)."""
+    num, den = tau_frac
+    return P.bi_sql(
+        _HASHSET_PROLOGUE + ",\n" + CONTAINMENT_BODY,
+        hs_rel="hs",
+        tau_num=str(num),
+        tau_den=str(den),
+        tau_den_m1=str(den - 1),
+        **_hashset_frags(view),
+    )
+
+
+def containment_staged(
+    spark: SparkSession,
+    view: str = "documents",
+    tau_frac: tuple[int, int] = (4, 5),
+) -> DataFrame:
+    """Spark path: shares the staged fingerprint + prefix-posting
+    relations with the Jaccard/clustering consumers; only the full
+    posting explode (one map-side pass over the staged hashsets) and
+    the asymmetric candidate join are new work.
+
+    Scale shape: join keys are A-prefix shingles — df-ascending
+    ordering keeps hot shingles out of pexp, so each posting list the
+    join touches is short by construction; the b side contributes
+    exactly df(h) rows per rare key. Verification joins the bounded
+    candidate set back to the fingerprint relation."""
+    hs_rel = materialize_hashsets(spark, view)
+    pexp = materialize_prefix_postings(spark, view, tau_frac)
+    num, den = tau_frac
+    return spark.sql(
+        f"""
+WITH ex AS (
+  SELECT doc_id, n, explode(hs) AS h FROM {hs_rel}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM {pexp} a JOIN ex b
+    ON a.h = b.h AND a.doc_id <> b.doc_id
+   AND b.n * {den} >= a.n * {num}
+),
+verified AS (
+  SELECT c.doc_a, c.doc_b,
+         size(array_intersect(x.hs, y.hs)) AS c2, x.n AS nx
+  FROM cand c
+  JOIN {hs_rel} x ON x.doc_id = c.doc_a
+  JOIN {hs_rel} y ON y.doc_id = c.doc_b
+)
+SELECT doc_a AS contained_id, doc_b AS container_id,
+       CAST(c2 * 1000 DIV nx AS BIGINT) AS containment_permille
+FROM verified
+WHERE c2 * {den} >= nx * {num}
+"""
+    )
+
+
 # ------------------------------------------------------------ minhash LSH
 # Full minhash+LSH pipeline; the oracle replicates the MECHANISM (not
 # just exhaustive Jaccard), so the match is exact regardless of LSH

@@ -2200,6 +2200,16 @@ GROUP BY event_type
     cases["dedup_ngram_jaccard"] = Case(_jaccard_staged, dedup.ngram_jaccard_sql()[1])
     cases["dedup_minhash_lsh"] = Case(_minhash_staged, dedup.minhash_lsh_sql()[1])
 
+    # asymmetric containment (quote-expansion dups Jaccard misses):
+    # A-prefix vs full posting list, integer-only thresholding
+    def _containment_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
+        views(spark, sf_dir)
+        return dedup.containment_staged(spark)
+
+    cases["dedup_containment"] = Case(
+        _containment_staged, dedup.containment_dedup_sql()[1]
+    )
+
     # ---- LSH self-evaluation: recall of the banded-minhash candidate
     # stage against the exact PPJoin Jaccard ground truth at the same
     # tau — the number the 8×2 banding choice is judged by (same

@@ -1133,3 +1133,26 @@ def test_stage_name_is_content_addressed():
     assert a != stage_name("tokens_documents", ("x", ("f1", "f3"), ""))
     assert a != stage_name("bigrams_documents", ("x", ("f1", "f2"), ""))
     assert a.startswith("__tokens_documents_") and len(a) <= 64
+
+
+def test_containment_catches_quote_expansion(spark):
+    """A short doc embedded verbatim in a much longer one: containment
+    = 1000 permille even though Jaccard is far below tau (the union is
+    dominated by the container) — the asymmetric case the Jaccard path
+    misses by design. Direction matters: only (contained -> container)
+    is emitted."""
+    from etl_service_spark.operators import dedup
+
+    short = "alpha bravo charlie delta echo foxtrot"
+    longer = short + " " + " ".join(f"tok{i}" for i in range(40))
+    rows = [(1, short), (2, longer), (3, "one two three four five six")]
+    spark.createDataFrame(rows, "doc_id bigint, text string").createOrReplaceTempView(
+        "containment_probe_docs"
+    )
+    got = sorted(
+        (r.contained_id, r.container_id, r.containment_permille)
+        for r in dedup.containment_staged(
+            spark, view="containment_probe_docs"
+        ).collect()
+    )
+    assert got == [(1, 2, 1000)]
