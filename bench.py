@@ -141,6 +141,8 @@ HEADLINERS = [
     "corpus_temperature_mixture",
     "orders_pareto_share",
     "join_bloom_prefilter_revenue",
+    "sketch_hll_weekly_rollup",
+    "corpus_token_budget",
 ]
 
 

@@ -232,6 +232,49 @@ FROM w
     return P.bi_sql(template, idiv=("DIV", "//"))
 
 
+def token_budget_sql(budget: int = 500000, view: str = "documents") -> tuple[str, str]:
+    """TOKEN-level budget planning — the table an LLM pretraining run
+    is actually scheduled from (docs are the wrong unit: a source of
+    few long documents can outweigh one of many short ones). One scan
+    tokenizes (the same bi-engine tokenizer as the text ops), sums
+    tokens per source, applies the T=2 temperature weights of
+    :func:`temperature_mixture_sql` (IEEE-exact SQRT over token
+    counts, quantized to integer micro-units), and emits each source's
+    token quota plus `epochs_permille` = quota/corpus-size: >1000
+    means the source is over-sampled (multiple passes) at this budget
+    — the number you check against your repetition-tolerance rule
+    before launching.
+
+    Scale shape: single scan + per-source aggregate + a window over
+    the tiny source relation; tokenization never leaves the first
+    map stage."""
+    template = f"""
+WITH dt AS (
+  SELECT source, {{arr_len}}({{tokens}}) AS n_tok FROM {view}
+),
+src AS (
+  SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+  FROM dt GROUP BY source
+),
+w AS (
+  SELECT source, n_docs, n_tokens,
+         CAST(ROUND(SQRT(CAST(n_tokens AS DOUBLE)) * 1000000) AS BIGINT) AS w_micro
+  FROM src
+)
+SELECT source, n_docs, n_tokens,
+       CAST(({budget} * w_micro) {{idiv}} SUM(w_micro) OVER () AS BIGINT) AS token_quota,
+       CAST((({budget} * w_micro) {{idiv}} SUM(w_micro) OVER ()) * 1000 {{idiv}} n_tokens AS BIGINT)
+         AS epochs_permille
+FROM w
+"""
+    return P.bi_sql(
+        template,
+        idiv=("DIV", "//"),
+        arr_len=("size", "len"),
+        tokens=(P.spark_tokens("text"), P.duck_tokens("text")),
+    )
+
+
 def training_pipeline(spark: SparkSession, q_min: float = 0.45) -> DataFrame:
     """The flagship composition: the whole pretraining-data pipeline —
     quality filter → near-dup cluster keeper → deterministic train

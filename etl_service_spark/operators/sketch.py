@@ -393,3 +393,84 @@ FROM agg a JOIN ex ON ex.event_type = a.event_type
         shift_r=(")", "))"),
         num=repr(num),
     )
+
+
+def hll_rollup_sql(view: str = "events") -> tuple[str, str]:
+    """HLL MERGEABILITY rollup — the reason sketches earn their keep at
+    100 TB: per-DAY register tables (64 rows each, written once next to
+    the daily partition) are MAX-merged into per-week registers WITHOUT
+    touching raw events again, and the merged estimate equals the
+    estimate computed directly from the week's raw data — exactly (the
+    register is a MAX over a set union, and MAX is associative). The
+    query emits BOTH paths side by side plus an equality flag, so the
+    oracle pins the merge law itself, not just one estimate.
+
+    Same integer-exact register construction as
+    :func:`hll_distinct_sql`; time buckets are pure integer epoch-day
+    arithmetic (week = epoch_day DIV 7) — no engine-dependent ISO-week
+    semantics. At scale the daily `regs_daily` relation IS the stored
+    summary (events scanned once per day, ever); weekly/monthly/all-time
+    reads are 64-rows-per-group merges.
+    """
+    m = 64
+    alpha = 0.7213 / (1 + 1.079 / m)
+    num = alpha * m * m * (1 << 27)
+    body = """
+WITH hv AS (
+  SELECT DISTINCT event_type,
+         {epoch_day} AS day,
+         ((user_id * 2654435761) % 4294967296) AS hv
+  FROM {view}
+),
+rr AS (
+  SELECT event_type, day, hv % 64 AS reg,
+         CASE WHEN (hv {idiv} 64) = 0 THEN 27
+              ELSE 27 - length(bin(hv {idiv} 64)) END AS rnk
+  FROM hv
+),
+regs_daily AS (
+  SELECT event_type, day, reg, MAX(rnk) AS mx
+  FROM rr GROUP BY event_type, day, reg
+),
+regs_merged AS (
+  SELECT event_type, day {idiv} 7 AS week, reg, MAX(mx) AS mx
+  FROM regs_daily GROUP BY event_type, day {idiv} 7, reg
+),
+regs_direct AS (
+  SELECT event_type, day {idiv} 7 AS week, reg, MAX(rnk) AS mx
+  FROM rr GROUP BY event_type, day {idiv} 7, reg
+),
+est_m AS (
+  SELECT event_type, week,
+         CAST(FLOOR({num} / CAST(CAST(SUM({shift_l}27 - mx{shift_r}) AS BIGINT)
+              + (64 - COUNT(*)) * 134217728 AS DOUBLE)) AS BIGINT) AS est,
+         CAST(64 - COUNT(*) AS BIGINT) AS n_zero_regs
+  FROM regs_merged GROUP BY event_type, week
+),
+est_d AS (
+  SELECT event_type, week,
+         CAST(FLOOR({num} / CAST(CAST(SUM({shift_l}27 - mx{shift_r}) AS BIGINT)
+              + (64 - COUNT(*)) * 134217728 AS DOUBLE)) AS BIGINT) AS est
+  FROM regs_direct GROUP BY event_type, week
+)
+SELECT m.event_type, CAST(m.week AS BIGINT) AS week,
+       m.est AS est_merged_daily,
+       d.est AS est_direct,
+       m.n_zero_regs,
+       CAST(CASE WHEN m.est = d.est THEN 1 ELSE 0 END AS BIGINT) AS merge_law_holds
+FROM est_m m JOIN est_d d ON d.event_type = m.event_type AND d.week = m.week
+"""
+    import etl_service_spark.functions.portable as P
+
+    return P.bi_sql(
+        body,
+        view=view,
+        idiv=("DIV", "//"),
+        shift_l=("shiftleft(CAST(1 AS BIGINT), ", "(CAST(1 AS BIGINT) << ("),
+        shift_r=(")", "))"),
+        num=repr(num),
+        epoch_day=(
+            "datediff(CAST(ts AS DATE), DATE '1970-01-01')",
+            "date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))",
+        ),
+    )

@@ -2160,6 +2160,7 @@ GROUP BY event_type
     cases["corpus_source_composition"] = _pair_case(corpus.source_composition_sql())
     cases["corpus_mixture_sample"] = _pair_case(corpus.mixture_sample_sql())
     cases["corpus_temperature_mixture"] = _pair_case(corpus.temperature_mixture_sql())
+    cases["corpus_token_budget"] = _pair_case(corpus.token_budget_sql())
     cases["corpus_pack_sequences"] = _pair_case(corpus.pack_sequences_sql())
 
     def _training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2466,6 +2467,7 @@ FROM ranked WHERE rk = 1
     cases["sketch_kmv_distinct"] = _sql_case(
         sketch.kmv_distinct_sql(), sketch.kmv_distinct_sql()
     )
+    cases["sketch_hll_weekly_rollup"] = _pair_case(sketch.hll_rollup_sql())
     cases["sketch_cms_heavy_hitters"] = _bi_case(
         sketch.cms_heavy_hitters_sql()[0], idiv=("DIV", "//")
     )
