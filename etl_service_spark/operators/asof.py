@@ -30,6 +30,12 @@ partitioning skew on hot users is the same problem as sessionization
 
 from __future__ import annotations
 
+from ..functions import portable as P
+
+# events.ts fragments: the Spark-side view exposes ts_us (see
+# sources/catalog.py); the DuckDB oracle converts on the fly.
+TS_US = ("ts_us", "epoch_us(ts)")
+
 
 def asof_join_sql(
     left_type: str = "purchase",
@@ -239,3 +245,79 @@ SELECT (SELECT COUNT(*) FROM st1) AS n_{s1},
        (SELECT COUNT(*) FROM st3) AS n_{s3}_within
 """
     return template.format(ts_us="ts_us"), template.format(ts_us="epoch_us(e.ts)")
+
+
+def markov_transitions_sql(view: str = "events") -> tuple[str, str]:
+    """First-order Markov transition matrix over each user's event
+    stream: for every (prev_type -> next_type) pair, the transition
+    count and its per-prev-state probability in exact ppm.
+
+    The behavioral-model building block (next-action prediction,
+    anomaly detection on improbable transitions). Reference analogue:
+    the run-structure drilldowns walk step sequences the same way
+    (app.R timeline queries); this generalizes them to arbitrary
+    event streams.
+
+    Scale shape: ONE shuffle on user_id for the LAG window (sorted
+    within partition by (ts, event_id) — a total order, so LAG is
+    deterministic), then a hash aggregate whose output is at most
+    |event_type|^2 rows — the per-prev normalizing window runs on that
+    tiny relation. Integer arithmetic only (ppm via integer division),
+    so the cross-engine hash match is exact.
+    """
+    template = f"""
+WITH seq AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (
+           PARTITION BY user_id ORDER BY {{ts_us}}, event_id) AS prev_type
+  FROM {view}
+)
+SELECT prev_type, event_type AS next_type,
+       COUNT(*) AS n_trans,
+       CAST(COUNT(*) * 1000000 {{idiv}}
+            SUM(COUNT(*)) OVER (PARTITION BY prev_type) AS BIGINT) AS p_ppm
+FROM seq
+WHERE prev_type IS NOT NULL
+GROUP BY prev_type, event_type
+"""
+    return P.bi_sql(template, ts_us=TS_US, idiv=("DIV", "//"))
+
+
+def top_paths_sql(view: str = "events") -> tuple[str, str]:
+    """Top user paths: the first three event types of every
+    (user, UTC-day) activity run, concatenated into a path string and
+    counted. Sequence mining's frequent-prefix report — what a growth
+    team reads to see how days with activity actually start.
+
+    Determinism: rows are ordered by (ts, event_id) — a total order —
+    and the path is assembled with MAX(CASE rn=k) pivots rather than an
+    ordered string_agg (array_agg ordering guarantees differ between
+    engines; the pivot form is order-free). The day index is integer
+    microseconds-per-day division, identical in both engines.
+
+    Scale shape: one shuffle on (user_id, day) for the row-number
+    window (at 100 TB, hot users are bounded by events-per-day, so the
+    partition key is naturally skew-capped), a per-(user, day) pivot
+    aggregate, then a path-level count whose output is at most
+    |event_type|^3 rows.
+    """
+    template = f"""
+WITH ordered AS (
+  SELECT user_id, {{ts_us}} {{idiv}} 86400000000 AS day, event_type,
+         ROW_NUMBER() OVER (
+           PARTITION BY user_id, {{ts_us}} {{idiv}} 86400000000
+           ORDER BY {{ts_us}}, event_id) AS rn
+  FROM {view}
+),
+runs AS (
+  SELECT user_id, day,
+         MAX(CASE WHEN rn = 1 THEN event_type END) AS e1,
+         MAX(CASE WHEN rn = 2 THEN event_type END) AS e2,
+         MAX(CASE WHEN rn = 3 THEN event_type END) AS e3
+  FROM ordered WHERE rn <= 3 GROUP BY user_id, day
+)
+SELECT CONCAT_WS('>', e1, e2, e3) AS path, COUNT(*) AS n_user_days
+FROM runs
+GROUP BY CONCAT_WS('>', e1, e2, e3)
+"""
+    return P.bi_sql(template, ts_us=TS_US, idiv=("DIV", "//"))

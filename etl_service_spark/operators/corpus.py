@@ -385,3 +385,50 @@ FROM b
 GROUP BY lang, seq_id
 """
     return P.bi_sql(template, idiv=("DIV", "//"))
+
+
+def cross_source_overlap_sql(view: str = "documents") -> tuple[str, str]:
+    """Cross-source exact-duplicate overlap matrix: for every pair of
+    sources, how many distinct texts appear in BOTH. The report you
+    read before dropping a source from the mix — a source whose
+    content is largely contained in another is cheap to cut.
+
+    Scale shape: the text hash collapses each document to 8 bytes
+    before ANY shuffle; DISTINCT (source, h) bounds the join's posting
+    list per hash at |sources|, so the self-join on h is linear with a
+    tiny constant (never all-pairs on documents), and the output is at
+    most |sources|^2 rows. Integer-only — exact cross-engine hashes.
+    """
+    template = f"""
+WITH h AS (
+  SELECT DISTINCT source, {{text_hash}} AS h FROM {view}
+)
+SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_shared
+FROM h a JOIN h b ON a.h = b.h AND a.source < b.source
+GROUP BY a.source, b.source
+"""
+    return P.bi_sql(
+        template,
+        text_hash=(P.spark_poly_hash("lower(text)"), P.duck_poly_hash("lower(text)")),
+    )
+
+
+def cross_source_overlap_staged(spark: SparkSession, view: str = "documents") -> DataFrame:
+    """Spark path for the overlap matrix: poly-hash in the Arrow kernel
+    (the SQL lambda is interpreted per character), distinct on the
+    8-byte (source, h) pairs, then a self-join keyed on h whose posting
+    lists are bounded by |sources|. Only hashes ever shuffle."""
+    h = (
+        P.fan_out(spark.table(view))
+        .select("source", F.lower(F.col("text")).alias("lt"))
+        .select("source", P.pd_poly_hash_udf()("lt").alias("h"))
+        .distinct()
+    )
+    a, b = h.alias("a"), h.alias("b")
+    return (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.source") < F.col("b.source")))
+        .groupBy(
+            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
+        )
+        .agg(F.count("*").alias("n_shared"))
+    )

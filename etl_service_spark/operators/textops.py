@@ -871,3 +871,50 @@ SELECT doc_id,
 FROM doc
 """
     )
+
+
+def zipf_bucket_profile_sql(view: str = "documents") -> tuple[str, str]:
+    """Zipf rank-frequency profile per source: bucket each source's
+    vocabulary by log2(rank) and report terms-per-bucket and
+    occurrences-per-bucket. Natural text tracks freq ~ 1/rank, so
+    occurrence mass per doubling bucket is roughly flat; template spam
+    and boilerplate bend the curve — a cheap corpus-health gauge that
+    needs no reference model.
+
+    Determinism: rank is a ROW_NUMBER over the total order
+    (count DESC, term ASC); the log2 bucket is a generated integer
+    CASE ladder, NOT floor(log2()) — FP log is not safe cross-engine
+    (DETERMINISM.md). All outputs are integers.
+
+    Scale shape: explode -> (source, term) hash aggregate with map-side
+    combine; the rank window partitions by source over the already
+    vocabulary-sized relation; the bucket rollup output is
+    |sources| x ~20 rows.
+    """
+    ladder = " ".join(
+        f"WHEN rk < {2 ** (j + 1)} THEN {j}" for j in range(20)
+    )
+    bucket = f"(CASE {ladder} ELSE 20 END)"
+    spark_tok = (
+        f"SELECT source, token FROM {view} "
+        f"LATERAL VIEW explode({P.spark_tokens('text')}) x AS token"
+    )
+    duck_tok = (
+        f"SELECT source, unnest({P.duck_tokens('text')}) AS token FROM {view}"
+    )
+    template = f"""
+WITH tok AS ({{tok_sql}}),
+tf AS (SELECT source, token, COUNT(*) AS n FROM tok GROUP BY source, token),
+ranked AS (
+  SELECT source, n,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY n DESC, token ASC) AS rk
+  FROM tf
+)
+SELECT source, {bucket} AS rank_bucket,
+       COUNT(*) AS n_terms,
+       CAST(SUM(n) AS BIGINT) AS n_occurrences
+FROM ranked
+GROUP BY source, {bucket}
+"""
+    return P.bi_sql(template, tok_sql=(spark_tok, duck_tok))

@@ -3386,4 +3386,22 @@ FROM documents WHERE text IS NOT NULL
         "SELECT doc_id, text, lang, source, n_chars FROM documents",
     )
 
+    # --- event-sequence mining: first-order Markov transition matrix
+    # and frequent day-start paths (see asof.py for the scale notes).
+    cases["events_markov_transitions"] = _pair_case(asof.markov_transitions_sql())
+    cases["events_top_paths"] = _pair_case(asof.top_paths_sql())
+
+    # --- cross-source duplicate overlap matrix: Arrow-kernel hash on
+    # the Spark side, SQL-lambda hash in the oracle (same function).
+    def _cross_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+        views(spark, sf_dir)
+        return corpus.cross_source_overlap_staged(spark)
+
+    cases["corpus_cross_source_overlap"] = Case(
+        _cross_overlap, corpus.cross_source_overlap_sql()[1]
+    )
+
+    # --- Zipf rank-frequency health profile per source
+    cases["text_zipf_profile"] = _pair_case(textops.zipf_bucket_profile_sql())
+
     return _driver_order(cases)
