@@ -432,3 +432,53 @@ def cross_source_overlap_staged(spark: SparkSession, view: str = "documents") ->
         )
         .agg(F.count("*").alias("n_shared"))
     )
+
+
+def dedup_survivorship_sql(view: str = "documents") -> tuple[str, str]:
+    """Exact-dedup survivorship by source: with min-doc_id as the
+    canonical keeper of every duplicate class, how many documents each
+    source keeps vs loses. The companion report to
+    cross_source_overlap_sql — overlap says WHO shares content,
+    survivorship says who pays for it under the keeper rule.
+
+    Scale shape: text collapses to an 8-byte hash before any shuffle;
+    the keeper reduction is a hash aggregate on h, and the join back is
+    equi-keyed on h with posting lists bounded by the duplicate-class
+    size. Integer-only output.
+    """
+    template = f"""
+WITH h AS (
+  SELECT doc_id, source, {{text_hash}} AS h FROM {view}
+),
+canon AS (SELECT h, MIN(doc_id) AS keeper FROM h GROUP BY h)
+SELECT source,
+       COUNT(*) AS n_docs,
+       SUM(CASE WHEN doc_id = keeper THEN 1 ELSE 0 END) AS n_kept,
+       SUM(CASE WHEN doc_id <> keeper THEN 1 ELSE 0 END) AS n_dropped
+FROM h JOIN canon ON h.h = canon.h
+GROUP BY source
+"""
+    return P.bi_sql(
+        template,
+        text_hash=(P.spark_poly_hash("lower(text)"), P.duck_poly_hash("lower(text)")),
+    )
+
+
+def dedup_survivorship_staged(spark: SparkSession, view: str = "documents") -> DataFrame:
+    """Spark path: Arrow-kernel poly-hash, keeper via a min window over
+    h (one shuffle on h — no join back needed: the window carries the
+    keeper to every row of its class), then the per-source rollup."""
+    from pyspark.sql import Window
+
+    h = (
+        P.fan_out(spark.table(view))
+        .select("doc_id", "source", F.lower(F.col("text")).alias("lt"))
+        .select("doc_id", "source", P.pd_poly_hash_udf()("lt").alias("h"))
+    )
+    w = Window.partitionBy("h")
+    kept = h.withColumn("keeper", F.min("doc_id").over(w))
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("doc_id") == F.col("keeper"), 1).otherwise(0)).alias("n_kept"),
+        F.sum(F.when(F.col("doc_id") != F.col("keeper"), 1).otherwise(0)).alias("n_dropped"),
+    )

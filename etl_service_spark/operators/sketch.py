@@ -474,3 +474,44 @@ FROM est_m m JOIN est_d d ON d.event_type = m.event_type AND d.week = m.week
             "date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))",
         ),
     )
+
+
+def distribution_drift_sql(view: str = "events") -> tuple[str, str]:
+    """Temporal distribution drift: split the stream at its time
+    midpoint and report each event type's share in the early vs late
+    half, plus the per-type absolute drift — the total-variation
+    distance is half the drift_ppm sum. The ingest-monitoring gauge
+    that catches a mix shift (a source going quiet, a new event type
+    ramping) without any reference model.
+
+    All arithmetic is exact-integer (ppm via integer division;
+    midpoint test uses t*2 <= lo+hi, microsecond epochs stay far below
+    2^63), so the cross-engine hash match is exact. NULLIF guards the
+    degenerate single-timestamp stream (ppm goes NULL in both engines
+    rather than raising).
+
+    Scale shape: the min/max reduction is one scan producing one row
+    (broadcast), the half-tag is a map-side projection, and the only
+    shuffle is the hash aggregate on event_type — output bounded by
+    |event_type| rows.
+    """
+    from etl_service_spark.functions import portable as P
+
+    template = f"""
+WITH b AS (SELECT {{ts_us}} AS t, event_type FROM {view}),
+mm AS (SELECT MIN(t) AS lo, MAX(t) AS hi FROM b),
+c AS (
+  SELECT event_type,
+         SUM(CASE WHEN t * 2 <= lo + hi THEN 1 ELSE 0 END) AS c_early,
+         SUM(CASE WHEN t * 2 > lo + hi THEN 1 ELSE 0 END) AS c_late
+  FROM b CROSS JOIN mm GROUP BY event_type
+),
+n AS (SELECT SUM(c_early) AS n_early, SUM(c_late) AS n_late FROM c)
+SELECT event_type, c_early, c_late,
+       CAST(c_early * 1000000 {{idiv}} NULLIF(n_early, 0) AS BIGINT) AS p_early_ppm,
+       CAST(c_late * 1000000 {{idiv}} NULLIF(n_late, 0) AS BIGINT) AS p_late_ppm,
+       ABS(CAST(c_early * 1000000 {{idiv}} NULLIF(n_early, 0) AS BIGINT)
+         - CAST(c_late * 1000000 {{idiv}} NULLIF(n_late, 0) AS BIGINT)) AS drift_ppm
+FROM c CROSS JOIN n
+"""
+    return P.bi_sql(template, ts_us=("ts_us", "epoch_us(ts)"), idiv=("DIV", "//"))

@@ -918,3 +918,40 @@ FROM ranked
 GROUP BY source, {bucket}
 """
     return P.bi_sql(template, tok_sql=(spark_tok, duck_tok))
+
+
+def ngram_novelty_sql(n: int = 3, view: str = "documents") -> tuple[str, str]:
+    """Per-document shingle novelty: the share of a document's distinct
+    word n-gram shingles that no earlier document (by doc_id) contains.
+    Appending data in doc_id order, this is the marginal-novelty curve
+    of the corpus — the signal a curation loop reads to decide when a
+    source has stopped contributing new content.
+
+    Scale shape: the shingle relation is the same staged (doc, shingle)
+    explode the dedup family uses; first-seen is a hash aggregate on
+    shingle (vocabulary-sized, map-side combined), and the join back is
+    equi-keyed on shingle — linear in the pair relation, never
+    all-pairs. Documents shorter than n tokens have no shingles and no
+    output row, identically in both engines (explode/unnest of an
+    empty array). Integer-only output.
+    """
+    spark_sh = (
+        f"SELECT doc_id, s FROM {view} "
+        f"LATERAL VIEW explode({P.spark_shingles(P.spark_tokens('text'), n)}) x AS s"
+    )
+    duck_sh = (
+        f"SELECT doc_id, unnest({P.duck_shingles(P.duck_tokens('text'), n)}) AS s "
+        f"FROM {view}"
+    )
+    template = """
+WITH sh AS ({sh_sql}),
+firsts AS (SELECT s, MIN(doc_id) AS first_doc FROM sh GROUP BY s)
+SELECT sh.doc_id,
+       COUNT(*) AS n_shingles,
+       SUM(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS n_novel,
+       CAST(SUM(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END) * 1000000
+            {idiv} COUNT(*) AS BIGINT) AS novelty_ppm
+FROM sh JOIN firsts f ON sh.s = f.s
+GROUP BY sh.doc_id
+"""
+    return P.bi_sql(template, sh_sql=(spark_sh, duck_sh), idiv=("DIV", "//"))

@@ -3404,4 +3404,42 @@ FROM documents WHERE text IS NOT NULL
     # --- Zipf rank-frequency health profile per source
     cases["text_zipf_profile"] = _pair_case(textops.zipf_bucket_profile_sql())
 
+    # --- temporal mix-shift monitor over the event stream
+    cases["events_distribution_drift"] = _pair_case(sketch.distribution_drift_sql())
+
+    # --- exact-dedup survivorship by source (keeper = min doc_id);
+    # Spark path carries the keeper with ONE window over h, no join.
+    def _survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+        views(spark, sf_dir)
+        return corpus.dedup_survivorship_staged(spark)
+
+    cases["corpus_dedup_survivorship"] = Case(
+        _survivorship, corpus.dedup_survivorship_sql()[1]
+    )
+
+    # --- marginal shingle novelty per document (doc_id order)
+    cases["text_ngram_novelty"] = _pair_case(textops.ngram_novelty_sql())
+
+    # --- inter-order gap distribution: LAG over (custkey, date) — one
+    # shuffle on o_custkey, then a day-gap histogram whose output is
+    # bounded by the date range. Portable integer day diff.
+    _GAP_TEMPLATE = """
+WITH g AS (
+  SELECT o_custkey, o_orderdate, o_orderkey,
+         LAG(o_orderdate) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_d
+  FROM orders
+)
+SELECT {daydiff} AS gap_days, COUNT(*) AS n_gaps
+FROM g WHERE prev_d IS NOT NULL
+GROUP BY {daydiff}
+"""
+    cases["orders_gap_distribution"] = _bi_case(
+        _GAP_TEMPLATE,
+        daydiff=(
+            "datediff(CAST(o_orderdate AS DATE), CAST(prev_d AS DATE))",
+            "date_diff('day', CAST(prev_d AS DATE), CAST(o_orderdate AS DATE))",
+        ),
+    )
+
     return _driver_order(cases)
