@@ -143,6 +143,16 @@ HEADLINERS = [
     "join_bloom_prefilter_revenue",
     "sketch_hll_weekly_rollup",
     "corpus_token_budget",
+    "events_markov_transitions",
+    "events_top_paths",
+    "corpus_cross_source_overlap",
+    "text_zipf_profile",
+    "events_distribution_drift",
+    "corpus_dedup_survivorship",
+    "text_ngram_novelty",
+    "orders_gap_distribution",
+    "emb_hamming_knn_graph",
+    "events_burst_windows",
 ]
 
 

@@ -1226,3 +1226,68 @@ FROM (
 GROUP BY vec_id
 """
     )
+
+
+def _sign_word_sql(word: int, *, one_based: bool) -> str:
+    """32-bit sign-bit word over dims [32*word, 32*word+32): bit i set
+    iff embedding[dim] >= 0. Pure comparisons + integer adds — no FP
+    arithmetic, so the signature is bit-identical across engines."""
+    off = 1 if one_based else 0
+    terms = [
+        f"(CASE WHEN embedding[{32 * word + i + off}] >= 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(32)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def hamming_knn_graph_sql(
+    k: int = 3, view: str = "embeddings"
+) -> tuple[str, str]:
+    """k-NN graph over 64-bit sign-bit (SimHash-style) signatures with
+    exact Hamming distance, blocked by label: each vector's k nearest
+    neighbors WITHIN its label cell. The adjacency SemDeDup-style
+    semantic dedup walks after clustering — formalized as a graph
+    relation (src, dst, dist, rk).
+
+    Charikar, "Similarity estimation techniques from rounding
+    algorithms" (STOC'02): sign-random-projection Hamming distance is
+    an unbiased angle estimator; here the projection basis is the
+    identity (raw sign bits), which is exactly the first stage of the
+    multi-index-hashing ANN family.
+
+    Determinism: the signature is comparisons + integer adds (two
+    32-bit words — never touches the sign bit of a BIGINT); Hamming is
+    bit_count(xor) per word; ties rank (dist ASC, dst ASC).
+
+    Scale shape: signature build is a map-side projection (64 bytes ->
+    8); the pair space is label-blocked — the same bounded-cell
+    quadratic as IVF probing, never a global all-pairs — with one
+    shuffle on label and a per-src top-k window. At 100 TB the label
+    blocking generalizes to IVF cell ids (emb_kmeans/ann_ivf_topk) and
+    the per-word signature join to multi-index Hamming banding.
+    """
+    xor_lo = ("(a.lo ^ b.lo)", "xor(a.lo, b.lo)")
+    xor_hi = ("(a.hi ^ b.hi)", "xor(a.hi, b.hi)")
+    template = f"""
+WITH s AS (
+  SELECT vec_id, label, {{sig_lo}} AS lo, {{sig_hi}} AS hi FROM {view}
+),
+pairs AS (
+  SELECT a.label AS label, a.vec_id AS src, b.vec_id AS dst,
+         CAST(bit_count({{xor_lo}}) + bit_count({{xor_hi}}) AS BIGINT) AS dist
+  FROM s a JOIN s b ON a.label = b.label AND a.vec_id <> b.vec_id
+),
+ranked AS (
+  SELECT label, src, dst, dist,
+         ROW_NUMBER() OVER (PARTITION BY src ORDER BY dist ASC, dst ASC) AS rk
+  FROM pairs
+)
+SELECT label, src, dst, dist, rk FROM ranked WHERE rk <= {k}
+"""
+    return P.bi_sql(
+        template,
+        sig_lo=(_sign_word_sql(0, one_based=False), _sign_word_sql(0, one_based=True)),
+        sig_hi=(_sign_word_sql(1, one_based=False), _sign_word_sql(1, one_based=True)),
+        xor_lo=xor_lo,
+        xor_hi=xor_hi,
+    )

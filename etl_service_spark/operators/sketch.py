@@ -515,3 +515,42 @@ SELECT event_type, c_early, c_late,
 FROM c CROSS JOIN n
 """
     return P.bi_sql(template, ts_us=("ts_us", "epoch_us(ts)"), idiv=("DIV", "//"))
+
+
+def burst_windows_sql(factor_num: int = 2, view: str = "events") -> tuple[str, str]:
+    """Burst detection: hourly event counts per type flagged when the
+    current hour runs at >= ``factor_num``x the trailing-8-hour mean —
+    the streaming-monitor staple (Kleinberg's burst model reduced to
+    its integer-ratio gate, which is what production alerting ships).
+
+    The trailing frame is RANGE-based over the integer hour index, so
+    hours with NO events still occupy their time span (a ROWS frame
+    would silently stretch the baseline across gaps). The gate
+    cross-multiplies instead of dividing: c * 8 >= factor * prev_sum —
+    exact integers, no FP. Warm-up hours are excluded by requiring a
+    trailing baseline of at least one event per hour.
+
+    Scale shape: one hash aggregate (event_type, hour) with map-side
+    combine, then a window partitioned by event_type over the (tiny)
+    hourly relation. Output is bounded by the flagged hours.
+    """
+    from etl_service_spark.functions import portable as P
+
+    template = f"""
+WITH hourly AS (
+  SELECT event_type, {{ts_us}} {{idiv}} 3600000000 AS hour, COUNT(*) AS n_events
+  FROM {view}
+  GROUP BY event_type, {{ts_us}} {{idiv}} 3600000000
+),
+w AS (
+  SELECT event_type, hour, n_events,
+         SUM(n_events) OVER (
+           PARTITION BY event_type ORDER BY hour
+           RANGE BETWEEN 8 PRECEDING AND 1 PRECEDING) AS prev_8h
+  FROM hourly
+)
+SELECT event_type, hour, n_events, prev_8h
+FROM w
+WHERE prev_8h >= 8 AND n_events * 8 >= {factor_num} * prev_8h
+"""
+    return P.bi_sql(template, ts_us=("ts_us", "epoch_us(ts)"), idiv=("DIV", "//"))

@@ -920,38 +920,58 @@ GROUP BY source, {bucket}
     return P.bi_sql(template, tok_sql=(spark_tok, duck_tok))
 
 
-def ngram_novelty_sql(n: int = 3, view: str = "documents") -> tuple[str, str]:
+def ngram_novelty_sql(view: str = "documents") -> tuple[str, str]:
     """Per-document shingle novelty: the share of a document's distinct
-    word n-gram shingles that no earlier document (by doc_id) contains.
-    Appending data in doc_id order, this is the marginal-novelty curve
-    of the corpus — the signal a curation loop reads to decide when a
-    source has stopped contributing new content.
+    word 3-gram shingles (in 64-bit hash space — the dedup family's
+    fingerprint domain, see dedup._HASHSET_PROLOGUE) that no earlier
+    document (by doc_id) contains. Appending data in doc_id order,
+    this is the marginal-novelty curve of the corpus — the signal a
+    curation loop reads to decide when a source has stopped
+    contributing new content.
 
-    Scale shape: the shingle relation is the same staged (doc, shingle)
-    explode the dedup family uses; first-seen is a hash aggregate on
-    shingle (vocabulary-sized, map-side combined), and the join back is
-    equi-keyed on shingle — linear in the pair relation, never
-    all-pairs. Documents shorter than n tokens have no shingles and no
-    output row, identically in both engines (explode/unnest of an
-    empty array). Integer-only output.
+    Scale shape: first-seen is a hash aggregate on the shingle hash
+    (vocabulary-sized, map-side combined) carried back by the same-key
+    window — linear in the exploded relation, never all-pairs.
+    Documents shorter than 3 tokens have no shingles and no output
+    row, identically in both engines. Integer-only output.
+
+    The registry's Spark path is ngram_novelty_staged (shares the
+    memoized Arrow-kernel hashset relation); this SQL twin is the
+    oracle and the plan-shape documentation.
     """
-    spark_sh = (
-        f"SELECT doc_id, s FROM {view} "
-        f"LATERAL VIEW explode({P.spark_shingles(P.spark_tokens('text'), n)}) x AS s"
-    )
-    duck_sh = (
-        f"SELECT doc_id, unnest({P.duck_shingles(P.duck_tokens('text'), n)}) AS s "
-        f"FROM {view}"
-    )
-    template = """
-WITH sh AS ({sh_sql}),
-firsts AS (SELECT s, MIN(doc_id) AS first_doc FROM sh GROUP BY s)
-SELECT sh.doc_id,
+    from .dedup import _HASHSET_PROLOGUE, _hashset_frags
+
+    template = _HASHSET_PROLOGUE + """,
+ex AS (SELECT doc_id, {explode}(hs) AS h FROM hs),
+firsts AS (SELECT h, MIN(doc_id) AS first_doc FROM ex GROUP BY h)
+SELECT ex.doc_id,
        COUNT(*) AS n_shingles,
-       SUM(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS n_novel,
-       CAST(SUM(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END) * 1000000
+       SUM(CASE WHEN f.first_doc = ex.doc_id THEN 1 ELSE 0 END) AS n_novel,
+       CAST(SUM(CASE WHEN f.first_doc = ex.doc_id THEN 1 ELSE 0 END) * 1000000
             {idiv} COUNT(*) AS BIGINT) AS novelty_ppm
-FROM sh JOIN firsts f ON sh.s = f.s
-GROUP BY sh.doc_id
+FROM ex JOIN firsts f ON ex.h = f.h
+GROUP BY ex.doc_id
 """
-    return P.bi_sql(template, sh_sql=(spark_sh, duck_sh), idiv=("DIV", "//"))
+    return P.bi_sql(template, **_hashset_frags(view))
+
+
+def ngram_novelty_staged(spark: SparkSession, view: str = "documents") -> DataFrame:
+    """Spark path for ngram_novelty_sql: explode the memoized
+    Arrow-kernel shingle-hashset relation (shared with the whole dedup
+    family — the tokenizer never re-runs), carry first_doc with ONE
+    min-window over h (no join back), then the per-doc rollup."""
+    from pyspark.sql import Window
+
+    from .dedup import materialize_hashsets
+
+    hs_rel = materialize_hashsets(spark, view)
+    ex = spark.table(hs_rel).select("doc_id", F.explode("hs").alias("h"))
+    w = Window.partitionBy("h")
+    flagged = ex.withColumn("first_doc", F.min("doc_id").over(w))
+    novel = F.sum(F.when(F.col("doc_id") == F.col("first_doc"), 1).otherwise(0))
+    return (
+        flagged.groupBy("doc_id")
+        .agg(F.count("*").alias("n_shingles"), novel.alias("n_novel"))
+        # exact integer division — FP `/` + cast could round the wrong way
+        .withColumn("novelty_ppm", F.expr("CAST(n_novel * 1000000 DIV n_shingles AS BIGINT)"))
+    )

@@ -3417,8 +3417,13 @@ FROM documents WHERE text IS NOT NULL
         _survivorship, corpus.dedup_survivorship_sql()[1]
     )
 
-    # --- marginal shingle novelty per document (doc_id order)
-    cases["text_ngram_novelty"] = _pair_case(textops.ngram_novelty_sql())
+    # --- marginal shingle novelty per document (doc_id order); Spark
+    # path shares the dedup family's staged Arrow hashset relation
+    def _novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+        views(spark, sf_dir)
+        return textops.ngram_novelty_staged(spark)
+
+    cases["text_ngram_novelty"] = Case(_novelty, textops.ngram_novelty_sql()[1])
 
     # --- inter-order gap distribution: LAG over (custkey, date) — one
     # shuffle on o_custkey, then a day-gap histogram whose output is
@@ -3441,5 +3446,11 @@ GROUP BY {daydiff}
             "date_diff('day', CAST(prev_d AS DATE), CAST(o_orderdate AS DATE))",
         ),
     )
+
+    # --- label-blocked Hamming k-NN graph over sign-bit signatures
+    cases["emb_hamming_knn_graph"] = _pair_case(similarity.hamming_knn_graph_sql())
+
+    # --- trailing-baseline burst detection over hourly counts
+    cases["events_burst_windows"] = _pair_case(sketch.burst_windows_sql())
 
     return _driver_order(cases)
