@@ -554,3 +554,32 @@ FROM w
 WHERE prev_8h >= 8 AND n_events * 8 >= {factor_num} * prev_8h
 """
     return P.bi_sql(template, ts_us=("ts_us", "epoch_us(ts)"), idiv=("DIV", "//"))
+
+
+def burst_gate_over_hourly(hourly, factor_num: int = 2):
+    """The burst gate of :func:`burst_windows_sql` applied to an
+    ALREADY-MAINTAINED hourly-counts relation — the table a streaming
+    job keeps fresh (streaming/events_stream.windowed_event_counts).
+    Splitting maintain (streaming, watermark-bounded state) from gate
+    (a window over the tiny hourly relation) is the production shape:
+    the stream never holds trailing-8h state, the gate re-reads the
+    rollup. Input: (window_start timestamp, event_type, n_events).
+    Output is identical to the batch query's (event_type, hour,
+    n_events, prev_8h)."""
+    from pyspark.sql import Window, functions as F
+
+    hours = hourly.select(
+        "event_type",
+        F.expr("unix_micros(window_start) DIV 3600000000").alias("hour"),
+        "n_events",
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rangeBetween(-8, -1)
+    )
+    return (
+        hours.withColumn("prev_8h", F.sum("n_events").over(w))
+        .filter(F.col("prev_8h") >= 8)
+        .filter(F.col("n_events") * 8 >= factor_num * F.col("prev_8h"))
+    )

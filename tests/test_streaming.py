@@ -1011,3 +1011,41 @@ def test_scd2_stream_replay_is_idempotent(spark, tmp_path):
         }
 
     assert rows(1) == rows(2)
+
+
+def test_streaming_burst_monitor_matches_batch(spark, sf_dir, tmp_path):
+    """Maintain hourly counts from the stream, gate bursts in batch:
+    flagged rows must equal the batch burst query over the same span
+    (the streamed rollup is a time-prefix — the watermark may hold the
+    tail windows — so both sides are cut at the last streamed hour)."""
+    from etl_service_spark.operators.sketch import burst_gate_over_hourly, burst_windows_sql
+    from etl_service_spark.plans.queries import views
+
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    events = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    events.filter(F.col("event_id") % 2 == 0).write.mode("append").parquet(landing)
+    events.filter(F.col("event_id") % 2 == 1).write.mode("append").parquet(landing)
+
+    run_available_now(
+        windowed_event_counts(read_event_stream(spark, landing)),
+        str(tmp_path / "ckpt"),
+        "burst_hourly",
+    )
+    streamed = spark.table("burst_hourly")
+    # factor 1 (>= trailing mean): sf0.001 hourly counts are too flat
+    # for the 2x production default; the gate logic is identical
+    got = burst_gate_over_hourly(streamed, factor_num=1)
+
+    views(spark, sf_dir)
+    expect = spark.sql(burst_windows_sql(1)[0])
+
+    cutoff = streamed.agg(
+        F.expr("MAX(unix_micros(window_start) DIV 3600000000)")
+    ).collect()[0][0]
+    g = sorted(map(tuple, got.filter(F.col("hour") <= cutoff).collect()))
+    e = sorted(map(tuple, expect.filter(F.col("hour") <= cutoff).collect()))
+    assert g, "no bursts flagged — gate untested"
+    assert g == e
