@@ -153,6 +153,8 @@ HEADLINERS = [
     "orders_gap_distribution",
     "emb_hamming_knn_graph",
     "events_burst_windows",
+    "graph_kcore",
+    "text_boilerplate_prefixes",
 ]
 
 

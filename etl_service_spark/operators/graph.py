@@ -522,3 +522,81 @@ def degree_distribution_sql() -> tuple[str, str]:
     return DEGREE_DIST_TEMPLATE.format(pairs_sql=PR_PAIRS_SQL), DEGREE_DIST_TEMPLATE.format(
         pairs_sql=PR_PAIRS_SQL
     )
+
+
+def kcore_peel(
+    edges: DataFrame, k: int = 2, rounds: int = 4,
+    a: str = "doc_a", b: str = "doc_b",
+) -> DataFrame:
+    """Bounded k-core peeling of an undirected graph: ``rounds``
+    synchronous rounds of "drop every node with degree < k", then the
+    surviving nodes with their core-subgraph degree. On the near-dup
+    pair graph the 2-core is the set of documents held by MORE than a
+    single borderline pair — chain links (degree-1 endpoints) peel
+    away, so it separates clique-like duplicate mass from the fragile
+    chains the triangle census warns about (Seidman, "Network
+    structure and minimum degree", Social Networks'83).
+
+    A fixed round count keeps the result a well-defined relation
+    ("``rounds``-round k-peel") and bit-identical to the unrolled
+    oracle; dup graphs peel to fixpoint in 2-3 rounds, and at 100 TB
+    each round is one degree aggregate + two semi-joins keyed on node
+    id — the standard synchronous peel, with the same co-partitioning
+    story as connected_components (no driver loop, lazy chaining).
+    """
+    sym = (
+        edges.select(F.col(a).alias("u"), F.col(b).alias("v"))
+        .union(edges.select(F.col(b).alias("u"), F.col(a).alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # materialize each round and probe the edge count: peeling only
+    # removes edges, so an unchanged count IS the fixpoint and the
+    # remaining rounds are provably no-ops — the result stays
+    # bit-identical to the fully-unrolled oracle while a converged
+    # graph (the common case by round 2-3) skips the dead rounds.
+    # Same lineage discipline as connected_components: without the
+    # checkpoint, round r's plan re-derives rounds 1..r-1.
+    n_edges = sym.count()
+    for _ in range(rounds):
+        deg = sym.groupBy("u").agg(F.count("*").alias("d"))
+        keep = deg.filter(F.col("d") >= k).select("u")
+        sym = (
+            sym.join(keep, "u", "semi")
+            .join(keep.withColumnRenamed("u", "v"), "v", "semi")
+            .localCheckpoint(eager=True)
+        )
+        n_new = sym.count()
+        if n_new == n_edges:
+            break
+        n_edges = n_new
+    return (
+        sym.groupBy("u")
+        .agg(F.count("*").alias("core_degree"))
+        .select(F.col("u").alias("doc_id"), "core_degree")
+    )
+
+
+def kcore_oracle_sql(tau: float = 0.8, k: int = 2, rounds: int = 4) -> str:
+    """Single-statement DuckDB oracle: the identical synchronous peel,
+    unrolled round by round over the same jaccard pair relation."""
+    from . import dedup
+
+    pairs_sql = dedup.ngram_jaccard_sql(tau=tau)[1].strip()
+    ctes = [
+        f"pairs AS (SELECT doc_a, doc_b FROM ({pairs_sql}) p)",
+        "e0 AS (SELECT doc_a AS u, doc_b AS v FROM pairs"
+        " UNION SELECT doc_b, doc_a FROM pairs)",
+    ]
+    for r in range(rounds):
+        ctes.append(
+            f"k{r} AS (SELECT u FROM e{r} GROUP BY u HAVING COUNT(*) >= {k})"
+        )
+        ctes.append(
+            f"e{r + 1} AS (SELECT e.u, e.v FROM e{r} e"
+            f" JOIN k{r} x ON e.u = x.u JOIN k{r} y ON e.v = y.u)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT u AS doc_id, COUNT(*) AS core_degree FROM e{rounds} GROUP BY u"
+    )

@@ -975,3 +975,41 @@ def ngram_novelty_staged(spark: SparkSession, view: str = "documents") -> DataFr
         # exact integer division — FP `/` + cast could round the wrong way
         .withColumn("novelty_ppm", F.expr("CAST(n_novel * 1000000 DIV n_shingles AS BIGINT)"))
     )
+
+
+def boilerplate_prefixes_sql(
+    n_tokens: int = 8, min_docs: int = 2, view: str = "documents"
+) -> tuple[str, str]:
+    """Boilerplate-prefix detection: hash each document's first
+    ``n_tokens`` tokens and report prefixes shared by >= ``min_docs``
+    documents — the cheap first pass for template/header removal
+    (licence blocks, navigation chrome, scraped-page skeletons), which
+    exact-dedup misses because the BODIES differ.
+
+    Scale shape: the prefix collapses to an 8-byte hash in the first
+    projection (one Arrow-free map pass — the slice bounds the lambda
+    to n_tokens, unlike full-text hashing); one hash aggregate on the
+    prefix hash; HAVING prunes the unique mass. Output is the (small)
+    boilerplate candidate list. Integer-only.
+    """
+    spark_prefix = f"array_join(slice({P.spark_tokens('text')}, 1, {n_tokens}), ' ')"
+    duck_prefix = f"array_to_string(({P.duck_tokens('text')})[1:{n_tokens}], ' ')"
+    template = f"""
+WITH p AS (
+  SELECT doc_id, source, {{prefix_hash}} AS ph FROM {view}
+)
+SELECT ph AS prefix_hash,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT source) AS n_sources,
+       MIN(doc_id) AS sample_doc
+FROM p
+GROUP BY ph
+HAVING COUNT(*) >= {min_docs}
+"""
+    return P.bi_sql(
+        template,
+        prefix_hash=(
+            P.spark_poly_hash(spark_prefix),
+            P.duck_poly_hash(duck_prefix),
+        ),
+    )

@@ -3453,4 +3453,16 @@ GROUP BY {daydiff}
     # --- trailing-baseline burst detection over hourly counts
     cases["events_burst_windows"] = _pair_case(sketch.burst_windows_sql())
 
+    # --- bounded 2-core peel of the near-dup pair graph (shares the
+    # staged pairs view with clustering and the triangle census)
+    def _kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+        views(spark, sf_dir)
+        pairs = spark.table(graph.staged_pairs_view(spark, tau=0.8))
+        return graph.kcore_peel(pairs)
+
+    cases["graph_kcore"] = Case(_kcore, graph.kcore_oracle_sql(tau=0.8))
+
+    # --- shared-prefix boilerplate candidates
+    cases["text_boilerplate_prefixes"] = _pair_case(textops.boilerplate_prefixes_sql())
+
     return _driver_order(cases)
