@@ -155,6 +155,12 @@ HEADLINERS = [
     "events_burst_windows",
     "graph_kcore",
     "text_boilerplate_prefixes",
+    "text_pmi_collocations",
+    "events_changepoint_scan",
+    "events_late_data_audit",
+    "events_seasonal_residuals",
+    "profile_key_skew",
+    "dedup_lsh_cost_audit",
 ]
 
 

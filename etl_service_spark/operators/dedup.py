@@ -936,3 +936,71 @@ def neardup_gate(
     dropped = hist_hits.union(peer_hits).distinct()
     survivors = batch_docs.join(dropped, "doc_id", "left_anti")
     return survivors, bk
+
+
+# ------------------------------------------------------- LSH cost audit
+def _lsh_audit_body(k: int, bands: int) -> str:
+    """Band-bucket cost profile over the same ex/sig/bands CTEs the
+    production LSH join runs on."""
+    return (
+        _minhash_body(k, bands).split("cand AS", 1)[0]
+        + """bucket AS (
+  SELECT band_key, COUNT(*) AS sz FROM bands GROUP BY band_key
+)
+SELECT {ladder} AS sz_log2_bucket,
+       COUNT(*) AS n_buckets,
+       SUM(sz) AS n_postings,
+       SUM(sz * (sz - 1) {idiv} 2) AS cand_pairs
+FROM bucket
+GROUP BY {ladder}
+"""
+    )
+
+
+def lsh_cost_audit_sql(
+    k: int = 16, bands: int = 8, view: str = "documents"
+) -> tuple[str, str]:
+    """Posting-list cost profile of the minhash-LSH band join — the
+    pre-flight check that tells you whether the LSH candidate join is
+    safe to run BEFORE paying for it: bucket the band-bucket sizes by
+    log2 and report, per size class, how many buckets, how many
+    postings, and how many candidate pairs (Σ sz·(sz−1)/2) they
+    generate. A heavy tail here (one giant bucket) is exactly the
+    skew that melts the candidate join at 100 TB; the fix (more
+    bands / wider signatures / salting) is chosen off this table.
+
+    Mirrors plan_audit.py's philosophy — audit the quadratic blow-up
+    mechanically, don't discover it in production. All-integer
+    arithmetic over the SAME ex/sig/bands CTEs as minhash_lsh_sql, so
+    the audited cost is the real join's cost, not a model of it.
+
+    Scale shape: signature build is the usual explode + per-doc
+    aggregate; bucket sizes are a |buckets|-row aggregate; the report
+    is ≤ ~20 rows. No pair is ever materialized.
+    """
+    ladder = " ".join(f"WHEN sz < {2 ** (j + 1)} THEN {j}" for j in range(12))
+    body = _lsh_audit_body(k, bands)
+    return P.bi_sql(
+        _HASHSET_PROLOGUE + ",\n" + body,
+        band_arr=_band_arr(k, bands),
+        hs_rel="hs",
+        ladder=f"(CASE {ladder} ELSE 12 END)",
+        **_hashset_frags(view),
+    )
+
+
+def lsh_cost_audit_staged(
+    spark: SparkSession, k: int = 16, bands: int = 8, view: str = "documents"
+) -> DataFrame:
+    """Spark path over the staged hashset relation (shared with every
+    other dedup-family query in the session)."""
+    hs_rel = materialize_hashsets(spark, view)
+    ladder = " ".join(f"WHEN sz < {2 ** (j + 1)} THEN {j}" for j in range(12))
+    body = P.bi_sql(
+        "WITH " + _lsh_audit_body(k, bands),
+        band_arr=_band_arr(k, bands),
+        hs_rel=hs_rel,
+        ladder=f"(CASE {ladder} ELSE 12 END)",
+        **_hashset_frags(view),
+    )[0]
+    return spark.sql(body)

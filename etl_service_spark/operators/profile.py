@@ -84,3 +84,54 @@ def scrub_pii(df, text_col: str = "text", patterns: dict[str, str] | None = None
         out = out.withColumn(f"n_{name}", F.regexp_count(F.col(text_col), F.lit(pat)))
         masked = F.regexp_replace(masked, pat, f"<{name.upper()}>")
     return out.withColumn("text_scrubbed", masked)
+
+
+def key_skew_report_sql(
+    key: str = "user_id", top_n: int = 10, view: str = "events"
+) -> tuple[str, str]:
+    """Shuffle-key skew report — the diagnostic that decides whether a
+    join/aggregate on ``key`` needs salting BEFORE the job runs at
+    100 TB (SCALE.md's salting rule is gated on exactly these numbers).
+    One row: key count, row count, max/percentile per-key weights, the
+    top-N keys' share of all rows, and max-vs-mean in ppm (the skew
+    factor AQE's skew-join threshold compares against).
+
+    Exact percentiles by rank selection over the per-key count
+    relation (cnt ASC, key ASC is a total order → deterministic), all
+    integer arithmetic. Scale shape: one map-side-combined aggregate
+    to |keys| rows, then one window over that (already reduced)
+    relation; output is a single row.
+    """
+    template = f"""
+WITH c AS (
+  SELECT {key} AS k, COUNT(*) AS cnt FROM {view} GROUP BY {key}
+),
+o AS (
+  SELECT cnt,
+         ROW_NUMBER() OVER (ORDER BY cnt ASC, k ASC) AS rk,
+         COUNT(*) OVER () AS n_keys,
+         SUM(cnt) OVER () AS n_rows
+  FROM c
+)
+SELECT
+  MAX(n_keys) AS n_keys,
+  MAX(n_rows) AS n_rows,
+  MAX(cnt) AS max_cnt,
+  MAX(CASE WHEN rk = (n_keys * 50 + 99) {{idiv}} 100 THEN cnt END) AS p50_cnt,
+  MAX(CASE WHEN rk = (n_keys * 90 + 99) {{idiv}} 100 THEN cnt END) AS p90_cnt,
+  MAX(CASE WHEN rk = (n_keys * 99 + 99) {{idiv}} 100 THEN cnt END) AS p99_cnt,
+  CAST(SUM(CASE WHEN rk > n_keys - {top_n} THEN cnt ELSE 0 END) * 1000000
+       {{idiv}} MAX(n_rows) AS BIGINT) AS top{top_n}_share_ppm,
+  CAST(CAST(MAX(cnt) AS {{big_t}}) * MAX(n_keys) * 1000000
+       {{idiv}} MAX(n_rows) AS BIGINT) AS max_over_mean_ppm
+FROM o
+"""
+    from etl_service_spark.functions import portable as P
+
+    # max_cnt * n_keys * 1e6 passes 2^63 on a large corpus: Spark
+    # decimals stay exact to precision 38; DuckDB would convert an
+    # over-wide DECIMAL product to (lossy) DOUBLE, so the oracle
+    # multiplies in HUGEINT instead.
+    return P.bi_sql(
+        template, idiv=("DIV", "//"), big_t=("DECIMAL(38,0)", "HUGEINT")
+    )

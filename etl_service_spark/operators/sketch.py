@@ -583,3 +583,153 @@ def burst_gate_over_hourly(hourly, factor_num: int = 2):
         .filter(F.col("prev_8h") >= 8)
         .filter(F.col("n_events") * 8 >= factor_num * F.col("prev_8h"))
     )
+
+
+def changepoint_scan_sql(min_seg: int = 25, view: str = "events") -> tuple[str, str]:
+    """Single-changepoint scan per event type — the first step of
+    binary segmentation (Scott & Knott'74; ruptures' l2 cost): order
+    each type's values by time, and pick the split index that
+    maximizes |mean(prefix) − mean(suffix)|. The level-shift detector
+    for a value stream (a sensor re-calibrated, a price rescaled, a
+    bug zeroing a field).
+
+    Determinism: prefix sums accumulate in DECIMAL (order-free exact);
+    each candidate's gap is two decimal→double casts, two divisions
+    and one subtraction on identical operands in both engines — the
+    same correctly-rounded FP ops → identical doubles → identical
+    DESC ranking; ties break on the smaller split index. The reported
+    gap is 6-digit-truncated.
+
+    Scale shape: one shuffle on event_type, then ONE ordered window
+    pass per type computing all n candidate splits from running sums
+    (no per-split rescan — the O(n²) naive form becomes O(n)). The
+    argmax is a per-type group-limit (WindowGroupLimit), not a global
+    sort. Types shorter than 2·min_seg drop out in both engines.
+    """
+    template = f"""
+WITH b AS (
+  SELECT event_type, {{ts_us}} AS t, event_id,
+         CAST(value AS DECIMAL(18,6)) AS v
+  FROM {view}
+),
+o AS (
+  SELECT event_type,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY t, event_id) AS i,
+         COUNT(*)     OVER (PARTITION BY event_type) AS n,
+         SUM(v) OVER (PARTITION BY event_type ORDER BY t, event_id
+                      ROWS UNBOUNDED PRECEDING) AS ps,
+         SUM(v) OVER (PARTITION BY event_type) AS tot
+  FROM b
+),
+g AS (
+  SELECT event_type, i AS split_i, n,
+         ABS(CAST(ps AS DOUBLE) / i
+           - CAST(tot - ps AS DOUBLE) / (n - i)) AS gap
+  FROM o
+  WHERE i >= {min_seg} AND i <= n - {min_seg}
+),
+r AS (
+  SELECT event_type, split_i, n, gap,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY gap DESC, split_i ASC) AS rk
+  FROM g
+)
+SELECT event_type, split_i, n AS n_events,
+       FLOOR(gap * 1e6) / 1e6 AS gap
+FROM r WHERE rk = 1
+"""
+    from etl_service_spark.functions import portable as P
+
+    return P.bi_sql(template, ts_us=("ts_us", "epoch_us(ts)"))
+
+
+def late_data_audit_sql(
+    delay_s: int = 600, shards: int = 8, view: str = "events"
+) -> tuple[str, str]:
+    """Watermark late-data audit: replay the stream in arrival order
+    (event_id is the ingest sequence) and count, per hourly window,
+    the rows that a Structured-Streaming watermark of ``delay_s``
+    would have dropped — event time older than the shard's running
+    max minus the delay. The capacity-planning input for choosing a
+    watermark: the late_ppm column IS the data-loss rate each delay
+    buys.
+
+    The running max is PER INGEST SHARD (event_id % shards), mirroring
+    how Spark actually tracks watermarks — per input partition, with
+    the global watermark the min over partitions — and keeping the
+    ordered window partitioned instead of a single global sort (the
+    shard count stands in for the source's real partition count).
+
+    All arithmetic is integer microseconds; output is integers only.
+    Scale shape: one shuffle on the shard key for the arrival-order
+    window, then a hash aggregate on the hour — no global ordering
+    anywhere.
+    """
+    template = f"""
+WITH a AS (
+  SELECT event_id, event_id % {shards} AS shard, {{ts_us}} AS t
+  FROM {view}
+),
+w AS (
+  SELECT t,
+         MAX(t) OVER (PARTITION BY shard ORDER BY event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS high_wm
+  FROM a
+),
+f AS (
+  SELECT t {{idiv}} 3600000000 AS hour,
+         CASE WHEN high_wm IS NOT NULL
+               AND t < high_wm - {delay_s * 1_000_000} THEN 1 ELSE 0 END AS is_late
+  FROM w
+)
+SELECT hour, COUNT(*) AS n_events, SUM(is_late) AS n_late,
+       CAST(SUM(is_late) * 1000000 {{idiv}} COUNT(*) AS BIGINT) AS late_ppm
+FROM f GROUP BY hour
+"""
+    from etl_service_spark.functions import portable as P
+
+    return P.bi_sql(template, ts_us=("ts_us", "epoch_us(ts)"), idiv=("DIV", "//"))
+
+
+def seasonal_residuals_sql(k: int = 20, view: str = "events") -> tuple[str, str]:
+    """Seasonal-naive anomaly scan: baseline each event type by its
+    hour-of-day mean (the strongest periodicity in operational
+    streams), then report the k largest absolute residuals — what
+    z-score misses when the mean itself swings with the clock.
+
+    Determinism: baselines are DECIMAL sums / integer counts → one
+    double division on identical operands; the residual is one
+    subtraction + ABS of identical doubles; ranking ties break on
+    event_id. Reported residuals are 6-digit-truncated.
+
+    Scale shape: the baseline is a (type × 24)-row aggregate —
+    broadcast back onto the stream (one hash aggregate + one broadcast
+    join, no row explosion); the global top-k collapses to
+    TakeOrderedAndProject-style group limits under WindowGroupLimit.
+    """
+    template = f"""
+WITH b AS (
+  SELECT event_id, event_type, ({{ts_us}} {{idiv}} 3600000000) % 24 AS hod,
+         CAST(value AS DECIMAL(18,6)) AS v
+  FROM {view}
+),
+base AS (
+  SELECT event_type, hod, SUM(v) AS s, COUNT(*) AS n
+  FROM b GROUP BY event_type, hod
+),
+r AS (
+  SELECT b.event_id, b.event_type, b.hod,
+         ABS(CAST(b.v AS DOUBLE) - CAST(base.s AS DOUBLE) / base.n) AS resid
+  FROM b JOIN base ON b.event_type = base.event_type AND b.hod = base.hod
+),
+t AS (
+  SELECT event_id, event_type, hod, resid,
+         ROW_NUMBER() OVER (ORDER BY resid DESC, event_id ASC) AS rk
+  FROM r
+)
+SELECT event_id, event_type, hod, FLOOR(resid * 1e6) / 1e6 AS resid
+FROM t WHERE rk <= {k}
+"""
+    from etl_service_spark.functions import portable as P
+
+    return P.bi_sql(template, ts_us=("ts_us", "epoch_us(ts)"), idiv=("DIV", "//"))

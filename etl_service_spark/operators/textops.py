@@ -831,14 +831,11 @@ FROM doc
 _BIGRAM_CACHE: dict[tuple, str] = {}
 
 
-def bigram_lm_score_staged(spark, view: str = "documents") -> DataFrame:
-    """Spark path for bigram_lm_score_sql over a STAGED bigram
-    relation: the single-statement form references the exploded bigram
-    CTE twice (frequency build + per-doc join) and Spark inlines CTEs,
-    so tokenize+explode would run twice (plan showed 6 Generate nodes).
-    Staging pays the explode once — SCALE.md ground rule #3 — and the
-    memo keys on (session, view, input files) like the token stage.
-    Oracle stays the single-statement SQL."""
+def materialize_bigrams(spark, view: str = "documents") -> str:
+    """Stage the multiplicity-preserving bigram relation
+    (doc_id, bg) once per (session, view, input files) — shared by the
+    bigram-LM scorer and the PMI collocation miner, exactly like the
+    token stage above. Returns the temp-view name."""
     src = spark.table(view)
     key = (id(spark), view, tuple(sorted(src.inputFiles())), P.staging_dir(spark))
     name = _BIGRAM_CACHE.get(key)
@@ -851,6 +848,18 @@ def bigram_lm_score_staged(spark, view: str = "documents") -> DataFrame:
         )
         P.stage_df(P.fan_out(spark.sql(big_sql)), name).createOrReplaceTempView(name)
         _BIGRAM_CACHE[key] = name
+    return name
+
+
+def bigram_lm_score_staged(spark, view: str = "documents") -> DataFrame:
+    """Spark path for bigram_lm_score_sql over a STAGED bigram
+    relation: the single-statement form references the exploded bigram
+    CTE twice (frequency build + per-doc join) and Spark inlines CTEs,
+    so tokenize+explode would run twice (plan showed 6 Generate nodes).
+    Staging pays the explode once — SCALE.md ground rule #3 — and the
+    memo keys on (session, view, input files) like the token stage.
+    Oracle stays the single-statement SQL."""
+    name = materialize_bigrams(spark, view)
     return spark.sql(
         f"""
 WITH bf AS (SELECT bg, COUNT(*) AS cnt FROM {name} GROUP BY bg),
@@ -1013,3 +1022,102 @@ HAVING COUNT(*) >= {min_docs}
             P.duck_poly_hash(duck_prefix),
         ),
     )
+
+
+# --------------------------------------------------------- collocations
+def _pmi_body(big_sql: str, uni_sql: str, min_count: int, k: int) -> str:
+    """Shared PMI template; engine differences arrive via .format frags
+    (integer division, wide-integer type, bigram split)."""
+    return f"""
+WITH pair AS (SELECT bg, COUNT(*) AS c_ab FROM ({big_sql}) GROUP BY bg),
+uni AS (SELECT w, COUNT(*) AS c FROM ({uni_sql}) u GROUP BY w),
+n AS (SELECT SUM(c) AS n_tok FROM uni),
+sp AS (
+  SELECT {{w1}} AS w1, {{w2}} AS w2, c_ab
+  FROM pair WHERE c_ab >= {min_count}
+),
+j AS (
+  SELECT sp.w1, sp.w2, sp.c_ab, a.c AS c_a, b.c AS c_b,
+         CAST(CAST(sp.c_ab AS {{big_t}}) * 1000000 * (SELECT n_tok FROM n)
+              {{idiv}} (a.c * b.c) AS BIGINT) AS lift_ppm
+  FROM sp JOIN uni a ON sp.w1 = a.w JOIN uni b ON sp.w2 = b.w
+),
+r AS (
+  SELECT j.*, ROW_NUMBER() OVER (ORDER BY lift_ppm DESC, w1, w2) AS rk FROM j
+)
+SELECT w1, w2, c_ab, c_a, c_b, lift_ppm FROM r WHERE rk <= {k}
+"""
+
+
+_PMI_FRAGS = dict(
+    w1=("element_at(split(bg, ' '), 1)", "split_part(bg, ' ', 1)"),
+    w2=("element_at(split(bg, ' '), 2)", "split_part(bg, ' ', 2)"),
+    # lift numerator reaches c_ab * 1e6 * n_tok — past 2^53 on a big
+    # corpus, so it must stay EXACT-INTEGER in both engines: Spark
+    # decimals are exact at any precision <= 38; DuckDB DECIMAL
+    # multiplication that would exceed width 38 silently converts to
+    # DOUBLE (lossy past 2^53), so the oracle runs on HUGEINT instead.
+    big_t=("DECIMAL(38,0)", "HUGEINT"),
+    idiv=("DIV", "//"),
+)
+
+
+def pmi_collocations_sql(
+    min_count: int = 3, k: int = 50, view: str = "documents"
+) -> tuple[str, str]:
+    """Top-k adjacent-word collocations by PMI lift — the classic
+    phrase miner (Church & Hanks, CL'90; word2vec's phrase pass uses
+    the same count ratio). lift_ppm = p(ab) / (p(a)·p(b)) in ppm with
+    ALL probabilities as exact integer count ratios over one shared
+    N: FP log would diverge in the last ulp across engines
+    (DETERMINISM.md), and PMI = log(lift) is monotone in lift, so the
+    integer lift ranks pairs identically.
+
+    Scale shape: two explode → hash-aggregate passes (bigrams, then
+    unigrams), both with map-side combine and vocabulary-bounded
+    output; the pair↔unigram joins key on the word (vocabulary-sized
+    build sides); the global top-k window collapses to a per-partition
+    group-limit under Spark's WindowGroupLimit, so no single-partition
+    sort of the full pair relation ever happens.
+
+    Reference anchor: extends the reference's report plane
+    (Helper.cs:606-1292 aggregates over run metadata) to corpus
+    phrase statistics; the reference has no text plane.
+    """
+    spark_big = (
+        f"SELECT doc_id, bg FROM "
+        f"(SELECT doc_id, {P.spark_tokens('text')} AS t FROM {view}) "
+        f"LATERAL VIEW explode({P.spark_ngrams('t', 2)}) x AS bg"
+    )
+    duck_big = (
+        f"SELECT doc_id, unnest({P.duck_ngrams('t', 2)}) AS bg "
+        f"FROM (SELECT doc_id, {P.duck_tokens('text')} AS t FROM {view})"
+    )
+    spark_uni = (
+        f"SELECT tok AS w FROM (SELECT explode({P.spark_tokens('text')}) AS tok "
+        f"FROM {view})"
+    )
+    duck_uni = f"SELECT unnest({P.duck_tokens('text')}) AS w FROM {view}"
+    return (
+        _pmi_body(spark_big, spark_uni, min_count, k).format(
+            **{f: v[0] for f, v in _PMI_FRAGS.items()}
+        ),
+        _pmi_body(duck_big, duck_uni, min_count, k).format(
+            **{f: v[1] for f, v in _PMI_FRAGS.items()}
+        ),
+    )
+
+
+def pmi_collocations_staged(
+    spark, min_count: int = 3, k: int = 50, view: str = "documents"
+) -> DataFrame:
+    """Spark path over the STAGED bigram and token relations: the
+    single-statement form tokenizes the corpus twice (bigram CTE +
+    unigram CTE) under Spark's CTE inlining; the staged twin pays each
+    explode once per session and both stages are shared with the
+    bigram-LM scorer / tf-idf family (materialize_bigrams,
+    materialize_tokens). Oracle stays the single-statement SQL."""
+    big = materialize_bigrams(spark, view)
+    tok = materialize_tokens(spark, view)
+    body = _pmi_body(f"SELECT bg FROM {big}", f"SELECT tok AS w FROM {tok}", min_count, k)
+    return spark.sql(body.format(**{f: v[0] for f, v in _PMI_FRAGS.items()}))

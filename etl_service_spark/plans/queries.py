@@ -3465,4 +3465,34 @@ GROUP BY {daydiff}
     # --- shared-prefix boilerplate candidates
     cases["text_boilerplate_prefixes"] = _pair_case(textops.boilerplate_prefixes_sql())
 
+    # --- adjacent-word PMI collocations; Spark path reuses the staged
+    # bigram relation (bigram-LM) and token relation (tf-idf family)
+    def _pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+        views(spark, sf_dir)
+        return textops.pmi_collocations_staged(spark)
+
+    cases["text_pmi_collocations"] = Case(_pmi, textops.pmi_collocations_sql()[1])
+
+    # --- single-changepoint scan per event type (binary-segmentation
+    # step over running decimal sums — O(n), one shuffle)
+    cases["events_changepoint_scan"] = _pair_case(sketch.changepoint_scan_sql())
+
+    # --- watermark late-data audit: per-hour share of rows a
+    # delay-bounded watermark would drop (per-ingest-shard running max)
+    cases["events_late_data_audit"] = _pair_case(sketch.late_data_audit_sql())
+
+    # --- hour-of-day seasonal-baseline residual anomalies
+    cases["events_seasonal_residuals"] = _pair_case(sketch.seasonal_residuals_sql())
+
+    # --- shuffle-key skew report (the salting pre-flight gauge)
+    cases["profile_key_skew"] = _pair_case(profile.key_skew_report_sql())
+
+    # --- minhash-LSH band-bucket cost audit (shares the staged
+    # hashset relation with the whole dedup family)
+    def _lsh_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+        views(spark, sf_dir)
+        return dedup.lsh_cost_audit_staged(spark)
+
+    cases["dedup_lsh_cost_audit"] = Case(_lsh_audit, dedup.lsh_cost_audit_sql()[1])
+
     return _driver_order(cases)
