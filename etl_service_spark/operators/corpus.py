@@ -482,3 +482,34 @@ def dedup_survivorship_staged(spark: SparkSession, view: str = "documents") -> D
         F.sum(F.when(F.col("doc_id") == F.col("keeper"), 1).otherwise(0)).alias("n_kept"),
         F.sum(F.when(F.col("doc_id") != F.col("keeper"), 1).otherwise(0)).alias("n_dropped"),
     )
+
+
+def weighted_sample_sql(
+    cap: int = 4000, view: str = "documents"
+) -> tuple[str, str]:
+    """Length-weighted Bernoulli sample: each document is kept with
+    probability proportional to its size, p = min(n_chars, cap)/cap —
+    the token-budget-aware downsampling step of corpus mixing (long
+    documents carry more training tokens, so uniform-by-doc sampling
+    under-represents them; weighting by length samples *tokens*
+    uniformly). The coin is a deterministic integer hash of the doc id
+    with a fixed salt, so the sample is a pure function of the corpus
+    (reproducible across runs/engines — the property every training
+    ablation needs), and the cap bounds any single document's pull.
+
+    All-integer accept test (draw·cap < w·10^6 with draw < 10^6), no
+    FP anywhere. Scale shape: embarrassingly parallel row filter — no
+    shuffle, no join, predicate evaluable in the scan stage; the
+    output is the sampled rows themselves.
+    """
+    template = f"""
+SELECT doc_id, source, n_chars,
+       {{draw}} AS draw
+FROM {view}
+WHERE {{draw}} * {cap} < least(n_chars, {cap}) * 1000000
+"""
+    from ..functions import portable as P
+
+    spark_draw = P.spark_poly_hash("concat('ws|', CAST(doc_id AS STRING))") + " % 1000000"
+    duck_draw = P.duck_poly_hash("concat('ws|', CAST(doc_id AS VARCHAR))") + " % 1000000"
+    return P.bi_sql(template, draw=(spark_draw, duck_draw))

@@ -135,3 +135,84 @@ FROM o
     return P.bi_sql(
         template, idiv=("DIV", "//"), big_t=("DECIMAL(38,0)", "HUGEINT")
     )
+
+
+def join_size_estimate_sql(
+    left_view: str = "orders",
+    left_key: str = "o_custkey",
+    right_view: str = "customer",
+    right_key: str = "c_custkey",
+    self_view: str = "events",
+    self_key: str = "user_id",
+) -> tuple[str, str]:
+    """Pre-flight join-cardinality estimate — the planner gauge run
+    BEFORE committing a 100 TB join: for an equi-join the exact output
+    size is SUM over keys of |L(k)|·|R(k)|, computable from two cheap
+    per-key count aggregates without executing the join. The report
+    covers both shapes that matter: a dim-fact join (orders⨝customer)
+    and the quadratic-risk self-join (events⨝events on user_id — the
+    sessionize/asof candidate-pair mass), with the max single key's
+    contribution and its ppm share, i.e. the number AQE's skew-join
+    split threshold is implicitly estimating.
+
+    All-integer. Scale shape: two map-side-combined per-key counts,
+    one (broadcast-sized, |keys|-row) join between them, one global
+    aggregate; the fact table is scanned once, key column only.
+    """
+    template = f"""
+WITH l AS (SELECT {left_key} AS k, COUNT(*) AS c FROM {left_view} GROUP BY {left_key}),
+r AS (SELECT {right_key} AS k, COUNT(*) AS c FROM {right_view} GROUP BY {right_key}),
+fk AS (
+  SELECT COUNT(*) AS n_keys,
+         CAST(SUM(l.c * r.c) AS BIGINT) AS est_rows,
+         CAST(MAX(l.c * r.c) AS BIGINT) AS max_key_rows
+  FROM l JOIN r ON l.k = r.k
+),
+s AS (SELECT {self_key} AS k, COUNT(*) AS c FROM {self_view} GROUP BY {self_key}),
+sj AS (
+  SELECT COUNT(*) AS n_keys,
+         CAST(SUM(c * c) AS BIGINT) AS est_rows,
+         CAST(MAX(c * c) AS BIGINT) AS max_key_rows
+  FROM s
+)
+SELECT '{left_view}_x_{right_view}' AS join_name, n_keys, est_rows, max_key_rows,
+       CAST(max_key_rows * 1000000 {{idiv}} est_rows AS BIGINT) AS max_key_share_ppm
+FROM fk
+UNION ALL
+SELECT '{self_view}_self' AS join_name, n_keys, est_rows, max_key_rows,
+       CAST(max_key_rows * 1000000 {{idiv}} est_rows AS BIGINT) AS max_key_share_ppm
+FROM sj
+"""
+    from etl_service_spark.functions import portable as P
+
+    return P.bi_sql(template, idiv=("DIV", "//"))
+
+
+def range_boundaries_sql(
+    buckets: int = 32, key: str = "user_id", uid: str = "event_id", view: str = "events"
+) -> tuple[str, str]:
+    """Equi-depth range-partition boundary plan — what
+    ``repartitionByRange``'s sampler approximates, computed exactly:
+    NTILE over the total order (key, uid) yields ``buckets``
+    equal-depth slices; the report gives each slice's key range and
+    row count, i.e. the boundary list you'd feed a range partitioner
+    (and the proof the depths are balanced). Deterministic: NTILE's
+    remainder-to-first-buckets rule is identical in Spark and DuckDB
+    given the same total order.
+
+    Scale shape: at 100 TB you'd NTILE over a per-key count relation
+    (|keys| rows) instead of raw rows, same statement with c AS the
+    weight; here keys are dense enough that the raw form is the
+    sharper test of engine agreement. One window sort, one aggregate.
+    """
+    template = f"""
+WITH b AS (
+  SELECT {key} AS k,
+         NTILE({buckets}) OVER (ORDER BY {key} ASC, {uid} ASC) AS bucket
+  FROM {view}
+)
+SELECT bucket, MIN(k) AS lo_key, MAX(k) AS hi_key, COUNT(*) AS n_rows
+FROM b
+GROUP BY bucket
+"""
+    return template, template

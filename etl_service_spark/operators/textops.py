@@ -1121,3 +1121,171 @@ def pmi_collocations_staged(
     tok = materialize_tokens(spark, view)
     body = _pmi_body(f"SELECT bg FROM {big}", f"SELECT tok AS w FROM {tok}", min_count, k)
     return spark.sql(body.format(**{f: v[0] for f, v in _PMI_FRAGS.items()}))
+
+
+# ------------------------------------------------------- RAG chunking
+def chunk_overlap_sql(
+    w: int = 12, stride: int = 8, view: str = "documents"
+) -> tuple[str, str]:
+    """Overlapping token-window chunk plan — the retrieval/packing
+    chunker (RAG indexing, long-doc training windows): each document
+    explodes into windows of ``w`` tokens every ``stride`` tokens
+    (overlap = w - stride), with the window's token offset, actual
+    length, and content hash. Unlike spark_chunks (non-overlapping,
+    exact-substring dedup granularity) the overlapping form preserves
+    cross-boundary context, which is what embedding indexes want.
+
+    Scale shape: one projection computes the token array, one lateral
+    explode emits ~n/stride rows per doc — no shuffle at all until a
+    downstream consumer aggregates; the chunk text itself is dropped
+    in the same projection (only the 8-byte hash survives), so the
+    exploded relation is narrow. Chunk count per doc is bounded by
+    ceil(n/stride), so output size is linear in corpus token count.
+
+    Reference anchor: the reference's row-range slicing plane
+    (CommandExecuter.cs batching) slices by row windows; this is the
+    token-level analogue the LLM pipeline needs.
+    """
+    spark_toks = P.spark_tokens("text")
+    duck_toks = P.duck_tokens("text")
+    # chunk j covers tokens [j*stride+1, j*stride+w]; j ranges over
+    # 0 .. floor((n-1)/stride) for n > 0 (last window may be short).
+    template = f"""
+WITH t AS (SELECT doc_id, {{toks}} AS toks FROM {view}),
+c AS (
+  SELECT doc_id,
+         j AS chunk_id,
+         j * {stride} AS start_token,
+         {{chunk_len}} AS n_tokens,
+         {{chunk_hash}} AS chunk_hash
+  FROM t {{explode_j}}
+  WHERE {{nonempty}}
+)
+SELECT doc_id, chunk_id, start_token, n_tokens, chunk_hash FROM c
+"""
+    spark_slice = f"concat_ws(' ', slice(toks, j * {stride} + 1, {w}))"
+    duck_slice = (
+        f"array_to_string(list_slice(toks, j * {stride} + 1, j * {stride} + {w}), ' ')"
+    )
+    return P.bi_sql(
+        template,
+        toks=(spark_toks, duck_toks),
+        explode_j=(
+            f"LATERAL VIEW explode(sequence(0, greatest(size(toks) - 1, 0) DIV {stride})) x AS j",
+            f", LATERAL (SELECT unnest(range(0, greatest(len(toks) - 1, 0) // {stride} + 1)) AS j) x",
+        ),
+        nonempty=("size(toks) > 0", "len(toks) > 0"),
+        chunk_len=(
+            f"least({w}, size(toks) - j * {stride})",
+            f"least({w}, len(toks) - j * {stride})",
+        ),
+        chunk_hash=(P.spark_poly_hash(spark_slice), P.duck_poly_hash(duck_slice)),
+    )
+
+
+# --------------------------------------------------- Gopher-style rules
+_STOPWORDS = ("the", "and", "of", "to", "a", "in", "is", "that")
+
+
+def gopher_rules_sql(view: str = "documents") -> tuple[str, str]:
+    """Per-source Gopher-style quality-rule report (Rae et al. 2021,
+    §A1.1): word-count bounds, mean-word-length bounds, symbol-to-word
+    ratio, ellipsis ratio, stopword fraction — the standard rule gate
+    a web corpus passes BEFORE model-based filtering. Thresholds are
+    scaled to the synthetic corpus; every rule is decided in exact
+    integer arithmetic (ratios become cross-multiplications), so the
+    report hash-matches the oracle with no FP anywhere.
+
+    Scale shape: one projection computes per-doc token counts and
+    character counts (no explode — aggregate() folds the token array
+    in place), one hash aggregate by source. Zero joins; output is
+    |sources| rows. At 100 TB this is a single map-side-combinable
+    scan, the cheapest possible full-corpus pass.
+    """
+    in_list = ", ".join(f"'{s}'" for s in _STOPWORDS)
+    template = f"""
+WITH d AS (
+  SELECT source,
+         {{nw}} AS n_words,
+         {{sumlen}} AS sum_word_len,
+         (length(text) - length(replace(text, '#', ''))) AS n_hash,
+         (length(text) - length(replace(text, '...', ''))) / 3 AS n_ellipsis,
+         {{nstop}} AS n_stop
+  FROM (SELECT source, text, {{toks}} AS toks FROM {view})
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       {{b}}(SUM(CASE WHEN n_words < 10 OR n_words > 5000 THEN 1 ELSE 0 END) AS BIGINT) AS fail_word_count,
+       {{b}}(SUM(CASE WHEN sum_word_len < 3 * n_words OR sum_word_len > 10 * n_words THEN 1 ELSE 0 END) AS BIGINT) AS fail_word_len,
+       {{b}}(SUM(CASE WHEN n_hash * 10 > n_words THEN 1 ELSE 0 END) AS BIGINT) AS fail_symbol,
+       {{b}}(SUM(CASE WHEN n_ellipsis * 10 > n_words THEN 1 ELSE 0 END) AS BIGINT) AS fail_ellipsis,
+       {{b}}(SUM(CASE WHEN n_stop * 10 < n_words THEN 1 ELSE 0 END) AS BIGINT) AS fail_stopword,
+       {{b}}(SUM(CASE WHEN NOT (n_words < 10 OR n_words > 5000)
+                   AND NOT (sum_word_len < 3 * n_words OR sum_word_len > 10 * n_words)
+                   AND NOT (n_hash * 10 > n_words)
+                   AND NOT (n_ellipsis * 10 > n_words)
+                   AND NOT (n_stop * 10 < n_words) THEN 1 ELSE 0 END) AS BIGINT) AS pass_all
+FROM d
+GROUP BY source
+"""
+    return P.bi_sql(
+        template,
+        toks=(P.spark_tokens("text"), P.duck_tokens("text")),
+        nw=("size(toks)", "len(toks)"),
+        sumlen=(
+            "aggregate(toks, 0L, (acc, x) -> acc + length(x))",
+            "list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(toks, x -> CAST(length(x) AS BIGINT))), (acc, x) -> acc + x)",
+        ),
+        nstop=(
+            f"size(filter(toks, x -> x IN ({in_list})))",
+            f"len(list_filter(toks, x -> x IN ({in_list})))",
+        ),
+        b="CAST",
+    )
+
+
+# ------------------------------------------- hashed linear quality model
+def hashed_linear_score_sql(
+    d: int = 64, view: str = "documents"
+) -> tuple[str, str]:
+    """fastText-style hashed-feature linear scorer: each token hashes
+    into one of ``d`` buckets, a (deterministic, integer) weight table
+    maps buckets to weights, and a document's score is the sum of its
+    token-bucket weights — the standard shape of a cheap learned
+    quality / language / topic classifier applied at corpus scale
+    (weights trained offline, applied as a broadcast join here).
+
+    Scale shape: tokens explode once; bucket = hash % d is computed in
+    the same projection, and the weight relation is ``d`` rows — a
+    broadcast build side by construction (Spark hint below; at 100 TB
+    the weight table for a real model is O(vocab buckets), still MBs).
+    The per-doc sum is one hash aggregate keyed on doc_id. Integer
+    weights keep the score exact across engines.
+    """
+    template = f"""
+WITH w AS (
+  SELECT {{bucket_col}} AS bucket, ({{bucket_col}} * 37) % 13 - 6 AS wt
+  FROM {{gen}}
+),
+tok AS (
+  SELECT doc_id, {{ph}} % {d} AS bucket
+  FROM (SELECT doc_id, {{explode_tok}} FROM {view}) t
+)
+SELECT {{hint}} tok.doc_id AS doc_id,
+       CAST(SUM(w.wt) AS BIGINT) AS score,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       (SUM(w.wt) > 0) AS keep
+FROM tok JOIN w ON tok.bucket = w.bucket
+GROUP BY tok.doc_id
+"""
+    return P.bi_sql(
+        template,
+        gen=(f"range(0, {d})", f"range(0, {d}) t(id)"),
+        bucket_col="id",
+        explode_tok=(
+            f"explode({P.spark_tokens('text')}) AS tk",
+            f"unnest({P.duck_tokens('text')}) AS tk",
+        ),
+        ph=(P.spark_poly_hash("tk"), P.duck_poly_hash("tk")),
+        hint=("/*+ BROADCAST(w) */", ""),
+    )

@@ -3495,4 +3495,122 @@ GROUP BY {daydiff}
 
     cases["dedup_lsh_cost_audit"] = Case(_lsh_audit, dedup.lsh_cost_audit_sql()[1])
 
+    # --- overlapping token-window chunk plan (RAG indexing / long-doc
+    # training windows): shuffle-free lateral explode, hash-only payload
+    cases["text_chunk_overlap"] = _pair_case(textops.chunk_overlap_sql())
+
+    # --- Gopher-style quality-rule report: one integer-exact scan,
+    # zero joins, |sources| output rows
+    cases["text_gopher_rules"] = _pair_case(textops.gopher_rules_sql())
+
+    # --- hashed-feature linear scorer (fastText shape): broadcast
+    # weight relation joined to the exploded token stream
+    cases["text_hashed_linear_score"] = _pair_case(textops.hashed_linear_score_sql())
+
+    # --- pre-flight join-cardinality estimate (dim-fact + self-join
+    # quadratic-mass) from per-key counts, without running the join
+    cases["profile_join_size_estimate"] = _pair_case(profile.join_size_estimate_sql())
+
+    # --- exact equi-depth range-partition boundaries (NTILE over the
+    # (key, uid) total order) — the repartitionByRange planning gauge
+    cases["profile_range_boundaries"] = _pair_case(profile.range_boundaries_sql())
+
+    # --- length-weighted deterministic Bernoulli sample (token-uniform
+    # downsampling): pure row filter, no shuffle
+    cases["corpus_weighted_sample"] = _pair_case(corpus.weighted_sample_sql())
+
+    # Schema evolution across parquet batches: an early batch lacks
+    # columns later batches carry; mergeSchema=true unions the file
+    # schemas at read (missing columns surface as NULL). The aggregate
+    # proves both the union (row counts) and the NULL backfill
+    # (n_with_source counts only the evolved batch). At 100 TB schema
+    # drift across ingest epochs is the norm, not the exception.
+    def _schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import os
+        import tempfile
+
+        views(spark, sf_dir)
+        key = ("schema_evo", id(spark), sf_dir)
+        path = _JSONL_STAGE.get(key)
+        if path is None:
+            path = tempfile.mkdtemp(prefix="etl_schemaevo_")
+            docs = spark.table("documents")
+            docs.filter("doc_id % 2 = 0").select("doc_id", "lang", "n_chars").write.mode(
+                "overwrite"
+            ).parquet(os.path.join(path, "batch=1"))
+            docs.filter("doc_id % 2 = 1").select(
+                "doc_id", "lang", "source", "n_chars"
+            ).write.mode("overwrite").parquet(os.path.join(path, "batch=2"))
+            _JSONL_STAGE[key] = path
+        evolved = spark.read.option("mergeSchema", "true").parquet(
+            os.path.join(path, "batch=1"), os.path.join(path, "batch=2")
+        )
+        return evolved.groupBy("lang").agg(
+            F.count("*").alias("n_rows"),
+            F.count("source").alias("n_with_source"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+
+    cases["src_schema_evolution"] = Case(
+        _schema_evolution,
+        """
+SELECT lang, COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_with_source,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY lang
+""",
+    )
+
+    # Delta-style MERGE INTO over the snapshot store
+    # (sources/snapshots.py merge_upsert): one commit seeds the table
+    # with orders, one MERGE applies updates (price-doubled keys %97),
+    # deletes (keys %101, which take precedence over updates) and
+    # inserts (keys %103 shifted by 10M) — then the query reads the
+    # merged snapshot back. The oracle recomputes the merged state
+    # set-algebraically from the source table.
+    def _merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import tempfile
+
+        from ..sources import snapshots as S
+
+        views(spark, sf_dir)
+        key = ("merge_upsert", id(spark), sf_dir)
+        path = _JSONL_STAGE.get(key)
+        if path is None:
+            path = tempfile.mkdtemp(prefix="etl_merge_")
+            o = spark.table("orders").select("o_orderkey", "o_custkey", "o_totalprice")
+            S.commit_append(o, path)  # v1: seed
+            upd = (
+                o.filter("o_orderkey % 97 = 0 AND o_orderkey % 101 != 0")
+                .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+                .withColumn("is_delete", F.lit(False))
+            )
+            dels = o.filter("o_orderkey % 101 = 0").withColumn("is_delete", F.lit(True))
+            ins = (
+                o.filter("o_orderkey % 103 = 0")
+                .withColumn("o_orderkey", F.col("o_orderkey") + 10000000)
+                .withColumn("is_delete", F.lit(False))
+            )
+            S.merge_upsert(
+                spark, path, upd.unionByName(dels).unionByName(ins), "o_orderkey", "is_delete"
+            )  # v2: merged
+            _JSONL_STAGE[key] = path
+        return S.read_snapshot(spark, path).select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+
+    cases["snap_merge_upsert"] = Case(
+        _merge_upsert,
+        """
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+WHERE o_orderkey % 97 != 0 AND o_orderkey % 101 != 0
+UNION ALL
+SELECT o_orderkey, o_custkey, o_totalprice * 2 FROM orders
+WHERE o_orderkey % 97 = 0 AND o_orderkey % 101 != 0
+UNION ALL
+SELECT o_orderkey + 10000000, o_custkey, o_totalprice FROM orders
+WHERE o_orderkey % 103 = 0
+""",
+    )
+
     return _driver_order(cases)

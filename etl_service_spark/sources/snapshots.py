@@ -186,3 +186,45 @@ def expire_snapshots(table_dir: str, keep_last: int = 1) -> dict:
         "dropped_files": dropped_files,
         "kept_versions": keep,
     }
+
+
+def merge_upsert(
+    spark: SparkSession,
+    table_dir: str,
+    source: DataFrame,
+    key: str,
+    delete_col: str | None = None,
+) -> int:
+    """Delta-style MERGE INTO over the snapshot table: rows of
+    ``source`` whose ``key`` matches the current snapshot replace the
+    matched rows (update), unmatched source rows are inserted, and —
+    when ``delete_col`` names a boolean column — flagged source rows
+    delete their targets. Commits the merged state as a new version
+    (atomic manifest rename, same crash contract as commit_overwrite)
+    and returns the new version number.
+
+    Plan shape: ONE left-anti join of target against the source key
+    set plus a union — no full outer join, no window. The anti join's
+    build side is the (typically small) source key projection, which
+    AQE broadcasts below the threshold; at 100 TB the source of a
+    MERGE is a trickle vs the table, so the scan of the target is the
+    only big side and it is read exactly once. Known limit (documented
+    trade): commit granularity is whole-table overwrite — with
+    per-file min/max key stats the rewrite could be pruned to touched
+    files only; the manifest format stores the file list so that
+    upgrade is additive.
+
+    Reference anchor: the reference's COPY plane upserts via staged
+    TMP tables + DELETE/INSERT batches (CommandExecuter.cs:322-544);
+    this is the snapshot-native equivalent with atomic publish.
+    """
+    from pyspark.sql import functions as F
+
+    target = read_snapshot(spark, table_dir)
+    if delete_col is not None:
+        keep = source.filter(~F.col(delete_col)).drop(delete_col)
+    else:
+        keep = source
+    survivors = target.join(source.select(key), key, "left_anti")
+    merged = survivors.unionByName(keep)
+    return commit_overwrite(merged, table_dir)

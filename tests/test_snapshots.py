@@ -134,3 +134,30 @@ def test_snapshot_layer_matches_model(spark, tmp_path_factory, ops):
             r.id for r in S.read_snapshot(spark, d, version=v).collect()
         )
         assert got == expect, f"version {v}"
+
+
+def test_merge_upsert_update_insert_delete(spark, table):
+    d, commit = table
+    commit([1, 2, 3, 4])  # v1: v = id*10
+    src = spark.createDataFrame(
+        [
+            (2, 999, False),   # update
+            (3, 0, True),      # delete (value ignored)
+            (50, 500, False),  # insert
+        ],
+        "id bigint, v bigint, is_delete boolean",
+    )
+    assert S.merge_upsert(spark, d, src, "id", "is_delete") == 2
+    rows = {r.id: r.v for r in S.read_snapshot(spark, d).collect()}
+    assert rows == {1: 10, 2: 999, 4: 40, 50: 500}
+    # v1 untouched by the merge (snapshot isolation)
+    assert _ids(spark, d, version=1) == [1, 2, 3, 4]
+
+
+def test_merge_upsert_without_delete_col_is_pure_upsert(spark, table):
+    d, commit = table
+    commit([1, 2])
+    src = spark.createDataFrame([(2, 7), (9, 90)], "id bigint, v bigint")
+    S.merge_upsert(spark, d, src, "id")
+    rows = {r.id: r.v for r in S.read_snapshot(spark, d).collect()}
+    assert rows == {1: 10, 2: 7, 9: 90}
