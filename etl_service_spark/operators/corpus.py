@@ -513,3 +513,121 @@ WHERE {{draw}} * {cap} < least(n_chars, {cap}) * 1000000
     spark_draw = P.spark_poly_hash("concat('ws|', CAST(doc_id AS STRING))") + " % 1000000"
     duck_draw = P.duck_poly_hash("concat('ws|', CAST(doc_id AS VARCHAR))") + " % 1000000"
     return P.bi_sql(template, draw=(spark_draw, duck_draw))
+
+
+def split_leakage_sql(
+    train_per_mille: int = 900, val_per_mille: int = 950, tau: float = 0.8
+) -> str:
+    """DuckDB oracle for the split-leakage audit (see
+    split_leakage_staged): near-dup clusters whose members straddle
+    train/val/test splits, grouped by the exact combination of splits
+    they touch."""
+    from . import graph
+
+    bucket = _BUCKET.format(mod=1000)
+    return f"""
+WITH clusters AS (SELECT * FROM ({graph.dup_clusters_oracle_sql(tau=tau).strip()}) c),
+labeled AS (
+  SELECT cluster_id,
+         CASE WHEN {bucket} < {train_per_mille} THEN 'train'
+              WHEN {bucket} < {val_per_mille} THEN 'val'
+              ELSE 'test' END AS split
+  FROM clusters
+),
+per_cluster AS (
+  SELECT cluster_id,
+         COUNT(*) AS n_docs,
+         COUNT(DISTINCT split) AS n_splits,
+         array_to_string(list_sort(list_distinct(list(split))), '+') AS splits_key
+  FROM labeled
+  GROUP BY cluster_id
+)
+SELECT splits_key,
+       COUNT(*) AS n_clusters,
+       CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN n_splits > 1 THEN n_docs ELSE 0 END) AS BIGINT) AS docs_at_risk
+FROM per_cluster
+GROUP BY splits_key
+"""
+
+
+def split_leakage_staged(
+    spark, train_per_mille: int = 900, val_per_mille: int = 950, tau: float = 0.8
+):
+    """Train/test leakage audit through NEAR-duplicates: a document in
+    the test split whose near-duplicate sits in train leaks evaluation
+    signal even though the exact rows differ — the audit every frontier
+    pipeline runs after split assignment (deduplicate ACROSS splits,
+    not just within). Clusters come from the shared staged jaccard-pair
+    relation (one LSH-bounded pairing per session, reused by the whole
+    dedup family); split labels are the same pure-function-of-doc_id
+    buckets as corpus_split_assign, so the audit is consistent with the
+    production splitter by construction.
+
+    Output: one row per combination of splits a cluster touches
+    ('train', 'train+val', ...), with cluster/doc counts and the
+    docs-at-risk mass (docs in straddling clusters).
+
+    Scale shape: pair generation is the LSH-bucketed join (never
+    all-pairs); components iterate over the (tiny) pair relation;
+    labeling is a projection; two hash aggregates end the plan. The
+    audit's own cost is dominated by the pair stage the session has
+    usually already paid for dedup itself.
+    """
+    from pyspark.sql import functions as F
+
+    from . import graph
+
+    bucket = _BUCKET.format(mod=1000)
+    clusters = graph.dup_clusters(spark, tau=tau)
+    labeled = clusters.withColumn(
+        "split",
+        F.expr(
+            f"CASE WHEN {bucket} < {train_per_mille} THEN 'train' "
+            f"WHEN {bucket} < {val_per_mille} THEN 'val' ELSE 'test' END"
+        ),
+    )
+    per_cluster = labeled.groupBy("cluster_id").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("split").alias("n_splits"),
+        F.array_join(F.array_sort(F.collect_set("split")), "+").alias("splits_key"),
+    )
+    return per_cluster.groupBy("splits_key").agg(
+        F.count("*").alias("n_clusters"),
+        F.sum("n_docs").alias("n_docs"),
+        F.sum(F.when(F.col("n_splits") > 1, F.col("n_docs")).otherwise(0)).alias(
+            "docs_at_risk"
+        ),
+    )
+
+
+def domain_quota_sql(cap: int = 20, view: str = "documents") -> tuple[str, str]:
+    """Per-source quota enforcement — domain balancing: keep at most
+    ``cap`` documents per source, preferring the longest (largest
+    n_chars, doc_id tiebreak → total order, deterministic on any
+    engine/partitioning), and report what survives and what the cap
+    cut. The standard guard against a single crawl domain dominating
+    the mixture.
+
+    Scale shape: one shuffle on source, ROW_NUMBER inside each
+    source's window — Spark plans PARTITION BY windows as a single
+    exchange + in-partition sort, and WindowGroupLimit pushes the
+    rk <= cap cut below the full sort at scale. Aggregation reuses the
+    same partitioning (no second exchange).
+    """
+    template = f"""
+WITH ranked AS (
+  SELECT source, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id ASC) AS rk
+  FROM {view}
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN rk <= {cap} THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+       CAST(SUM(CASE WHEN rk > {cap} THEN 1 ELSE 0 END) AS BIGINT) AS dropped,
+       CAST(SUM(CASE WHEN rk <= {cap} THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars,
+       MIN(CASE WHEN rk <= {cap} THEN n_chars END) AS min_kept_chars
+FROM ranked
+GROUP BY source
+"""
+    return template, template

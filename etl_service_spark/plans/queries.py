@@ -3613,4 +3613,17 @@ WHERE o_orderkey % 103 = 0
 """,
     )
 
+    # --- train/test leakage through near-duplicates: clusters from the
+    # shared staged pair relation, split labels from the production
+    # splitter's own bucket function
+    def _split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+        views(spark, sf_dir)
+        return corpus.split_leakage_staged(spark)
+
+    cases["corpus_split_leakage"] = Case(_split_leakage, corpus.split_leakage_sql())
+
+    # --- per-source quota (domain balancing): windowed keep-longest
+    # cap with survival report
+    cases["corpus_domain_quota"] = _pair_case(corpus.domain_quota_sql())
+
     return _driver_order(cases)
