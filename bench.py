@@ -161,6 +161,16 @@ HEADLINERS = [
     "events_seasonal_residuals",
     "profile_key_skew",
     "dedup_lsh_cost_audit",
+    "text_chunk_overlap",
+    "text_gopher_rules",
+    "text_hashed_linear_score",
+    "profile_join_size_estimate",
+    "profile_range_boundaries",
+    "corpus_weighted_sample",
+    "corpus_split_leakage",
+    "corpus_domain_quota",
+    "src_schema_evolution",
+    "snap_merge_upsert",
 ]
 
 

@@ -188,6 +188,36 @@ def expire_snapshots(table_dir: str, keep_last: int = 1) -> dict:
     }
 
 
+def file_key_ranges(table_dir: str, files: list[str], key: str) -> dict[str, tuple]:
+    """Per-file (min, max) of ``key``, read from the parquet footers —
+    O(files) metadata reads, zero data scanned. The Iceberg/Delta
+    file-stats shape without a manifest format change: footers are
+    written by every parquet writer anyway, so stats exist for every
+    file ever committed. Files whose footer lacks statistics for the
+    key column are omitted (callers must treat them as
+    range-unknown, i.e. always touched)."""
+    import pyarrow.parquet as pq
+
+    out: dict[str, tuple] = {}
+    for rel in files:
+        md = pq.ParquetFile(os.path.join(table_dir, rel)).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        if key not in idx:
+            continue
+        lo = hi = None
+        ok = True
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx[key]).statistics
+            if st is None or not st.has_min_max:
+                ok = False
+                break
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+        if ok and lo is not None:
+            out[rel] = (lo, hi)
+    return out
+
+
 def merge_upsert(
     spark: SparkSession,
     table_dir: str,
@@ -195,36 +225,117 @@ def merge_upsert(
     key: str,
     delete_col: str | None = None,
 ) -> int:
-    """Delta-style MERGE INTO over the snapshot table: rows of
-    ``source`` whose ``key`` matches the current snapshot replace the
-    matched rows (update), unmatched source rows are inserted, and —
-    when ``delete_col`` names a boolean column — flagged source rows
-    delete their targets. Commits the merged state as a new version
-    (atomic manifest rename, same crash contract as commit_overwrite)
-    and returns the new version number.
+    """Delta-style MERGE INTO over the snapshot table with FILE-LEVEL
+    PRUNING: rows of ``source`` whose ``key`` matches the current
+    snapshot replace the matched rows (update), unmatched source rows
+    are inserted, and — when ``delete_col`` names a boolean column —
+    flagged source rows delete their targets. Commits the merged state
+    as a new version (atomic manifest rename, same crash contract as
+    commit_overwrite) and returns the new version number.
 
-    Plan shape: ONE left-anti join of target against the source key
-    set plus a union — no full outer join, no window. The anti join's
-    build side is the (typically small) source key projection, which
-    AQE broadcasts below the threshold; at 100 TB the source of a
-    MERGE is a trickle vs the table, so the scan of the target is the
-    only big side and it is read exactly once. Known limit (documented
-    trade): commit granularity is whole-table overwrite — with
-    per-file min/max key stats the rewrite could be pruned to touched
-    files only; the manifest format stores the file list so that
-    upgrade is additive.
+    Only data files whose footer min/max key range contains at least
+    one source key are rewritten; every other file is carried into the
+    new manifest VERBATIM (same path — data files are immutable, so
+    sharing across versions is free). Touch detection is distributed:
+    the per-file range list (O(files) rows, broadcast) joins the
+    source key set on BETWEEN — one pass over the source, no driver
+    materialization of keys. At 100 TB a trickle MERGE against a
+    range-clustered table rewrites only the files it hits, which is
+    the entire point of keeping key-clustered layouts (see
+    copy.write_sorted / profile_range_boundaries).
+
+    Plan shape for the rewrite itself: ONE left-anti join of the
+    touched files' rows against the source key set plus a union — no
+    full outer join, no window; AQE broadcasts the small side.
 
     Reference anchor: the reference's COPY plane upserts via staged
     TMP tables + DELETE/INSERT batches (CommandExecuter.cs:322-544);
-    this is the snapshot-native equivalent with atomic publish.
+    this is the snapshot-native equivalent with atomic publish and
+    Iceberg-style file pruning.
     """
+    import pyarrow.parquet as pq
+
     from pyspark.sql import functions as F
 
-    target = read_snapshot(spark, table_dir)
+    versions = list_versions(table_dir)
+    if not versions:
+        raise FileNotFoundError(f"no committed versions under {table_dir}")
+    manifest = _read_manifest(table_dir, versions[-1])
+    all_files = manifest["files"]
+    ranges = file_key_ranges(table_dir, all_files, key)
+
+    # distributed touch detection: file-range relation (tiny) x source keys
+    unknown = [f for f in all_files if f not in ranges]
+    touched = set(unknown)
+    if ranges:
+        range_rows = [(f, r[0], r[1]) for f, r in ranges.items()]
+        rdf = spark.createDataFrame(range_rows, ["_file", "_lo", "_hi"])
+        hits = (
+            source.select(F.col(key).alias("_k"))
+            .join(
+                F.broadcast(rdf),
+                (F.col("_k") >= F.col("_lo")) & (F.col("_k") <= F.col("_hi")),
+            )
+            .select("_file")
+            .distinct()
+            .collect()
+        )
+        touched.update(r._file for r in hits)
+    untouched = [f for f in all_files if f not in touched]
+
     if delete_col is not None:
         keep = source.filter(~F.col(delete_col)).drop(delete_col)
     else:
         keep = source
-    survivors = target.join(source.select(key), key, "left_anti")
-    merged = survivors.unionByName(keep)
-    return commit_overwrite(merged, table_dir)
+    if touched:
+        tgt = spark.read.parquet(*[os.path.join(table_dir, f) for f in sorted(touched)])
+        survivors = tgt.join(source.select(key), key, "left_anti")
+        merged = survivors.unionByName(keep.select(*tgt.columns))
+    else:
+        merged = keep
+    new_files, new_rows = _stage_data_files(merged, table_dir)
+    untouched_rows = sum(
+        pq.ParquetFile(os.path.join(table_dir, f)).metadata.num_rows for f in untouched
+    )
+    return _commit(table_dir, "merge", untouched + new_files, untouched_rows + new_rows)
+
+
+def compact_files(
+    spark: SparkSession, table_dir: str, small_bytes: int = 8 * 1024 * 1024
+) -> dict:
+    """Small-file compaction: rewrite every data file of the current
+    version smaller than ``small_bytes`` into right-sized files and
+    commit the result as a new version (untouched big files carried
+    over verbatim). The chronic disease of streaming/merge-maintained
+    tables is thousands of KB-sized files — each costs a task + a
+    footer read per query; compaction is the maintenance op that keeps
+    scan parallelism matched to data, not to commit history.
+
+    Returns {"version", "compacted", "kept"} (version is None when
+    nothing crossed the threshold — no empty commit). Rows are
+    preserved exactly; only layout changes. Crash-safe like every
+    commit: staged files are invisible until the manifest rename."""
+    import pyarrow.parquet as pq
+
+    versions = list_versions(table_dir)
+    if not versions:
+        raise FileNotFoundError(f"no committed versions under {table_dir}")
+    manifest = _read_manifest(table_dir, versions[-1])
+    small = [
+        f
+        for f in manifest["files"]
+        if os.path.getsize(os.path.join(table_dir, f)) < small_bytes
+    ]
+    if len(small) < 2:  # nothing to gain
+        return {"version": None, "compacted": 0, "kept": len(manifest["files"])}
+    kept = [f for f in manifest["files"] if f not in set(small)]
+    small_abs = [os.path.join(table_dir, f) for f in sorted(small)]
+    total = sum(os.path.getsize(p) for p in small_abs)
+    n_out = max(1, (total + small_bytes - 1) // small_bytes)
+    df = spark.read.parquet(*small_abs).coalesce(int(n_out))
+    new_files, new_rows = _stage_data_files(df, table_dir)
+    kept_rows = sum(
+        pq.ParquetFile(os.path.join(table_dir, f)).metadata.num_rows for f in kept
+    )
+    version = _commit(table_dir, "compact", kept + new_files, kept_rows + new_rows)
+    return {"version": version, "compacted": len(small), "kept": len(kept)}

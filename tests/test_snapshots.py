@@ -161,3 +161,56 @@ def test_merge_upsert_without_delete_col_is_pure_upsert(spark, table):
     S.merge_upsert(spark, d, src, "id")
     rows = {r.id: r.v for r in S.read_snapshot(spark, d).collect()}
     assert rows == {1: 10, 2: 7, 9: 90}
+
+
+def test_merge_upsert_prunes_untouched_files(spark, tmp_path):
+    d = str(tmp_path / "tbl")
+    # range-clustered seed: 4 disjoint key ranges -> 4+ data files
+    df = spark.createDataFrame(
+        [(i, i * 10) for i in range(400)], "id bigint, v bigint"
+    ).repartitionByRange(4, "id")
+    S.commit_append(df, d)
+    before = set(S._read_manifest(d, 1)["files"])
+    # source touches only the low end of the key space
+    src = spark.createDataFrame([(3, -3), (7, -7)], "id bigint, v bigint")
+    S.merge_upsert(spark, d, src, "id")
+    after = S._read_manifest(d, 2)
+    carried = set(after["files"]) & before
+    assert carried, "expected untouched files to be carried over verbatim"
+    assert len(carried) >= 2  # only the file(s) containing 3 and 7 rewritten
+    rows = {r.id: r.v for r in S.read_snapshot(spark, d).collect()}
+    assert rows[3] == -3 and rows[7] == -7 and rows[399] == 3990
+    assert len(rows) == 400
+    assert after["rows"] == 400
+
+
+def test_merge_upsert_insert_only_touches_nothing(spark, tmp_path):
+    d = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(i, i) for i in range(100)], "id bigint, v bigint"
+    ).repartitionByRange(4, "id")
+    S.commit_append(df, d)
+    before = set(S._read_manifest(d, 1)["files"])
+    src = spark.createDataFrame([(1000, 1), (2000, 2)], "id bigint, v bigint")
+    S.merge_upsert(spark, d, src, "id")
+    after = S._read_manifest(d, 2)
+    assert before <= set(after["files"])  # pure insert: zero rewrites
+    assert after["rows"] == 102
+
+
+def test_compact_files_preserves_rows_and_reduces_files(spark, tmp_path):
+    d = str(tmp_path / "tbl")
+    # many tiny files: 16 partitions of a small table
+    df = spark.createDataFrame([(i, i) for i in range(160)], "id bigint, v bigint")
+    S.commit_append(df.repartition(16), d)
+    n_before = len(S._read_manifest(d, 1)["files"])
+    assert n_before >= 8
+    res = S.compact_files(spark, d)
+    assert res["version"] == 2 and res["compacted"] == n_before
+    after = S._read_manifest(d, 2)
+    assert len(after["files"]) < n_before
+    assert after["rows"] == 160
+    ids = sorted(r.id for r in S.read_snapshot(spark, d).collect())
+    assert ids == list(range(160))
+    # v1 still time-travelable
+    assert len(S._read_manifest(d, 1)["files"]) == n_before
