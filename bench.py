@@ -171,6 +171,7 @@ HEADLINERS = [
     "corpus_domain_quota",
     "src_schema_evolution",
     "snap_merge_upsert",
+    "emb_centroid_outliers",
 ]
 
 

@@ -1291,3 +1291,39 @@ SELECT label, src, dst, dist, rk FROM ranked WHERE rk <= {k}
         xor_lo=xor_lo,
         xor_hi=xor_hi,
     )
+
+
+def centroid_outliers_sql(
+    k: int = 4, iters: int = 2, topn: int = 10, view: str = "embeddings"
+) -> tuple[str, str]:
+    """Embedding-QA outlier report: the ``topn`` vectors FURTHEST from
+    their assigned k-means centroid, per cluster — mislabeled/corrupt
+    embeddings, encoder drift, and wrong-modality rows all surface
+    here first (distance-to-centroid is the standard cheap anomaly
+    score over an embedding corpus). Reuses the exact unrolled Lloyd
+    chain of emb_kmeans: the distance is the UN-divided integer
+    numerator sum_d (n·v_d − s_d)² with the centroid's member count
+    carried alongside, so ranking within a cluster (n constant) is
+    exact-integer and the report hash-matches the oracle bit-for-bit.
+
+    Scale shape: identical to emb_kmeans up to the final window (the
+    centroid relation broadcasts, shuffles key on vec_id), plus one
+    ROW_NUMBER partitioned by cluster over the assignment-filtered
+    distance relation — WindowGroupLimit cuts each cluster's sort at
+    ``topn``. Output is k·topn rows.
+    """
+
+    def body(elem: str, dims: str) -> str:
+        cte, _cent, assign = _kmeans_chain(elem, dims, k, iters, view)
+        d_last = f"d{iters}"
+        final = f"""
+SELECT j, rk, vec_id, dist_num, n_members FROM (
+  SELECT a.j, d.vec_id, d.dist_num, d.n AS n_members,
+         ROW_NUMBER() OVER (
+           PARTITION BY a.j ORDER BY d.dist_num DESC, d.vec_id ASC
+         ) AS rk
+  FROM {assign} a JOIN {d_last} d ON d.vec_id = a.vec_id AND d.j = a.j
+) r WHERE rk <= {topn}"""
+        return "WITH " + ",\n".join(cte) + final
+
+    return body(_KM_SPARK_ELEM, _KM_SPARK_DIMS), body(_KM_DUCK_ELEM, _KM_DUCK_DIMS)

@@ -1289,3 +1289,58 @@ GROUP BY tok.doc_id
         ph=(P.spark_poly_hash("tk"), P.duck_poly_hash("tk")),
         hint=("/*+ BROADCAST(w) */", ""),
     )
+
+
+def hashed_linear_score_staged(spark, d: int = 64, view: str = "documents"):
+    """Execution path for :func:`hashed_linear_score_sql`'s semantics
+    over the SHARED staged token relation: the single-statement form
+    re-tokenizes and re-hashes the corpus with the interpreted SQL
+    lambda fold (measured 1.26 s at sf0.1); the staged twin reuses the
+    Arrow-hashed (doc_id, tok, h) relation the tfidf/vocab/PMI family
+    already pays for once per session, leaving only bucket = h % d,
+    the broadcast weight join, and the per-doc aggregate. Oracle stays
+    the single-statement SQL."""
+    return spark.sql(
+        f"""
+WITH w AS (
+  SELECT id AS bucket, (id * 37) % 13 - 6 AS wt FROM range(0, {d})
+)
+SELECT /*+ BROADCAST(w) */ t.doc_id AS doc_id,
+       CAST(SUM(w.wt) AS BIGINT) AS score,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       (SUM(w.wt) > 0) AS keep
+FROM (SELECT doc_id, h % {d} AS bucket FROM {materialize_tokens(spark, view)}) t
+JOIN w ON t.bucket = w.bucket
+GROUP BY t.doc_id
+"""
+    )
+
+
+def chunk_overlap_df(spark, w: int = 12, stride: int = 8, view: str = "documents"):
+    """Execution path for :func:`chunk_overlap_sql`'s semantics with
+    the chunk hash computed by the vectorized Arrow kernel instead of
+    the interpreted per-character SQL fold: chunk structs (id, offset,
+    length, text) are built in ONE array transform per document and
+    exploded — so the token array is materialized once per doc, not
+    once per chunk — then pd_poly_hash maps the exploded chunk text
+    column in Arrow batches. Same values by construction
+    (DETERMINISM.md: the kernel replays the SQL fold in exact integer
+    arithmetic). Zero shuffle, like the SQL form."""
+    from pyspark.sql import functions as F
+
+    toks = P.spark_tokens("text")
+    chunks = (
+        f"transform(sequence(0, (size(toks) - 1) DIV {stride}), "
+        f"j -> struct(j AS chunk_id, j * {stride} AS start_token, "
+        f"least({w}, size(toks) - j * {stride}) AS n_tokens, "
+        f"concat_ws(' ', slice(toks, j * {stride} + 1, {w})) AS txt))"
+    )
+    exploded = (
+        spark.table(view)
+        .selectExpr("doc_id", f"{toks} AS toks")
+        .filter("size(toks) > 0")
+        .selectExpr("doc_id", f"explode({chunks}) AS c")
+        .selectExpr("doc_id", "c.chunk_id", "c.start_token", "c.n_tokens", "c.txt")
+    )
+    ph = P.pd_poly_hash_udf()
+    return exploded.withColumn("chunk_hash", ph(F.col("txt"))).drop("txt")

@@ -3496,16 +3496,28 @@ GROUP BY {daydiff}
     cases["dedup_lsh_cost_audit"] = Case(_lsh_audit, dedup.lsh_cost_audit_sql()[1])
 
     # --- overlapping token-window chunk plan (RAG indexing / long-doc
-    # training windows): shuffle-free lateral explode, hash-only payload
-    cases["text_chunk_overlap"] = _pair_case(textops.chunk_overlap_sql())
+    # training windows): shuffle-free explode of one per-doc chunk
+    # array, Arrow-hashed chunk text (1.5x the interpreted SQL fold)
+    def _chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+        views(spark, sf_dir)
+        return textops.chunk_overlap_df(spark)
+
+    cases["text_chunk_overlap"] = Case(_chunk_overlap, textops.chunk_overlap_sql()[1])
 
     # --- Gopher-style quality-rule report: one integer-exact scan,
     # zero joins, |sources| output rows
     cases["text_gopher_rules"] = _pair_case(textops.gopher_rules_sql())
 
     # --- hashed-feature linear scorer (fastText shape): broadcast
-    # weight relation joined to the exploded token stream
-    cases["text_hashed_linear_score"] = _pair_case(textops.hashed_linear_score_sql())
+    # weight relation joined to the SHARED staged token relation
+    # (2.6x the self-contained statement, which re-hashes the corpus)
+    def _hashed_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+        views(spark, sf_dir)
+        return textops.hashed_linear_score_staged(spark)
+
+    cases["text_hashed_linear_score"] = Case(
+        _hashed_linear, textops.hashed_linear_score_sql()[1]
+    )
 
     # --- pre-flight join-cardinality estimate (dim-fact + self-join
     # quadratic-mass) from per-key counts, without running the join
@@ -3612,6 +3624,11 @@ SELECT o_orderkey + 10000000, o_custkey, o_totalprice FROM orders
 WHERE o_orderkey % 103 = 0
 """,
     )
+
+    # --- embedding-QA outliers: top-n furthest-from-centroid vectors
+    # per k-means cluster, exact-integer distance ranking over the
+    # same unrolled Lloyd chain as emb_kmeans
+    cases["emb_centroid_outliers"] = _pair_case(similarity.centroid_outliers_sql())
 
     # --- train/test leakage through near-duplicates: clusters from the
     # shared staged pair relation, split labels from the production
