@@ -172,6 +172,7 @@ HEADLINERS = [
     "src_schema_evolution",
     "snap_merge_upsert",
     "emb_centroid_outliers",
+    "text_bpe_merges",
 ]
 
 

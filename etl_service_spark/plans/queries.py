@@ -3448,7 +3448,13 @@ GROUP BY {daydiff}
     )
 
     # --- label-blocked Hamming k-NN graph over sign-bit signatures
-    cases["emb_hamming_knn_graph"] = _pair_case(similarity.hamming_knn_graph_sql())
+    def _hamming_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        views(spark, sf_dir)
+        return similarity.hamming_knn_graph_staged(spark)
+
+    cases["emb_hamming_knn_graph"] = Case(
+        _hamming_knn, similarity.hamming_knn_graph_sql()[1]
+    )
 
     # --- trailing-baseline burst detection over hourly counts
     cases["events_burst_windows"] = _pair_case(sketch.burst_windows_sql())
@@ -3624,6 +3630,14 @@ SELECT o_orderkey + 10000000, o_custkey, o_totalprice FROM orders
 WHERE o_orderkey % 103 = 0
 """,
     )
+
+    # --- BPE merge training (3 unrolled rounds over the word-count
+    # vocabulary; staged round loop, elected pair = scalar probe)
+    def _bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+        views(spark, sf_dir)
+        return textops.bpe_merges_staged(spark)
+
+    cases["text_bpe_merges"] = Case(_bpe, textops.bpe_merges_sql()[1])
 
     # --- embedding-QA outliers: top-n furthest-from-centroid vectors
     # per k-means cluster, exact-integer distance ranking over the
