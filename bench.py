@@ -173,6 +173,9 @@ HEADLINERS = [
     "snap_merge_upsert",
     "emb_centroid_outliers",
     "text_bpe_merges",
+    "events_moment_stats",
+    "profile_group_cardinality",
+    "corpus_domain_quota_salted",
 ]
 
 

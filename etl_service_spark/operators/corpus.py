@@ -631,3 +631,57 @@ FROM ranked
 GROUP BY source
 """
     return template, template
+
+
+def domain_quota_salted_sql(
+    cap: int = 20, salts: int = 8, view: str = "documents"
+) -> str:
+    """Spark-side two-phase (salted) form of :func:`domain_quota_sql`
+    for the mega-domain case (one crawl domain holding a large share
+    of the corpus would funnel its whole row set through a single
+    window partition): phase 1 ranks within (source, doc_id % salts)
+    — ``salts`` parallel partitions per source, each cut at ``cap`` —
+    and phase 2 re-ranks only the <= salts*cap survivors per source.
+    EXACT by construction: every member of a source's true top-cap is
+    also in its salt's top-cap, so phase 1 never discards a winner —
+    the same survivors-superset argument as skew.salted_agg. The
+    oracle is the UNSALTED statement; hash equality proves the salt
+    never leaks into the result.
+
+    Totals come from a separate count aggregate of the base relation
+    (map-side combinable; the per-source totals relation broadcasts
+    back), so the report still covers ALL rows while only survivor
+    rows reach the phase-2 sort.
+    """
+    return f"""
+WITH totals AS (
+  SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS all_chars
+  FROM {view} GROUP BY source
+),
+r1 AS (
+  SELECT source, n_chars, doc_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY source, doc_id % {salts}
+           ORDER BY n_chars DESC, doc_id ASC
+         ) AS rk1
+  FROM {view}
+),
+r2 AS (
+  SELECT source, n_chars,
+         ROW_NUMBER() OVER (
+           PARTITION BY source ORDER BY n_chars DESC, doc_id ASC
+         ) AS rk
+  FROM r1 WHERE rk1 <= {cap}
+),
+k AS (
+  SELECT source,
+         CAST(SUM(CASE WHEN rk <= {cap} THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+         CAST(SUM(CASE WHEN rk <= {cap} THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars,
+         MIN(CASE WHEN rk <= {cap} THEN n_chars END) AS min_kept_chars
+  FROM r2 GROUP BY source
+)
+SELECT t.source, t.n_docs, k.kept,
+       t.n_docs - k.kept AS dropped,
+       k.kept_chars, k.min_kept_chars
+FROM totals t JOIN k ON k.source = t.source
+"""

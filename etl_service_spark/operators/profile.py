@@ -216,3 +216,59 @@ FROM b
 GROUP BY bucket
 """
     return template, template
+
+
+def group_cardinality_sql() -> tuple[str, str]:
+    """Pre-flight GROUP BY cardinality gauge: the independence
+    estimate (product of per-column NDVs) next to the ACTUAL distinct
+    combination count, with the fill ratio in ppm — the number that
+    says whether a cube/rollup explodes (dense cross product) or
+    collapses (correlated keys) before the aggregation runs. Two
+    grouping shapes: the orders (priority × month) report grain and
+    the events (type × hour-of-day) rollup grain.
+
+    All-integer. Scale shape: per grouping, one pass for the NDVs +
+    one distinct-combination aggregate — both map-side combinable;
+    output is two rows.
+    """
+    template = """
+WITH o_nd AS (
+  SELECT COUNT(DISTINCT o_orderpriority) AS nd_a,
+         COUNT(DISTINCT {omonth}) AS nd_b
+  FROM orders
+),
+o_act AS (
+  SELECT COUNT(*) AS actual FROM (
+    SELECT DISTINCT o_orderpriority, {omonth} AS b FROM orders
+  ) t
+),
+e_nd AS (
+  SELECT COUNT(DISTINCT event_type) AS nd_a,
+         COUNT(DISTINCT {ehour}) AS nd_b
+  FROM events
+),
+e_act AS (
+  SELECT COUNT(*) AS actual FROM (
+    SELECT DISTINCT event_type, {ehour} AS b FROM events
+  ) t
+)
+SELECT 'orders_priority_month' AS grouping_name,
+       nd_a * nd_b AS est_cells, actual AS actual_cells,
+       CAST(actual * 1000000 {idiv} (nd_a * nd_b) AS BIGINT) AS fill_ppm
+FROM o_nd CROSS JOIN o_act
+UNION ALL
+SELECT 'events_type_hour', nd_a * nd_b, actual,
+       CAST(actual * 1000000 {idiv} (nd_a * nd_b) AS BIGINT)
+FROM e_nd CROSS JOIN e_act
+"""
+    from etl_service_spark.functions import portable as P
+
+    return P.bi_sql(
+        template,
+        idiv=("DIV", "//"),
+        omonth="month(o_orderdate)",
+        ehour=(
+            "((ts_us DIV 3600000000) % 24)",
+            "((epoch_us(ts) // 3600000000) % 24)",
+        ),
+    )

@@ -733,3 +733,60 @@ FROM t WHERE rk <= {k}
     from etl_service_spark.functions import portable as P
 
     return P.bi_sql(template, ts_us=("ts_us", "epoch_us(ts)"), idiv=("DIV", "//"))
+
+
+def moment_stats_sql() -> tuple[str, str]:
+    """Per-type skewness/kurtosis profile from EXACT shifted moments —
+    the heavy-tail gauge that decides between mean/z-score methods and
+    robust (MAD) ones before a 100 TB aggregation commits to either.
+    Deviations are taken about the integer floor-mean in 1e-4 units
+    (one cheap pre-aggregate; the shift differs from the true mean by
+    under one unit, changing nothing about tail diagnosis), so d^2..d^4
+    sums stay exact integers — Spark DECIMAL(38,0) / DuckDB HUGEINT,
+    the key_skew precedent — and the only floating point is the final
+    correctly-rounded compose (+,*,/,sqrt), truncated floor-1e-6.
+
+    Scale shape: two scans of (event_type, value) — one for the
+    per-type floor-mean, one for the deviation moments — both
+    map-side-combinable hash aggregates; the mean relation broadcasts
+    back. Output is |event_type| rows.
+    """
+    template = """
+WITH mu AS (
+  SELECT event_type, COUNT(*) AS n,
+         SUM(CAST(FLOOR(value * 10000) AS BIGINT)) AS sv
+  FROM events GROUP BY event_type
+),
+ref AS (SELECT event_type, n, sv {idiv} n AS m FROM mu),
+agg AS (
+  SELECT e.event_type,
+         MAX(r.n) AS n,
+         SUM(CAST(FLOOR(e.value * 10000) AS BIGINT) - r.m) AS s1,
+         SUM(CAST(CAST(FLOOR(e.value * 10000) AS BIGINT) - r.m AS {big_t})
+             * (CAST(FLOOR(e.value * 10000) AS BIGINT) - r.m)) AS s2,
+         SUM(CAST(CAST(FLOOR(e.value * 10000) AS BIGINT) - r.m AS {big_t})
+             * (CAST(FLOOR(e.value * 10000) AS BIGINT) - r.m)
+             * (CAST(FLOOR(e.value * 10000) AS BIGINT) - r.m)) AS s3,
+         SUM(CAST(CAST(FLOOR(e.value * 10000) AS BIGINT) - r.m AS {big_t})
+             * (CAST(FLOOR(e.value * 10000) AS BIGINT) - r.m)
+             * (CAST(FLOOR(e.value * 10000) AS BIGINT) - r.m)
+             * (CAST(FLOOR(e.value * 10000) AS BIGINT) - r.m)) AS s4
+  FROM events e JOIN ref r ON e.event_type = r.event_type
+  GROUP BY e.event_type
+)
+SELECT event_type, n,
+       CAST(s1 AS BIGINT) AS m1_units,
+       CAST(s2 AS DOUBLE) AS m2_sum,
+       CAST(s3 AS DOUBLE) AS m3_sum,
+       CAST(s4 AS DOUBLE) AS m4_sum,
+       FLOOR(CAST(s3 AS DOUBLE) * SQRT(CAST(n AS DOUBLE))
+             / (CAST(s2 AS DOUBLE) * SQRT(CAST(s2 AS DOUBLE))) * 1e6) / 1e6
+         AS skewness,
+       FLOOR(CAST(s4 AS DOUBLE) * CAST(n AS DOUBLE)
+             / (CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)) * 1e6) / 1e6
+         AS kurtosis
+FROM agg
+"""
+    from ..functions import portable as P
+
+    return P.bi_sql(template, idiv=("DIV", "//"), big_t=("DECIMAL(38,0)", "HUGEINT"))

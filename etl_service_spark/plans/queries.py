@@ -3631,6 +3631,21 @@ WHERE o_orderkey % 103 = 0
 """,
     )
 
+    # --- per-type skewness/kurtosis from exact shifted moments (the
+    # heavy-tail gauge between z-score and MAD methods)
+    cases["events_moment_stats"] = _pair_case(sketch.moment_stats_sql())
+
+    # --- pre-flight GROUP BY cardinality gauge (NDV-product estimate
+    # vs actual distinct combinations, fill ppm)
+    cases["profile_group_cardinality"] = _pair_case(profile.group_cardinality_sql())
+
+    # --- salted two-phase domain quota: mega-domain window salting,
+    # hash-identical to the unsalted oracle (salt never leaks)
+    cases["corpus_domain_quota_salted"] = Case(
+        _sql_case(corpus.domain_quota_salted_sql(), "").spark,
+        corpus.domain_quota_sql()[1],
+    )
+
     # --- BPE merge training (3 unrolled rounds over the word-count
     # vocabulary; staged round loop, elected pair = scalar probe)
     def _bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
