@@ -1358,12 +1358,14 @@ def bpe_merges_sql(rounds: int = 3, view: str = "documents") -> tuple[str, str]:
     symbol sequence. Output: the merge table (round, merged pair, its
     count at election time) — exactly what a tokenizer ships.
 
-    Merge application is two nested space-padded replace() passes:
-    one replace scan consumes the trailing separator of a match, so
-    back-to-back occurrences alternate miss/hit — the second pass
-    catches the complement, reproducing greedy left-to-right
-    non-overlapping BPE merging exactly (both engines scan
-    left-to-right non-overlapping; DETERMINISM-grade portable).
+    Merge application is ONE replace() over a pipe-wrapped symbol
+    encoding ('|a| |b|' per adjacent pair): a match ends at the second
+    symbol's closing pipe, so no inter-pair separator is ever consumed
+    and left-to-right non-overlapping replace() IS greedy BPE merging
+    exactly — including odd runs of a self-pair, where space-padded
+    encodings mis-segment (caught by hypothesis:
+    test_bpe_wrapped_replace_equals_greedy_merge; DETERMINISM.md §23).
+    Pipes cannot collide: symbols are alnum-token substrings.
 
     Scale shape: after the one corpus-sized explode→count, every round
     is vocabulary-sized: pair counting explodes |V| short sequences,
@@ -1374,8 +1376,8 @@ def bpe_merges_sql(rounds: int = 3, view: str = "documents") -> tuple[str, str]:
     word counts.
     """
     chars = {
-        0: "array_join(filter(split(tok, ''), x -> x != ''), ' ')",
-        1: "array_to_string(list_filter(regexp_split_to_array(tok, ''), x -> x != ''), ' ')",
+        0: "array_join(transform(filter(split(tok, ''), x -> x != ''), c -> concat('|', c, '|')), ' ')",
+        1: "array_to_string(list_transform(list_filter(regexp_split_to_array(tok, ''), x -> x != ''), c -> concat('|', c, '|')), ' ')",
     }
     tokens = {0: P.spark_tokens("text"), 1: P.duck_tokens("text")}
     explode_tok = {
@@ -1414,16 +1416,14 @@ def bpe_merges_sql(rounds: int = 3, view: str = "documents") -> tuple[str, str]:
             cte.append(
                 f"""w{r} AS (
   SELECT w.tok, w.cnt,
-         trim(replace(replace(concat(' ', w.seq, ' '),
-                              concat(' ', b.pr, ' '),
-                              concat(' ', replace(b.pr, ' ', ''), ' ')),
-                      concat(' ', b.pr, ' '),
-                      concat(' ', replace(b.pr, ' ', ''), ' '))) AS seq
+         replace(w.seq, b.pr,
+                 concat('|', replace(replace(b.pr, '|', ''), ' ', ''), '|')) AS seq
   FROM w{r - 1} w CROSS JOIN b{r} b
 )"""
             )
         union = "\nUNION ALL\n".join(
-            f"SELECT {r} AS round, pr AS merged_pair, pcnt AS pair_count FROM b{r}"
+            f"SELECT {r} AS round, replace(pr, '|', '') AS merged_pair, "
+            f"pcnt AS pair_count FROM b{r}"
             for r in range(1, rounds + 1)
         )
         return "WITH " + ",\n".join(cte) + "\n" + union
@@ -1451,7 +1451,8 @@ def bpe_merges_staged(spark, rounds: int = 3, view: str = "documents") -> DataFr
         w0 = spark.sql(
             f"""
 SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt,
-       array_join(filter(split(tok, ''), x -> x != ''), ' ') AS seq
+       array_join(transform(filter(split(tok, ''), x -> x != ''),
+                            c -> concat('|', c, '|')), ' ') AS seq
 FROM (SELECT explode({P.spark_tokens('text')}) AS tok FROM {view}) t
 GROUP BY tok"""
         )
@@ -1471,15 +1472,10 @@ GROUP BY tok"""
             .limit(1)
             .collect()[0]
         )
-        merges.append((r, top.pr, int(top.pcnt)))
-        pat, rep = f" {top.pr} ", " " + top.pr.replace(" ", "") + " "
-        merged = w.withColumn(
-            "seq",
-            F.expr(
-                f"trim(replace(replace(concat(' ', seq, ' '), '{pat}', '{rep}'), "
-                f"'{pat}', '{rep}'))"
-            ),
-        )
+        merges.append((r, top.pr.replace("|", ""), int(top.pcnt)))
+        pat = top.pr
+        rep = "|" + top.pr.replace("|", "").replace(" ", "") + "|"
+        merged = w.withColumn("seq", F.expr(f"replace(seq, '{pat}', '{rep}')"))
         if r < rounds:
             name = P.stage_name("bpe_w", key[1:] + (r, top.pr))
             w = P.stage_df(merged, name)

@@ -495,3 +495,35 @@ def test_bloom_prefilter_equals_plain_semi_join(spark, keys, fact, m):
     )
     want = sorted((f, f % 7) for f in fact if f in set(keys))
     assert got == want
+
+
+# --- BPE merge application: ONE replace() over the pipe-wrapped
+# symbol encoding == greedy left-to-right non-overlapping pair merge
+# (DETERMINISM.md §23). Python str.replace shares the scan semantics
+# of Spark/DuckDB replace(), so the equivalence is tested engine-free.
+# (The space-padded double-replace this replaced mis-segments odd
+# runs of a self-pair: 'a a a a a' -> [aa, a, aa], greedy is
+# [aa, aa, a] — found by this very test.)
+def _greedy_merge(symbols: list[str], a: str, b: str) -> list[str]:
+    out, i = [], 0
+    while i < len(symbols):
+        if i + 1 < len(symbols) and symbols[i] == a and symbols[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(symbols[i])
+            i += 1
+    return out
+
+
+@given(
+    st.lists(st.sampled_from(["a", "b", "ab", "c"]), min_size=0, max_size=12),
+    st.sampled_from([("a", "b"), ("a", "a"), ("ab", "c"), ("c", "c")]),
+)
+@settings(max_examples=300, deadline=None)
+def test_bpe_wrapped_replace_equals_greedy_merge(symbols, pair):
+    a, b = pair
+    seq = " ".join(f"|{s}|" for s in symbols)
+    merged = seq.replace(f"|{a}| |{b}|", f"|{a}{b}|")
+    out = [t.strip("|") for t in merged.split()] if merged else []
+    assert out == _greedy_merge(symbols, a, b)
