@@ -164,14 +164,14 @@ WITH l AS (SELECT {left_key} AS k, COUNT(*) AS c FROM {left_view} GROUP BY {left
 r AS (SELECT {right_key} AS k, COUNT(*) AS c FROM {right_view} GROUP BY {right_key}),
 fk AS (
   SELECT COUNT(*) AS n_keys,
-         CAST(SUM(l.c * r.c) AS BIGINT) AS est_rows,
+         CAST(SUM(CAST(l.c AS {{big_t}}) * r.c) AS BIGINT) AS est_rows,
          CAST(MAX(l.c * r.c) AS BIGINT) AS max_key_rows
   FROM l JOIN r ON l.k = r.k
 ),
 s AS (SELECT {self_key} AS k, COUNT(*) AS c FROM {self_view} GROUP BY {self_key}),
 sj AS (
   SELECT COUNT(*) AS n_keys,
-         CAST(SUM(c * c) AS BIGINT) AS est_rows,
+         CAST(SUM(CAST(c AS {{big_t}}) * c) AS BIGINT) AS est_rows,
          CAST(MAX(c * c) AS BIGINT) AS max_key_rows
   FROM s
 )
@@ -185,7 +185,13 @@ FROM sj
 """
     from etl_service_spark.functions import portable as P
 
-    return P.bi_sql(template, idiv=("DIV", "//"))
+    # per-key count products can pass 2^63 on a 100 TB self-join:
+    # accumulate wide (Spark decimal-38, DuckDB HUGEINT) and cast the
+    # total down — both engines then fail loudly (not wrap) if the
+    # estimate itself exceeds int64.
+    return P.bi_sql(
+        template, idiv=("DIV", "//"), big_t=("DECIMAL(38,0)", "HUGEINT")
+    )
 
 
 def range_boundaries_sql(

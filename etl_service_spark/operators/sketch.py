@@ -779,12 +779,14 @@ SELECT event_type, n,
        CAST(s2 AS DOUBLE) AS m2_sum,
        CAST(s3 AS DOUBLE) AS m3_sum,
        CAST(s4 AS DOUBLE) AS m4_sum,
-       FLOOR(CAST(s3 AS DOUBLE) * SQRT(CAST(n AS DOUBLE))
-             / (CAST(s2 AS DOUBLE) * SQRT(CAST(s2 AS DOUBLE))) * 1e6) / 1e6
-         AS skewness,
-       FLOOR(CAST(s4 AS DOUBLE) * CAST(n AS DOUBLE)
-             / (CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)) * 1e6) / 1e6
-         AS kurtosis
+       CASE WHEN s2 = 0 THEN NULL ELSE
+         FLOOR(CAST(s3 AS DOUBLE) * SQRT(CAST(n AS DOUBLE))
+               / (CAST(s2 AS DOUBLE) * SQRT(CAST(s2 AS DOUBLE))) * 1e6) / 1e6
+       END AS skewness,
+       CASE WHEN s2 = 0 THEN NULL ELSE
+         FLOOR(CAST(s4 AS DOUBLE) * CAST(n AS DOUBLE)
+               / (CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)) * 1e6) / 1e6
+       END AS kurtosis
 FROM agg
 """
     from ..functions import portable as P
