@@ -176,6 +176,8 @@ HEADLINERS = [
     "events_moment_stats",
     "profile_group_cardinality",
     "corpus_domain_quota_salted",
+    "corpus_filter_waterfall",
+    "events_ab_lift",
 ]
 
 

@@ -792,3 +792,46 @@ FROM agg
     from ..functions import portable as P
 
     return P.bi_sql(template, idiv=("DIV", "//"), big_t=("DECIMAL(38,0)", "HUGEINT"))
+
+
+def ab_lift_sql() -> tuple[str, str]:
+    """Deterministic A/B experiment report: arm = user hash parity
+    (the assignment discipline every experiment framework uses — a
+    pure function of the unit id, so re-running or switching engines
+    cannot move a user between arms), per-arm exposed users /
+    converting users / conversion ppm / decimal purchase value, plus
+    the B-vs-A conversion lift in ppm on the B row. All-integer and
+    decimal-exact.
+
+    Scale shape: one pass over (user_id, event_type, value) with a
+    per-user pre-aggregate (map-side combinable, keyed on the
+    experiment unit), then a 2-row arm rollup and a self-join of the
+    2-row relation for the lift — trivially broadcast.
+    """
+    template = """
+WITH u AS (
+  SELECT user_id,
+         ((user_id * 2654435761) % 4294967296) % 2 AS arm,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted,
+         SUM(CASE WHEN event_type = 'purchase'
+                  THEN CAST(value AS DECIMAL(18,4)) ELSE CAST(0 AS DECIMAL(18,4)) END) AS spend
+  FROM events
+  GROUP BY user_id
+),
+a AS (
+  SELECT arm,
+         COUNT(*) AS n_users,
+         CAST(SUM(converted) AS BIGINT) AS n_converted,
+         CAST(SUM(converted) * 1000000 {idiv} COUNT(*) AS BIGINT) AS conv_ppm,
+         CAST(SUM(spend) AS DOUBLE) AS total_spend
+  FROM u GROUP BY arm
+)
+SELECT b.arm, b.n_users, b.n_converted, b.conv_ppm, b.total_spend,
+       CASE WHEN b.arm = 0 OR a0.conv_ppm = 0 THEN NULL
+            ELSE CAST((b.conv_ppm - a0.conv_ppm) * 1000000 {idiv} a0.conv_ppm AS BIGINT)
+       END AS lift_vs_control_ppm
+FROM a b CROSS JOIN (SELECT conv_ppm FROM a WHERE arm = 0) a0
+"""
+    from ..functions import portable as P
+
+    return P.bi_sql(template, idiv=("DIV", "//"))

@@ -1482,3 +1482,57 @@ GROUP BY tok"""
     return spark.createDataFrame(
         merges, "round int, merged_pair string, pair_count bigint"
     )
+
+
+def filter_waterfall_sql(view: str = "documents") -> tuple[str, str]:
+    """Filter-attribution waterfall over the Gopher rule cascade: every
+    document is attributed to the FIRST rule that rejects it (the
+    order a production gate short-circuits in), so the report answers
+    "which filter is eating my corpus" — drop counts AND dropped
+    character mass per rule, plus the surviving remainder — without
+    double-counting docs that fail several rules. The observability
+    twin of text_gopher_rules (which counts each rule independently).
+
+    One integer-exact scan, zero joins: the cascade is a single CASE
+    whose branches reuse the same token-fold expressions; the
+    aggregate is map-side combinable and the output is |rules|+1 rows.
+    """
+    in_list = ", ".join(f"'{s}'" for s in _STOPWORDS)
+    template = f"""
+WITH d AS (
+  SELECT n_chars,
+         CASE
+           WHEN n_words < 10 OR n_words > 5000 THEN '1_word_count'
+           WHEN sum_word_len < 3 * n_words OR sum_word_len > 10 * n_words THEN '2_word_len'
+           WHEN n_hash * 10 > n_words THEN '3_symbol_ratio'
+           WHEN n_ellipsis * 10 > n_words THEN '4_ellipsis'
+           WHEN n_stop * 10 < n_words THEN '5_stopword'
+           ELSE '6_survived'
+         END AS stage
+  FROM (
+    SELECT n_chars,
+           {{nw}} AS n_words,
+           {{sumlen}} AS sum_word_len,
+           (length(text) - length(replace(text, '#', ''))) AS n_hash,
+           (length(text) - length(replace(text, '...', ''))) / 3 AS n_ellipsis,
+           {{nstop}} AS n_stop
+    FROM (SELECT n_chars, text, {{toks}} AS toks FROM {view}) t0
+  ) t1
+)
+SELECT stage, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM d
+GROUP BY stage
+"""
+    return P.bi_sql(
+        template,
+        toks=(P.spark_tokens("text"), P.duck_tokens("text")),
+        nw=("size(toks)", "len(toks)"),
+        sumlen=(
+            "aggregate(toks, 0L, (acc, x) -> acc + length(x))",
+            "list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(toks, x -> CAST(length(x) AS BIGINT))), (acc, x) -> acc + x)",
+        ),
+        nstop=(
+            f"size(filter(toks, x -> x IN ({in_list})))",
+            f"len(list_filter(toks, x -> x IN ({in_list})))",
+        ),
+    )

@@ -3631,6 +3631,14 @@ WHERE o_orderkey % 103 = 0
 """,
     )
 
+    # --- filter-attribution waterfall (first failing rule per doc —
+    # "which filter is eating my corpus"), one integer-exact scan
+    cases["corpus_filter_waterfall"] = _pair_case(textops.filter_waterfall_sql())
+
+    # --- deterministic A/B lift report (hash-parity arms, per-user
+    # pre-aggregate, 2-row rollup + broadcast lift join)
+    cases["events_ab_lift"] = _pair_case(sketch.ab_lift_sql())
+
     # --- per-type skewness/kurtosis from exact shifted moments (the
     # heavy-tail gauge between z-score and MAD methods)
     cases["events_moment_stats"] = _pair_case(sketch.moment_stats_sql())
