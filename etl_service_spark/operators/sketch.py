@@ -805,8 +805,11 @@ def ab_lift_sql() -> tuple[str, str]:
 
     Scale shape: one pass over (user_id, event_type, value) with a
     per-user pre-aggregate (map-side combinable, keyed on the
-    experiment unit), then a 2-row arm rollup and a self-join of the
-    2-row relation for the lift — trivially broadcast.
+    experiment unit), then a 2-row arm rollup; the control baseline is
+    an unpartitioned window MAX over that 2-row relation — no join at
+    all (a 1-row cross join here reads as an unbounded
+    BroadcastNestedLoopJoin to plan auditing, so the window form is
+    both cheaper and mechanically clean).
     """
     template = """
 WITH u AS (
@@ -826,11 +829,14 @@ a AS (
          CAST(SUM(spend) AS DOUBLE) AS total_spend
   FROM u GROUP BY arm
 )
-SELECT b.arm, b.n_users, b.n_converted, b.conv_ppm, b.total_spend,
-       CASE WHEN b.arm = 0 OR a0.conv_ppm = 0 THEN NULL
-            ELSE CAST((b.conv_ppm - a0.conv_ppm) * 1000000 {idiv} a0.conv_ppm AS BIGINT)
+SELECT arm, n_users, n_converted, conv_ppm, total_spend,
+       CASE WHEN arm = 0 OR ctrl_ppm = 0 THEN NULL
+            ELSE CAST((conv_ppm - ctrl_ppm) * 1000000 {idiv} ctrl_ppm AS BIGINT)
        END AS lift_vs_control_ppm
-FROM a b CROSS JOIN (SELECT conv_ppm FROM a WHERE arm = 0) a0
+FROM (
+  SELECT a.*, MAX(CASE WHEN arm = 0 THEN conv_ppm END) OVER () AS ctrl_ppm
+  FROM a
+) t
 """
     from ..functions import portable as P
 
