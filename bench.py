@@ -178,6 +178,7 @@ HEADLINERS = [
     "corpus_domain_quota_salted",
     "corpus_filter_waterfall",
     "events_ab_lift",
+    "sketch_hll_sliding_distinct",
 ]
 
 

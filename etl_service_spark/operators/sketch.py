@@ -841,3 +841,82 @@ FROM (
     from ..functions import portable as P
 
     return P.bi_sql(template, idiv=("DIV", "//"))
+
+
+def hll_sliding_sql(window_hours: int = 3, view: str = "events") -> tuple[str, str]:
+    """Trailing-window distinct users per hour via HLL register
+    merging — the sliding-distinct pattern that makes sketches pay at
+    100 TB: per-HOUR register tables (64 rows each) are the only state,
+    and every trailing window's estimate is a MAX-merge of the hours it
+    covers. No rescan of raw events per window, no quadratic
+    hour×window blowup: each (hour, reg) row fans out to the
+    ``window_hours`` windows it participates in via a map-side literal
+    explode (1→W expand, zero joins), then MAX-merges per window.
+    The exact trailing distinct is computed alongside through the same
+    fan-out for verification (at scale you keep only the sketch path).
+
+    Integer arithmetic identical to hll_distinct_sql (same register
+    split, same 2^27 harmonic scaling, one final double divide).
+    """
+    m = 64
+    alpha = 0.7213 / (1 + 1.079 / m)
+    num = alpha * m * m * (1 << 27)
+    offs = ", ".join(str(k) for k in range(window_hours))
+    body = f"""
+WITH hv AS (
+  SELECT DISTINCT {{hour}} AS hour, ((user_id * 2654435761) % 4294967296) AS hv,
+         user_id
+  FROM {{view}}
+),
+rr AS (
+  SELECT hour, hv % 64 AS reg,
+         CASE WHEN (hv {{idiv}} 64) = 0 THEN 27
+              ELSE 27 - length(bin(hv {{idiv}} 64)) END AS rnk
+  FROM hv
+),
+regs AS (
+  SELECT hour, reg, MAX(rnk) AS mx FROM rr GROUP BY hour, reg
+),
+cov AS (
+  SELECT hour + k AS whour, reg, mx FROM (
+    SELECT hour, reg, mx, {{explode_k}} FROM regs
+  ) t
+),
+wregs AS (
+  SELECT whour, reg, MAX(mx) AS mx FROM cov GROUP BY whour, reg
+),
+agg AS (
+  SELECT whour,
+         CAST(SUM({{shift_l}}27 - mx{{shift_r}}) AS BIGINT) AS s_present,
+         COUNT(*) AS n_regs
+  FROM wregs GROUP BY whour
+),
+ucov AS (
+  SELECT hour + k AS whour, user_id FROM (
+    SELECT hour, user_id, {{explode_k}} FROM hv
+  ) t
+),
+ex AS (
+  SELECT whour, COUNT(DISTINCT user_id) AS n_distinct_exact
+  FROM ucov GROUP BY whour
+)
+SELECT a.whour AS hour_end,
+       ex.n_distinct_exact,
+       CAST(FLOOR({{num}} / CAST(a.s_present + (64 - a.n_regs) * 134217728 AS DOUBLE)) AS BIGINT)
+         AS n_distinct_hll,
+       CAST(64 - a.n_regs AS BIGINT) AS n_zero_regs
+FROM agg a JOIN ex ON ex.whour = a.whour
+WHERE a.whour <= (SELECT MAX({{hour}}) FROM {{view}})
+"""
+    import etl_service_spark.functions.portable as P
+
+    return P.bi_sql(
+        body,
+        view=view,
+        hour=("(ts_us DIV 3600000000)", "(epoch_us(ts) // 3600000000)"),
+        idiv=("DIV", "//"),
+        explode_k=(f"explode(array({offs})) AS k", f"unnest([{offs}]) AS k"),
+        shift_l=("shiftleft(CAST(1 AS BIGINT), ", "(CAST(1 AS BIGINT) << ("),
+        shift_r=(")", "))"),
+        num=repr(num),
+    )

@@ -3631,6 +3631,10 @@ WHERE o_orderkey % 103 = 0
 """,
     )
 
+    # --- trailing-window distinct via HLL register merging (map-side
+    # 1->W fan-out of per-hour registers, no raw rescans per window)
+    cases["sketch_hll_sliding_distinct"] = _pair_case(sketch.hll_sliding_sql())
+
     # --- filter-attribution waterfall (first failing rule per doc —
     # "which filter is eating my corpus"), one integer-exact scan
     cases["corpus_filter_waterfall"] = _pair_case(textops.filter_waterfall_sql())
