@@ -179,6 +179,7 @@ HEADLINERS = [
     "corpus_filter_waterfall",
     "events_ab_lift",
     "sketch_hll_sliding_distinct",
+    "dedup_minhash_estimate_audit",
 ]
 
 

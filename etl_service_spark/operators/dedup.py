@@ -1004,3 +1004,97 @@ def lsh_cost_audit_staged(
         **_hashset_frags(view),
     )[0]
     return spark.sql(body)
+
+
+def _minhash_estimate_body(k: int, bands: int) -> str:
+    sig_cols = ",\n         ".join(
+        f"MIN(({a} * h + {b}) % {P.HASH_MOD}) AS sig_{i}"
+        for i, (a, b) in enumerate(P.minhash_params(k))
+    )
+    match_sum = " + ".join(
+        f"(CASE WHEN x.sig_{i} = y.sig_{i} THEN 1 ELSE 0 END)" for i in range(k)
+    )
+    return (
+        """ex AS (
+  SELECT doc_id, {explode}(hs) AS h FROM {hs_rel}
+),
+sig AS (
+  SELECT doc_id,
+         """
+        + sig_cols
+        + """
+  FROM ex
+  GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, {explode}({band_arr}) AS band_key FROM sig
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+est AS (
+  SELECT c.doc_a, c.doc_b, """
+        + f"CAST({match_sum} AS BIGINT)"
+        + """ AS n_match_sig
+  FROM cand c
+  JOIN sig x ON x.doc_id = c.doc_a
+  JOIN sig y ON y.doc_id = c.doc_b
+),
+exact AS (
+  SELECT c.doc_a, c.doc_b,
+         {arr_len}({arr_intersect}(x.hs, y.hs)) AS n_inter,
+         x.n + y.n - {arr_len}({arr_intersect}(x.hs, y.hs)) AS n_union
+  FROM cand c
+  JOIN {hs_rel} x ON x.doc_id = c.doc_a
+  JOIN {hs_rel} y ON y.doc_id = c.doc_b
+)
+SELECT e.doc_a, e.doc_b, e.n_match_sig,
+"""
+        + f"""       CAST(e.n_match_sig * 1000000 {{idiv}} {k} AS BIGINT) AS est_jaccard_ppm,
+       CAST(x.n_inter * 1000000 {{idiv}} x.n_union AS BIGINT) AS exact_jaccard_ppm,
+       ABS(CAST(e.n_match_sig * 1000000 {{idiv}} {k} AS BIGINT)
+           - CAST(x.n_inter * 1000000 {{idiv}} x.n_union AS BIGINT)) AS abs_err_ppm
+FROM est e JOIN exact x ON x.doc_a = e.doc_a AND x.doc_b = e.doc_b
+"""
+    )
+
+
+def minhash_estimate_sql(k: int = 16, bands: int = 8, view: str = "documents") -> tuple[str, str]:
+    """Single-statement oracle for minhash_estimate_staged."""
+    body = _minhash_estimate_body(k, bands)
+    return P.bi_sql(
+        _HASHSET_PROLOGUE + ",\n" + body,
+        band_arr=_band_arr(k, bands),
+        hs_rel="hs",
+        **_hashset_frags(view),
+    )
+
+
+def minhash_estimate_staged(
+    spark: SparkSession, k: int = 16, bands: int = 8, view: str = "documents"
+) -> DataFrame:
+    """MinHash estimator-quality audit: for every LSH candidate pair,
+    the signature-agreement Jaccard ESTIMATE (matching components / k
+    — the unbiased estimator the whole LSH design trades on) next to
+    the exact hashset Jaccard, with the absolute error in ppm. The
+    dedup-plane twin of ann_recall_report: recall_report measures what
+    the bands SURFACE, this measures how well the signature MEASURES —
+    together they justify (k, bands) with numbers, not folklore.
+
+    All-integer output (ppm ratios by integer division), so the audit
+    hash-matches the oracle exactly. Scale shape: identical to the
+    production LSH join (shared staged hashsets, band-bucketed
+    candidate generation, signature relation is k columns x N rows)
+    plus one join back to the signature relation — candidate-pair
+    bounded, never all-pairs.
+    """
+    hs_rel = materialize_hashsets(spark, view)
+    body = P.bi_sql(
+        "WITH " + _minhash_estimate_body(k, bands),
+        band_arr=_band_arr(k, bands),
+        hs_rel=hs_rel,
+        **_hashset_frags(view),
+    )[0]
+    return spark.sql(body)

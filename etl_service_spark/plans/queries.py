@@ -3631,6 +3631,16 @@ WHERE o_orderkey % 103 = 0
 """,
     )
 
+    # --- minhash estimator-quality audit: signature-agreement Jaccard
+    # estimate vs exact hashset Jaccard per LSH candidate pair
+    def _minhash_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+        views(spark, sf_dir)
+        return dedup.minhash_estimate_staged(spark)
+
+    cases["dedup_minhash_estimate_audit"] = Case(
+        _minhash_est, dedup.minhash_estimate_sql()[1]
+    )
+
     # --- trailing-window distinct via HLL register merging (map-side
     # 1->W fan-out of per-hour registers, no raw rescans per window)
     cases["sketch_hll_sliding_distinct"] = _pair_case(sketch.hll_sliding_sql())
