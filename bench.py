@@ -180,6 +180,7 @@ HEADLINERS = [
     "events_ab_lift",
     "sketch_hll_sliding_distinct",
     "dedup_minhash_estimate_audit",
+    "recon_users_customers_full_outer",
 ]
 
 

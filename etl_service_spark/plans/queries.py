@@ -1676,6 +1676,23 @@ def _driver_order(cases: dict[str, Case]) -> dict[str, Case]:
     return {n: cases[n] for n in ordered}
 
 
+RECON_FULL_OUTER_SQL = """
+WITH l AS (
+  SELECT user_id AS k, COUNT(*) AS n_events FROM events GROUP BY user_id
+),
+r AS (
+  SELECT c_custkey AS k, COUNT(*) AS n_rows FROM customer GROUP BY c_custkey
+)
+SELECT CASE WHEN l.k IS NULL THEN 'right_only'
+            WHEN r.k IS NULL THEN 'left_only'
+            ELSE 'both' END AS presence,
+       COUNT(*) AS n_keys,
+       CAST(COALESCE(SUM(l.n_events), 0) AS BIGINT) AS event_rows
+FROM l FULL OUTER JOIN r ON l.k = r.k
+GROUP BY 1
+"""
+
+
 def registry() -> dict[str, Case]:
     cases: dict[str, Case] = {}
 
@@ -3629,6 +3646,15 @@ UNION ALL
 SELECT o_orderkey + 10000000, o_custkey, o_totalprice FROM orders
 WHERE o_orderkey % 103 = 0
 """,
+    )
+
+    # --- key reconciliation across systems via FULL OUTER join (the
+    # migration-validation staple: which keys exist where, with row
+    # mass per presence class). Two pre-aggregates shrink both sides
+    # to |keys| rows before the join; presence classes come from the
+    # join's own NULL pattern — one shuffle per side, no second pass.
+    cases["recon_users_customers_full_outer"] = _sql_case(
+        RECON_FULL_OUTER_SQL, RECON_FULL_OUTER_SQL
     )
 
     # --- minhash estimator-quality audit: signature-agreement Jaccard
