@@ -181,6 +181,7 @@ HEADLINERS = [
     "sketch_hll_sliding_distinct",
     "dedup_minhash_estimate_audit",
     "recon_users_customers_full_outer",
+    "media_image_dims_sniff",
 ]
 
 

@@ -226,3 +226,108 @@ SELECT doc_id AS media_id,
                             x -> x != '')) AS BIGINT) AS n_tokens
 FROM x
 """
+
+
+IMAGE_DIMS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("fmt", StringType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+    ]
+)
+
+
+def synthesize_image_headers(docs: DataFrame) -> DataFrame:
+    """Build a media relation whose payloads are REAL image file
+    headers (byte-exact PNG signature+IHDR chunk, JPEG SOI/APP0/SOF0
+    marker stream) with dimensions derived deterministically from
+    doc_id — the same injection discipline as the PII scrub case: the
+    synthetic corpus has no images, so the bytes are synthesized in
+    the query path, and the parser under test must do real structural
+    decoding (fixed-offset IHDR reads, variable-length JPEG marker
+    skipping) to recover dimensions the oracle can predict
+    arithmetically. Construction is pure Spark SQL binary assembly
+    (hex/lpad/unhex/concat — JVM-side, no UDF)."""
+    w = "16 + media_id % 240"
+    h = "16 + media_id % 120"
+    png = (
+        "concat(unhex('89504E470D0A1A0A'), unhex('0000000D'), unhex('49484452'), "
+        f"unhex(lpad(hex({w}), 8, '0')), unhex(lpad(hex({h}), 8, '0')), "
+        "unhex('0806000000'), unhex('DEADBEEF'))"
+    )
+    jpeg = (
+        "concat(unhex('FFD8'), unhex('FFE00010'), "
+        "unhex('4A46494600010100000100010000'), unhex('FFC00011'), unhex('08'), "
+        f"unhex(lpad(hex({h}), 4, '0')), unhex(lpad(hex({w}), 4, '0')), "
+        "unhex('03011100021101031101'), unhex('FFD9'))"
+    )
+    return docs.selectExpr("doc_id AS media_id").selectExpr(
+        "media_id",
+        f"CASE WHEN media_id % 2 = 0 THEN {png} ELSE {jpeg} END AS payload",
+    )
+
+
+def _sniff_dims(payload: bytes) -> tuple[str, int, int] | None:
+    """Header-only image dimension sniffing — real structural parsing,
+    no codec: PNG reads width/height at the IHDR fixed offsets after
+    validating signature and chunk type; JPEG walks the marker stream
+    skipping variable-length segments by their own length fields until
+    a SOF0-SOF3 frame header. The logic every lightweight sniffer
+    (imagesize, Pillow's lazy open) implements."""
+    if payload is None or len(payload) < 4:
+        return None
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        if len(payload) >= 24 and payload[12:16] == b"IHDR":
+            return (
+                "png",
+                int.from_bytes(payload[16:20], "big"),
+                int.from_bytes(payload[20:24], "big"),
+            )
+        return None
+    if payload[:2] == b"\xff\xd8":
+        pos = 2
+        while pos + 4 <= len(payload) and payload[pos] == 0xFF:
+            marker = payload[pos + 1]
+            if marker == 0xD9:
+                break
+            if 0xC0 <= marker <= 0xC3:
+                if pos + 9 <= len(payload):
+                    return (
+                        "jpeg",
+                        int.from_bytes(payload[pos + 7 : pos + 9], "big"),
+                        int.from_bytes(payload[pos + 5 : pos + 7], "big"),
+                    )
+                return None
+            seglen = int.from_bytes(payload[pos + 2 : pos + 4], "big")
+            pos += 2 + seglen
+        return None
+    return None
+
+
+def sniff_image_dims(media: DataFrame) -> DataFrame:
+    """Arrow-batched dimension sniffing over the payload column
+    (mapInPandas, same plumbing contract as extract_features): rows
+    whose payload is not a recognizable image are dropped — the
+    quarantine behavior a real ingest wants (count them upstream via
+    media_binary_stats if needed)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                sniffed = _sniff_dims(bytes(payload) if payload is not None else None)
+                if sniffed is not None:
+                    rows.append((int(mid), sniffed[0], sniffed[1], sniffed[2]))
+            yield pd.DataFrame(rows, columns=["media_id", "fmt", "width", "height"])
+
+    return media.mapInPandas(kernel, IMAGE_DIMS_SCHEMA)
+
+
+IMAGE_DIMS_ORACLE = """
+SELECT doc_id AS media_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS fmt,
+       16 + doc_id % 240 AS width,
+       16 + doc_id % 120 AS height
+FROM documents
+"""

@@ -3648,6 +3648,17 @@ WHERE o_orderkey % 103 = 0
 """,
     )
 
+    # --- byte-level image dimension sniffing (PNG IHDR fixed offsets,
+    # JPEG marker-stream walk) over synthesized REAL header bytes —
+    # honest structural decode without codec libraries; the oracle
+    # predicts dimensions arithmetically from the injection rule
+    def _image_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+        views(spark, sf_dir)
+        media = multimodal.synthesize_image_headers(spark.table("documents"))
+        return multimodal.sniff_image_dims(media)
+
+    cases["media_image_dims_sniff"] = Case(_image_dims, multimodal.IMAGE_DIMS_ORACLE)
+
     # --- key reconciliation across systems via FULL OUTER join (the
     # migration-validation staple: which keys exist where, with row
     # mass per presence class). Two pre-aggregates shrink both sides
