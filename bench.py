@@ -182,6 +182,7 @@ HEADLINERS = [
     "dedup_minhash_estimate_audit",
     "recon_users_customers_full_outer",
     "media_image_dims_sniff",
+    "media_audio_meta_sniff",
 ]
 
 

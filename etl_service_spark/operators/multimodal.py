@@ -331,3 +331,126 @@ SELECT doc_id AS media_id,
        16 + doc_id % 120 AS height
 FROM documents
 """
+
+
+AUDIO_META_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("sample_rate", LongType()),
+        StructField("channels", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("duration_ms", LongType()),
+    ]
+)
+
+
+def synthesize_wav_headers(docs: DataFrame) -> DataFrame:
+    """Audio twin of synthesize_image_headers: byte-exact WAV RIFF
+    headers (RIFF size, fmt chunk with PCM format/channels/sample
+    rate/block align, data chunk size) assembled in Spark SQL with
+    LITTLE-endian fields — hex/lpad/unhex gives big-endian, so byte
+    order is reversed via concat of reversed byte pairs, which is
+    itself part of what the parser must get right."""
+    sr = "CASE WHEN media_id % 3 = 0 THEN 8000 WHEN media_id % 3 = 1 THEN 16000 ELSE 44100 END"
+    ch = "1 + media_id % 2"
+    ns = "1000 + media_id % 9000"
+
+    def le32(expr: str) -> str:
+        # little-endian 4-byte: build big-endian hex then swap bytes
+        be = f"lpad(hex({expr}), 8, '0')"
+        return (
+            f"unhex(concat(substring({be}, 7, 2), substring({be}, 5, 2), "
+            f"substring({be}, 3, 2), substring({be}, 1, 2)))"
+        )
+
+    def le16(expr: str) -> str:
+        be = f"lpad(hex({expr}), 4, '0')"
+        return f"unhex(concat(substring({be}, 3, 2), substring({be}, 1, 2)))"
+
+    data_bytes = f"({ns}) * ({ch}) * 2"  # 16-bit PCM
+    payload = (
+        "concat("
+        "unhex('52494646'), "  # 'RIFF'
+        + le32(f"36 + {data_bytes}")
+        + ", unhex('57415645'), "  # 'WAVE'
+        "unhex('666D7420'), "  # 'fmt '
+        + le32("16")
+        + ", "
+        + le16("1")  # PCM
+        + ", "
+        + le16(ch)
+        + ", "
+        + le32(sr)
+        + ", "
+        + le32(f"({sr}) * ({ch}) * 2")  # byte rate
+        + ", "
+        + le16(f"({ch}) * 2")  # block align
+        + ", "
+        + le16("16")  # bits per sample
+        + ", unhex('64617461'), "  # 'data'
+        + le32(data_bytes)
+        + ")"
+    )
+    return docs.selectExpr("doc_id AS media_id").selectExpr(
+        "media_id", f"{payload} AS payload"
+    )
+
+
+def _parse_wav_header(payload: bytes) -> tuple[int, int, int] | None:
+    """RIFF/WAVE structural parse: validate magics, read the fmt
+    chunk's channels/sample-rate (little-endian), then walk chunks to
+    'data' and derive the sample count from its byte length and the
+    block align — the header walk every audio loader performs before
+    touching samples."""
+    if payload is None or len(payload) < 44:
+        return None
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    pos = 12
+    channels = rate = block_align = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        clen = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        if cid == b"fmt ":
+            channels = int.from_bytes(payload[pos + 10 : pos + 12], "little")
+            rate = int.from_bytes(payload[pos + 12 : pos + 16], "little")
+            block_align = int.from_bytes(payload[pos + 20 : pos + 22], "little")
+        elif cid == b"data" and channels:
+            return (rate, channels, clen // block_align)
+        pos += 8 + clen
+    return None
+
+
+def sniff_audio_meta(media: DataFrame) -> DataFrame:
+    """Arrow-batched WAV metadata extraction (mapInPandas); rows whose
+    payload is not a parsable RIFF/WAVE stream are dropped."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                parsed = _parse_wav_header(
+                    bytes(payload) if payload is not None else None
+                )
+                if parsed is not None:
+                    rate, ch, ns = parsed
+                    rows.append((int(mid), rate, ch, ns, ns * 1000 // rate))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "sample_rate", "channels", "n_samples", "duration_ms"],
+            )
+
+    return media.mapInPandas(kernel, AUDIO_META_SCHEMA)
+
+
+AUDIO_META_ORACLE = """
+SELECT doc_id AS media_id,
+       CASE WHEN doc_id % 3 = 0 THEN 8000
+            WHEN doc_id % 3 = 1 THEN 16000 ELSE 44100 END AS sample_rate,
+       1 + doc_id % 2 AS channels,
+       1000 + doc_id % 9000 AS n_samples,
+       (1000 + doc_id % 9000) * 1000
+         // CASE WHEN doc_id % 3 = 0 THEN 8000
+                 WHEN doc_id % 3 = 1 THEN 16000 ELSE 44100 END AS duration_ms
+FROM documents
+"""

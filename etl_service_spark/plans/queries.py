@@ -3659,6 +3659,15 @@ WHERE o_orderkey % 103 = 0
 
     cases["media_image_dims_sniff"] = Case(_image_dims, multimodal.IMAGE_DIMS_ORACLE)
 
+    # --- WAV RIFF metadata walk (little-endian fmt/data chunks) over
+    # synthesized byte-exact headers — the audio twin
+    def _audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+        views(spark, sf_dir)
+        media = multimodal.synthesize_wav_headers(spark.table("documents"))
+        return multimodal.sniff_audio_meta(media)
+
+    cases["media_audio_meta_sniff"] = Case(_audio_meta, multimodal.AUDIO_META_ORACLE)
+
     # --- key reconciliation across systems via FULL OUTER join (the
     # migration-validation staple: which keys exist where, with row
     # mass per presence class). Two pre-aggregates shrink both sides
