@@ -183,6 +183,7 @@ HEADLINERS = [
     "recon_users_customers_full_outer",
     "media_image_dims_sniff",
     "media_audio_meta_sniff",
+    "media_video_meta_sniff",
 ]
 
 

@@ -454,3 +454,111 @@ SELECT doc_id AS media_id,
                  WHEN doc_id % 3 = 1 THEN 16000 ELSE 44100 END AS duration_ms
 FROM documents
 """
+
+
+VIDEO_META_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("timescale", LongType()),
+        StructField("duration_units", LongType()),
+        StructField("duration_ms", LongType()),
+    ]
+)
+
+
+def synthesize_mp4_headers(docs: DataFrame) -> DataFrame:
+    """Video twin: byte-exact MP4 box structure (ftyp, then a moov
+    container nesting an mvhd version-0 full box) with big-endian
+    size/type framing — the ISO BMFF layout every player walks. The
+    timescale and duration fields derive from media_id so the oracle
+    predicts the parse arithmetically."""
+    ts = "CASE WHEN media_id % 2 = 0 THEN 600 ELSE 1000 END"
+    dur = "(media_id % 7200) * 100 + 600"
+
+    def be32(expr: str) -> str:
+        return f"unhex(lpad(hex({expr}), 8, '0'))"
+
+    # ftyp: size 16 | 'ftyp' | 'isom' | minor 0
+    ftyp = "concat(unhex('00000010'), unhex('66747970'), unhex('69736F6D'), unhex('00000000'))"
+    # mvhd v0: size 108 | 'mvhd' | ver/flags 0 | ctime 0 | mtime 0
+    #          | timescale | duration | rate 1.0 | vol 1.0 | 70 fixed bytes
+    mvhd = (
+        "concat(unhex('0000006C'), unhex('6D766864'), unhex('00000000'), "
+        "unhex('00000000'), unhex('00000000'), "
+        + be32(ts)
+        + ", "
+        + be32(dur)
+        + ", unhex('00010000'), unhex('0100'), "
+        + "unhex(repeat('00', 10)), "  # reserved
+        + "unhex('000100000000000000000000000000000001000000000000"
+        "000000000000000040000000'), "  # unity matrix (9 x 4 bytes)
+        + "unhex(repeat('00', 24)), unhex('00000002'))"  # predefined + next track
+    )
+    # moov: size 8 + 108 = 116 | 'moov' | mvhd
+    moov = f"concat(unhex('00000074'), unhex('6D6F6F76'), {mvhd})"
+    return docs.selectExpr("doc_id AS media_id").selectExpr(
+        "media_id", f"concat({ftyp}, {moov}) AS payload"
+    )
+
+
+def _parse_mp4_header(payload: bytes) -> tuple[int, int] | None:
+    """ISO BMFF box walk: iterate top-level (size, type) boxes, descend
+    into moov, find mvhd, read timescale/duration at the version-0
+    offsets. Rejects streams without an ftyp leader or with malformed
+    box sizes — the structural validation a real demuxer front-end
+    does before trusting anything."""
+    if payload is None or len(payload) < 16 or payload[4:8] != b"ftyp":
+        return None
+
+    def walk(buf: bytes, start: int, end: int):
+        pos = start
+        while pos + 8 <= end:
+            size = int.from_bytes(buf[pos : pos + 4], "big")
+            if size < 8 or pos + size > end:
+                return None
+            btype = buf[pos + 4 : pos + 8]
+            if btype == b"moov":
+                inner = walk(buf, pos + 8, pos + size)
+                if inner is not None:
+                    return inner
+            elif btype == b"mvhd":
+                if buf[pos + 8] != 0:  # only version 0 layout supported
+                    return None
+                ts = int.from_bytes(buf[pos + 20 : pos + 24], "big")
+                dur = int.from_bytes(buf[pos + 24 : pos + 28], "big")
+                return (ts, dur)
+            pos += size
+        return None
+
+    return walk(payload, 0, len(payload))
+
+
+def sniff_video_meta(media: DataFrame) -> DataFrame:
+    """Arrow-batched MP4 metadata extraction (mapInPandas); rows whose
+    payload fails the box walk are dropped."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                parsed = _parse_mp4_header(
+                    bytes(payload) if payload is not None else None
+                )
+                if parsed is not None:
+                    ts, dur = parsed
+                    rows.append((int(mid), ts, dur, dur * 1000 // ts))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "timescale", "duration_units", "duration_ms"]
+            )
+
+    return media.mapInPandas(kernel, VIDEO_META_SCHEMA)
+
+
+VIDEO_META_ORACLE = """
+SELECT doc_id AS media_id,
+       CASE WHEN doc_id % 2 = 0 THEN 600 ELSE 1000 END AS timescale,
+       (doc_id % 7200) * 100 + 600 AS duration_units,
+       ((doc_id % 7200) * 100 + 600) * 1000
+         // CASE WHEN doc_id % 2 = 0 THEN 600 ELSE 1000 END AS duration_ms
+FROM documents
+"""

@@ -3668,6 +3668,15 @@ WHERE o_orderkey % 103 = 0
 
     cases["media_audio_meta_sniff"] = Case(_audio_meta, multimodal.AUDIO_META_ORACLE)
 
+    # --- MP4 box walk (ftyp validation, moov descent, mvhd v0 fields)
+    # over synthesized ISO-BMFF bytes — the video leg of the triple
+    def _video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+        views(spark, sf_dir)
+        media = multimodal.synthesize_mp4_headers(spark.table("documents"))
+        return multimodal.sniff_video_meta(media)
+
+    cases["media_video_meta_sniff"] = Case(_video_meta, multimodal.VIDEO_META_ORACLE)
+
     # --- key reconciliation across systems via FULL OUTER join (the
     # migration-validation staple: which keys exist where, with row
     # mass per presence class). Two pre-aggregates shrink both sides
