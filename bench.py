@@ -184,6 +184,7 @@ HEADLINERS = [
     "media_image_dims_sniff",
     "media_audio_meta_sniff",
     "media_video_meta_sniff",
+    "text_winnowing_fingerprints",
 ]
 
 

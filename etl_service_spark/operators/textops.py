@@ -1536,3 +1536,163 @@ GROUP BY stage
             f"len(list_filter(toks, x -> x IN ({in_list})))",
         ),
     )
+
+
+def winnowing_sql(
+    k: int = 4, w: int = 5, view: str = "documents"
+) -> tuple[str, str]:
+    """Winnowing fingerprint selection (Schleimer, Wilkerson, Aiken,
+    SIGMOD'03 — the MOSS algorithm): hash every k-gram, slide a
+    w-position window, select each window's minimum hash; the DISTINCT
+    selected hashes are the document's fingerprints. Guarantees: every
+    match of length >= w+k-1 shares a fingerprint (unlike random
+    sampling), and fingerprint density is ~2/(w+1) of the gram count —
+    position-robust local sampling that simhash/minhash don't give
+    (minhash is global per doc, winnowing localizes matches).
+
+    The report is per-document: gram count, fingerprint count, and an
+    order-free integer checksum of the fingerprint set — enough to
+    join docs on shared fingerprints downstream (the MOSS use) while
+    keeping the registry row compact. Ties inside a window collapse
+    under DISTINCT, so the MIN-only form (no rightmost tie rule) is
+    deterministic in both engines.
+
+    Scale shape: one explode to position-indexed gram hashes (narrow:
+    doc_id, pos, hash), ONE window pass partitioned by doc_id with a
+    ROWS frame (in-partition sort on pos — the shuffle is on doc_id,
+    bounded by per-doc gram count), one distinct + per-doc aggregate
+    reusing the same partitioning. Documents with fewer than ``w``
+    grams emit no fingerprints (no full window exists) and are absent
+    from the report — the caller treats them as exact-hash territory.
+    """
+    template = f"""
+WITH t AS (
+  SELECT doc_id, {{toks}} AS toks FROM {view}
+),
+g AS (
+  SELECT doc_id, {{grams}} AS grams FROM t
+),
+ph AS (
+  SELECT doc_id, pos, {{gram_hash}} AS gh
+  FROM (
+    SELECT doc_id, grams, {{explode_pos}} FROM g WHERE {{glen}} > 0
+  ) x
+),
+wmin AS (
+  SELECT doc_id, pos, gh,
+         MIN(gh) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN {w - 1} PRECEDING AND CURRENT ROW
+         ) AS win_min,
+         COUNT(*) OVER (PARTITION BY doc_id) AS n_grams
+  FROM ph
+),
+fp AS (
+  SELECT DISTINCT doc_id, n_grams, gh
+  FROM wmin WHERE pos >= {w} AND gh = win_min
+)
+SELECT doc_id, MAX(n_grams) AS n_grams,
+       COUNT(*) AS n_fingerprints,
+       CAST(SUM(gh) % 1000000007 AS BIGINT) AS fp_checksum,
+       MIN(gh) AS fp_min
+FROM fp
+GROUP BY doc_id
+"""
+    spark_gram = "element_at(grams, pos)"
+    duck_gram = "grams[pos]"
+    return P.bi_sql(
+        template,
+        toks=(P.spark_tokens("text"), P.duck_tokens("text")),
+        grams=(P.spark_ngrams("toks", k), P.duck_ngrams("toks", k)),
+        glen=("size(grams)", "len(grams)"),
+        explode_pos=(
+            "explode(sequence(1, size(grams))) AS pos",
+            "unnest(range(1, len(grams) + 1)) AS pos",
+        ),
+        gram_hash=(P.spark_poly_hash(spark_gram), P.duck_poly_hash(duck_gram)),
+    )
+
+
+def materialize_gram_positions(spark, k: int = 4, view: str = "documents") -> str:
+    """Staged position-indexed k-gram hash relation (doc_id, pos, gh)
+    — the winnowing input. One Arrow pass: tokenize, join each k-token
+    window, hash all grams of the batch with the vectorized exact
+    poly-hash. Staged because the SQL form's element_at(grams, pos)
+    after an index explode makes Catalyst rebuild the whole gram array
+    once per POSITION (O(n²) per doc — measured 15.9 s vs 0.7 s at
+    sf0.1)."""
+    src = spark.table(view)
+    key = (id(spark), "winnow_grams", k, view,
+           tuple(sorted(src.inputFiles())), P.staging_dir(spark))
+    cached = _TOKENS_CACHE.get(key)
+    if cached is not None:
+        return cached
+
+    import re
+
+    import pandas as pd
+    import pyarrow as pa
+
+    splitter = re.compile(P.TOKEN_SPLIT_RE)
+
+    def kernel(batches):
+        for b in batches:
+            doc_ids, poss, grams = [], [], []
+            for doc_id, txt in zip(
+                b.column("doc_id").to_pylist(), b.column("text").to_pylist()
+            ):
+                toks = [t for t in splitter.split(("" if txt is None else txt).lower()) if t]
+                for i in range(len(toks) - k + 1):
+                    doc_ids.append(doc_id)
+                    poss.append(i + 1)
+                    grams.append(" ".join(toks[i : i + k]))
+            h = (
+                P.pd_poly_hash_series(pd.Series(grams, dtype=object)).tolist()
+                if grams
+                else []
+            )
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "doc_id": pa.array(doc_ids, pa.int64()),
+                    "pos": pa.array(poss, pa.int64()),
+                    "gh": pa.array(h, pa.int64()),
+                }
+            )
+
+    rel = P.fan_out(src.select("doc_id", "text")).mapInArrow(
+        kernel, "doc_id bigint, pos bigint, gh bigint"
+    )
+    name = P.stage_name("winnow_grams", key[1:])
+    P.stage_df(rel, name).createOrReplaceTempView(name)
+    _TOKENS_CACHE[key] = name
+    return name
+
+
+def winnowing_staged(spark, k: int = 4, w: int = 5, view: str = "documents"):
+    """Execution path for :func:`winnowing_sql`'s semantics over the
+    staged gram-position relation; the window/distinct/aggregate tail
+    is identical. Oracle stays the single-statement SQL."""
+    rel = materialize_gram_positions(spark, k, view)
+    return spark.sql(
+        f"""
+WITH wmin AS (
+  SELECT doc_id, pos, gh,
+         MIN(gh) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN {w - 1} PRECEDING AND CURRENT ROW
+         ) AS win_min,
+         COUNT(*) OVER (PARTITION BY doc_id) AS n_grams
+  FROM {rel}
+),
+fp AS (
+  SELECT DISTINCT doc_id, n_grams, gh
+  FROM wmin WHERE pos >= {w} AND gh = win_min
+)
+SELECT doc_id, MAX(n_grams) AS n_grams,
+       COUNT(*) AS n_fingerprints,
+       CAST(SUM(gh) % 1000000007 AS BIGINT) AS fp_checksum,
+       MIN(gh) AS fp_min
+FROM fp
+GROUP BY doc_id
+"""
+    )

@@ -3648,6 +3648,15 @@ WHERE o_orderkey % 103 = 0
 """,
     )
 
+    # --- winnowing fingerprint selection (MOSS): sliding-window min
+    # over k-gram hashes — position-robust local sampling; staged
+    # gram-position relation (SQL form is O(n^2)/doc, 15.9 s -> 0.7 s)
+    def _winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+        views(spark, sf_dir)
+        return textops.winnowing_staged(spark)
+
+    cases["text_winnowing_fingerprints"] = Case(_winnow, textops.winnowing_sql()[1])
+
     # --- byte-level image dimension sniffing (PNG IHDR fixed offsets,
     # JPEG marker-stream walk) over synthesized REAL header bytes —
     # honest structural decode without codec libraries; the oracle
