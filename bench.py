@@ -185,6 +185,7 @@ HEADLINERS = [
     "media_audio_meta_sniff",
     "media_video_meta_sniff",
     "text_winnowing_fingerprints",
+    "dedup_winnowing_pairs",
 ]
 
 

@@ -1696,3 +1696,104 @@ FROM fp
 GROUP BY doc_id
 """
     )
+
+
+def _winnow_fp_cte(k: int, w: int, view: str) -> tuple[str, str]:
+    """The (doc_id, gh) fingerprint CTE chain of winnowing_sql, for
+    composition into pair reports. Returns (spark_cte, duck_cte) each
+    ending with a relation named fp."""
+    template = f"""
+t AS (
+  SELECT doc_id, {{toks}} AS toks FROM {view}
+),
+g AS (
+  SELECT doc_id, {{grams}} AS grams FROM t
+),
+ph AS (
+  SELECT doc_id, pos, {{gram_hash}} AS gh
+  FROM (
+    SELECT doc_id, grams, {{explode_pos}} FROM g WHERE {{glen}} > 0
+  ) x
+),
+wmin AS (
+  SELECT doc_id, pos, gh,
+         MIN(gh) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN {w - 1} PRECEDING AND CURRENT ROW
+         ) AS win_min
+  FROM ph
+),
+fp AS (
+  SELECT DISTINCT doc_id, gh
+  FROM wmin WHERE pos >= {w} AND gh = win_min
+)"""
+    return P.bi_sql(
+        template,
+        toks=(P.spark_tokens("text"), P.duck_tokens("text")),
+        grams=(P.spark_ngrams("toks", k), P.duck_ngrams("toks", k)),
+        glen=("size(grams)", "len(grams)"),
+        explode_pos=(
+            "explode(sequence(1, size(grams))) AS pos",
+            "unnest(range(1, len(grams) + 1)) AS pos",
+        ),
+        gram_hash=(
+            P.spark_poly_hash("element_at(grams, pos)"),
+            P.duck_poly_hash("grams[pos]"),
+        ),
+    )
+
+
+_WINNOW_PAIR_TAIL = """
+posting AS (
+  SELECT gh FROM fp GROUP BY gh HAVING COUNT(*) BETWEEN 2 AND {cap}
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+  FROM fp a JOIN posting p ON p.gh = a.gh
+  JOIN fp b ON b.gh = a.gh AND b.doc_id > a.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, n_shared FROM pairs WHERE n_shared >= {min_shared}
+"""
+
+
+def winnowing_pairs_sql(
+    k: int = 4, w: int = 5, cap: int = 50, min_shared: int = 3, view: str = "documents"
+) -> tuple[str, str]:
+    """Copy-pair detection over shared winnowing fingerprints — the
+    MOSS report itself: documents sharing >= ``min_shared`` selected
+    fingerprints, with the shared count. The posting-size cap drops
+    fingerprints appearing in more than ``cap`` documents (boilerplate
+    grams — the same bounded-posting-list discipline as the PPJoin
+    prefix index and LSH bands: the join is fingerprint-keyed and
+    never all-pairs, and no single fingerprint can contribute more
+    than cap² pair terms)."""
+    s_cte, d_cte = _winnow_fp_cte(k, w, view)
+    tail = _WINNOW_PAIR_TAIL.format(cap=cap, min_shared=min_shared)
+    return "WITH " + s_cte + ",\n" + tail, "WITH " + d_cte + ",\n" + tail
+
+
+def winnowing_pairs_staged(
+    spark, k: int = 4, w: int = 5, cap: int = 50, min_shared: int = 3,
+    view: str = "documents",
+):
+    """Spark path over the staged gram-position relation (shared with
+    text_winnowing_fingerprints)."""
+    rel = materialize_gram_positions(spark, k, view)
+    tail = _WINNOW_PAIR_TAIL.format(cap=cap, min_shared=min_shared)
+    return spark.sql(
+        f"""
+WITH wmin AS (
+  SELECT doc_id, pos, gh,
+         MIN(gh) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN {w - 1} PRECEDING AND CURRENT ROW
+         ) AS win_min
+  FROM {rel}
+),
+fp AS (
+  SELECT DISTINCT doc_id, gh
+  FROM wmin WHERE pos >= {w} AND gh = win_min
+),
+{tail}"""
+    )

@@ -3657,6 +3657,16 @@ WHERE o_orderkey % 103 = 0
 
     cases["text_winnowing_fingerprints"] = Case(_winnow, textops.winnowing_sql()[1])
 
+    # --- MOSS copy-pair report over shared winnowing fingerprints
+    # (posting-capped fingerprint-keyed join, never all-pairs)
+    def _winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+        views(spark, sf_dir)
+        return textops.winnowing_pairs_staged(spark)
+
+    cases["dedup_winnowing_pairs"] = Case(
+        _winnow_pairs, textops.winnowing_pairs_sql()[1]
+    )
+
     # --- byte-level image dimension sniffing (PNG IHDR fixed offsets,
     # JPEG marker-stream walk) over synthesized REAL header bytes —
     # honest structural decode without codec libraries; the oracle
