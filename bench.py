@@ -186,6 +186,7 @@ HEADLINERS = [
     "media_video_meta_sniff",
     "text_winnowing_fingerprints",
     "dedup_winnowing_pairs",
+    "text_rake_keywords",
 ]
 
 

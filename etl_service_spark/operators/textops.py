@@ -1797,3 +1797,146 @@ fp AS (
 ),
 {tail}"""
     )
+
+
+def materialize_token_positions(spark, view: str = "documents") -> str:
+    """Staged (doc_id, pos, tok) relation — position-indexed tokens as
+    STRINGS (the winnowing relation keeps only hashes). One Arrow
+    pass; same cache/staging discipline as every staged relation. The
+    SQL alternative (index explode + element_at) rebuilds the token
+    array per position (the measured O(n²)/doc hazard)."""
+    src = spark.table(view)
+    key = (id(spark), "tok_pos", view, tuple(sorted(src.inputFiles())),
+           P.staging_dir(spark))
+    cached = _TOKENS_CACHE.get(key)
+    if cached is not None:
+        return cached
+
+    import re
+
+    import pyarrow as pa
+
+    splitter = re.compile(P.TOKEN_SPLIT_RE)
+
+    def kernel(batches):
+        for b in batches:
+            doc_ids, poss, toks = [], [], []
+            for doc_id, txt in zip(
+                b.column("doc_id").to_pylist(), b.column("text").to_pylist()
+            ):
+                tt = [t for t in splitter.split(("" if txt is None else txt).lower()) if t]
+                doc_ids.extend([doc_id] * len(tt))
+                poss.extend(range(1, len(tt) + 1))
+                toks.extend(tt)
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "doc_id": pa.array(doc_ids, pa.int64()),
+                    "pos": pa.array(poss, pa.int64()),
+                    "tok": pa.array(toks, pa.string()),
+                }
+            )
+
+    rel = P.fan_out(src.select("doc_id", "text")).mapInArrow(
+        kernel, "doc_id bigint, pos bigint, tok string"
+    )
+    name = P.stage_name("tok_pos", key[1:])
+    P.stage_df(rel, name).createOrReplaceTempView(name)
+    _TOKENS_CACHE[key] = name
+    return name
+
+
+def _rake_body(tokpos_rel: str, topk: int, max_phrase: int) -> str:
+    in_list = ", ".join(f"'{s}'" for s in _STOPWORDS)
+    return f"""
+flags AS (
+  SELECT doc_id, pos, tok,
+         CASE WHEN tok IN ({in_list}) THEN 1 ELSE 0 END AS is_stop
+  FROM {tokpos_rel}
+),
+seg AS (
+  SELECT doc_id, pos, tok, is_stop,
+         SUM(is_stop) OVER (PARTITION BY doc_id ORDER BY pos) AS seg_id
+  FROM flags
+),
+words AS (
+  SELECT doc_id, seg_id, pos, tok FROM seg WHERE is_stop = 0
+),
+phr AS (
+  SELECT doc_id, seg_id, COUNT(*) AS phrase_len FROM words
+  GROUP BY doc_id, seg_id
+),
+wstat AS (
+  SELECT w.tok,
+         COUNT(*) AS freq,
+         CAST(SUM(p.phrase_len) AS BIGINT) AS degree
+  FROM words w JOIN phr p ON p.doc_id = w.doc_id AND p.seg_id = w.seg_id
+  WHERE p.phrase_len <= {max_phrase}
+  GROUP BY w.tok
+),
+scored AS (
+  SELECT w.doc_id, w.seg_id,
+         {{phrase_text}} AS phrase,
+         CAST(SUM(s.degree * 1000000 {{idiv}} s.freq) AS BIGINT) AS score_ppm
+  FROM words w JOIN wstat s ON s.tok = w.tok
+  JOIN phr p ON p.doc_id = w.doc_id AND p.seg_id = w.seg_id
+  WHERE p.phrase_len <= {max_phrase}
+  GROUP BY w.doc_id, w.seg_id
+),
+agg AS (
+  SELECT phrase, MAX(score_ppm) AS score_ppm, COUNT(*) AS n_occurrences
+  FROM scored GROUP BY phrase
+)
+SELECT phrase, score_ppm, n_occurrences,
+       ROW_NUMBER() OVER (ORDER BY score_ppm DESC, phrase ASC) AS rk
+FROM agg
+ORDER BY score_ppm DESC, phrase ASC
+LIMIT {topk}
+"""
+
+
+def rake_keywords_sql(
+    topk: int = 50, max_phrase: int = 4, view: str = "documents"
+) -> tuple[str, str]:
+    """RAKE keyword extraction (Rose et al. 2010): candidate phrases
+    are maximal stopword-free token runs (the gaps-and-islands window
+    trick applied to text — segment id = running stopword count);
+    each word scores degree/frequency over the whole corpus (degree =
+    summed length of phrases containing it), a phrase scores the sum
+    of its words' scores. All-integer (ppm division), deterministic
+    phrase assembly by position order, (score DESC, phrase ASC) total
+    order for the top-k.
+
+    Scale shape: one window pass for segmentation (doc-partitioned),
+    two vocabulary-bounded aggregates (word stats, phrase scores —
+    both map-side combinable; the word-stats relation broadcasts
+    back), and a WindowGroupLimit top-k. Phrases longer than
+    ``max_phrase`` words are excluded from scoring entirely (standard
+    RAKE practice — unbounded runs in stopword-poor text otherwise
+    dominate degree mass).
+    """
+    # oracle side: positions from a one-shot unnest (DuckDB evaluates
+    # the list column once per row, so the index form is linear there)
+    duck_tokpos = (
+        f"(SELECT doc_id, unnest(range(1, len(toks) + 1)) AS pos, "
+        f"toks[unnest(range(1, len(toks) + 1))] AS tok "
+        f"FROM (SELECT doc_id, {P.duck_tokens('text')} AS toks FROM {view}) tt)"
+    )
+    spark_phrase = (
+        "array_join(transform(array_sort(collect_list(struct(w.pos, w.tok))), "
+        "s -> s.tok), ' ')"
+    )
+    duck_phrase = "string_agg(w.tok, ' ' ORDER BY w.pos)"
+    spark_sql = "WITH " + _rake_body("{rel}", topk, max_phrase).format(
+        phrase_text=spark_phrase, idiv="DIV", rel="{rel}"
+    )
+    duck_sql = "WITH " + _rake_body(duck_tokpos, topk, max_phrase).format(
+        phrase_text=duck_phrase, idiv="//"
+    )
+    return spark_sql, duck_sql
+
+
+def rake_keywords_staged(
+    spark, topk: int = 50, max_phrase: int = 4, view: str = "documents"
+):
+    rel = materialize_token_positions(spark, view)
+    return spark.sql(rake_keywords_sql(topk, max_phrase, view)[0].format(rel=rel))

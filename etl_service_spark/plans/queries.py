@@ -3657,6 +3657,14 @@ WHERE o_orderkey % 103 = 0
 
     cases["text_winnowing_fingerprints"] = Case(_winnow, textops.winnowing_sql()[1])
 
+    # --- RAKE keyword extraction (stopword-segmented phrase mining,
+    # integer degree/frequency scoring, corpus top-k)
+    def _rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+        views(spark, sf_dir)
+        return textops.rake_keywords_staged(spark)
+
+    cases["text_rake_keywords"] = Case(_rake, textops.rake_keywords_sql()[1])
+
     # --- MOSS copy-pair report over shared winnowing fingerprints
     # (posting-capped fingerprint-keyed join, never all-pairs)
     def _winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
