@@ -187,6 +187,8 @@ HEADLINERS = [
     "text_winnowing_fingerprints",
     "dedup_winnowing_pairs",
     "text_rake_keywords",
+    "snap_incremental_agg",
+    "events_forecast_backtest",
 ]
 
 

@@ -2648,6 +2648,50 @@ FROM documents WHERE doc_id % 3 IN (0, 1) GROUP BY source
 """,
     )
 
+    # Incremental view maintenance over snapshot CDC: the v3 per-source
+    # aggregate is NOT recomputed from v3 — it is maintained from the
+    # v2 aggregate plus signed delta contributions (added rows +,
+    # removed rows −) taken from the version diff. At 100 TB this is
+    # the difference between re-aggregating the table and aggregating
+    # the trickle: the scan cost is O(delta), and additive aggregates
+    # (counts, sums) maintain exactly. The oracle recomputes the v3
+    # state from scratch — hash equality proves maintenance == rebuild.
+    def _snap_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from ..sources import snapshots as S
+
+        path = _snap_table_path(spark, sf_dir)
+        old = S.read_snapshot(spark, path, version=2)
+        new = S.read_snapshot(spark, path, version=3)
+        added = new.join(old.select("doc_id"), "doc_id", "left_anti")
+        removed = old.join(new.select("doc_id"), "doc_id", "left_anti")
+        base = old.groupBy("source").agg(
+            F.count("*").alias("d_docs"), F.sum("n_chars").alias("d_chars")
+        )
+        plus = added.groupBy("source").agg(
+            F.count("*").alias("d_docs"), F.sum("n_chars").alias("d_chars")
+        )
+        minus = removed.groupBy("source").agg(
+            (-F.count("*")).alias("d_docs"), (-F.sum("n_chars")).alias("d_chars")
+        )
+        return (
+            base.unionByName(plus)
+            .unionByName(minus)
+            .groupBy("source")
+            .agg(
+                F.sum("d_docs").alias("n_docs"),
+                F.sum("d_chars").alias("total_chars"),
+            )
+            .filter(F.col("n_docs") > 0)
+        )
+
+    cases["snap_incremental_agg"] = Case(
+        _snap_incremental_agg,
+        """
+SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents WHERE doc_id % 3 = 2 GROUP BY source
+""",
+    )
+
     # Sentence splitting as a Spark 4 Python UDTF (functions/udtf.py):
     # per-row 1→N fan-out callable from SQL via LATERAL — scan →
     # generate, zero shuffle; Arrow-batched transfer. The oracle
@@ -3656,6 +3700,30 @@ WHERE o_orderkey % 103 = 0
         return textops.winnowing_staged(spark)
 
     cases["text_winnowing_fingerprints"] = Case(_winnow, textops.winnowing_sql()[1])
+
+    # --- seasonal-naive forecast backtest: forecast(h) = count(h-24),
+    # per-type MAE/bias in ppm over evaluable hours — the baseline
+    # every fancier forecaster must beat, and the capacity-planning
+    # sanity gauge. Hour-keyed self-join (not LAG: calendar gaps make
+    # row-offset lags misalign); all-integer error arithmetic.
+    cases["events_forecast_backtest"] = _bi_case(
+        """
+WITH hourly AS (
+  SELECT event_type, {ts_us} {idiv} 3600000000 AS hour, COUNT(*) AS cnt
+  FROM events GROUP BY event_type, {ts_us} {idiv} 3600000000
+)
+SELECT a.event_type,
+       COUNT(*) AS n_hours,
+       CAST(SUM(ABS(a.cnt - f.cnt)) AS BIGINT) AS abs_err_total,
+       CAST(SUM(ABS(a.cnt - f.cnt)) * 1000000 {idiv} SUM(a.cnt) AS BIGINT) AS mae_vs_volume_ppm,
+       CAST(SUM(a.cnt - f.cnt) AS BIGINT) AS bias_units
+FROM hourly a JOIN hourly f
+  ON f.event_type = a.event_type AND f.hour = a.hour - 24
+GROUP BY a.event_type
+""",
+        ts_us=TS_US,
+        idiv=("DIV", "//"),
+    )
 
     # --- RAKE keyword extraction (stopword-segmented phrase mining,
     # integer degree/frequency scoring, corpus top-k)
