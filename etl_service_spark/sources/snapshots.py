@@ -292,7 +292,12 @@ def merge_upsert(
         survivors = tgt.join(source.select(key), key, "left_anti")
         merged = survivors.unionByName(keep.select(*tgt.columns))
     else:
-        merged = keep
+        # pure insert: still normalize to the TABLE's column order —
+        # committing source-ordered files next to table-ordered ones
+        # would make later readers' schema depend on which file the
+        # reader samples first. One footer read, no data scanned.
+        tbl_cols = spark.read.parquet(os.path.join(table_dir, all_files[0])).columns
+        merged = keep.select(*tbl_cols)
     new_files, new_rows = _stage_data_files(merged, table_dir)
     untouched_rows = sum(
         pq.ParquetFile(os.path.join(table_dir, f)).metadata.num_rows for f in untouched

@@ -214,3 +214,27 @@ def test_compact_files_preserves_rows_and_reduces_files(spark, tmp_path):
     assert ids == list(range(160))
     # v1 still time-travelable
     assert len(S._read_manifest(d, 1)["files"]) == n_before
+
+
+def test_merge_upsert_insert_normalizes_column_order(spark, tmp_path):
+    d = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(i, i) for i in range(50)], "id bigint, v bigint"
+    ).repartitionByRange(2, "id")
+    S.commit_append(df, d)
+    # source with REVERSED column order; keys outside all file ranges
+    src = spark.createDataFrame([(900, 9000), (901, 9010)], "v bigint, id bigint").select(
+        "v", "id"
+    )
+    S.merge_upsert(spark, d, src, "id")
+    snap = S.read_snapshot(spark, d)
+    assert snap.columns == ["id", "v"]
+    rows = {r.id: r.v for r in snap.collect()}
+    assert rows[9000] == 900 and rows[9010] == 901  # src columns mapped by NAME
+    # every committed file carries the table's column order
+    import pyarrow.parquet as pq
+    import os as _os
+
+    for rel in S._read_manifest(d, 2)["files"]:
+        names = pq.ParquetFile(_os.path.join(d, rel)).schema_arrow.names
+        assert names == ["id", "v"], rel
