@@ -527,3 +527,37 @@ def test_bpe_wrapped_replace_equals_greedy_merge(symbols, pair):
     merged = seq.replace(f"|{a}| |{b}|", f"|{a}{b}|")
     out = [t.strip("|") for t in merged.split()] if merged else []
     assert out == _greedy_merge(symbols, a, b)
+
+
+# --- Winnowing guarantee (Schleimer et al. SIGMOD'03): two documents
+# sharing a run of >= w+k-1 consecutive tokens share at least one
+# selected fingerprint. Engine-free replica of the SQL selection
+# (k-gram poly-hash, w-window MIN, distinct; same constants).
+def _poly(s: str) -> int:
+    h = P.HASH_SEED
+    for c in s:
+        h = (h * P.HASH_MULT + ord(c)) % P.HASH_MOD
+    return h
+
+
+def _winnow_fps(tokens: list[str], k: int = 4, w: int = 5) -> set[int]:
+    grams = [" ".join(tokens[i : i + k]) for i in range(len(tokens) - k + 1)]
+    hs = [_poly(g) for g in grams]
+    return {
+        min(hs[p - w + 1 : p + 1])
+        for p in range(w - 1, len(hs))
+    }
+
+
+@given(
+    st.lists(st.sampled_from("abcdefgh"), min_size=8, max_size=8),
+    st.lists(st.sampled_from("abcdefgh"), min_size=0, max_size=6),
+    st.lists(st.sampled_from("abcdefgh"), min_size=0, max_size=6),
+)
+@settings(max_examples=200, deadline=None)
+def test_winnowing_shared_run_shares_fingerprint(shared, pre, post):
+    # shared run of 8 tokens = w+k-1 (k=4, w=5) embedded in different contexts
+    doc_a = pre + shared + post
+    doc_b = list(reversed(pre)) + shared + list(reversed(post))
+    fa, fb = _winnow_fps(doc_a), _winnow_fps(doc_b)
+    assert fa & fb, (doc_a, doc_b)

@@ -238,3 +238,12 @@ def test_merge_upsert_insert_normalizes_column_order(spark, tmp_path):
     for rel in S._read_manifest(d, 2)["files"]:
         names = pq.ParquetFile(_os.path.join(d, rel)).schema_arrow.names
         assert names == ["id", "v"], rel
+
+
+def test_compact_files_noop_below_threshold(spark, table):
+    d, commit = table
+    commit([1, 2, 3])  # few files
+    versions_before = S.list_versions(d)
+    res = S.compact_files(spark, d, small_bytes=1)  # nothing under 1 byte
+    assert res["version"] is None and res["compacted"] == 0
+    assert S.list_versions(d) == versions_before  # no empty commit
