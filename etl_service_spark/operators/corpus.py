@@ -453,8 +453,8 @@ WITH h AS (
 canon AS (SELECT h, MIN(doc_id) AS keeper FROM h GROUP BY h)
 SELECT source,
        COUNT(*) AS n_docs,
-       SUM(CASE WHEN doc_id = keeper THEN 1 ELSE 0 END) AS n_kept,
-       SUM(CASE WHEN doc_id <> keeper THEN 1 ELSE 0 END) AS n_dropped
+       CAST(SUM(CASE WHEN doc_id = keeper THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN doc_id <> keeper THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
 FROM h JOIN canon ON h.h = canon.h
 GROUP BY source
 """

@@ -949,8 +949,8 @@ def _lsh_audit_body(k: int, bands: int) -> str:
 )
 SELECT {ladder} AS sz_log2_bucket,
        COUNT(*) AS n_buckets,
-       SUM(sz) AS n_postings,
-       SUM(sz * (sz - 1) {idiv} 2) AS cand_pairs
+       CAST(SUM(sz) AS BIGINT) AS n_postings,
+       CAST(SUM(sz * (sz - 1) {idiv} 2) AS BIGINT) AS cand_pairs
 FROM bucket
 GROUP BY {ladder}
 """

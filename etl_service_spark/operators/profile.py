@@ -115,7 +115,7 @@ o AS (
 )
 SELECT
   MAX(n_keys) AS n_keys,
-  MAX(n_rows) AS n_rows,
+  CAST(MAX(n_rows) AS BIGINT) AS n_rows,
   MAX(cnt) AS max_cnt,
   MAX(CASE WHEN rk = (n_keys * 50 + 99) {{idiv}} 100 THEN cnt END) AS p50_cnt,
   MAX(CASE WHEN rk = (n_keys * 90 + 99) {{idiv}} 100 THEN cnt END) AS p90_cnt,
@@ -165,14 +165,14 @@ r AS (SELECT {right_key} AS k, COUNT(*) AS c FROM {right_view} GROUP BY {right_k
 fk AS (
   SELECT COUNT(*) AS n_keys,
          CAST(SUM(CAST(l.c AS {{big_t}}) * r.c) AS BIGINT) AS est_rows,
-         CAST(MAX(l.c * r.c) AS BIGINT) AS max_key_rows
+         CAST(MAX(CAST(l.c AS {{big_t}}) * r.c) AS BIGINT) AS max_key_rows
   FROM l JOIN r ON l.k = r.k
 ),
 s AS (SELECT {self_key} AS k, COUNT(*) AS c FROM {self_view} GROUP BY {self_key}),
 sj AS (
   SELECT COUNT(*) AS n_keys,
          CAST(SUM(CAST(c AS {{big_t}}) * c) AS BIGINT) AS est_rows,
-         CAST(MAX(c * c) AS BIGINT) AS max_key_rows
+         CAST(MAX(CAST(c AS {{big_t}}) * c) AS BIGINT) AS max_key_rows
   FROM s
 )
 SELECT '{left_view}_x_{right_view}' AS join_name, n_keys, est_rows, max_key_rows,

@@ -1051,7 +1051,7 @@ ranked AS (
                             ORDER BY dist, c_id) AS rk
   FROM d
 )
-SELECT vec_id, {codes}, SUM(dist) AS sq_err
+SELECT vec_id, {codes}, CAST(SUM(dist) AS BIGINT) AS sq_err
 FROM ranked WHERE rk = 1
 GROUP BY vec_id
 """
@@ -1137,7 +1137,7 @@ est AS (
   WHERE co.vec_id <> l.q_id
   GROUP BY l.q_id, co.vec_id
 )
-SELECT q_id, n_id, adc_dist, rnk FROM (
+SELECT q_id, n_id, CAST(adc_dist AS BIGINT) AS adc_dist, rnk FROM (
   SELECT q_id, n_id, adc_dist,
          ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc_dist, n_id) AS rnk
   FROM est
@@ -1198,7 +1198,7 @@ est AS (
   WHERE co.vec_id <> l.q_id
   GROUP BY l.q_id, co.vec_id
 )
-SELECT q_id, n_id, adc_dist, rnk FROM (
+SELECT q_id, n_id, CAST(adc_dist AS BIGINT) AS adc_dist, rnk FROM (
   SELECT q_id, n_id, adc_dist,
          ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc_dist, n_id) AS rnk
   FROM est
@@ -1217,7 +1217,7 @@ def pq_codes_staged(
     )
     return spark.sql(
         f"""
-SELECT vec_id, {codes}, SUM(dist) AS sq_err
+SELECT vec_id, {codes}, CAST(SUM(dist) AS BIGINT) AS sq_err
 FROM (
   SELECT vec_id, s, c_id, dist,
          ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY dist, c_id) AS rk
@@ -1317,7 +1317,7 @@ def centroid_outliers_sql(
         cte, _cent, assign = _kmeans_chain(elem, dims, k, iters, view)
         d_last = f"d{iters}"
         final = f"""
-SELECT j, rk, vec_id, dist_num, n_members FROM (
+SELECT j, rk, vec_id, CAST(dist_num AS BIGINT) AS dist_num, n_members FROM (
   SELECT a.j, d.vec_id, d.dist_num, d.n AS n_members,
          ROW_NUMBER() OVER (
            PARTITION BY a.j ORDER BY d.dist_num DESC, d.vec_id ASC

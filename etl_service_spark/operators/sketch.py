@@ -507,7 +507,9 @@ c AS (
   FROM b CROSS JOIN mm GROUP BY event_type
 ),
 n AS (SELECT SUM(c_early) AS n_early, SUM(c_late) AS n_late FROM c)
-SELECT event_type, c_early, c_late,
+SELECT event_type,
+       CAST(c_early AS BIGINT) AS c_early,
+       CAST(c_late AS BIGINT) AS c_late,
        CAST(c_early * 1000000 {{idiv}} NULLIF(n_early, 0) AS BIGINT) AS p_early_ppm,
        CAST(c_late * 1000000 {{idiv}} NULLIF(n_late, 0) AS BIGINT) AS p_late_ppm,
        ABS(CAST(c_early * 1000000 {{idiv}} NULLIF(n_early, 0) AS BIGINT)
@@ -549,7 +551,7 @@ w AS (
            RANGE BETWEEN 8 PRECEDING AND 1 PRECEDING) AS prev_8h
   FROM hourly
 )
-SELECT event_type, hour, n_events, prev_8h
+SELECT event_type, hour, n_events, CAST(prev_8h AS BIGINT) AS prev_8h
 FROM w
 WHERE prev_8h >= 8 AND n_events * 8 >= {factor_num} * prev_8h
 """
@@ -682,7 +684,7 @@ f AS (
                AND t < high_wm - {delay_s * 1_000_000} THEN 1 ELSE 0 END AS is_late
   FROM w
 )
-SELECT hour, COUNT(*) AS n_events, SUM(is_late) AS n_late,
+SELECT hour, COUNT(*) AS n_events, CAST(SUM(is_late) AS BIGINT) AS n_late,
        CAST(SUM(is_late) * 1000000 {{idiv}} COUNT(*) AS BIGINT) AS late_ppm
 FROM f GROUP BY hour
 """

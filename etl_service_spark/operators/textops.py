@@ -694,8 +694,9 @@ mass_b AS (
   FROM {tok} GROUP BY 1
 )
 SELECT b.bucket,
-       SUM(b.toks) OVER (ORDER BY b.bucket) AS tokens_cum,
-       SUM(coalesce(v.new_vocab, 0)) OVER (ORDER BY b.bucket) AS vocab_cum
+       CAST(SUM(b.toks) OVER (ORDER BY b.bucket) AS BIGINT) AS tokens_cum,
+       CAST(SUM(coalesce(v.new_vocab, 0))
+            OVER (ORDER BY b.bucket) AS BIGINT) AS vocab_cum
 FROM mass_b b LEFT JOIN vocab_b v ON v.bucket = b.bucket
 """
     )
@@ -718,8 +719,9 @@ mass_b AS (
   FROM ex GROUP BY 1
 )
 SELECT b.bucket,
-       SUM(b.toks) OVER (ORDER BY b.bucket) AS tokens_cum,
-       SUM(coalesce(v.new_vocab, 0)) OVER (ORDER BY b.bucket) AS vocab_cum
+       CAST(SUM(b.toks) OVER (ORDER BY b.bucket) AS BIGINT) AS tokens_cum,
+       CAST(SUM(coalesce(v.new_vocab, 0))
+            OVER (ORDER BY b.bucket) AS BIGINT) AS vocab_cum
 FROM mass_b b LEFT JOIN vocab_b v ON v.bucket = b.bucket
 """
 
@@ -753,7 +755,7 @@ def oracle_token_estimate(view: str = "documents") -> str:
     return f"""
 SELECT d.doc_id,
        coalesce(t.n_words, CAST(0 AS BIGINT)) AS n_words,
-       coalesce(t.est_subwords, CAST(0 AS BIGINT)) AS est_subwords
+       CAST(coalesce(t.est_subwords, 0) AS BIGINT) AS est_subwords
 FROM {view} d
 LEFT JOIN (
   SELECT doc_id,
@@ -955,7 +957,8 @@ ex AS (SELECT doc_id, {explode}(hs) AS h FROM hs),
 firsts AS (SELECT h, MIN(doc_id) AS first_doc FROM ex GROUP BY h)
 SELECT ex.doc_id,
        COUNT(*) AS n_shingles,
-       SUM(CASE WHEN f.first_doc = ex.doc_id THEN 1 ELSE 0 END) AS n_novel,
+       CAST(SUM(CASE WHEN f.first_doc = ex.doc_id
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
        CAST(SUM(CASE WHEN f.first_doc = ex.doc_id THEN 1 ELSE 0 END) * 1000000
             {idiv} COUNT(*) AS BIGINT) AS novelty_ppm
 FROM ex JOIN firsts f ON ex.h = f.h

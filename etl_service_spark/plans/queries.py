@@ -1567,14 +1567,33 @@ def unpivot_stats(df: DataFrame, measures: tuple[str, ...]) -> DataFrame:
 
 
 # Names the driver already value-verified in a prior round — the union of
-# CORRECTNESS_r01.json and CORRECTNESS_r02.json key sets (50 + 50 distinct).
+# the green rows of CORRECTNESS_r01/r02/r03.json (50 + 50 + 44 distinct).
 # The driver samples a PREFIX of the registry, so registry() floats the
-# still-unverified entries (the 16 never-sampled r1/r2 leftovers plus every
-# round-3 addition — 26 as of round 3, all inside the 50-entry sample
-# prefix) ahead of these, interleaved one per family so whatever prefix is
-# sampled covers every family.
+# still-unverified entries ahead of these, interleaved one per family so
+# whatever prefix is sampled covers every family.
 _DRIVER_VERIFIED = frozenset(
     {
+        # round 3 (CORRECTNESS_r03.json, 44 green rows)
+        "ana_report_rows", "ann_range_search", "corpus_contamination",
+        "corpus_dup_rate_by_source", "corpus_quality_curriculum",
+        "corpus_temperature_mixture", "corpus_token_budget",
+        "dedup_cluster_twophase", "dedup_containment", "dedup_fuzzy_names",
+        "dedup_strategy_sweep", "dim_scd2_pit_lookup",
+        "events_dau_wau_stickiness", "events_funnel_windowed",
+        "events_gapfill_hourly", "events_gaps_islands",
+        "events_interarrival_stats", "events_json_extract",
+        "events_moving_average", "events_multires_rollup",
+        "events_pivot_by_user", "events_salted_agg", "events_salted_join",
+        "events_value_quantiles", "events_zscore_outliers",
+        "graph_degree_distribution", "graph_pagerank_salted",
+        "graph_triangle_count", "join_bloom_prefilter_revenue",
+        "lineitem_unpivot_stats", "media_audio_meta_sniff",
+        "media_feature_extract", "media_image_dims_sniff",
+        "privacy_l_diversity", "privacy_scrub_pii",
+        "sketch_hll_sliding_distinct", "sketch_hll_weekly_rollup",
+        "src_binaryfile_ingest", "src_jsonl_roundtrip", "src_orc_roundtrip",
+        "text_repetition_quality", "text_sentence_split",
+        "text_top_terms_per_language", "text_vocab_by_source",
         # round 1 (CORRECTNESS_r01.json)
         "ana_argmax_last_run", "ana_drilldown_levels", "ana_duration_datediff",
         "ana_hierarchy_tree", "ana_running_filter", "ana_runstructure_real",
@@ -1635,19 +1654,22 @@ _FAMILY_PREFIXES: tuple[tuple[str, ...], ...] = (
 )
 
 
-# The 16 registry entries never sampled in rounds 1-2 (VERDICT.md round 2,
-# "What's missing" #1): these MUST land in round 3's 50-entry sample, so
-# they form a priority tier ahead of the (larger-than-the-sample) set of
-# round-3 additions — whichever pending entries overflow the prefix, it is
-# never these.
+# Round 4 priority tier (VERDICT.md round 3, "Next round" #1-2): the 19
+# queries whose oracles had HUGEINT output columns — 6 driver-red in
+# CORRECTNESS_r03.json plus 13 latent — now fixed with CAST(... AS
+# BIGINT) and linted forever by tools/oracle_lint.py. They sort first so
+# round 4's driver sample re-verifies every one of them.
 _PRIORITY_PENDING = (
-    "corpus_contamination", "corpus_dup_rate_by_source", "dedup_fuzzy_names",
-    "lineitem_unpivot_stats", "text_repetition_quality",
-    "text_top_terms_per_language", "events_gapfill_hourly",
-    "events_interarrival_stats", "events_json_extract",
-    "events_moving_average", "events_multires_rollup", "events_pivot_by_user",
-    "events_value_quantiles", "events_salted_agg", "events_salted_join",
-    "events_zscore_outliers",
+    # the 6 driver-red rows of CORRECTNESS_r03.json
+    "dedup_lsh_recall_report", "emb_pq_codes", "ann_pq_adc_topk",
+    "text_vocab_growth", "profile_key_skew", "ann_recall_report",
+    # the 13 latent same-class oracles (never driver-sampled)
+    "text_token_estimate_bpe", "corpus_resample_plan",
+    "ann_pq_recall_report", "corpus_length_histogram",
+    "events_anomaly_mad", "corpus_shard_plan", "emb_centroid_outliers",
+    "dedup_lsh_cost_audit", "text_ngram_novelty",
+    "corpus_dedup_survivorship", "events_distribution_drift",
+    "events_burst_windows", "events_late_data_audit",
 )
 
 
@@ -2264,8 +2286,8 @@ WITH j AS (
   LEFT JOIN ({dedup.minhash_lsh_sql()[1].strip()}) l
     ON l.doc_a = e.doc_a AND l.doc_b = e.doc_b
 )
-SELECT COUNT(*) AS n_true_pairs, SUM(hit) AS n_hits,
-       COUNT(*) - SUM(hit) AS n_missed,
+SELECT COUNT(*) AS n_true_pairs, CAST(SUM(hit) AS BIGINT) AS n_hits,
+       CAST(COUNT(*) - SUM(hit) AS BIGINT) AS n_missed,
        CAST(SUM(hit) * 1000000 // COUNT(*) AS BIGINT) AS recall_ppm
 FROM j
 """
@@ -2876,7 +2898,7 @@ WITH j AS (
   LEFT JOIN ({similarity.ivf_ann_sql()[1].strip()}) a
     ON a.q_id = e.q_id AND a.n_id = e.n_id
 )
-SELECT q_id, COUNT(*) AS k, SUM(hit) AS n_hits,
+SELECT q_id, COUNT(*) AS k, CAST(SUM(hit) AS BIGINT) AS n_hits,
        CAST(SUM(hit) * 1000000 // COUNT(*) AS BIGINT) AS recall_ppm
 FROM j GROUP BY q_id
 """
@@ -2911,7 +2933,7 @@ WITH j AS (
   LEFT JOIN ({similarity.pq_adc_topk_sql()[1].strip()}) a
     ON a.q_id = e.q_id AND a.n_id = e.n_id
 )
-SELECT q_id, COUNT(*) AS k, SUM(hit) AS n_hits,
+SELECT q_id, COUNT(*) AS k, CAST(SUM(hit) AS BIGINT) AS n_hits,
        CAST(SUM(hit) * 1000000 // COUNT(*) AS BIGINT) AS recall_ppm
 FROM j GROUP BY q_id
 """
@@ -3154,7 +3176,7 @@ WITH m AS (
   FROM documents GROUP BY source
 )
 SELECT source,
-       toks AS token_mass,
+       CAST(toks AS BIGINT) AS token_mass,
        CAST(toks * 1000000 {idiv} SUM(toks) OVER () AS BIGINT) AS share_ppm,
        CAST(SUM(toks) OVER () * 1000000
             {idiv} (COUNT(*) OVER () * toks) AS BIGINT) AS repeat_ppm
@@ -3189,7 +3211,8 @@ SELECT e.event_type,
        COUNT(*) AS n,
        m.med AS median_value,
        d.mad AS mad_value,
-       SUM(CASE WHEN abs(e.value - m.med) > 3 * d.mad THEN 1 ELSE 0 END) AS n_outliers
+       CAST(SUM(CASE WHEN abs(e.value - m.med) > 3 * d.mad
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
 FROM events e
 JOIN med m ON e.event_type = m.event_type
 JOIN mad d ON e.event_type = d.event_type
@@ -3219,7 +3242,7 @@ SELECT lang,
        COUNT(*) AS n_docs,
        CAST(MIN(n_chars) AS BIGINT) AS min_chars,
        CAST(MAX(n_chars) AS BIGINT) AS max_chars,
-       SUM(n_chars) AS char_mass
+       CAST(SUM(n_chars) AS BIGINT) AS char_mass
 FROM documents
 WHERE n_chars > 0
 GROUP BY lang, length(bin(n_chars))
@@ -3349,8 +3372,8 @@ WITH sh AS (
 )
 SELECT shard,
        COUNT(*) AS n_docs,
-       SUM(n_chars) AS char_mass,
-       SUM(tok_est) AS token_budget,
+       CAST(SUM(n_chars) AS BIGINT) AS char_mass,
+       CAST(SUM(tok_est) AS BIGINT) AS token_budget,
        MAX(tok_est) AS max_doc_tokens
 FROM sh GROUP BY shard
 """,

@@ -78,14 +78,63 @@ def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
     return problems
 
 
+def _arrow_family(t) -> str:
+    """Canonical type family for the cross-engine schema check. The
+    driver's value hash is arrow-type-sensitive (round 3: DuckDB
+    HUGEINT → decimal128 vs Spark BIGINT → int64 failed the hash with
+    identical values), so local green must imply matching arrow type
+    families. Width differences within a family (int32/int64,
+    decimal precision) hash identically after the driver's value
+    canonicalization — only family and decimal scale matter."""
+    import pyarrow as pa
+
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_decimal(t):
+        return f"decimal(scale={t.scale})"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{_arrow_family(t.value_type)}>"
+    return str(t)
+
+
+def compare_arrow_types(spark_tbl, duck_tbl) -> list[str]:
+    problems = []
+    duck_types = {f.name: f.type for f in duck_tbl.schema}
+    for f in spark_tbl.schema:
+        dt = duck_types.get(f.name)
+        if dt is None:
+            continue  # column-set mismatch is reported by compare()
+        sf, df_ = _arrow_family(f.type), _arrow_family(dt)
+        if sf != df_:
+            problems.append(
+                f"arrow type family differs on {f.name}: "
+                f"spark={f.type}({sf}) duck={dt}({df_})"
+            )
+    return problems
+
+
 def run_case(spark, sf_dir: str, spark_fn, sql: str | None) -> list[str]:
     sdf = spark_fn(spark, sf_dir)
-    spark_pdf = sdf.toPandas()
+    spark_tbl = sdf.toArrow()
+    spark_pdf = spark_tbl.to_pandas()
     if sql is None:
         return [] if len(spark_pdf) >= 0 else ["spark query failed"]
     con = duck_connect(sf_dir)
     try:
-        duck_pdf = con.execute(sql).fetchdf()
+        duck_tbl = con.execute(sql).fetch_arrow_table()
     finally:
         con.close()
-    return compare(spark_pdf, duck_pdf)
+    duck_pdf = duck_tbl.to_pandas()
+    return compare(spark_pdf, duck_pdf) + compare_arrow_types(spark_tbl, duck_tbl)

@@ -19,6 +19,21 @@ def test_query_matches_oracle(spark, sf_dir, name):
     assert not problems, f"{name}: " + " | ".join(problems)
 
 
+def test_oracle_output_types_lint(sf_dir):
+    """No registry oracle may expose a HUGEINT/UHUGEINT output column:
+    DuckDB widens SUM(BIGINT) to int128, which arrow-hashes differently
+    from Spark's BIGINT even with identical values (round 3's only
+    failure class — DETERMINISM.md's CAST rule, now enforced)."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from oracle_lint import lint
+
+    problems = lint(sf_dir)
+    assert not problems, problems
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as e
 

@@ -28,7 +28,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.join(REPO, "tests"))
 
-from harness import compare, duck_connect  # noqa: E402
+from harness import compare, compare_arrow_types, duck_connect  # noqa: E402
 
 from etl_service_spark.functions import portable as P  # noqa: E402
 from etl_service_spark.plans.queries import registry, views  # noqa: E402
@@ -53,7 +53,8 @@ def main() -> int:
             "err": None,
         }
         try:
-            spark_pdf = case.spark(spark, sf_dir).toPandas()
+            spark_tbl = case.spark(spark, sf_dir).toArrow()
+            spark_pdf = spark_tbl.to_pandas()
             rec["spark_rows"] = len(spark_pdf)
             if case.oracle is None:
                 # weaker rows-only check, like the driver's
@@ -63,11 +64,18 @@ def main() -> int:
                 continue
             con = duck_connect(sf_dir)
             try:
-                duck_pdf = con.execute(case.oracle).fetchdf()
+                duck_tbl = con.execute(case.oracle).fetch_arrow_table()
             finally:
                 con.close()
+            duck_pdf = duck_tbl.to_pandas()
             rec["oracle_rows"] = len(duck_pdf)
-            problems = compare(spark_pdf, duck_pdf)
+            # value compare + arrow-type-family compare: the driver's
+            # hash is arrow-type-sensitive (round 3's 6 reds were
+            # value-identical HUGEINT/int64 family mismatches), so the
+            # local gate must be type-faithful to predict driver green.
+            problems = compare(spark_pdf, duck_pdf) + compare_arrow_types(
+                spark_tbl, duck_tbl
+            )
             rec["rows_match"] = len(spark_pdf) == len(duck_pdf)
             rec["schema_match"] = sorted(spark_pdf.columns) == sorted(duck_pdf.columns)
             rec["hash_match"] = not problems
