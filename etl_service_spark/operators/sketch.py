@@ -797,10 +797,13 @@ FROM agg
 
 
 def ab_lift_sql() -> tuple[str, str]:
-    """Deterministic A/B experiment report: arm = user hash parity
-    (the assignment discipline every experiment framework uses — a
-    pure function of the unit id, so re-running or switching engines
-    cannot move a user between arms), per-arm exposed users /
+    """Deterministic A/B experiment report: arm = top bit of the
+    32-bit Knuth multiplicative hash of the unit id (the assignment
+    discipline every experiment framework uses — a pure function of
+    the unit id, so re-running or switching engines cannot move a user
+    between arms; NOT the hash's low bit, which for an odd multiplier
+    is literally id parity and thus correlated with any systematic
+    id-assignment scheme), per-arm exposed users /
     converting users / conversion ppm / decimal purchase value, plus
     the B-vs-A conversion lift in ppm on the B row. All-integer and
     decimal-exact.
@@ -816,7 +819,7 @@ def ab_lift_sql() -> tuple[str, str]:
     template = """
 WITH u AS (
   SELECT user_id,
-         ((user_id * 2654435761) % 4294967296) % 2 AS arm,
+         ((user_id * 2654435761) % 4294967296) {idiv} 2147483648 AS arm,
          MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted,
          SUM(CASE WHEN event_type = 'purchase'
                   THEN CAST(value AS DECIMAL(18,4)) ELSE CAST(0 AS DECIMAL(18,4)) END) AS spend

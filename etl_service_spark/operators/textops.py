@@ -1591,8 +1591,8 @@ wmin AS (
   FROM ph
 ),
 fp AS (
-  SELECT DISTINCT doc_id, n_grams, gh
-  FROM wmin WHERE pos >= {w} AND gh = win_min
+  SELECT DISTINCT doc_id, n_grams, win_min AS gh
+  FROM wmin WHERE pos >= {w}
 )
 SELECT doc_id, MAX(n_grams) AS n_grams,
        COUNT(*) AS n_fingerprints,
@@ -1688,8 +1688,8 @@ WITH wmin AS (
   FROM {rel}
 ),
 fp AS (
-  SELECT DISTINCT doc_id, n_grams, gh
-  FROM wmin WHERE pos >= {w} AND gh = win_min
+  SELECT DISTINCT doc_id, n_grams, win_min AS gh
+  FROM wmin WHERE pos >= {w}
 )
 SELECT doc_id, MAX(n_grams) AS n_grams,
        COUNT(*) AS n_fingerprints,
@@ -1727,8 +1727,8 @@ wmin AS (
   FROM ph
 ),
 fp AS (
-  SELECT DISTINCT doc_id, gh
-  FROM wmin WHERE pos >= {w} AND gh = win_min
+  SELECT DISTINCT doc_id, win_min AS gh
+  FROM wmin WHERE pos >= {w}
 )"""
     return P.bi_sql(
         template,
@@ -1795,8 +1795,8 @@ WITH wmin AS (
   FROM {rel}
 ),
 fp AS (
-  SELECT DISTINCT doc_id, gh
-  FROM wmin WHERE pos >= {w} AND gh = win_min
+  SELECT DISTINCT doc_id, win_min AS gh
+  FROM wmin WHERE pos >= {w}
 ),
 {tail}"""
     )

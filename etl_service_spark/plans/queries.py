@@ -2678,14 +2678,18 @@ FROM documents WHERE doc_id % 3 IN (0, 1) GROUP BY source
     # the trickle: the scan cost is O(delta), and additive aggregates
     # (counts, sums) maintain exactly. The oracle recomputes the v3
     # state from scratch — hash equality proves maintenance == rebuild.
+    # The diff is on the FULL ROW, not doc_id membership: an in-place
+    # update (same doc_id, changed n_chars/source) must appear in both
+    # the removed and added legs or the maintained sums drift.
     def _snap_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         from ..sources import snapshots as S
 
         path = _snap_table_path(spark, sf_dir)
         old = S.read_snapshot(spark, path, version=2)
         new = S.read_snapshot(spark, path, version=3)
-        added = new.join(old.select("doc_id"), "doc_id", "left_anti")
-        removed = old.join(new.select("doc_id"), "doc_id", "left_anti")
+        row_cols = new.columns  # doc_id, lang, source, n_chars
+        added = new.join(old, row_cols, "left_anti")
+        removed = old.join(new, row_cols, "left_anti")
         base = old.groupBy("source").agg(
             F.count("*").alias("d_docs"), F.sum("n_chars").alias("d_chars")
         )

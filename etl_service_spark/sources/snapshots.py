@@ -94,21 +94,44 @@ def _stage_data_files(df: DataFrame, table_dir: str) -> tuple[list[str], int]:
     return files, rows
 
 
-def _commit(table_dir: str, op: str, files: list[str], rows: int) -> int:
-    """Atomically publish the next version. Optimistic concurrency:
-    os.rename with a target that must not exist would race; instead the
-    version number is claimed by the rename itself — if two writers
-    race to the same version, the second rename overwrites a manifest
-    with identical parentage, which on a real object store would be a
-    conditional-PUT (If-None-Match) failure surfaced to the caller.
-    Single-writer-per-table is the documented contract here, matching
-    the orchestrator's per-table locks (plans/orchestrator.py)."""
-    version = (list_versions(table_dir) or [0])[-1] + 1
+class ConcurrentCommitError(RuntimeError):
+    """Another writer committed a version this writer's state does not
+    derive from. The caller must re-read the table and redo its work —
+    retrying the publish alone would commit a result computed against
+    a stale snapshot (lost update)."""
+
+
+def _commit(
+    table_dir: str, op: str, files: list[str], rows: int,
+    parent_version: int | None = None,
+) -> int:
+    """Atomically publish the next version with OPTIMISTIC CONCURRENCY
+    (the Delta/Iceberg commit protocol): the writer declares the
+    ``parent_version`` its file set derives from and claims
+    parent+1 by hard-linking the manifest into place — link(2) fails
+    with EEXIST if any other writer claimed that version first, which
+    is the local-FS twin of a conditional PUT (If-None-Match) on an
+    object store. On conflict the state-DEPENDENT ops (append, merge,
+    compact) surface ConcurrentCommitError so the caller re-reads and
+    redoes the work; overwrite is state-independent and retries the
+    claim internally."""
+    if parent_version is None:
+        parent_version = (list_versions(table_dir) or [0])[-1]
+    version = parent_version + 1
     manifest = {"version": version, "op": op, "files": files, "rows": rows}
     tmp = _manifest_path(table_dir, version) + f".{uuid.uuid4().hex[:8]}.tmp"
     with open(tmp, "w") as fh:
         json.dump(manifest, fh, indent=1)
-    os.rename(tmp, _manifest_path(table_dir, version))
+    try:
+        os.link(tmp, _manifest_path(table_dir, version))
+    except FileExistsError:
+        raise ConcurrentCommitError(
+            f"{table_dir}: version {version} was committed by another "
+            f"writer after this writer read version {parent_version}; "
+            "re-read the table and retry the operation"
+        ) from None
+    finally:
+        os.unlink(tmp)
     return version
 
 
@@ -124,7 +147,10 @@ def commit_append(df: DataFrame, table_dir: str) -> int:
         rows = parent["rows"] + new_rows
     else:
         files, rows = new_files, new_rows
-    return _commit(table_dir, "append", files, rows)
+    return _commit(
+        table_dir, "append", files, rows,
+        parent_version=versions[-1] if versions else 0,
+    )
 
 
 def commit_overwrite(df: DataFrame, table_dir: str) -> int:
@@ -133,7 +159,13 @@ def commit_overwrite(df: DataFrame, table_dir: str) -> int:
     working) until expire_snapshots reclaims them."""
     os.makedirs(table_dir, exist_ok=True)
     new_files, new_rows = _stage_data_files(df, table_dir)
-    return _commit(table_dir, "overwrite", new_files, new_rows)
+    # overwrite's result is independent of the parent state, so a
+    # version-claim collision is safe to retry internally.
+    while True:
+        try:
+            return _commit(table_dir, "overwrite", new_files, new_rows)
+        except ConcurrentCommitError:
+            continue
 
 
 def read_snapshot(
@@ -260,6 +292,17 @@ def merge_upsert(
     versions = list_versions(table_dir)
     if not versions:
         raise FileNotFoundError(f"no committed versions under {table_dir}")
+    # MERGE precondition (same as Delta/Iceberg): at most one source row
+    # per key — duplicate source keys would silently fan out, since the
+    # anti-join removes ALL matched targets and then every source row is
+    # inserted. One tiny aggregate over the source; fail loudly.
+    dup = source.groupBy(key).count().filter(F.col("count") > 1).limit(1).collect()
+    if dup:
+        raise ValueError(
+            f"merge_upsert: source has multiple rows for {key}={dup[0][0]!r}; "
+            "MERGE requires at most one source row per key "
+            "(deduplicate the source first)"
+        )
     manifest = _read_manifest(table_dir, versions[-1])
     all_files = manifest["files"]
     ranges = file_key_ranges(table_dir, all_files, key)
@@ -302,7 +345,10 @@ def merge_upsert(
     untouched_rows = sum(
         pq.ParquetFile(os.path.join(table_dir, f)).metadata.num_rows for f in untouched
     )
-    return _commit(table_dir, "merge", untouched + new_files, untouched_rows + new_rows)
+    return _commit(
+        table_dir, "merge", untouched + new_files, untouched_rows + new_rows,
+        parent_version=versions[-1],
+    )
 
 
 def compact_files(
@@ -342,5 +388,8 @@ def compact_files(
     kept_rows = sum(
         pq.ParquetFile(os.path.join(table_dir, f)).metadata.num_rows for f in kept
     )
-    version = _commit(table_dir, "compact", kept + new_files, kept_rows + new_rows)
+    version = _commit(
+        table_dir, "compact", kept + new_files, kept_rows + new_rows,
+        parent_version=versions[-1],
+    )
     return {"version": version, "compacted": len(small), "kept": len(kept)}

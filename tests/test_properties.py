@@ -561,3 +561,40 @@ def test_winnowing_shared_run_shares_fingerprint(shared, pre, post):
     doc_b = list(reversed(pre)) + shared + list(reversed(post))
     fa, fb = _winnow_fps(doc_a), _winnow_fps(doc_b)
     assert fa & fb, (doc_a, doc_b)
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abcd"), min_size=0, max_size=20),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(max_examples=40, deadline=None)
+def test_winnowing_sql_matches_replica(docs):
+    """The SQL fingerprint selection must equal the engine-free replica
+    (per-window minimum, Schleimer et al. SIGMOD'03). Regression for
+    the round-3 defect where `gh = win_min` selected only grams that
+    were the min of the window ENDING at their own position — a strict
+    subset that broke the shared-run guarantee. Spark parity with this
+    SQL is covered by the registry oracle tests; checking the DuckDB
+    side against the replica closes the loop."""
+    from etl_service_spark.operators.textops import winnowing_sql
+
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame(
+            {"doc_id": range(len(docs)), "text": [" ".join(d) for d in docs]}
+        ),
+    )
+    got = {
+        r[0]: (r[2], r[3], r[4])  # n_fingerprints, fp_checksum, fp_min
+        for r in con.execute(winnowing_sql()[1]).fetchall()
+    }
+    for doc_id, toks in enumerate(docs):
+        fps = _winnow_fps(toks)
+        if fps:
+            assert got[doc_id] == (len(fps), sum(fps) % 1000000007, min(fps))
+        else:
+            assert doc_id not in got

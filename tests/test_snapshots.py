@@ -247,3 +247,65 @@ def test_compact_files_noop_below_threshold(spark, table):
     res = S.compact_files(spark, d, small_bytes=1)  # nothing under 1 byte
     assert res["version"] is None and res["compacted"] == 0
     assert S.list_versions(d) == versions_before  # no empty commit
+
+
+def test_merge_upsert_duplicate_source_keys_raises(spark, table):
+    d, commit = table
+    commit([1, 2, 3])
+    src = spark.createDataFrame(
+        [(2, 111), (2, 222), (5, 555)], "id bigint, v bigint"
+    )
+    with pytest.raises(ValueError, match="multiple rows"):
+        S.merge_upsert(spark, d, src, "id")
+    # nothing was committed
+    assert S.list_versions(d) == [1]
+
+
+def test_concurrent_commit_stale_parent_fails(spark, table):
+    """Writer-vs-writer conflict semantics: a commit whose declared
+    parent is stale (another writer published that version first) must
+    raise ConcurrentCommitError, never silently drop the first
+    writer's changes (lost update)."""
+    d, commit = table
+    commit([1, 2, 3])  # v1
+    # two writers both read v1; writer A merges and commits v2
+    src_a = spark.createDataFrame([(2, 222)], "id bigint, v bigint")
+    assert S.merge_upsert(spark, d, src_a, "id") == 2
+    # writer B derived its file set from v1 — its claim of v2 must fail
+    stale = S._read_manifest(d, 1)
+    with pytest.raises(S.ConcurrentCommitError):
+        S._commit(d, "merge", stale["files"], stale["rows"], parent_version=1)
+    # history is intact: v2 is writer A's merge
+    assert S.list_versions(d) == [1, 2]
+    rows = {r.id: r.v for r in S.read_snapshot(spark, d).collect()}
+    assert rows[2] == 222
+
+
+def test_concurrent_overwrite_retries_and_wins(spark, table):
+    """overwrite is state-independent: a version-claim collision is
+    retried internally and lands on the next free version."""
+    d, commit = table
+    commit([1])  # v1
+    # simulate a racing writer that claimed v2 between read and publish
+    real_commit = S._commit
+    calls = {"n": 0}
+
+    def racing_commit(table_dir, op, files, rows, parent_version=None):
+        if calls["n"] == 0:
+            calls["n"] += 1
+            # another writer publishes v2 between this writer's read
+            # and publish; this writer's first claim of v2 collides
+            real_commit(table_dir, "append", files, rows, parent_version=1)
+            return real_commit(table_dir, op, files, rows, parent_version=1)
+        return real_commit(table_dir, op, files, rows, parent_version)
+
+    orig = S._commit
+    S._commit = racing_commit
+    try:
+        v = S.commit_overwrite(
+            spark.createDataFrame([(9, 90)], "id bigint, v bigint"), d
+        )
+    finally:
+        S._commit = orig
+    assert v == 3  # v2 was taken by the racer; overwrite retried to v3
+    assert _ids(spark, d) == [9]
