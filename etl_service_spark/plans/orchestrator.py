@@ -28,6 +28,7 @@ writing the same target table. Disposition (SURVEY §2.8):
 from __future__ import annotations
 
 import threading
+import uuid
 from collections import defaultdict, deque
 from concurrent.futures import ThreadPoolExecutor, wait
 from dataclasses import dataclass, field
@@ -207,8 +208,16 @@ class Orchestrator:
                     # (pool_ctx is threaded through the call chain, not
                     # instance state: one Orchestrator may run several
                     # workflows concurrently.)
-                    spark, pool_name = pool_ctx
-                    spark.sparkContext.setLocalProperty("spark.scheduler.pool", pool_name)
+                    # O9's Spark half: every job the step launches is
+                    # tagged with the run's job group, so the abort
+                    # cascade can kill RUNNING jobs mid-step (the
+                    # reference aborts mid-step, Step.cs:888-1060) —
+                    # without this, a cancelled step's Spark job would
+                    # run to completion and only then notice the flag.
+                    spark, pool_name, job_group, _ = pool_ctx
+                    sc = spark.sparkContext
+                    sc.setLocalProperty("spark.scheduler.pool", pool_name)
+                    sc.setJobGroup(job_group, step.name, interruptOnCancel=True)
                 step.action()
                 report.succeeded.append(step.name)
             finally:
@@ -216,9 +225,32 @@ class Orchestrator:
                 if realization_sem:
                     realization_sem.release()
         except Exception:
-            report.failed.append(step.name)
-            cancel.set()
-            raise
+            if not cancel.is_set():
+                # first failure: doom the run and kill every running
+                # Spark job of this workflow (O9 abort cascade). The
+                # kill is a WATCHDOG, not a one-shot cancelJobGroup:
+                # cancellation only hits jobs active at call time, and
+                # a doomed step may still be compiling its plan —
+                # its job would submit AFTER a one-shot cancel and run
+                # to completion. The watchdog re-cancels until every
+                # step of the run has drained (run() stops it).
+                report.failed.append(step.name)
+                cancel.set()
+                if pool_ctx is not None:
+                    spark, _, job_group, abort_done = pool_ctx
+
+                    def _reap() -> None:
+                        sc = spark.sparkContext
+                        while not abort_done.wait(0.5):
+                            sc.cancelJobGroup(job_group)
+                        sc.cancelJobGroup(job_group)
+
+                    threading.Thread(target=_reap, daemon=True).start()
+                raise
+            # the run was already doomed: this step's job was killed by
+            # the abort cascade (or failed after the outcome was
+            # decided) — cancelled, not an independent failure
+            report.skipped.append(step.name)
         finally:
             self.gate.leave(step.exclusive)
 
@@ -269,7 +301,13 @@ class Orchestrator:
         report = RunReport()
         cancel = threading.Event()
         errors: list[BaseException] = []
-        pool_ctx = (spark, f"wf_{wf.name}") if spark is not None else None
+        run_tag = uuid.uuid4().hex[:8]
+        abort_done = threading.Event()  # stops the O9 cancel watchdog
+        pool_ctx = (
+            (spark, f"wf_{wf.name}", f"wf_{wf.name}_{run_tag}", abort_done)
+            if spark is not None
+            else None
+        )
         if state:
             state.transition(Stage.INITIALIZING)
         # restrict to the master package's dependency closure (O6)
@@ -299,14 +337,23 @@ class Orchestrator:
                     t.start()
                 for t in threads:
                     t.join()
+            abort_done.set()  # all steps drained; stop the cancel watchdog
             if errors:
                 # O9: abort cascade happened via the cancel event; run the
                 # fallback package, then mark Failed (Workflow.cs:1465-1538)
                 if wf.fallback and wf.fallback in wf.packages:
                     fb_errors: list[BaseException] = []
+                    # the fallback gets its OWN job group: it runs after
+                    # cancelJobGroup and must not share the killed tag
+                    fb_ctx = (
+                        (pool_ctx[0], pool_ctx[1], pool_ctx[2] + "_fb",
+                         threading.Event())
+                        if pool_ctx is not None
+                        else None
+                    )
                     self._run_package(
                         pool, wf.packages[wf.fallback], threading.Event(), report,
-                        fb_errors, pool_ctx,
+                        fb_errors, fb_ctx,
                     )
                     report.fallback_ran = not fb_errors
         if state:

@@ -237,3 +237,51 @@ def test_concurrent_workflows_get_own_pools(spark):
     for t in ts:
         t.join()
     assert seen == {"A": "wf_A", "B": "wf_B"}
+
+
+def test_running_spark_job_is_cancelled_on_abort(spark):
+    """O9's Spark half (reference aborts mid-step, Step.cs:888-1060):
+    when a step fails, a concurrently RUNNING step's Spark job is
+    killed via cancelJobGroup — not left to run to completion — and
+    the fallback package still runs (in its own job group)."""
+    ran = []
+    started = threading.Event()
+
+    def long_job():
+        started.set()
+        # ~minutes of sha2 work uncancelled; killed in seconds
+        spark.range(0, 10**11, 1, 8).selectExpr(
+            "count(if(sha2(cast(id as string), 256) = '', 1, null)) c"
+        ).collect()
+
+    def boom():
+        started.wait(30)
+        time.sleep(1)  # let the long job actually start running
+        raise RuntimeError("step failed")
+
+    def fb():
+        # fallback runs Spark work AFTER the cancel cascade
+        ran.append(spark.range(10).count())
+
+    wf = _wf(
+        [
+            Package(
+                "main",
+                (
+                    Realization("r1", (Step("long", long_job),)),
+                    Realization("r2", (Step("bad", boom),)),
+                ),
+            ),
+            Package("cleanup", (Realization("fbr", (Step("fb_step", fb),)),)),
+        ],
+        "main",
+        fallback="cleanup",
+    )
+    t0 = time.monotonic()
+    report = Orchestrator(4).run(wf, spark=spark)
+    elapsed = time.monotonic() - t0
+    assert report.failed == ["bad"]
+    assert "long" not in report.succeeded  # the job did not run to completion
+    assert "long" in report.skipped  # recorded as cancelled, not failed
+    assert report.fallback_ran and ran == [10]
+    assert elapsed < 120, f"cancellation did not kill the running job ({elapsed:.0f}s)"
