@@ -124,6 +124,7 @@ HEADLINERS = [
     "dedup_semantic",
     "text_sentence_split",
     "ann_recall_report",
+    "ann_matryoshka_recall",
     "dedup_lsh_recall_report",
     "dedup_strategy_sweep",
     "events_variant_extract",
@@ -161,6 +162,7 @@ HEADLINERS = [
     "events_seasonal_residuals",
     "profile_key_skew",
     "dedup_lsh_cost_audit",
+    "dedup_lsh_band_tuning",
     "text_chunk_overlap",
     "text_gopher_rules",
     "text_hashed_linear_score",

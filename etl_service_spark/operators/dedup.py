@@ -1098,3 +1098,120 @@ def minhash_estimate_staged(
         **_hashset_frags(view),
     )[0]
     return spark.sql(body)
+
+
+# ---------------------------------------------------- LSH band tuning
+def _band_tuning_template(
+    k: int, band_configs: tuple[int, ...]
+) -> tuple[str, str]:
+    """CTE chain from a hashset relation {hs_rel} + exact-pair relation
+    {exact_rel} to the per-banding recall/cost table. One shared
+    signature aggregate; per config one banded self-join and ONE
+    full-outer scan against the exact pairs."""
+    sig_cols = ",\n         ".join(
+        f"MIN(({a} * h + {b}) % {P.HASH_MOD}) AS sig_{i}"
+        for i, (a, b) in enumerate(P.minhash_params(k))
+    )
+    parts = [
+        "ex AS (\n  SELECT doc_id, {explode}(hs) AS h FROM {hs_rel}\n)",
+        "sig AS (\n  SELECT doc_id,\n         " + sig_cols + "\n  FROM ex GROUP BY doc_id\n)",
+    ]
+    for b in band_configs:
+        parts.append(
+            f"bands_{b} AS (\n  SELECT doc_id, {{explode}}({{band_arr_{b}}}) AS band_key FROM sig\n)"
+        )
+        parts.append(
+            f"""cand_{b} AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bands_{b} x JOIN bands_{b} y
+    ON x.band_key = y.band_key AND x.doc_id < y.doc_id
+)"""
+        )
+        parts.append(
+            f"""m_{b} AS (
+  SELECT
+    CAST(SUM(CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_candidates,
+    CAST(SUM(CASE WHEN e.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+    CAST(SUM(CASE WHEN e.doc_a IS NOT NULL AND c.doc_a IS NOT NULL
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+  FROM cand_{b} c
+  FULL OUTER JOIN {{exact_rel}} e
+    ON e.doc_a = c.doc_a AND e.doc_b = c.doc_b
+)"""
+        )
+    unions = "\nUNION ALL\n".join(
+        f"""SELECT {b} AS bands, {k // b} AS rows_per_band,
+       n_candidates, n_true, n_hits,
+       CAST(n_hits * 1000000 {{idiv}} NULLIF(n_true, 0) AS BIGINT) AS recall_ppm,
+       CAST(n_hits * 1000000 {{idiv}} NULLIF(n_candidates, 0) AS BIGINT) AS precision_ppm
+FROM m_{b}"""
+        for b in band_configs
+    )
+    band_arrs = {
+        f"band_arr_{b}": _band_arr(k, b) for b in band_configs
+    }
+    return ",\n".join(parts) + "\n" + unions, band_arrs
+
+
+def lsh_band_tuning_sql(
+    k: int = 16,
+    band_configs: tuple[int, ...] = (16, 8, 4),
+    tau: float = 0.8,
+    view: str = "documents",
+) -> tuple[str, str]:
+    """Banding-parameter sweep for the minhash-LSH join: for each
+    (bands b x rows r = k/b) configuration over the SAME k-minhash
+    signature, the candidate mass the banded self-join would produce
+    and its measured recall/precision against the exact PPJoin truth
+    pairs (tau=0.8). The S-curve threshold moves as (1/b)^(1/r) —
+    16x1 recalls nearly everything at the largest candidate mass, 4x4
+    is precision-lean — and this report replaces the formula with the
+    corpus's own numbers BEFORE the expensive join runs (the same
+    measure-don't-guess discipline as dedup_lsh_cost_audit, which
+    gauges cost only; this adds the recall axis).
+
+    Scale shape: one shared signature aggregate (map-side combined);
+    per config one band-keyed equi-join (bounded posting lists — the
+    production LSH shape, never all-pairs) and one full-outer scan of
+    candidate-pairs vs truth-pairs, both pair-relation-sized. Output
+    is |band_configs| rows.
+    """
+    tmpl, band_arrs = _band_tuning_template(k, band_configs)
+    exact = ngram_jaccard_sql(tau, view)
+    return P.bi_sql(
+        _HASHSET_PROLOGUE + ",\n" + tmpl,
+        hs_rel="hs",
+        exact_rel=(
+            f"(SELECT doc_a, doc_b FROM ({exact[0]}) xx)",
+            f"(SELECT doc_a, doc_b FROM ({exact[1]}) xx)",
+        ),
+        **band_arrs,
+        **_hashset_frags(view),
+    )
+
+
+def lsh_band_tuning_staged(
+    spark: SparkSession,
+    k: int = 16,
+    band_configs: tuple[int, ...] = (16, 8, 4),
+    tau: float = 0.8,
+    view: str = "documents",
+) -> DataFrame:
+    """Spark path: shares the staged hashset relation and the staged
+    exact-pair relation (ngram_jaccard_staged) — the signature
+    aggregate and truth pairs are computed once per session, the sweep
+    itself is three banded joins over the staged views."""
+    hs_rel = materialize_hashsets(spark, view)
+    exact_name = "band_tuning_exact_" + hs_rel  # tied to the staged lineage
+    ngram_jaccard_staged(spark, tau, view).select(
+        "doc_a", "doc_b"
+    ).createOrReplaceTempView(exact_name)
+    tmpl, band_arrs = _band_tuning_template(k, band_configs)
+    body = P.bi_sql(
+        "WITH " + tmpl,
+        hs_rel=hs_rel,
+        exact_rel=exact_name,
+        **band_arrs,
+        **_hashset_frags(view),
+    )[0]
+    return spark.sql(body)

@@ -1365,3 +1365,78 @@ ranked AS (
 SELECT label, src, dst, dist, rk FROM ranked WHERE rk <= {k}
 """
     )
+
+
+# ------------------------------------------- Matryoshka truncation report
+def matryoshka_recall_sql(
+    dims: tuple[int, ...] = (16, 32),
+    k: int = 10,
+    n_queries: int = 5,
+    view: str = "embeddings",
+) -> tuple[str, str]:
+    """Prefix-dimension ("Matryoshka", Kusupati et al. NeurIPS'22)
+    retrieval tradeoff report: top-k by cosine over only the FIRST
+    ``d`` dimensions, scored against the full-dimension exact top-k —
+    one row per ``d`` with hits and recall.
+
+    Why it matters at 100 TB: prefix-truncated search reads d/D of the
+    vector bytes and does d/D of the FLOPs — with embeddings stored
+    dimension-sliced (a prefix column + a tail column), a d=16 pass
+    over a 64-dim corpus is a 4x I/O cut BEFORE any index, composable
+    with IVF/PQ. This report is the "measure, don't guess" gate for
+    choosing d (same discipline as ann_recall_report for nprobe and
+    dedup_lsh_cost_audit for banding).
+
+    Determinism: each truncated cosine is an explicit left-associated
+    d-term chain (identical IEEE-754 op sequence in both engines);
+    ties break on n_id. Scale shape: the scored relations are Q x N
+    with bounded Q (broadcast query set), the rank windows partition
+    by q_id, and the final join/aggregate is k·Q-sized.
+    """
+
+    def body(one_based: bool, idiv: str) -> str:
+        off = 1 if one_based else 0
+
+        def dot(a: str, b: str, d: int) -> str:
+            return " + ".join(
+                f"CAST({a}[{i + off}] AS DOUBLE) * CAST({b}[{i + off}] AS DOUBLE)"
+                for i in range(d)
+            )
+
+        parts = [
+            f"q AS (SELECT vec_id AS q_id, embedding AS qv "
+            f"FROM {view} WHERE vec_id < {n_queries})"
+        ]
+        for d in (*dims, DIM):
+            parts.append(
+                f"""s{d} AS (
+  SELECT q.q_id, e.vec_id AS n_id,
+         ({dot('qv', 'e.embedding', d)})
+           / (sqrt({dot('qv', 'qv', d)}) * sqrt({dot('e.embedding', 'e.embedding', d)})) AS c
+  FROM q JOIN {view} e ON e.vec_id <> q.q_id
+)"""
+            )
+            parts.append(
+                f"""t{d} AS (
+  SELECT q_id, n_id FROM (
+    SELECT q_id, n_id,
+           ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) AS rk
+    FROM s{d}
+  ) r WHERE rk <= {k}
+)"""
+            )
+        unions = "\nUNION ALL\n".join(
+            f"""SELECT {d} AS dims, COUNT(*) AS n_true,
+       CAST(SUM(CASE WHEN a.n_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       CAST(SUM(CASE WHEN a.n_id IS NOT NULL THEN 1 ELSE 0 END) * 1000000
+            {idiv} COUNT(*) AS BIGINT) AS recall_ppm
+FROM t{DIM} e LEFT JOIN t{d} a ON a.q_id = e.q_id AND a.n_id = e.n_id"""
+            for d in dims
+        )
+        return "WITH " + ",\n".join(parts) + "\n" + unions
+
+    return body(False, "DIV"), body(True, "//")
+
+
+def matryoshka_recall(spark: SparkSession, **kw) -> DataFrame:
+    return spark.sql(matryoshka_recall_sql(**kw)[0])

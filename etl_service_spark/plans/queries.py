@@ -2908,6 +2908,13 @@ FROM j GROUP BY q_id
 """
     cases["ann_recall_report"] = Case(_ann_recall, _ann_recall_oracle)
 
+    # ---- Matryoshka prefix-dimension tradeoff: top-k over only the
+    # first 16/32 dims scored against the full-64 exact top-k — the
+    # measured gate for prefix-truncated retrieval (d/D of the bytes
+    # and FLOPs; see similarity.matryoshka_recall_sql for the 100 TB
+    # argument). Both engines run the same explicit d-term chains.
+    cases["ann_matryoshka_recall"] = _sql_case(*similarity.matryoshka_recall_sql())
+
     # same measurement for the PQ/ADC path — coarse 8-centroid
     # codebooks trade recall for ~21× storage; this query is the
     # number that trade is judged by.
@@ -3588,6 +3595,19 @@ GROUP BY {daydiff}
         return dedup.lsh_cost_audit_staged(spark)
 
     cases["dedup_lsh_cost_audit"] = Case(_lsh_audit, dedup.lsh_cost_audit_sql()[1])
+
+    # ---- banding-parameter sweep over the SAME 16-minhash signature:
+    # candidate mass + measured recall/precision vs the exact PPJoin
+    # truth pairs per (bands x rows) config — the S-curve replaced by
+    # the corpus's own numbers (see dedup.lsh_band_tuning_sql). Spark
+    # path shares the staged hashsets + staged exact pairs.
+    def _band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+        views(spark, sf_dir)
+        return dedup.lsh_band_tuning_staged(spark)
+
+    cases["dedup_lsh_band_tuning"] = Case(
+        _band_tuning, dedup.lsh_band_tuning_sql()[1]
+    )
 
     # --- overlapping token-window chunk plan (RAG indexing / long-doc
     # training windows): shuffle-free explode of one per-doc chunk
