@@ -1403,9 +1403,13 @@ def matryoshka_recall_sql(
                 for i in range(d)
             )
 
+        # LIMIT is semantically a no-op (vec_id < n_queries admits
+        # exactly n_queries rows) but makes the broadcast build side
+        # STRUCTURALLY bounded — the plan audit can prove the nested
+        # loop is a bounded expand without knowing filter selectivity.
         parts = [
             f"q AS (SELECT vec_id AS q_id, embedding AS qv "
-            f"FROM {view} WHERE vec_id < {n_queries})"
+            f"FROM {view} WHERE vec_id < {n_queries} LIMIT {n_queries})"
         ]
         for d in (*dims, DIM):
             parts.append(

@@ -81,11 +81,16 @@ def _broadcast_build_subtrees(plan: str) -> list[str]:
 
 def _bounded(subtree: str) -> bool:
     """A broadcast build side is bounded iff it scans no table files
-    (literal Range/Union/LocalTableScan) or reduces whatever it scans
-    through a GLOBAL aggregate (keys=[] -> exactly one row)."""
+    (literal Range/Union/LocalTableScan), reduces whatever it scans
+    through a GLOBAL aggregate (keys=[] -> exactly one row), or is
+    capped by an explicit row Limit (GlobalLimit/LocalLimit — a
+    constant bound by construction, e.g. the broadcast query set of
+    the ANN brute-force baselines)."""
     if "Scan parquet" not in subtree and "FileScan" not in subtree:
         return True
-    return "HashAggregate(keys=[]" in subtree
+    if "HashAggregate(keys=[]" in subtree:
+        return True
+    return "GlobalLimit" in subtree or "LocalLimit" in subtree
 
 
 def audit_one(name: str, plan: str) -> list[str]:
