@@ -125,6 +125,7 @@ HEADLINERS = [
     "text_sentence_split",
     "ann_recall_report",
     "ann_matryoshka_recall",
+    "ann_ivf_nprobe_sweep",
     "dedup_lsh_recall_report",
     "dedup_strategy_sweep",
     "events_variant_extract",

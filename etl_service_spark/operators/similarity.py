@@ -1444,3 +1444,161 @@ FROM t{DIM} e LEFT JOIN t{d} a ON a.q_id = e.q_id AND a.n_id = e.n_id"""
 
 def matryoshka_recall(spark: SparkSession, **kw) -> DataFrame:
     return spark.sql(matryoshka_recall_sql(**kw)[0])
+
+
+# ------------------------------------------------- IVF nprobe sweep
+def _nprobe_tail(
+    probes: tuple[int, ...],
+    nv_rel: str,
+    assign_rel: str,
+    exact_rel: str,
+    k: int,
+    n_queries: int,
+    *,
+    one_based: bool,
+    idiv: str,
+) -> str:
+    """CTE tail from an IVF assignment relation (vec_id, c_id, rn —
+    plus embedding/nrm on the nv relation) + exact top-k relation to
+    the per-nprobe recall/cost table."""
+    sdot = _dot("qv.embedding", "nv2.embedding", one_based=one_based)
+    parts = []
+    rows = []
+    for p in probes:
+        parts.append(
+            f"""cand_{p} AS (
+  SELECT DISTINCT a.vec_id AS q_id, m.vec_id AS n_id
+  FROM {assign_rel} a
+  JOIN (SELECT vec_id, c_id FROM {assign_rel} WHERE rn = 1) m
+    ON m.c_id = a.c_id AND m.vec_id <> a.vec_id
+  WHERE a.vec_id < {n_queries} AND a.rn <= {p}
+)"""
+        )
+        parts.append(
+            f"""top_{p} AS (
+  SELECT q_id, n_id FROM (
+    SELECT c.q_id, c.n_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY c.q_id
+             ORDER BY ({sdot}) / (qv.nrm * nv2.nrm) DESC, c.n_id
+           ) AS rnk
+    FROM cand_{p} c
+    JOIN {nv_rel} qv ON qv.vec_id = c.q_id
+    JOIN {nv_rel} nv2 ON nv2.vec_id = c.n_id
+  ) r WHERE rnk <= {k}
+)"""
+        )
+        parts.append(
+            f"cnt_{p} AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates FROM cand_{p})"
+        )
+        parts.append(
+            f"""hit_{p} AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_true,
+         CAST(SUM(CASE WHEN t.n_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+  FROM {exact_rel} e LEFT JOIN top_{p} t
+    ON t.q_id = e.q_id AND t.n_id = e.n_id
+)"""
+        )
+        rows.append(
+            f"""SELECT {p} AS nprobe, n_candidates, n_true, n_hits,
+       CAST(n_hits * 1000000 {idiv} NULLIF(n_true, 0) AS BIGINT) AS recall_ppm
+FROM cnt_{p} CROSS JOIN hit_{p}"""
+        )
+    return ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(rows)
+
+
+def ivf_nprobe_sweep_sql(
+    probes: tuple[int, ...] = (1, 2, 4),
+    n_cells: int = 16,
+    k: int = 10,
+    n_queries: int = 5,
+    view: str = "embeddings",
+) -> tuple[str, str]:
+    """nprobe sweep for the IVF path: for each probe count, the
+    candidate mass the probed inverted lists admit and the measured
+    recall of the re-ranked top-k against the exact top-k — the
+    recall-vs-scan-cost curve that picks nprobe from the corpus's own
+    numbers instead of a rule of thumb. Completes the measured-tuning
+    set: LSH banding (dedup_lsh_band_tuning), PQ (ann_pq_recall_report),
+    prefix dims (ann_matryoshka_recall), and now the IVF probe budget.
+
+    Scale shape: ONE shared centroid-assignment relation (the same
+    staged relation ann_ivf_topk consumes — n_cells-bounded broadcast
+    ranking); per probe count one inverted-list equi-join on c_id
+    (candidate cost O(probed lists), never O(N) per query) and
+    k·Q-sized rank/compare tails; global-aggregate 1-row relations
+    cross-join for the report row. Output is |probes| rows.
+    """
+
+    def body(one_based: bool, idiv: str) -> str:
+        norm = _norm("embedding", one_based=one_based)
+        adot = _dot("v.embedding", "c.cv", one_based=one_based)
+        sdot = _dot("qv.embedding", "nv2.embedding", one_based=one_based)
+        head = f"""nv AS (
+  SELECT vec_id, embedding, ({norm}) AS nrm FROM {view}
+),
+c AS (
+  SELECT vec_id AS c_id, embedding AS cv, nrm AS cnrm FROM nv WHERE vec_id < {n_cells}
+),
+assign AS (
+  SELECT v.vec_id, v.c_id, v.rn FROM (
+    SELECT v.vec_id, c.c_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY ({adot}) / (v.nrm * c.cnrm) DESC, c.c_id
+           ) AS rn
+    FROM nv v JOIN c ON 1 = 1
+  ) v
+),
+exscored AS (
+  SELECT qv.vec_id AS q_id, nv2.vec_id AS n_id,
+         ({sdot}) / (qv.nrm * nv2.nrm) AS cosine
+  FROM nv qv JOIN nv nv2 ON nv2.vec_id <> qv.vec_id
+  WHERE qv.vec_id < {n_queries}
+),
+exact AS (
+  SELECT q_id, n_id FROM (
+    SELECT q_id, n_id,
+           ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rk
+    FROM exscored
+  ) r WHERE rk <= {k}
+)"""
+        tail = _nprobe_tail(
+            probes, "nv", "assign", "exact", k, n_queries,
+            one_based=one_based, idiv=idiv,
+        )
+        return "WITH " + head + ",\n" + tail
+
+    return body(False, "DIV"), body(True, "//")
+
+
+def ivf_nprobe_sweep_staged(
+    spark: SparkSession,
+    probes: tuple[int, ...] = (1, 2, 4),
+    n_cells: int = 16,
+    k: int = 10,
+    n_queries: int = 5,
+    view: str = "embeddings",
+) -> DataFrame:
+    """Spark path: reuses the SAME staged IVF assignment relation as
+    ann_ivf_topk (Arrow-kernel centroid ranking, norms carried) and the
+    staged exact top-k (cosine_topk_staged); the sweep itself is three
+    inverted-list joins + compare tails over the staged views."""
+    # identical stage key as ivf_ann_staged -> shared staging
+    key = (
+        id(spark), "ivf_assign", (n_cells,),
+        tuple(sorted(spark.table(view).inputFiles())), P.staging_dir(spark),
+    )
+    if key not in _STAGE_CACHE:
+        ivf_ann_staged(spark, n_cells=n_cells, view=view)  # stages it
+    assign_rel = _STAGE_CACHE[key]
+    exact_name = "nprobe_exact_" + assign_rel
+    cosine_topk_staged(spark, k, n_queries, view).select(
+        "q_id", "n_id"
+    ).createOrReplaceTempView(exact_name)
+    nv_rel = f"(SELECT vec_id, embedding, nrm FROM {assign_rel} WHERE rn = 1)"
+    tail = _nprobe_tail(
+        probes, nv_rel, assign_rel, exact_name, k, n_queries,
+        one_based=False, idiv="DIV",
+    )
+    return spark.sql("WITH " + tail)

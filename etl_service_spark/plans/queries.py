@@ -2908,6 +2908,18 @@ FROM j GROUP BY q_id
 """
     cases["ann_recall_report"] = Case(_ann_recall, _ann_recall_oracle)
 
+    # ---- nprobe sweep over the SAME staged IVF assignment relation:
+    # recall-vs-candidate-mass per probe budget (see
+    # similarity.ivf_nprobe_sweep_sql) — picks nprobe from the corpus's
+    # own numbers, completing the measured-tuning set.
+    def _nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+        views(spark, sf_dir)
+        return similarity.ivf_nprobe_sweep_staged(spark)
+
+    cases["ann_ivf_nprobe_sweep"] = Case(
+        _nprobe_sweep, similarity.ivf_nprobe_sweep_sql()[1]
+    )
+
     # ---- Matryoshka prefix-dimension tradeoff: top-k over only the
     # first 16/32 dims scored against the full-64 exact top-k — the
     # measured gate for prefix-truncated retrieval (d/D of the bytes
