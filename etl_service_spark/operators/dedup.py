@@ -1101,24 +1101,30 @@ def minhash_estimate_staged(
 
 
 # ---------------------------------------------------- LSH band tuning
-def _band_tuning_template(
-    k: int, band_configs: tuple[int, ...]
-) -> tuple[str, str]:
-    """CTE chain from a hashset relation {hs_rel} + exact-pair relation
-    {exact_rel} to the per-banding recall/cost table. One shared
-    signature aggregate; per config one banded self-join and ONE
-    full-outer scan against the exact pairs."""
+def _band_sig_sql(k: int) -> str:
+    """Signature aggregate template: {hs_rel} -> (doc_id, sig_0..k-1).
+    Placeholders: {explode}, {hs_rel}."""
     sig_cols = ",\n         ".join(
         f"MIN(({a} * h + {b}) % {P.HASH_MOD}) AS sig_{i}"
         for i, (a, b) in enumerate(P.minhash_params(k))
     )
-    parts = [
-        "ex AS (\n  SELECT doc_id, {explode}(hs) AS h FROM {hs_rel}\n)",
-        "sig AS (\n  SELECT doc_id,\n         " + sig_cols + "\n  FROM ex GROUP BY doc_id\n)",
-    ]
+    return (
+        "SELECT doc_id,\n         " + sig_cols
+        + "\nFROM (SELECT doc_id, {explode}(hs) AS h FROM {hs_rel}) ex GROUP BY doc_id"
+    )
+
+
+def _band_tuning_tail(
+    k: int, band_configs: tuple[int, ...]
+) -> tuple[str, dict]:
+    """CTE tail from a signature relation {sig_rel} + exact-pair
+    relation {exact_rel} to the per-banding recall/cost table: per
+    config one banded self-join and ONE full-outer scan against the
+    exact pairs. Returns (tail, band_arr placeholder dict)."""
+    parts = []
     for b in band_configs:
         parts.append(
-            f"bands_{b} AS (\n  SELECT doc_id, {{explode}}({{band_arr_{b}}}) AS band_key FROM sig\n)"
+            f"bands_{b} AS (\n  SELECT doc_id, {{explode}}({{band_arr_{b}}}) AS band_key FROM {{sig_rel}}\n)"
         )
         parts.append(
             f"""cand_{b} AS (
@@ -1147,9 +1153,7 @@ def _band_tuning_template(
 FROM m_{b}"""
         for b in band_configs
     )
-    band_arrs = {
-        f"band_arr_{b}": _band_arr(k, b) for b in band_configs
-    }
+    band_arrs = {f"band_arr_{b}": _band_arr(k, b) for b in band_configs}
     return ",\n".join(parts) + "\n" + unions, band_arrs
 
 
@@ -1174,13 +1178,17 @@ def lsh_band_tuning_sql(
     per config one band-keyed equi-join (bounded posting lists — the
     production LSH shape, never all-pairs) and one full-outer scan of
     candidate-pairs vs truth-pairs, both pair-relation-sized. Output
-    is |band_configs| rows.
+    is |band_configs| rows. Spark path: lsh_band_tuning_staged (the
+    signature and truth-pair relations are STAGED — CTE/view inlining
+    would re-run the signature aggregate per config and the PPJoin
+    verify per full-outer scan).
     """
-    tmpl, band_arrs = _band_tuning_template(k, band_configs)
+    tail, band_arrs = _band_tuning_tail(k, band_configs)
     exact = ngram_jaccard_sql(tau, view)
     return P.bi_sql(
-        _HASHSET_PROLOGUE + ",\n" + tmpl,
+        _HASHSET_PROLOGUE + ",\nsig AS (\n" + _band_sig_sql(k) + "\n),\n" + tail,
         hs_rel="hs",
+        sig_rel="sig",
         exact_rel=(
             f"(SELECT doc_a, doc_b FROM ({exact[0]}) xx)",
             f"(SELECT doc_a, doc_b FROM ({exact[1]}) xx)",
@@ -1190,6 +1198,22 @@ def lsh_band_tuning_sql(
     )
 
 
+# (session id, kind, params, hashset relation, staging dir) -> staged
+# temp-view name; same sharing story as _HASHSET_CACHE.
+_BAND_STAGE_CACHE: dict[tuple, str] = {}
+
+
+def _stage_band_rel(spark: SparkSession, kind: str, params: tuple,
+                    hs_rel: str, df) -> str:
+    key = (id(spark), kind, params, hs_rel, P.staging_dir(spark))
+    cached = _BAND_STAGE_CACHE.get(key)
+    if cached is None:
+        cached = P.stage_name(kind, key[1:])
+        P.stage_df(df(), cached).createOrReplaceTempView(cached)
+        _BAND_STAGE_CACHE[key] = cached
+    return cached
+
+
 def lsh_band_tuning_staged(
     spark: SparkSession,
     k: int = 16,
@@ -1197,20 +1221,29 @@ def lsh_band_tuning_staged(
     tau: float = 0.8,
     view: str = "documents",
 ) -> DataFrame:
-    """Spark path: shares the staged hashset relation and the staged
-    exact-pair relation (ngram_jaccard_staged) — the signature
-    aggregate and truth pairs are computed once per session, the sweep
-    itself is three banded joins over the staged views."""
+    """Spark path: the signature aggregate and the exact truth pairs
+    are STAGED once per (session, params, hashset lineage) — Spark
+    inlines CTEs and temp views, so the unstaged form re-runs the
+    explode+MIN aggregate once per band config and the PPJoin verify
+    once per report row (the same measured hazard materialize_hashsets
+    documents). Stage names are content-addressed (params + lineage),
+    so concurrent calls with different tau/k never clobber each other."""
     hs_rel = materialize_hashsets(spark, view)
-    exact_name = "band_tuning_exact_" + hs_rel  # tied to the staged lineage
-    ngram_jaccard_staged(spark, tau, view).select(
-        "doc_a", "doc_b"
-    ).createOrReplaceTempView(exact_name)
-    tmpl, band_arrs = _band_tuning_template(k, band_configs)
+    sig_rel = _stage_band_rel(
+        spark, "band_sig", (k, view), hs_rel,
+        lambda: spark.sql(
+            P.bi_sql(_band_sig_sql(k), hs_rel=hs_rel, explode=EXPLODE)[0]
+        ),
+    )
+    exact_rel = _stage_band_rel(
+        spark, "band_exact", (tau, view), hs_rel,
+        lambda: ngram_jaccard_staged(spark, tau, view).select("doc_a", "doc_b"),
+    )
+    tail, band_arrs = _band_tuning_tail(k, band_configs)
     body = P.bi_sql(
-        "WITH " + tmpl,
-        hs_rel=hs_rel,
-        exact_rel=exact_name,
+        "WITH " + tail,
+        sig_rel=sig_rel,
+        exact_rel=exact_rel,
         **band_arrs,
         **_hashset_frags(view),
     )[0]

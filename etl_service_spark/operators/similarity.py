@@ -452,24 +452,16 @@ def ivf_ann(spark: SparkSession, **kw) -> DataFrame:
     return spark.sql(ivf_ann_sql(**kw)[0])
 
 
-def ivf_ann_staged(
-    spark: SparkSession,
-    n_cells: int = 16,
-    nprobe: int = 4,
-    k: int = 10,
-    n_queries: int = 5,
-    view: str = "embeddings",
-) -> DataFrame:
-    """Spark path for ivf_ann: centroid assignment (the N x n_cells
-    cosine ranking) runs in an Arrow kernel with the centroid matrix
-    broadcast, replaying the oracle's exact left-associated FP chains;
-    the probe join + exact re-rank stay declarative SQL over the
-    lineage-truncated assignment relation. The kernel also carries each
-    vector's norm (and the embedding itself) into the staged relation,
-    so the re-rank joins read (embedding, nrm) from the stage instead
-    of re-evaluating the interpreted 64-term norm chain over the full
-    table once per join side. Tie-breaks (cos DESC, c_id) are identical
-    because the doubles are identical."""
+def ivf_assignment_rel(
+    spark: SparkSession, n_cells: int = 16, view: str = "embeddings"
+) -> str:
+    """Stage (or fetch) the IVF centroid-assignment relation
+    (vec_id, c_id, rn, embedding, nrm): the Arrow-kernel centroid
+    ranking with the centroid matrix broadcast, replaying the oracle's
+    exact left-associated FP chains; norms and embeddings are carried
+    into the stage so downstream joins never re-evaluate the 64-term
+    chains. SHARED by ann_ivf_topk and ann_ivf_nprobe_sweep — the
+    single owner of the "ivf_assign" stage key."""
     def build_assignment():
         # centroid collect + broadcast only run on a cache miss: on a
         # hit the staged assignment relation already has everything.
@@ -538,7 +530,22 @@ def ivf_ann_staged(
             schema="vec_id bigint, c_id bigint, rn int, embedding array<float>, nrm double",
         )
 
-    name = _stage_view(spark, build_assignment, "ivf_assign", view, (n_cells,))
+    return _stage_view(spark, build_assignment, "ivf_assign", view, (n_cells,))
+
+
+def ivf_ann_staged(
+    spark: SparkSession,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    k: int = 10,
+    n_queries: int = 5,
+    view: str = "embeddings",
+) -> DataFrame:
+    """Spark path for ivf_ann: probe join + exact re-rank as
+    declarative SQL over the staged assignment relation
+    (ivf_assignment_rel). Tie-breaks (cos DESC, c_id) are identical to
+    the oracle because the doubles are identical."""
+    name = ivf_assignment_rel(spark, n_cells, view)
     sdot = _dot("qv.embedding", "nv2.embedding", one_based=False)
     return spark.sql(
         f"""
@@ -1393,6 +1400,10 @@ def matryoshka_recall_sql(
     with bounded Q (broadcast query set), the rank windows partition
     by q_id, and the final join/aggregate is k·Q-sized.
     """
+    if not all(0 < d <= DIM for d in dims):
+        raise ValueError(f"dims must be in (0, {DIM}]: {dims}")
+    # dedupe (and drop an explicit DIM — the truth set is always built)
+    dims = tuple(dict.fromkeys(d for d in dims if d != DIM))
 
     def body(one_based: bool, idiv: str) -> str:
         off = 1 if one_based else 0
@@ -1584,18 +1595,19 @@ def ivf_nprobe_sweep_staged(
     ann_ivf_topk (Arrow-kernel centroid ranking, norms carried) and the
     staged exact top-k (cosine_topk_staged); the sweep itself is three
     inverted-list joins + compare tails over the staged views."""
-    # identical stage key as ivf_ann_staged -> shared staging
-    key = (
-        id(spark), "ivf_assign", (n_cells,),
-        tuple(sorted(spark.table(view).inputFiles())), P.staging_dir(spark),
+    assign_rel = ivf_assignment_rel(spark, n_cells, view)
+    # exact top-k is STAGED (cosine_topk_staged is a lazy kernel scan;
+    # referencing it from one view per probe config would re-run the
+    # Q x N kernel once per config) under a content-addressed name —
+    # params in the key, so concurrent sweeps with different k or
+    # n_queries never clobber each other.
+    exact_name = _stage_view(
+        spark,
+        lambda: cosine_topk_staged(spark, k, n_queries, view).select("q_id", "n_id"),
+        "nprobe_exact",
+        view,
+        (k, n_queries),
     )
-    if key not in _STAGE_CACHE:
-        ivf_ann_staged(spark, n_cells=n_cells, view=view)  # stages it
-    assign_rel = _STAGE_CACHE[key]
-    exact_name = "nprobe_exact_" + assign_rel
-    cosine_topk_staged(spark, k, n_queries, view).select(
-        "q_id", "n_id"
-    ).createOrReplaceTempView(exact_name)
     nv_rel = f"(SELECT vec_id, embedding, nrm FROM {assign_rel} WHERE rn = 1)"
     tail = _nprobe_tail(
         probes, nv_rel, assign_rel, exact_name, k, n_queries,

@@ -323,38 +323,47 @@ class Orchestrator:
         if state:
             state.transition(Stage.EXECUTING)
         with ThreadPoolExecutor(max_workers=self.max_threads) as pool:
-            for wave in waves:
-                if errors:
-                    break
-                threads = [
-                    threading.Thread(
-                        target=self._run_package,
-                        args=(pool, wf.packages[n], cancel, report, errors, pool_ctx),
-                    )
-                    for n in wave
-                ]
-                for t in threads:
-                    t.start()
-                for t in threads:
-                    t.join()
-            abort_done.set()  # all steps drained; stop the cancel watchdog
+            try:
+                for wave in waves:
+                    if errors:
+                        break
+                    threads = [
+                        threading.Thread(
+                            target=self._run_package,
+                            args=(pool, wf.packages[n], cancel, report, errors, pool_ctx),
+                        )
+                        for n in wave
+                    ]
+                    for t in threads:
+                        t.start()
+                    for t in threads:
+                        t.join()
+            finally:
+                # all steps drained (or the wave loop raised): ALWAYS
+                # stop the cancel watchdog or it spins forever
+                abort_done.set()
             if errors:
                 # O9: abort cascade happened via the cancel event; run the
                 # fallback package, then mark Failed (Workflow.cs:1465-1538)
                 if wf.fallback and wf.fallback in wf.packages:
                     fb_errors: list[BaseException] = []
                     # the fallback gets its OWN job group: it runs after
-                    # cancelJobGroup and must not share the killed tag
+                    # cancelJobGroup and must not share the killed tag —
+                    # and its own watchdog stop-event, set in finally so
+                    # a failing fallback can't leak a spinning watchdog
+                    fb_done = threading.Event()
                     fb_ctx = (
-                        (pool_ctx[0], pool_ctx[1], pool_ctx[2] + "_fb",
-                         threading.Event())
+                        (pool_ctx[0], pool_ctx[1], pool_ctx[2] + "_fb", fb_done)
                         if pool_ctx is not None
                         else None
                     )
-                    self._run_package(
-                        pool, wf.packages[wf.fallback], threading.Event(), report,
-                        fb_errors, fb_ctx,
-                    )
+                    try:
+                        self._run_package(
+                            pool, wf.packages[wf.fallback], threading.Event(),
+                            report, fb_errors, fb_ctx,
+                        )
+                    finally:
+                        fb_done.set()
                     report.fallback_ran = not fb_errors
         if state:
             state.transition(Stage.FAILED if errors else Stage.FINISHED)

@@ -90,7 +90,19 @@ def _bounded(subtree: str) -> bool:
         return True
     if "HashAggregate(keys=[]" in subtree:
         return True
-    return "GlobalLimit" in subtree or "LocalLimit" in subtree
+    # A row Limit caps the build ONLY if nothing above it can re-expand
+    # or merge branches (limit-then-join / limit-below-explode would
+    # still be unbounded): require the Limit line to appear before any
+    # join/generate/expand/union line in the root-first subtree text.
+    lines = subtree.splitlines()
+    limit_idx = next(
+        (i for i, ln in enumerate(lines) if "GlobalLimit" in ln or "LocalLimit" in ln),
+        None,
+    )
+    if limit_idx is None:
+        return False
+    above = "\n".join(lines[:limit_idx])
+    return not any(w in above for w in ("Join", "Generate", "Expand", "Union"))
 
 
 def audit_one(name: str, plan: str) -> list[str]:
