@@ -1049,3 +1049,85 @@ def test_streaming_burst_monitor_matches_batch(spark, sf_dir, tmp_path):
     e = sorted(map(tuple, expect.filter(F.col("hour") <= cutoff).collect()))
     assert g, "no bursts flagged — gate untested"
     assert g == e
+
+
+def test_merge_stream_folds_batches_and_prunes_files(spark, tmp_path):
+    """Streaming keyed MERGE maintenance (merge_stream): two update
+    drops fold into the snapshot table with last-writer-per-key
+    semantics, intra-batch duplicate keys are reduced to the newest
+    row (merge_upsert's precondition), and untouched data files are
+    REUSED across versions (the file-pruned shape)."""
+    import os
+
+    from etl_service_spark.sources import snapshots
+    from etl_service_spark.streaming.merge_stream import run_merge_maintenance
+
+    landing = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+    table = str(tmp_path / "tbl")
+    os.makedirs(landing)
+
+    # production shape: the initial load is key-clustered OUTSIDE the
+    # stream (4 disjoint key-range files), trickle merges prune
+    snapshots.commit_append(
+        spark.createDataFrame(
+            [(i, i * 10, 0) for i in range(48)], "k bigint, v bigint, seq bigint"
+        ).repartitionByRange(4, "k"),
+        table,
+    )
+
+    def drain():
+        stream = spark.readStream.schema("k bigint, v bigint, seq bigint").parquet(landing)
+        run_merge_maintenance(stream, ckpt, table, "k", "seq")
+
+    # batch 1: key 7 updated twice inside the batch (latest wins) and
+    # key 900 inserted far outside every file's range
+    spark.createDataFrame(
+        [(7, 70_000, 1), (7, 777, 2), (900, 9000, 1)],
+        "k bigint, v bigint, seq bigint",
+    ).write.mode("append").parquet(landing)
+    v1_files = set(snapshots._read_manifest(table, 1)["files"])
+    drain()
+    rows = {r.k: r.v for r in snapshots.read_snapshot(spark, table).collect()}
+    assert rows[7] == 777 and rows[3] == 30 and rows[900] == 9000
+    assert len(rows) == 49
+    v2_files = set(snapshots._read_manifest(table, 2)["files"])
+    # file pruning: only the one file whose range contains key 7 was
+    # rewritten; the other three v1 files carried verbatim
+    assert len(v1_files & v2_files) == 3, (v1_files, v2_files)
+
+    # batch 2: plain update in another range
+    spark.createDataFrame(
+        [(30, 3333, 3)], "k bigint, v bigint, seq bigint"
+    ).write.mode("append").parquet(landing)
+    drain()
+    rows = {r.k: r.v for r in snapshots.read_snapshot(spark, table).collect()}
+    assert rows[30] == 3333 and rows[7] == 777 and len(rows) == 49
+
+
+def test_merge_stream_replay_is_idempotent(spark, tmp_path):
+    """A replayed micro-batch (fresh checkpoint over the same landing
+    files) merges rows the table already reflects: the merged STATE is
+    unchanged."""
+    import os
+
+    from etl_service_spark.sources import snapshots
+    from etl_service_spark.streaming.merge_stream import run_merge_maintenance
+
+    landing = str(tmp_path / "landing")
+    table = str(tmp_path / "tbl")
+    os.makedirs(landing)
+
+    spark.createDataFrame(
+        [(i, i, 1) for i in range(20)], "k bigint, v bigint, seq bigint"
+    ).write.mode("append").parquet(landing)
+
+    def drain(ck):
+        stream = spark.readStream.schema("k bigint, v bigint, seq bigint").parquet(landing)
+        run_merge_maintenance(stream, str(tmp_path / ck), table, "k", "seq")
+
+    drain("ck1")
+    before = {tuple(r) for r in snapshots.read_snapshot(spark, table).collect()}
+    drain("ck2")  # replay: fresh checkpoint, same files
+    after = {tuple(r) for r in snapshots.read_snapshot(spark, table).collect()}
+    assert after == before
