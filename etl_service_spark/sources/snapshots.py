@@ -393,3 +393,91 @@ def compact_files(
         parent_version=versions[-1],
     )
     return {"version": version, "compacted": len(small), "kept": len(kept)}
+
+
+def clustering_report(table_dir: str, key: str) -> dict:
+    """Key-clustering health of the CURRENT version, from footer stats
+    only (O(files) metadata reads, zero data scanned): how many files a
+    point lookup on ``key`` must touch (overlap depth), and how much of
+    the key space is covered by more than one file. Trickle MERGE
+    maintenance degrades clustering over time — every merge-written
+    file spans the batch's whole key range — and once ranges overlap,
+    merge_upsert's pruning decays toward rewrite-everything. This is
+    the gauge that decides when recluster_files is worth its rewrite
+    (the OPTIMIZE-scheduling question), same measure-don't-guess
+    discipline as profile_key_skew for salting.
+
+    Returns {"n_files", "n_ranged", "max_overlap_depth",
+    "avg_overlap_depth_ppm", "files_overlapping"}: depth = number of
+    file ranges containing a range endpoint (sweep over the 2F
+    endpoints — exact for interval overlap, no sampling).
+    """
+    versions = list_versions(table_dir)
+    if not versions:
+        raise FileNotFoundError(f"no committed versions under {table_dir}")
+    files = _read_manifest(table_dir, versions[-1])["files"]
+    ranges = list(file_key_ranges(table_dir, files, key).values())
+    n_ranged = len(ranges)
+    if not n_ranged:
+        return {
+            "n_files": len(files), "n_ranged": 0, "max_overlap_depth": 0,
+            "avg_overlap_depth_ppm": 0, "files_overlapping": 0,
+        }
+    # sweep: depth just after each event point; endpoints inclusive
+    events = []
+    for lo, hi in ranges:
+        events.append((lo, 0, 1))   # open before close at same point
+        events.append((hi, 1, -1))
+    events.sort()
+    depth = max_depth = 0
+    total = 0
+    for _, _, d in events:
+        depth += d
+        max_depth = max(max_depth, depth)
+    # per-file overlap: a file overlaps if any OTHER range intersects it
+    overlapping = sum(
+        1
+        for i, (lo, hi) in enumerate(ranges)
+        if any(
+            j != i and not (r_hi < lo or r_lo > hi)
+            for j, (r_lo, r_hi) in enumerate(ranges)
+        )
+    )
+    # average depth over files: mean number of peers + self a file's
+    # own range intersects (bounded O(F^2) comparisons on metadata —
+    # fine for manifest-sized F; the sweep gives max exactly)
+    inter = [
+        sum(1 for j, (r_lo, r_hi) in enumerate(ranges) if not (r_hi < lo or r_lo > hi))
+        for lo, hi in ranges
+    ]
+    total = sum(inter)
+    return {
+        "n_files": len(files),
+        "n_ranged": n_ranged,
+        "max_overlap_depth": max_depth,
+        "avg_overlap_depth_ppm": total * 1_000_000 // n_ranged,
+        "files_overlapping": overlapping,
+    }
+
+
+def recluster_files(spark: SparkSession, table_dir: str, key: str,
+                    n_files: int | None = None) -> dict:
+    """Rewrite the current version key-clustered (range-partitioned and
+    sorted within files) and commit it — the OPTIMIZE that restores
+    merge_upsert's file pruning and range-scan row-group skipping after
+    trickle maintenance has blurred the layout. Unlike compact_files
+    (which fixes FILE COUNT and carries big files verbatim), this fixes
+    RANGE OVERLAP and must rewrite every file: schedule it off
+    clustering_report's numbers, not on a timer. Returns {"version",
+    "n_files", "report_before"}."""
+    report = clustering_report(table_dir, key)
+    cur = read_snapshot(spark, table_dir)
+    if n_files is None:
+        n_files = max(1, len(cur.inputFiles()))
+    clustered = cur.repartitionByRange(n_files, key).sortWithinPartitions(key)
+    new_files, new_rows = _stage_data_files(clustered, table_dir)
+    parent = list_versions(table_dir)[-1]
+    version = _commit(
+        table_dir, "recluster", new_files, new_rows, parent_version=parent
+    )
+    return {"version": version, "n_files": len(new_files), "report_before": report}

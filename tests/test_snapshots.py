@@ -309,3 +309,43 @@ def test_concurrent_overwrite_retries_and_wins(spark, table):
         S._commit = orig
     assert v == 3  # v2 was taken by the racer; overwrite retried to v3
     assert _ids(spark, d) == [9]
+
+
+def test_clustering_report_and_recluster_restore_pruning(spark, tmp_path):
+    """Trickle merges blur the key layout (merge-written files span the
+    batch's whole key range); clustering_report measures the decay and
+    recluster_files restores disjoint ranges so merge pruning works
+    again."""
+    d = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(i, i) for i in range(400)], "id bigint, v bigint"
+    ).repartitionByRange(4, "id")
+    S.commit_append(base, d)
+    r0 = S.clustering_report(d, "id")
+    assert r0["n_ranged"] == 4 and r0["max_overlap_depth"] == 1
+    assert r0["files_overlapping"] == 0
+
+    # three trickle merges, each spanning the whole key space
+    for seq in range(3):
+        src = spark.createDataFrame(
+            [(k, 1000 + seq) for k in (5 + seq, 395 - seq)], "id bigint, v bigint"
+        )
+        S.merge_upsert(spark, d, src, "id")
+    r1 = S.clustering_report(d, "id")
+    assert r1["max_overlap_depth"] > 1  # layout degraded
+    assert r1["files_overlapping"] > 0
+
+    res = S.recluster_files(spark, d, "id", n_files=4)
+    r2 = S.clustering_report(d, "id")
+    assert r2["max_overlap_depth"] == 1 and r2["files_overlapping"] == 0
+    assert res["report_before"] == r1
+    # data unchanged through the rewrite
+    rows = {r.id: r.v for r in S.read_snapshot(spark, d).collect()}
+    assert len(rows) == 400 and rows[5] == 1000 and rows[394] == 1001
+    # and a point merge prunes again: exactly one file rewritten
+    v_before = set(S._read_manifest(d, res["version"])["files"])
+    S.merge_upsert(
+        spark, d, spark.createDataFrame([(7, 7777)], "id bigint, v bigint"), "id"
+    )
+    v_after = set(S._read_manifest(d, res["version"] + 1)["files"])
+    assert len(v_before & v_after) == 3
