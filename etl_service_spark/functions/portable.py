@@ -182,6 +182,21 @@ def staging_dir(spark) -> str:
     return spark.conf.get(STAGING_DIR_CONF, "") or ""
 
 
+def lineage_key(df) -> tuple:
+    """Cache-key component identifying a DataFrame's INPUT DATA for the
+    staged-relation memos. For file-backed relations this is the sorted
+    file list — stable and content-addressing (a different sf_dir is a
+    different key). For a relation with NO input files (a temp view
+    over an in-memory DataFrame) there is no usable identity: returning
+    () would make the memo serve stale staged data after the view is
+    re-registered with different contents, so return a UNIQUE token —
+    such inputs are staged fresh on every call, never cached."""
+    import uuid as _uuid
+
+    files = tuple(sorted(df.inputFiles()))
+    return files if files else ("<no-files>", _uuid.uuid4().hex)
+
+
 def stage_name(prefix: str, key: tuple) -> str:
     """Deterministic content-addressed name for a staged relation: a
     digest of the staging inputs (params + input files), NOT a

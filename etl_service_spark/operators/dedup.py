@@ -239,7 +239,7 @@ def materialize_hashsets(spark: SparkSession, view: str = "documents") -> str:
     from pyspark.sql import functions as F
 
     src = spark.table(view)
-    key = (id(spark), view, tuple(sorted(src.inputFiles())), P.staging_dir(spark))
+    key = (id(spark), view, P.lineage_key(src), P.staging_dir(spark))
     cached = _HASHSET_CACHE.get(key)
     if cached is not None:
         return cached
@@ -813,7 +813,7 @@ def chunk_dedup_staged(spark: SparkSession, w: int = 8, view: str = "documents")
     from . import textops  # noqa: F401  (shared staging conventions)
 
     src = spark.table(view)
-    key = (id(spark), view, w, tuple(sorted(src.inputFiles())), P.staging_dir(spark))
+    key = (id(spark), view, w, P.lineage_key(src), P.staging_dir(spark))
     name = _CHUNK_CACHE.get(key)
     if name is None:
         name = P.stage_name(f"chunks_{view}", key[1:])

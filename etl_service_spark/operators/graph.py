@@ -39,7 +39,12 @@ def connected_components(
     edges: DataFrame, src: str = "doc_a", dst: str = "doc_b", max_rounds: int = 25
 ) -> DataFrame:
     """(node, cluster_id) for every node appearing in ``edges``;
-    cluster_id is the component's minimum node id."""
+    cluster_id is the component's minimum node id. Raises RuntimeError
+    if the propagation has not reached its fixpoint within
+    ``max_rounds`` (a component with diameter > max_rounds) — silently
+    returning unconverged labels would split one component into
+    several cluster_ids; callers with chain-shaped graphs should use
+    :func:`connected_components_twophase` (O(log n) rounds)."""
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
     # co-partition the edge list on the JOIN key once and persist():
@@ -49,26 +54,39 @@ def connected_components(
     # vector moves per round. (For small dup graphs Catalyst broadcasts
     # the cached edges instead, which is strictly better.)
     sym = sym.repartition("b").persist()
-
-    labels = sym.select(F.col("a").alias("node")).distinct().withColumn(
-        "label", F.col("node")
-    )
-    labels = labels.localCheckpoint(eager=True)
-    total = labels.agg(F.sum("label")).collect()[0][0]
-
-    for _ in range(max_rounds):
-        nbr = (
-            sym.join(labels, sym["b"] == labels["node"])
-            .select(F.col("a").alias("node"), "label")
+    try:
+        labels = sym.select(F.col("a").alias("node")).distinct().withColumn(
+            "label", F.col("node")
         )
-        new_labels = (
-            labels.union(nbr).groupBy("node").agg(F.min("label").alias("label"))
-        ).localCheckpoint(eager=True)
-        new_total = new_labels.agg(F.sum("label")).collect()[0][0]
-        labels = new_labels
-        if new_total == total:  # labels only decrease; equal sum == fixpoint
-            break
-        total = new_total
+        labels = labels.localCheckpoint(eager=True)
+        total = labels.agg(F.sum("label")).collect()[0][0]
+
+        converged = False
+        for _ in range(max_rounds):
+            nbr = (
+                sym.join(labels, sym["b"] == labels["node"])
+                .select(F.col("a").alias("node"), "label")
+            )
+            new_labels = (
+                labels.union(nbr).groupBy("node").agg(F.min("label").alias("label"))
+            ).localCheckpoint(eager=True)
+            new_total = new_labels.agg(F.sum("label")).collect()[0][0]
+            labels = new_labels
+            if new_total == total:  # labels only decrease; equal sum == fixpoint
+                converged = True
+                break
+            total = new_total
+        if not converged:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_rounds} rounds "
+                "(component diameter exceeds the round budget); use "
+                "connected_components_twophase for chain-shaped graphs"
+            )
+    finally:
+        # labels are localCheckpoint'ed — lineage no longer needs the
+        # cached edges; without this every call pins executor storage
+        # for the session's lifetime
+        sym.unpersist()
 
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 
@@ -357,6 +375,13 @@ def pagerank(
         # materialization barriers is a ~3x wall-clock win. An unbounded /
         # convergence-tested loop (see connected_components) is the case
         # that needs per-round truncation.
+    # ONE final materialization lets the cached edge relation be
+    # released immediately — without it every pagerank call would pin
+    # executor storage for the session's lifetime (the caller pays the
+    # same single evaluation either way).
+    ranks = ranks.localCheckpoint(eager=True)
+    contrib_src.unpersist()
+    nodes.unpersist()
     return ranks
 
 

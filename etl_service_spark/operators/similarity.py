@@ -36,7 +36,7 @@ _STAGE_CACHE: dict[tuple, str] = {}
 def _stage_view(spark: SparkSession, df_fn, kind: str, view: str, params: tuple) -> str:
     key = (
         id(spark), kind, params,
-        tuple(sorted(spark.table(view).inputFiles())), P.staging_dir(spark),
+        P.lineage_key(spark.table(view)), P.staging_dir(spark),
     )
     cached = _STAGE_CACHE.get(key)
     if cached is not None:
@@ -290,7 +290,7 @@ def embedding_neardup_pandas(
     if n_blocks is None:
         # scalar count only — no embedding rows leave the executors;
         # memoized per (session, view, files) like the staging views
-        ckey = (id(spark), "neardup_count", view, tuple(sorted(emb.inputFiles())))
+        ckey = (id(spark), "neardup_count", view, P.lineage_key(emb))
         if ckey not in _STAGE_CACHE:
             _STAGE_CACHE[ckey] = str(emb.count())
         n = int(_STAGE_CACHE[ckey])
@@ -912,7 +912,7 @@ def semantic_dedup_staged(
 
     emb = spark.table(view).select("vec_id", "embedding")
     if n_blocks is None:
-        ckey = (id(spark), "neardup_count", view, tuple(sorted(emb.inputFiles())))
+        ckey = (id(spark), "neardup_count", view, P.lineage_key(emb))
         if ckey not in _STAGE_CACHE:
             _STAGE_CACHE[ckey] = str(emb.count())
         n = int(_STAGE_CACHE[ckey])
@@ -1165,7 +1165,7 @@ def _pq_dist_staged(
     lookup table consume it, and Spark's CTE inlining would otherwise
     evaluate the 64-term distance chain twice over N×ncent×m rows."""
     src = spark.table(view)
-    key = (id(spark), view, m, ncent, tuple(sorted(src.inputFiles())), P.staging_dir(spark))
+    key = (id(spark), view, m, ncent, P.lineage_key(src), P.staging_dir(spark))
     name = _PQ_DIST_CACHE.get(key)
     if name is None:
         name = P.stage_name("pq_dist", key[1:])

@@ -83,13 +83,16 @@ GROUP BY event_type
 
 
 def zscore_outliers_sql(z_thresh: int = 2, view: str = "events") -> tuple[str, str]:
-    """Per-type z-score outliers with EXACT moment arithmetic: sums and
-    sums-of-squares accumulate in DECIMAL (associative, order-free),
-    variance = (n*sumsq - sum^2) / n^2 uses one decimal-exact numerator,
-    and only the final sqrt/division happen in double — the same two
-    correctly-rounded FP ops on identical operands in both engines.
-    Population std; rows with |v - mean| > z*std. One aggregation +
-    one broadcast-joined filter pass."""
+    """Per-type z-score outliers: sums and sums-of-squares accumulate
+    in DECIMAL (associative, order-free), then the variance numerator
+    (s2 - s1^2/n) is evaluated in double — identical op sequence in
+    both engines — and CLAMPED at zero before the sqrt: for an
+    all-equal group the true variance is 0 but the double numerator
+    can round to ~-1e-19, which NaNs Spark and CRASHES DuckDB's SQRT
+    (out-of-range). Zero-variance groups have no outliers by
+    definition, so the filter also requires std > 0. Population std;
+    rows with |v - mean| > z*std. One aggregation + one
+    broadcast-joined filter pass."""
     template = f"""
 WITH m AS (
   SELECT event_type,
@@ -102,13 +105,13 @@ WITH m AS (
 stats AS (
   SELECT event_type, n,
          s1 / n AS mean,
-         SQRT((s2 - s1 * s1 / n) / n) AS std
+         SQRT(GREATEST(s2 - s1 * s1 / n, 0) / n) AS std
   FROM m
 )
 SELECT e.event_id, e.event_type, e.value,
        FLOOR(((e.value - t.mean) / t.std) * 1e6) / 1e6 AS z
 FROM {view} e JOIN stats t ON e.event_type = t.event_type
-WHERE ABS(e.value - t.mean) > {z_thresh} * t.std
+WHERE t.std > 0 AND ABS(e.value - t.mean) > {z_thresh} * t.std
 """
     return template, template
 
@@ -169,7 +172,9 @@ SELECT e.user_id, x.exact_count, e.est_count
 FROM est e JOIN exact x ON e.user_id = x.user_id
 WHERE e.est_count >= (SELECT COUNT(*) {{idiv}} 200 FROM {view})
 """
-    return template, template
+    from etl_service_spark.functions import portable as P
+
+    return P.bi_sql(template, idiv=("DIV", "//"))
 
 
 def histogram_quantiles_sql(bins_per_unit: int = 16, view: str = "events") -> tuple[str, str]:

@@ -14,7 +14,7 @@ function has a byte-identical DuckDB oracle builder next to it.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..functions import portable as P
 
@@ -456,7 +456,9 @@ def quality_scores_df(docs: DataFrame) -> DataFrame:
     chain: (0.4·stop/g + 0.3·min(ntok/100,1)) + 0.3·alpha/len,
     floor·1e6/1e6 — every operand is an exact integer widened to
     double, every op correctly rounded, so values are bit-identical to
-    the oracle). The declarative form evaluates the tokenizer +
+    the oracle; sole caveat: characters whose lowercase EXPANDS, e.g.
+    'İ', count differently in Python str.lower vs SQL lower in the
+    alpha numerator — see the kernel comment). The declarative form evaluates the tokenizer +
     stopword filter as interpreted higher-order functions per row; this
     is a zero-shuffle map-side projection like
     repetition_quality_staged. Composable from batch and streaming
@@ -475,13 +477,21 @@ def quality_scores_df(docs: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for doc_id, txt in zip(pdf["doc_id"], pdf["text"]):
-                low = ("" if txt is None else txt).lower()
+                raw = "" if txt is None else txt
+                low = raw.lower()
                 toks = [t for t in splitter.split(low) if t]
                 ntok = len(toks)
                 stop = sum(1 for t in toks if t in stops)
                 alpha = len(punct.sub("", low))
                 g_tok = max(ntok, 1)
-                g_len = max(len(low), 1)
+                # denominator is the ORIGINAL text length, matching the
+                # SQL form's length(text) — len(low) diverges whenever
+                # lowercasing changes the code-point count (e.g. 'İ' →
+                # 'i̇'). The alpha NUMERATOR is over lower(text) in both
+                # forms, where Python str.lower and SQL lower still
+                # disagree on such expanding characters — a documented
+                # residual caveat, not hit by ASCII corpora.
+                g_len = max(len(raw), 1)
                 quality = (
                     math.floor(
                         (0.4 * stop / g_tok + 0.3 * min(ntok / 100.0, 1.0) + 0.3 * alpha / g_len)
@@ -519,7 +529,7 @@ _TOKENS_CACHE: dict[tuple, str] = {}
 
 def materialize_tokens(spark, view: str = "documents") -> str:
     src = spark.table(view)
-    key = (id(spark), view, tuple(sorted(src.inputFiles())), P.staging_dir(spark))
+    key = (id(spark), view, P.lineage_key(src), P.staging_dir(spark))
     cached = _TOKENS_CACHE.get(key)
     if cached is not None:
         return cached
@@ -806,7 +816,12 @@ def bigram_lm_score_sql(view: str = "documents") -> tuple[str, str]:
         f"FROM (SELECT doc_id, {P.duck_tokens('text')} AS t FROM {view})"
     )
 
-    def body(big_sql: str, idiv: str) -> str:
+    def body(big_sql: str, idiv: str, big_t: str) -> str:
+        # freq_mass * 1e6 passes 2^63 on a large corpus (~1e12-token
+        # mass x common-bigram counts): widen to DECIMAL(38,0)/HUGEINT
+        # before the multiply — the same guard _PMI_FRAGS documents.
+        # DuckDB's SUM is already HUGEINT; Spark's BIGINT sum would
+        # raise ARITHMETIC_OVERFLOW under ANSI mode.
         return f"""
 WITH big AS ({big_sql}),
 bf AS (SELECT bg, COUNT(*) AS cnt FROM big GROUP BY bg),
@@ -822,12 +837,13 @@ doc AS (
 SELECT doc_id,
        CAST(n_bigrams AS BIGINT) AS n_bigrams,
        CAST(n_singleton * 1000000 {idiv} n_bigrams AS BIGINT) AS singleton_ppm,
-       CAST(freq_mass * 1000000 {idiv} (n_bigrams * (SELECT mass FROM tot))
+       CAST(CAST(freq_mass AS {big_t}) * 1000000
+            {idiv} (CAST(n_bigrams AS {big_t}) * (SELECT mass FROM tot))
             AS BIGINT) AS avg_freq_ppm
 FROM doc
 """
 
-    return body(spark_big, "DIV"), body(duck_big, "//")
+    return body(spark_big, "DIV", "DECIMAL(38,0)"), body(duck_big, "//", "HUGEINT")
 
 
 _BIGRAM_CACHE: dict[tuple, str] = {}
@@ -839,7 +855,7 @@ def materialize_bigrams(spark, view: str = "documents") -> str:
     bigram-LM scorer and the PMI collocation miner, exactly like the
     token stage above. Returns the temp-view name."""
     src = spark.table(view)
-    key = (id(spark), view, tuple(sorted(src.inputFiles())), P.staging_dir(spark))
+    key = (id(spark), view, P.lineage_key(src), P.staging_dir(spark))
     name = _BIGRAM_CACHE.get(key)
     if name is None:
         name = P.stage_name(f"bigrams_{view}", key[1:])
@@ -877,7 +893,8 @@ doc AS (
 SELECT doc_id,
        CAST(n_bigrams AS BIGINT) AS n_bigrams,
        CAST(n_singleton * 1000000 DIV n_bigrams AS BIGINT) AS singleton_ppm,
-       CAST(freq_mass * 1000000 DIV (n_bigrams * (SELECT mass FROM tot))
+       CAST(CAST(freq_mass AS DECIMAL(38,0)) * 1000000
+            DIV (CAST(n_bigrams AS DECIMAL(38,0)) * (SELECT mass FROM tot))
             AS BIGINT) AS avg_freq_ppm
 FROM doc
 """
@@ -1447,7 +1464,7 @@ def bpe_merges_staged(spark, rounds: int = 3, view: str = "documents") -> DataFr
     single-statement SQL."""
     from pyspark.sql import functions as F
 
-    key = (id(spark), "bpe_w0", view, tuple(sorted(spark.table(view).inputFiles())),
+    key = (id(spark), "bpe_w0", view, P.lineage_key(spark.table(view)),
            P.staging_dir(spark))
     cached = _TOKENS_CACHE.get(key)
     if cached is None:
@@ -1626,7 +1643,7 @@ def materialize_gram_positions(spark, k: int = 4, view: str = "documents") -> st
     sf0.1)."""
     src = spark.table(view)
     key = (id(spark), "winnow_grams", k, view,
-           tuple(sorted(src.inputFiles())), P.staging_dir(spark))
+           P.lineage_key(src), P.staging_dir(spark))
     cached = _TOKENS_CACHE.get(key)
     if cached is not None:
         return cached
@@ -1809,7 +1826,7 @@ def materialize_token_positions(spark, view: str = "documents") -> str:
     SQL alternative (index explode + element_at) rebuilds the token
     array per position (the measured O(n²)/doc hazard)."""
     src = spark.table(view)
-    key = (id(spark), "tok_pos", view, tuple(sorted(src.inputFiles())),
+    key = (id(spark), "tok_pos", view, P.lineage_key(src),
            P.staging_dir(spark))
     cached = _TOKENS_CACHE.get(key)
     if cached is not None:

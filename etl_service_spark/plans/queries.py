@@ -1965,7 +1965,7 @@ GROUP BY a.p_brand, b.p_brand
         key = (
             "basket_ob",
             id(spark),
-            tuple(sorted(spark.table("lineitem").inputFiles())),
+            P.lineage_key(spark.table("lineitem")),
             P.staging_dir(spark),
         )
         name = _JSONL_STAGE.get(key)
@@ -2507,9 +2507,7 @@ FROM ranked WHERE rk = 1
         sketch.kmv_distinct_sql(), sketch.kmv_distinct_sql()
     )
     cases["sketch_hll_weekly_rollup"] = _pair_case(sketch.hll_rollup_sql())
-    cases["sketch_cms_heavy_hitters"] = _bi_case(
-        sketch.cms_heavy_hitters_sql()[0], idiv=("DIV", "//")
-    )
+    cases["sketch_cms_heavy_hitters"] = _pair_case(sketch.cms_heavy_hitters_sql())
     cases["sketch_histogram_quantiles"] = _pair_case(sketch.histogram_quantiles_sql())
     cases["sketch_bloom_membership"] = _pair_case(sketch.bloom_membership_sql())
     cases["sketch_kmv_audience_overlap"] = _pair_case(sketch.kmv_set_ops_sql())

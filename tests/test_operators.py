@@ -1156,3 +1156,31 @@ def test_containment_catches_quote_expansion(spark):
         ).collect()
     )
     assert got == [(1, 2, 1000)]
+
+
+def test_zscore_zero_variance_group_no_crash_no_outliers(spark):
+    """Regression: an all-equal group's double variance numerator can
+    round to ~-1e-19 — DuckDB's SQRT crashed (out of range) and Spark
+    NaN'd. Clamped at 0 + std>0 filter: both engines return zero rows
+    for the degenerate group and agree on the healthy group."""
+    import duckdb
+    import pandas as pd
+
+    from etl_service_spark.operators.sketch import zscore_outliers_sql
+
+    rows = [(i, "flat", 0.05) for i in range(1, 5)] + [
+        (10, "var", 0.0), (11, "var", 0.0), (12, "var", 100.0)
+    ]
+    spark.createDataFrame(
+        rows, "event_id bigint, event_type string, value double"
+    ).createOrReplaceTempView("events")
+    sp = spark.sql(zscore_outliers_sql()[0]).toPandas()
+    con = duckdb.connect()
+    con.register(
+        "events",
+        pd.DataFrame(rows, columns=["event_id", "event_type", "value"]),
+    )
+    du = con.execute(zscore_outliers_sql()[1]).df()
+    assert set(sp.event_type) <= {"var"} and set(du.event_type) <= {"var"}
+    assert sorted(sp.event_id) == sorted(du.event_id)
+    spark.catalog.dropTempView("events")
