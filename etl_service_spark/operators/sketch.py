@@ -333,6 +333,32 @@ FROM sk CROSS JOIN ex
     return P.bi_sql(template, idiv=("DIV", "//"))
 
 
+# ------------------------------------------------------------------ HLL
+# Shared HLL fragments (m=64 registers): constants, the 32-bit hash,
+# the register-rank expression, and the bi_sql operator pairs — ONE
+# definition consumed by hll_distinct_sql / hll_rollup_sql /
+# hll_sliding_sql, so a register-split change cannot silently diverge
+# between the sketch variants.
+_HLL_M = 64
+
+
+def _hll_frags() -> dict:
+    alpha = 0.7213 / (1 + 1.079 / _HLL_M)
+    num = alpha * _HLL_M * _HLL_M * (1 << 27)
+    rnk = (
+        "CASE WHEN (hv {i} 64) = 0 THEN 27"
+        " ELSE 27 - length(bin(hv {i} 64)) END"
+    )
+    return dict(
+        idiv=("DIV", "//"),
+        shift_l=("shiftleft(CAST(1 AS BIGINT), ", "(CAST(1 AS BIGINT) << ("),
+        shift_r=(")", "))"),
+        num=repr(num),
+        hll_hash="((user_id * 2654435761) % 4294967296)",
+        hll_rnk=(rnk.format(i="DIV"), rnk.format(i="//")),
+    )
+
+
 def hll_distinct_sql(view: str = "events") -> tuple[str, str]:
     """HyperLogLog distinct-count per event_type, m=64 registers —
     alongside the exact count, like the KMV report above.
@@ -353,17 +379,13 @@ def hll_distinct_sql(view: str = "events") -> tuple[str, str]:
     group) is the tiny mergeable summary you union+MAX across
     partitions/days, exactly like the KMV set algebra.
     """
-    m = 64
-    alpha = 0.7213 / (1 + 1.079 / m)
-    num = alpha * m * m * (1 << 27)
     body = """
 WITH hv AS (
-  SELECT DISTINCT event_type, ((user_id * 2654435761) % 4294967296) AS hv FROM {view}
+  SELECT DISTINCT event_type, {hll_hash} AS hv FROM {view}
 ),
 rr AS (
   SELECT event_type, hv % 64 AS reg,
-         CASE WHEN (hv {idiv} 64) = 0 THEN 27
-              ELSE 27 - length(bin(hv {idiv} 64)) END AS rnk
+         {hll_rnk} AS rnk
   FROM hv
 ),
 regs AS (
@@ -390,14 +412,7 @@ FROM agg a JOIN ex ON ex.event_type = a.event_type
 """
     import etl_service_spark.functions.portable as P
 
-    return P.bi_sql(
-        body,
-        view=view,
-        idiv=("DIV", "//"),
-        shift_l=("shiftleft(CAST(1 AS BIGINT), ", "(CAST(1 AS BIGINT) << ("),
-        shift_r=(")", "))"),
-        num=repr(num),
-    )
+    return P.bi_sql(body, view=view, **_hll_frags())
 
 
 def hll_rollup_sql(view: str = "events") -> tuple[str, str]:
@@ -417,20 +432,16 @@ def hll_rollup_sql(view: str = "events") -> tuple[str, str]:
     summary (events scanned once per day, ever); weekly/monthly/all-time
     reads are 64-rows-per-group merges.
     """
-    m = 64
-    alpha = 0.7213 / (1 + 1.079 / m)
-    num = alpha * m * m * (1 << 27)
     body = """
 WITH hv AS (
   SELECT DISTINCT event_type,
          {epoch_day} AS day,
-         ((user_id * 2654435761) % 4294967296) AS hv
+         {hll_hash} AS hv
   FROM {view}
 ),
 rr AS (
   SELECT event_type, day, hv % 64 AS reg,
-         CASE WHEN (hv {idiv} 64) = 0 THEN 27
-              ELSE 27 - length(bin(hv {idiv} 64)) END AS rnk
+         {hll_rnk} AS rnk
   FROM hv
 ),
 regs_daily AS (
@@ -470,14 +481,11 @@ FROM est_m m JOIN est_d d ON d.event_type = m.event_type AND d.week = m.week
     return P.bi_sql(
         body,
         view=view,
-        idiv=("DIV", "//"),
-        shift_l=("shiftleft(CAST(1 AS BIGINT), ", "(CAST(1 AS BIGINT) << ("),
-        shift_r=(")", "))"),
-        num=repr(num),
         epoch_day=(
             "datediff(CAST(ts AS DATE), DATE '1970-01-01')",
             "date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))",
         ),
+        **_hll_frags(),
     )
 
 
@@ -868,20 +876,16 @@ def hll_sliding_sql(window_hours: int = 3, view: str = "events") -> tuple[str, s
     Integer arithmetic identical to hll_distinct_sql (same register
     split, same 2^27 harmonic scaling, one final double divide).
     """
-    m = 64
-    alpha = 0.7213 / (1 + 1.079 / m)
-    num = alpha * m * m * (1 << 27)
     offs = ", ".join(str(k) for k in range(window_hours))
     body = f"""
 WITH hv AS (
-  SELECT DISTINCT {{hour}} AS hour, ((user_id * 2654435761) % 4294967296) AS hv,
+  SELECT DISTINCT {{hour}} AS hour, {{hll_hash}} AS hv,
          user_id
   FROM {{view}}
 ),
 rr AS (
   SELECT hour, hv % 64 AS reg,
-         CASE WHEN (hv {{idiv}} 64) = 0 THEN 27
-              ELSE 27 - length(bin(hv {{idiv}} 64)) END AS rnk
+         {{hll_rnk}} AS rnk
   FROM hv
 ),
 regs AS (
@@ -924,9 +928,6 @@ WHERE a.whour <= (SELECT MAX({{hour}}) FROM {{view}})
         body,
         view=view,
         hour=("(ts_us DIV 3600000000)", "(epoch_us(ts) // 3600000000)"),
-        idiv=("DIV", "//"),
         explode_k=(f"explode(array({offs})) AS k", f"unnest([{offs}]) AS k"),
-        shift_l=("shiftleft(CAST(1 AS BIGINT), ", "(CAST(1 AS BIGINT) << ("),
-        shift_r=(")", "))"),
-        num=repr(num),
+        **_hll_frags(),
     )

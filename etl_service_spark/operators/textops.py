@@ -1558,6 +1558,70 @@ GROUP BY stage
     )
 
 
+def _winnow_select(rel: str, w: int, with_n_grams: bool) -> str:
+    """THE winnowing selection (single source of truth — round 3's bug
+    was four diverging copies of this predicate): over a position-
+    indexed gram-hash relation ``rel`` (doc_id, pos, gh), one MIN
+    window per complete w-window, then the DISTINCT per-window minima
+    as the fingerprint set (Schleimer et al. SIGMOD'03). Returns the
+    wmin+fp CTE text (no leading WITH); fp is (doc_id[, n_grams], gh)."""
+    n_sel = ", COUNT(*) OVER (PARTITION BY doc_id) AS n_grams" if with_n_grams else ""
+    n_fp = "n_grams, " if with_n_grams else ""
+    return f"""wmin AS (
+  SELECT doc_id, pos, gh{n_sel},
+         MIN(gh) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN {w - 1} PRECEDING AND CURRENT ROW
+         ) AS win_min
+  FROM {rel}
+),
+fp AS (
+  SELECT DISTINCT doc_id, {n_fp}win_min AS gh
+  FROM wmin WHERE pos >= {w}
+)"""
+
+
+_WINNOW_GRAM_CTE = """t AS (
+  SELECT doc_id, {toks} AS toks FROM {view}
+),
+g AS (
+  SELECT doc_id, {grams} AS grams FROM t
+),
+ph AS (
+  SELECT doc_id, pos, {gram_hash} AS gh
+  FROM (
+    SELECT doc_id, grams, {explode_pos} FROM g WHERE {glen} > 0
+  ) x
+)"""
+
+
+def _winnow_gram_frags(k: int, view: str) -> dict:
+    return dict(
+        toks=(P.spark_tokens("text"), P.duck_tokens("text")),
+        grams=(P.spark_ngrams("toks", k), P.duck_ngrams("toks", k)),
+        glen=("size(grams)", "len(grams)"),
+        explode_pos=(
+            "explode(sequence(1, size(grams))) AS pos",
+            "unnest(range(1, len(grams) + 1)) AS pos",
+        ),
+        gram_hash=(
+            P.spark_poly_hash("element_at(grams, pos)"),
+            P.duck_poly_hash("grams[pos]"),
+        ),
+        view=view,
+    )
+
+
+_WINNOW_REPORT_TAIL = """
+SELECT doc_id, MAX(n_grams) AS n_grams,
+       COUNT(*) AS n_fingerprints,
+       CAST(SUM(gh) % 1000000007 AS BIGINT) AS fp_checksum,
+       MIN(gh) AS fp_min
+FROM fp
+GROUP BY doc_id
+"""
+
+
 def winnowing_sql(
     k: int = 4, w: int = 5, view: str = "documents"
 ) -> tuple[str, str]:
@@ -1585,52 +1649,12 @@ def winnowing_sql(
     grams emit no fingerprints (no full window exists) and are absent
     from the report — the caller treats them as exact-hash territory.
     """
-    template = f"""
-WITH t AS (
-  SELECT doc_id, {{toks}} AS toks FROM {view}
-),
-g AS (
-  SELECT doc_id, {{grams}} AS grams FROM t
-),
-ph AS (
-  SELECT doc_id, pos, {{gram_hash}} AS gh
-  FROM (
-    SELECT doc_id, grams, {{explode_pos}} FROM g WHERE {{glen}} > 0
-  ) x
-),
-wmin AS (
-  SELECT doc_id, pos, gh,
-         MIN(gh) OVER (
-           PARTITION BY doc_id ORDER BY pos
-           ROWS BETWEEN {w - 1} PRECEDING AND CURRENT ROW
-         ) AS win_min,
-         COUNT(*) OVER (PARTITION BY doc_id) AS n_grams
-  FROM ph
-),
-fp AS (
-  SELECT DISTINCT doc_id, n_grams, win_min AS gh
-  FROM wmin WHERE pos >= {w}
-)
-SELECT doc_id, MAX(n_grams) AS n_grams,
-       COUNT(*) AS n_fingerprints,
-       CAST(SUM(gh) % 1000000007 AS BIGINT) AS fp_checksum,
-       MIN(gh) AS fp_min
-FROM fp
-GROUP BY doc_id
-"""
-    spark_gram = "element_at(grams, pos)"
-    duck_gram = "grams[pos]"
-    return P.bi_sql(
-        template,
-        toks=(P.spark_tokens("text"), P.duck_tokens("text")),
-        grams=(P.spark_ngrams("toks", k), P.duck_ngrams("toks", k)),
-        glen=("size(grams)", "len(grams)"),
-        explode_pos=(
-            "explode(sequence(1, size(grams))) AS pos",
-            "unnest(range(1, len(grams) + 1)) AS pos",
-        ),
-        gram_hash=(P.spark_poly_hash(spark_gram), P.duck_poly_hash(duck_gram)),
+    template = (
+        "WITH " + _WINNOW_GRAM_CTE + ",\n"
+        + _winnow_select("ph", w, with_n_grams=True)
+        + _WINNOW_REPORT_TAIL
     )
+    return P.bi_sql(template, **_winnow_gram_frags(k, view))
 
 
 def materialize_gram_positions(spark, k: int = 4, view: str = "documents") -> str:
@@ -1694,73 +1718,18 @@ def winnowing_staged(spark, k: int = 4, w: int = 5, view: str = "documents"):
     is identical. Oracle stays the single-statement SQL."""
     rel = materialize_gram_positions(spark, k, view)
     return spark.sql(
-        f"""
-WITH wmin AS (
-  SELECT doc_id, pos, gh,
-         MIN(gh) OVER (
-           PARTITION BY doc_id ORDER BY pos
-           ROWS BETWEEN {w - 1} PRECEDING AND CURRENT ROW
-         ) AS win_min,
-         COUNT(*) OVER (PARTITION BY doc_id) AS n_grams
-  FROM {rel}
-),
-fp AS (
-  SELECT DISTINCT doc_id, n_grams, win_min AS gh
-  FROM wmin WHERE pos >= {w}
-)
-SELECT doc_id, MAX(n_grams) AS n_grams,
-       COUNT(*) AS n_fingerprints,
-       CAST(SUM(gh) % 1000000007 AS BIGINT) AS fp_checksum,
-       MIN(gh) AS fp_min
-FROM fp
-GROUP BY doc_id
-"""
+        "WITH " + _winnow_select(rel, w, with_n_grams=True) + _WINNOW_REPORT_TAIL
     )
 
 
 def _winnow_fp_cte(k: int, w: int, view: str) -> tuple[str, str]:
     """The (doc_id, gh) fingerprint CTE chain of winnowing_sql, for
-    composition into pair reports. Returns (spark_cte, duck_cte) each
-    ending with a relation named fp."""
-    template = f"""
-t AS (
-  SELECT doc_id, {{toks}} AS toks FROM {view}
-),
-g AS (
-  SELECT doc_id, {{grams}} AS grams FROM t
-),
-ph AS (
-  SELECT doc_id, pos, {{gram_hash}} AS gh
-  FROM (
-    SELECT doc_id, grams, {{explode_pos}} FROM g WHERE {{glen}} > 0
-  ) x
-),
-wmin AS (
-  SELECT doc_id, pos, gh,
-         MIN(gh) OVER (
-           PARTITION BY doc_id ORDER BY pos
-           ROWS BETWEEN {w - 1} PRECEDING AND CURRENT ROW
-         ) AS win_min
-  FROM ph
-),
-fp AS (
-  SELECT DISTINCT doc_id, win_min AS gh
-  FROM wmin WHERE pos >= {w}
-)"""
-    return P.bi_sql(
-        template,
-        toks=(P.spark_tokens("text"), P.duck_tokens("text")),
-        grams=(P.spark_ngrams("toks", k), P.duck_ngrams("toks", k)),
-        glen=("size(grams)", "len(grams)"),
-        explode_pos=(
-            "explode(sequence(1, size(grams))) AS pos",
-            "unnest(range(1, len(grams) + 1)) AS pos",
-        ),
-        gram_hash=(
-            P.spark_poly_hash("element_at(grams, pos)"),
-            P.duck_poly_hash("grams[pos]"),
-        ),
+    composition into pair reports — same _winnow_select core. Returns
+    (spark_cte, duck_cte) each ending with a relation named fp."""
+    template = (
+        _WINNOW_GRAM_CTE + ",\n" + _winnow_select("ph", w, with_n_grams=False)
     )
+    return P.bi_sql(template, **_winnow_gram_frags(k, view))
 
 
 _WINNOW_PAIR_TAIL = """
@@ -1802,20 +1771,7 @@ def winnowing_pairs_staged(
     rel = materialize_gram_positions(spark, k, view)
     tail = _WINNOW_PAIR_TAIL.format(cap=cap, min_shared=min_shared)
     return spark.sql(
-        f"""
-WITH wmin AS (
-  SELECT doc_id, pos, gh,
-         MIN(gh) OVER (
-           PARTITION BY doc_id ORDER BY pos
-           ROWS BETWEEN {w - 1} PRECEDING AND CURRENT ROW
-         ) AS win_min
-  FROM {rel}
-),
-fp AS (
-  SELECT DISTINCT doc_id, win_min AS gh
-  FROM wmin WHERE pos >= {w}
-),
-{tail}"""
+        "WITH " + _winnow_select(rel, w, with_n_grams=False) + ",\n" + tail
     )
 
 
