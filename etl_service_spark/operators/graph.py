@@ -289,7 +289,8 @@ FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
 
 
 def pagerank(
-    spark: SparkSession, sf_dir: str, salted: bool = False, n_salts: int = 16
+    spark: SparkSession, sf_dir: str, salted: bool = False, n_salts: int = 16,
+    materialize: bool = True,
 ) -> DataFrame:
     """Five damped PageRank iterations on the customer-supplier graph.
 
@@ -378,10 +379,13 @@ def pagerank(
     # ONE final materialization lets the cached edge relation be
     # released immediately — without it every pagerank call would pin
     # executor storage for the session's lifetime (the caller pays the
-    # same single evaluation either way).
-    ranks = ranks.localCheckpoint(eager=True)
-    contrib_src.unpersist()
-    nodes.unpersist()
+    # same single evaluation either way). materialize=False keeps the
+    # lazy plan (plan-shape tests inspect the salted agg stages) at the
+    # cost of the pinned cache.
+    if materialize:
+        ranks = ranks.localCheckpoint(eager=True)
+        contrib_src.unpersist()
+        nodes.unpersist()
     return ranks
 
 

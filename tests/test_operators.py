@@ -1171,16 +1171,18 @@ def test_zscore_zero_variance_group_no_crash_no_outliers(spark):
     rows = [(i, "flat", 0.05) for i in range(1, 5)] + [
         (10, "var", 0.0), (11, "var", 0.0), (12, "var", 100.0)
     ]
+    # dedicated view name — clobbering the shared 'events' view would
+    # break later tests in the session-scoped SparkSession
     spark.createDataFrame(
         rows, "event_id bigint, event_type string, value double"
-    ).createOrReplaceTempView("events")
-    sp = spark.sql(zscore_outliers_sql()[0]).toPandas()
+    ).createOrReplaceTempView("zv_events")
+    sp = spark.sql(zscore_outliers_sql(view="zv_events")[0]).toPandas()
     con = duckdb.connect()
     con.register(
-        "events",
+        "zv_events",
         pd.DataFrame(rows, columns=["event_id", "event_type", "value"]),
     )
-    du = con.execute(zscore_outliers_sql()[1]).df()
+    du = con.execute(zscore_outliers_sql(view="zv_events")[1]).df()
     assert set(sp.event_type) <= {"var"} and set(du.event_type) <= {"var"}
     assert sorted(sp.event_id) == sorted(du.event_id)
-    spark.catalog.dropTempView("events")
+    spark.catalog.dropTempView("zv_events")

@@ -265,9 +265,13 @@ def test_salted_pagerank_identical_and_two_stage(spark, sf_dir):
     recurrence."""
     from etl_service_spark.operators.graph import pagerank
     from etl_service_spark.operators.skew import SALT_COL
+    from etl_service_spark.plans.queries import views
 
+    views(spark, sf_dir)
     plain = {(r["node"], r["rank"]) for r in pagerank(spark, sf_dir).collect()}
-    salted_df = pagerank(spark, sf_dir, salted=True)
+    # materialize=False keeps the lazy plan so the salted agg stages
+    # are inspectable (the default checkpoints + unpersists the edges)
+    salted_df = pagerank(spark, sf_dir, salted=True, materialize=False)
     salted = {(r["node"], r["rank"]) for r in salted_df.collect()}
     assert salted == plain
 
