@@ -182,6 +182,22 @@ def staging_dir(spark) -> str:
     return spark.conf.get(STAGING_DIR_CONF, "") or ""
 
 
+def session_token(spark) -> str:
+    """Session-unique cache-key component for the staged-relation
+    memos. ``id(spark)`` is NOT safe: CPython recycles addresses, so a
+    new session allocated where a stopped one lived would alias the
+    old cache entries and return temp-view names that only existed in
+    the dead session. A uuid pinned on the session object dies with
+    it."""
+    import uuid as _uuid
+
+    tok = getattr(spark, "_etl_stage_token", None)
+    if tok is None:
+        tok = _uuid.uuid4().hex
+        spark._etl_stage_token = tok
+    return tok
+
+
 def lineage_key(df) -> tuple:
     """Cache-key component identifying a DataFrame's INPUT DATA for the
     staged-relation memos. For file-backed relations this is the sorted

@@ -508,8 +508,6 @@ SELECT doc_id, source, n_chars,
 FROM {view}
 WHERE {{draw}} * {cap} < least(n_chars, {cap}) * 1000000
 """
-    from ..functions import portable as P
-
     spark_draw = P.spark_poly_hash("concat('ws|', CAST(doc_id AS STRING))") + " % 1000000"
     duck_draw = P.duck_poly_hash("concat('ws|', CAST(doc_id AS VARCHAR))") + " % 1000000"
     return P.bi_sql(template, draw=(spark_draw, duck_draw))

@@ -192,18 +192,38 @@ WHERE CAST(c2 AS DOUBLE) / (nx + ny - c2) >= {tau}
 """
 
 
+def _tau_frac(tau: float, tau_frac: tuple[int, int] | None) -> tuple[int, int]:
+    """Integer (num, den) LOWER-BOUND fraction of ``tau`` for the
+    lossless PPJoin prefix/length filters. Derived from tau unless the
+    caller pins it — the filters were previously hardwired to 4/5, so
+    any tau < 0.8 silently dropped true pairs (e.g. |A|=3, |B|=4,
+    J=0.75 >= tau=0.7 failed the 4/5 length filter). The fraction must
+    never exceed tau or the filters stop being lossless, hence the
+    floor fallback."""
+    if tau_frac is not None:
+        return tau_frac
+    from fractions import Fraction
+
+    f = Fraction(tau).limit_denominator(1000)
+    if float(f) > tau:
+        f = Fraction(int(tau * 1000), 1000)
+    return (f.numerator, f.denominator)
+
+
 def ngram_jaccard_sql(
-    tau: float = 0.8, view: str = "documents", tau_frac: tuple[int, int] = (4, 5)
+    tau: float = 0.8, view: str = "documents",
+    tau_frac: tuple[int, int] | None = None,
 ) -> tuple[str, str]:
     """Single-statement form (the oracle; DuckDB materializes reused
     CTEs itself). The Spark execution path is :func:`ngram_jaccard_staged`."""
+    num, den = _tau_frac(tau, tau_frac)
     return P.bi_sql(
         _HASHSET_PROLOGUE + ",\n" + JACCARD_BODY,
         hs_rel="hs",
         tau=str(tau),
-        tau_num=str(tau_frac[0]),
-        tau_den=str(tau_frac[1]),
-        tau_den_m1=str(tau_frac[1] - 1),
+        tau_num=str(num),
+        tau_den=str(den),
+        tau_den_m1=str(den - 1),
         **_hashset_frags(view),
     )
 
@@ -239,7 +259,7 @@ def materialize_hashsets(spark: SparkSession, view: str = "documents") -> str:
     from pyspark.sql import functions as F
 
     src = spark.table(view)
-    key = (id(spark), view, P.lineage_key(src), P.staging_dir(spark))
+    key = (P.session_token(spark), view, P.lineage_key(src), P.staging_dir(spark))
     cached = _HASHSET_CACHE.get(key)
     if cached is not None:
         return cached
@@ -274,7 +294,7 @@ def materialize_prefix_postings(
     relation referenced by BOTH sides of the candidate self-join would
     otherwise re-run the explode + df-aggregate + per-doc window twice."""
     hs_rel = materialize_hashsets(spark, view)
-    key = (id(spark), view, tau_frac, hs_rel, P.staging_dir(spark))
+    key = (P.session_token(spark), view, tau_frac, hs_rel, P.staging_dir(spark))
     cached = _PEXP_CACHE.get(key)
     if cached is not None:
         return cached
@@ -297,11 +317,11 @@ def ngram_jaccard_staged(
     spark: SparkSession,
     tau: float = 0.8,
     view: str = "documents",
-    tau_frac: tuple[int, int] = (4, 5),
+    tau_frac: tuple[int, int] | None = None,
 ) -> DataFrame:
     hs_rel = materialize_hashsets(spark, view)
-    pexp = materialize_prefix_postings(spark, view, tau_frac)
-    num, den = tau_frac
+    num, den = _tau_frac(tau, tau_frac)
+    pexp = materialize_prefix_postings(spark, view, (num, den))
     return spark.sql(
         f"""
 WITH cand AS (
@@ -436,6 +456,12 @@ WHERE c2 * {den} >= nx * {num}
 # ALL of CTE references re-executes the whole signature subtree once
 # per band under Spark's CTE inlining.
 def _band_arr(k: int, bands: int) -> tuple[str, str]:
+    if k % bands != 0:
+        raise ValueError(
+            f"bands={bands} must divide the signature length k={k}: "
+            f"k // bands would silently drop {k % bands} minhash "
+            "component(s) and change the effective S-curve"
+        )
     rows = k // bands
     band_keys = ", ".join(
         "concat('{b}_', {cols})".format(
@@ -751,6 +777,26 @@ def incremental_dedup(
     return fresh.select("doc_id", "text_hash", "text")
 
 
+def _chunk_explode_sql(w: int, view: str) -> tuple[str, str]:
+    """(spark, duck) SQL for the (doc_id, chunk) explode — ONE builder
+    shared by the oracle and the staged path (a hand-copied twin would
+    silently diverge from the oracle-checked form). Tokenize ONCE in
+    an inner projection: the chunk builder references its token array
+    per chunk (slice + size + guard), and inlining the tokenizer would
+    re-split the document per chunk (same fix measured >10x on the
+    bigram sibling)."""
+    spark_ch = (
+        f"SELECT doc_id, chunk FROM "
+        f"(SELECT doc_id, {P.spark_tokens('text')} AS t FROM {view}) "
+        f"LATERAL VIEW explode({P.spark_chunks('t', w)}) x AS chunk"
+    )
+    duck_ch = (
+        f"SELECT doc_id, unnest({P.duck_chunks('t', w)}) AS chunk "
+        f"FROM (SELECT doc_id, {P.duck_tokens('text')} AS t FROM {view})"
+    )
+    return spark_ch, duck_ch
+
+
 def chunk_dedup_sql(w: int = 8, view: str = "documents") -> tuple[str, str]:
     """Cross-document exact-substring deduplication at w-token chunk
     granularity — the bounded-memory proxy for suffix-array ExactSubstr
@@ -767,19 +813,7 @@ def chunk_dedup_sql(w: int = 8, view: str = "documents") -> tuple[str, str]:
     pathological hot chunks are repeated *spans*, exactly the thing
     being measured); one per-doc re-aggregation. No all-pairs stage
     anywhere — cost is linear in corpus token mass at any scale."""
-    # tokenize ONCE in an inner projection — the chunk builder
-    # references its token array per chunk (slice + size + guard);
-    # inlining the tokenizer would re-split the document per chunk
-    # (same fix measured >10× on the bigram sibling).
-    spark_ch = (
-        f"SELECT doc_id, chunk FROM "
-        f"(SELECT doc_id, {P.spark_tokens('text')} AS t FROM {view}) "
-        f"LATERAL VIEW explode({P.spark_chunks('t', w)}) x AS chunk"
-    )
-    duck_ch = (
-        f"SELECT doc_id, unnest({P.duck_chunks('t', w)}) AS chunk "
-        f"FROM (SELECT doc_id, {P.duck_tokens('text')} AS t FROM {view})"
-    )
+    spark_ch, duck_ch = _chunk_explode_sql(w, view)
 
     def body(ch_sql: str, idiv: str) -> str:
         return f"""
@@ -813,15 +847,11 @@ def chunk_dedup_staged(spark: SparkSession, w: int = 8, view: str = "documents")
     from . import textops  # noqa: F401  (shared staging conventions)
 
     src = spark.table(view)
-    key = (id(spark), view, w, P.lineage_key(src), P.staging_dir(spark))
+    key = (P.session_token(spark), view, w, P.lineage_key(src), P.staging_dir(spark))
     name = _CHUNK_CACHE.get(key)
     if name is None:
         name = P.stage_name(f"chunks_{view}", key[1:])
-        ch_sql = (
-            f"SELECT doc_id, chunk FROM "
-            f"(SELECT doc_id, {P.spark_tokens('text')} AS t FROM {view}) "
-            f"LATERAL VIEW explode({P.spark_chunks('t', w)}) x AS chunk"
-        )
+        ch_sql = _chunk_explode_sql(w, view)[0]
         P.stage_df(P.fan_out(spark.sql(ch_sql)), name).createOrReplaceTempView(name)
         _CHUNK_CACHE[key] = name
     return spark.sql(
@@ -1205,7 +1235,7 @@ _BAND_STAGE_CACHE: dict[tuple, str] = {}
 
 def _stage_band_rel(spark: SparkSession, kind: str, params: tuple,
                     hs_rel: str, df) -> str:
-    key = (id(spark), kind, params, hs_rel, P.staging_dir(spark))
+    key = (P.session_token(spark), kind, params, hs_rel, P.staging_dir(spark))
     cached = _BAND_STAGE_CACHE.get(key)
     if cached is None:
         cached = P.stage_name(kind, key[1:])

@@ -214,7 +214,7 @@ def staged_pairs_view(spark: SparkSession, tau: float = 0.8) -> str:
     from ..functions import portable as P
 
     hs_rel = dedup.materialize_hashsets(spark)
-    key = (id(spark), tau, hs_rel, P.staging_dir(spark))
+    key = (P.session_token(spark), tau, hs_rel, P.staging_dir(spark))
     name = _PAIRS_CACHE.get(key)
     if name is None:
         name = P.stage_name("jaccard_pairs", key[1:])
@@ -233,7 +233,7 @@ def dup_clusters(spark: SparkSession, tau: float = 0.8) -> DataFrame:
     from ..functions import portable as P
 
     name = staged_pairs_view(spark, tau)
-    ckey = (id(spark), tau, name)
+    ckey = (P.session_token(spark), tau, name)
     cname = _CLUSTERS_CACHE.get(ckey)
     if cname is None:
         cname = P.stage_name("dup_clusters", ckey[1:])

@@ -71,9 +71,14 @@ def scrub_pii(df, text_col: str = "text", patterns: dict[str, str] | None = None
 
     Each pattern is replaced by ``<TYPE>`` (e.g. ``<EMAIL>``) via
     JVM-side regexp_replace — whole-stage codegen, no Python in the
-    loop — and per-type match counts ride along for audit. One
-    map-side projection: no shuffle, no second scan; at 100 TB this is
-    embarrassingly parallel over document partitions.
+    loop — and per-type match counts ride along for audit. Counts are
+    taken on the PROGRESSIVELY-masked text (the same sequence the
+    masking applies), so n_<type> counts exactly the spans masked as
+    <TYPE>: counting on the original would overstate a later pattern
+    wherever an earlier one already consumed the span (a phone number
+    inside an email local-part is masked as <EMAIL>, not <PHONE>).
+    One map-side projection: no shuffle, no second scan; at 100 TB
+    this is embarrassingly parallel over document partitions.
     """
     from pyspark.sql import functions as F
 
@@ -81,7 +86,7 @@ def scrub_pii(df, text_col: str = "text", patterns: dict[str, str] | None = None
     out = df
     masked = F.col(text_col)
     for name, pat in pats.items():
-        out = out.withColumn(f"n_{name}", F.regexp_count(F.col(text_col), F.lit(pat)))
+        out = out.withColumn(f"n_{name}", F.regexp_count(masked, F.lit(pat)))
         masked = F.regexp_replace(masked, pat, f"<{name.upper()}>")
     return out.withColumn("text_scrubbed", masked)
 

@@ -35,7 +35,7 @@ _STAGE_CACHE: dict[tuple, str] = {}
 
 def _stage_view(spark: SparkSession, df_fn, kind: str, view: str, params: tuple) -> str:
     key = (
-        id(spark), kind, params,
+        P.session_token(spark), kind, params,
         P.lineage_key(spark.table(view)), P.staging_dir(spark),
     )
     cached = _STAGE_CACHE.get(key)
@@ -47,6 +47,21 @@ def _stage_view(spark: SparkSession, df_fn, kind: str, view: str, params: tuple)
     return name
 
 DIM = 64
+
+
+def np_norms(m):
+    """Per-row vector norms via the LEFT-ASSOCIATED accumulation chain
+    — replays the SQL `_norm` op order exactly (each step correctly
+    rounded per IEEE 754, same sequence), so kernel cosines are
+    bit-identical to the oracle. Single definition: the kernels in
+    this file all broadcast against it (a diverging copy here would
+    silently break oracle parity)."""
+    import numpy as np
+
+    acc = m[:, 0] * m[:, 0]
+    for i in range(1, DIM):
+        acc = acc + m[:, i] * m[:, i]
+    return np.sqrt(acc)
 
 
 def _dot(a: str, b: str, *, one_based: bool) -> str:
@@ -144,11 +159,7 @@ def cosine_topk_staged(
     q_ids = np.array([t[0] for t in qrows], dtype=np.int64)
     q_m = np.array([t[1] for t in qrows], dtype=np.float64)
 
-    def _norms(m: "np.ndarray") -> "np.ndarray":
-        acc = m[:, 0] * m[:, 0]
-        for i in range(1, DIM):
-            acc = acc + m[:, i] * m[:, i]
-        return np.sqrt(acc)
+    _norms = np_norms
 
     q_nrm = _norms(q_m)
     bc = spark.sparkContext.broadcast((q_ids, q_m, q_nrm))
@@ -290,7 +301,7 @@ def embedding_neardup_pandas(
     if n_blocks is None:
         # scalar count only — no embedding rows leave the executors;
         # memoized per (session, view, files) like the staging views
-        ckey = (id(spark), "neardup_count", view, P.lineage_key(emb))
+        ckey = (P.session_token(spark), "neardup_count", view, P.lineage_key(emb))
         if ckey not in _STAGE_CACHE:
             _STAGE_CACHE[ckey] = str(emb.count())
         n = int(_STAGE_CACHE[ckey])
@@ -313,11 +324,7 @@ def embedding_neardup_pandas(
         "ba", "bb", "role", "vec_id", "embedding"
     )
 
-    def _norms(m: "np.ndarray") -> "np.ndarray":
-        acc = m[:, 0] * m[:, 0]
-        for i in range(1, DIM):
-            acc = acc + m[:, i] * m[:, i]
-        return np.sqrt(acc)
+    _norms = np_norms
 
     out_schema = StructType(
         [
@@ -476,11 +483,7 @@ def ivf_assignment_rel(
         c_ids = np.array([c[0] for c in cent], dtype=np.int64)
         c_m = np.array([c[1] for c in cent], dtype=np.float64)
 
-        def _norms(m):
-            acc = m[:, 0] * m[:, 0]
-            for i in range(1, DIM):
-                acc = acc + m[:, i] * m[:, i]
-            return np.sqrt(acc)
+        _norms = np_norms
 
         c_nrm = _norms(c_m)
         bc = spark.sparkContext.broadcast((c_ids, c_m, c_nrm))
@@ -753,29 +756,39 @@ def kmeans_sql(k: int = 4, iters: int = 2, view: str = "embeddings") -> tuple[st
     rows, always broadcast — then an argmin window per vector and a
     (centroid, dim) re-aggregation. The shuffles are all on vec_id or
     (j, dim); nothing ever materializes the O(N*k) pairs beyond the
-    map-side partial aggregate. Bounds: |v|<=0.6 → 6e3 units; squared
-    error sums stay < 1e18 up to ~20M rows per cluster."""
-    def body(elem: str, dims: str) -> str:
-        cte, cent, _assign = _kmeans_chain(elem, dims, k, iters, view)
+    map-side partial aggregate. The squared-error sums accumulate in
+    DECIMAL(38,0)/HUGEINT (the BIGINT summand overflows near ~3e4
+    members per cluster)."""
+    def body(elem: str, dims: str, big_t: str) -> str:
+        cte, cent, _assign = _kmeans_chain(elem, dims, k, iters, view, big_t)
         final = f"""
 SELECT j, MAX(n) AS n_members,
        CAST(SUM(s) AS BIGINT) AS s_total,
-       CAST(SUM(s * s) AS BIGINT) AS s_sq_total
+       CAST(SUM(CAST(s AS {big_t}) * s) AS BIGINT) AS s_sq_total
 FROM {cent}
 GROUP BY j"""
         return "WITH " + ",\n".join(cte) + final
 
-    return body(_KM_SPARK_ELEM, _KM_SPARK_DIMS), body(_KM_DUCK_ELEM, _KM_DUCK_DIMS)
+    return (
+        body(_KM_SPARK_ELEM, _KM_SPARK_DIMS, _KM_SPARK_BIG),
+        body(_KM_DUCK_ELEM, _KM_DUCK_DIMS, _KM_DUCK_BIG),
+    )
 
 
 _KM_SPARK_ELEM = "element_at(embedding, i + 1)"
 _KM_DUCK_ELEM = "embedding[i + 1]"
 _KM_SPARK_DIMS = "SELECT CAST(id AS INT) AS i FROM range(64)"
 _KM_DUCK_DIMS = "SELECT range AS i FROM range(64)"
+# wide integer type per engine for the distance numerator: the summand
+# (n*v - s)^2 reaches (1.2e4*n)^2, which passes 2^63 near n ~ 3e4
+# cluster members (64-dim sum) — far below real corpus sizes, so the
+# square accumulates in DECIMAL(38,0)/HUGEINT (exact, order-free).
+_KM_SPARK_BIG = "DECIMAL(38,0)"
+_KM_DUCK_BIG = "HUGEINT"
 
 
 def _kmeans_chain(
-    elem: str, dims: str, k: int, iters: int, view: str
+    elem: str, dims: str, k: int, iters: int, view: str, big_t: str
 ) -> tuple[list[str], str, str]:
     """The unrolled Lloyd's-iteration CTE chain shared by kmeans_sql and
     semantic_dedup_sql. Returns (cte_list, last_centroid_rel,
@@ -796,7 +809,7 @@ def _kmeans_chain(
     for it in range(1, iters + 1):
         cte.append(f"""d{it} AS (
   SELECT e.vec_id, c.j,
-         SUM((c.n * e.v - c.s) * (c.n * e.v - c.s)) AS dist_num,
+         SUM(CAST((c.n * e.v - c.s) AS {big_t}) * (c.n * e.v - c.s)) AS dist_num,
          MAX(c.n) AS n
   FROM e JOIN {prev} c ON e.dim = c.dim
   GROUP BY e.vec_id, c.j
@@ -844,8 +857,8 @@ def semantic_dedup_sql(
     stage, and nothing corpus-wide is ever quadratic. The fixed k here
     just keeps the sf-scale oracle exact."""
 
-    def body(elem: str, dims: str, one_based: bool) -> str:
-        cte, _cent, assign = _kmeans_chain(elem, dims, k, iters, view)
+    def body(elem: str, dims: str, one_based: bool, big_t: str) -> str:
+        cte, _cent, assign = _kmeans_chain(elem, dims, k, iters, view, big_t)
         dot = _dot("a.embedding", "b.embedding", one_based=one_based)
         nrm = _norm("embedding", one_based=one_based)
         cte.append(f"""n AS (
@@ -866,8 +879,8 @@ GROUP BY cluster, prune_id"""
         return "WITH " + ",\n".join(cte) + final
 
     return (
-        body(_KM_SPARK_ELEM, _KM_SPARK_DIMS, False),
-        body(_KM_DUCK_ELEM, _KM_DUCK_DIMS, True),
+        body(_KM_SPARK_ELEM, _KM_SPARK_DIMS, False, _KM_SPARK_BIG),
+        body(_KM_DUCK_ELEM, _KM_DUCK_DIMS, True, _KM_DUCK_BIG),
     )
 
 
@@ -900,7 +913,7 @@ def semantic_dedup_staged(
 
     def _assignment():
         cte, _cent, assign = _kmeans_chain(
-            _KM_SPARK_ELEM, _KM_SPARK_DIMS, k, iters, view
+            _KM_SPARK_ELEM, _KM_SPARK_DIMS, k, iters, view, _KM_SPARK_BIG
         )
         return spark.sql("WITH " + ",\n".join(cte) + f"\nSELECT vec_id, j FROM {assign}")
 
@@ -912,7 +925,7 @@ def semantic_dedup_staged(
 
     emb = spark.table(view).select("vec_id", "embedding")
     if n_blocks is None:
-        ckey = (id(spark), "neardup_count", view, P.lineage_key(emb))
+        ckey = (P.session_token(spark), "neardup_count", view, P.lineage_key(emb))
         if ckey not in _STAGE_CACHE:
             _STAGE_CACHE[ckey] = str(emb.count())
         n = int(_STAGE_CACHE[ckey])
@@ -933,11 +946,7 @@ def semantic_dedup_staged(
         .select("j", "ba", "bb", "role", "vec_id", "embedding")
     )
 
-    def _norms(m: "np.ndarray") -> "np.ndarray":
-        acc = m[:, 0] * m[:, 0]
-        for i in range(1, DIM):
-            acc = acc + m[:, i] * m[:, i]
-        return np.sqrt(acc)
+    _norms = np_norms
 
     pair_schema = StructType(
         [
@@ -1165,7 +1174,7 @@ def _pq_dist_staged(
     lookup table consume it, and Spark's CTE inlining would otherwise
     evaluate the 64-term distance chain twice over N×ncent×m rows."""
     src = spark.table(view)
-    key = (id(spark), view, m, ncent, P.lineage_key(src), P.staging_dir(spark))
+    key = (P.session_token(spark), view, m, ncent, P.lineage_key(src), P.staging_dir(spark))
     name = _PQ_DIST_CACHE.get(key)
     if name is None:
         name = P.stage_name("pq_dist", key[1:])
@@ -1320,8 +1329,8 @@ def centroid_outliers_sql(
     ``topn``. Output is k·topn rows.
     """
 
-    def body(elem: str, dims: str) -> str:
-        cte, _cent, assign = _kmeans_chain(elem, dims, k, iters, view)
+    def body(elem: str, dims: str, big_t: str) -> str:
+        cte, _cent, assign = _kmeans_chain(elem, dims, k, iters, view, big_t)
         d_last = f"d{iters}"
         final = f"""
 SELECT j, rk, vec_id, CAST(dist_num AS BIGINT) AS dist_num, n_members FROM (
@@ -1333,7 +1342,10 @@ SELECT j, rk, vec_id, CAST(dist_num AS BIGINT) AS dist_num, n_members FROM (
 ) r WHERE rk <= {topn}"""
         return "WITH " + ",\n".join(cte) + final
 
-    return body(_KM_SPARK_ELEM, _KM_SPARK_DIMS), body(_KM_DUCK_ELEM, _KM_DUCK_DIMS)
+    return (
+        body(_KM_SPARK_ELEM, _KM_SPARK_DIMS, _KM_SPARK_BIG),
+        body(_KM_DUCK_ELEM, _KM_DUCK_DIMS, _KM_DUCK_BIG),
+    )
 
 
 def hamming_knn_graph_staged(
@@ -1356,7 +1368,9 @@ def hamming_knn_graph_staged(
             f"{_sign_word_sql(1, one_based=False)} AS hi FROM {view}"
         )
 
-    rel = _stage_view(spark, build, "hamsig", view, (k,))
+    # the (vec_id, label, lo, hi) signature relation is independent of
+    # k — an empty params tuple lets k=3 and k=5 calls share one stage
+    rel = _stage_view(spark, build, "hamsig", view, ())
     return spark.sql(
         f"""
 WITH pairs AS (
@@ -1404,6 +1418,11 @@ def matryoshka_recall_sql(
         raise ValueError(f"dims must be in (0, {DIM}]: {dims}")
     # dedupe (and drop an explicit DIM — the truth set is always built)
     dims = tuple(dict.fromkeys(d for d in dims if d != DIM))
+    if not dims:
+        raise ValueError(
+            f"dims must contain at least one PREFIX dimension < {DIM}: "
+            "comparing the full dimension against itself is vacuous"
+        )
 
     def body(one_based: bool, idiv: str) -> str:
         off = 1 if one_based else 0

@@ -529,7 +529,7 @@ _TOKENS_CACHE: dict[tuple, str] = {}
 
 def materialize_tokens(spark, view: str = "documents") -> str:
     src = spark.table(view)
-    key = (id(spark), view, P.lineage_key(src), P.staging_dir(spark))
+    key = (P.session_token(spark), view, P.lineage_key(src), P.staging_dir(spark))
     cached = _TOKENS_CACHE.get(key)
     if cached is not None:
         return cached
@@ -855,7 +855,7 @@ def materialize_bigrams(spark, view: str = "documents") -> str:
     bigram-LM scorer and the PMI collocation miner, exactly like the
     token stage above. Returns the temp-view name."""
     src = spark.table(view)
-    key = (id(spark), view, P.lineage_key(src), P.staging_dir(spark))
+    key = (P.session_token(spark), view, P.lineage_key(src), P.staging_dir(spark))
     name = _BIGRAM_CACHE.get(key)
     if name is None:
         name = P.stage_name(f"bigrams_{view}", key[1:])
@@ -1464,7 +1464,7 @@ def bpe_merges_staged(spark, rounds: int = 3, view: str = "documents") -> DataFr
     single-statement SQL."""
     from pyspark.sql import functions as F
 
-    key = (id(spark), "bpe_w0", view, P.lineage_key(spark.table(view)),
+    key = (P.session_token(spark), "bpe_w0", view, P.lineage_key(spark.table(view)),
            P.staging_dir(spark))
     cached = _TOKENS_CACHE.get(key)
     if cached is None:
@@ -1666,7 +1666,7 @@ def materialize_gram_positions(spark, k: int = 4, view: str = "documents") -> st
     once per POSITION (O(n²) per doc — measured 15.9 s vs 0.7 s at
     sf0.1)."""
     src = spark.table(view)
-    key = (id(spark), "winnow_grams", k, view,
+    key = (P.session_token(spark), "winnow_grams", k, view,
            P.lineage_key(src), P.staging_dir(spark))
     cached = _TOKENS_CACHE.get(key)
     if cached is not None:
@@ -1782,7 +1782,7 @@ def materialize_token_positions(spark, view: str = "documents") -> str:
     SQL alternative (index explode + element_at) rebuilds the token
     array per position (the measured O(n²)/doc hazard)."""
     src = spark.table(view)
-    key = (id(spark), "tok_pos", view, P.lineage_key(src),
+    key = (P.session_token(spark), "tok_pos", view, P.lineage_key(src),
            P.staging_dir(spark))
     cached = _TOKENS_CACHE.get(key)
     if cached is not None:

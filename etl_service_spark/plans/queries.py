@@ -62,12 +62,12 @@ _JSONL_STAGE: dict[tuple, str] = {}
 
 
 def views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    key = (id(spark), sf_dir)
+    key = (P.session_token(spark), sf_dir)
     if key not in _VIEW_CACHE:
         _VIEW_CACHE[key] = register_views(spark, sf_dir)
-    elif _LAST_SF.get(id(spark)) != sf_dir:
+    elif _LAST_SF.get(P.session_token(spark)) != sf_dir:
         register_views(spark, sf_dir)
-    _LAST_SF[id(spark)] = sf_dir
+    _LAST_SF[P.session_token(spark)] = sf_dir
     return _VIEW_CACHE[key]
 
 
@@ -1964,7 +1964,7 @@ GROUP BY a.p_brand, b.p_brand
         # staged relation instead of re-running the lineitem⋈part join
         key = (
             "basket_ob",
-            id(spark),
+            P.session_token(spark),
             P.lineage_key(spark.table("lineitem")),
             P.staging_dir(spark),
         )
@@ -2537,7 +2537,7 @@ FROM ranked WHERE rk = 1
         from ..sources.connectors import Connection, reader_for
 
         views(spark, sf_dir)
-        key = ("jsonl_roundtrip", id(spark), sf_dir)
+        key = ("jsonl_roundtrip", P.session_token(spark), sf_dir)
         path = _JSONL_STAGE.get(key)
         if path is None:
             path = tempfile.mkdtemp(prefix="etl_jsonl_")
@@ -2571,7 +2571,7 @@ FROM ranked WHERE rk = 1
         import tempfile
 
         views(spark, sf_dir)
-        key = ("orc_roundtrip", id(spark), sf_dir)
+        key = ("orc_roundtrip", P.session_token(spark), sf_dir)
         path = _JSONL_STAGE.get(key)
         if path is None:
             path = tempfile.mkdtemp(prefix="etl_orc_")
@@ -2604,7 +2604,7 @@ FROM ranked WHERE rk = 1
         from ..sources import snapshots as S
 
         views(spark, sf_dir)
-        key = ("snap_table", id(spark), sf_dir)
+        key = ("snap_table", P.session_token(spark), sf_dir)
         path = _JSONL_STAGE.get(key)
         if path is None:
             path = tempfile.mkdtemp(prefix="etl_snap_")
@@ -3081,9 +3081,10 @@ FROM documents
     # phone + IPv4 derived from doc_id, appended in SQL) and then runs
     # the JVM scrubber (profile.scrub_pii — regexp chain, one map-side
     # projection, no shuffle). The oracle replays the injection and the
-    # same pattern chain with DuckDB's RE2 ('g' flag; counts from the
-    # ORIGINAL text like the Spark op). Patterns are the RE2-safe
-    # subset by design (profile.PII_PATTERNS).
+    # same pattern chain with DuckDB's RE2 ('g' flag; counts on the
+    # PROGRESSIVELY-masked text like the Spark op, so each n_<type>
+    # counts exactly the spans masked as <TYPE>). Patterns are the
+    # RE2-safe subset by design (profile.PII_PATTERNS).
     def _scrub_inject(cast_str: str) -> str:
         return (
             "concat(text, ' contact user', CAST(doc_id AS " + cast_str + "), "
@@ -3106,19 +3107,18 @@ FROM documents
         )
 
     _pii = profile.PII_PATTERNS
+    _m1 = f"regexp_replace(text, '{_pii['email']}', '<EMAIL>', 'g')"
+    _m2 = f"regexp_replace({_m1}, '{_pii['phone']}', '<PHONE>', 'g')"
+    _m3 = f"regexp_replace({_m2}, '{_pii['ipv4']}', '<IPV4>', 'g')"
     _SCRUB_ORACLE = f"""
 WITH inj AS (
   SELECT doc_id, {_scrub_inject('VARCHAR')} AS text FROM documents
 )
 SELECT doc_id,
        CAST(len(regexp_extract_all(text, '{_pii["email"]}')) AS BIGINT) AS n_email,
-       CAST(len(regexp_extract_all(text, '{_pii["phone"]}')) AS BIGINT) AS n_phone,
-       CAST(len(regexp_extract_all(text, '{_pii["ipv4"]}')) AS BIGINT) AS n_ipv4,
-       regexp_replace(
-         regexp_replace(
-           regexp_replace(text, '{_pii["email"]}', '<EMAIL>', 'g'),
-           '{_pii["phone"]}', '<PHONE>', 'g'),
-         '{_pii["ipv4"]}', '<IPV4>', 'g') AS text_scrubbed
+       CAST(len(regexp_extract_all({_m1}, '{_pii["phone"]}')) AS BIGINT) AS n_phone,
+       CAST(len(regexp_extract_all({_m2}, '{_pii["ipv4"]}')) AS BIGINT) AS n_ipv4,
+       {_m3} AS text_scrubbed
 FROM inj
 """
     cases["privacy_scrub_pii"] = Case(_q_scrub_pii, _SCRUB_ORACLE)
@@ -3414,7 +3414,7 @@ FROM sh GROUP BY shard
         import os
 
         views(spark, sf_dir)
-        key = ("binaryfile", id(spark), sf_dir)
+        key = ("binaryfile", P.session_token(spark), sf_dir)
         path = _JSONL_STAGE.get(key)
         if path is None:
             import tempfile
@@ -3466,7 +3466,7 @@ FROM documents WHERE text IS NOT NULL
         from ..sources.pydatasource import JsonLinesDataSource
 
         views(spark, sf_dir)
-        key = ("pyds_jsonl", id(spark), sf_dir)
+        key = ("pyds_jsonl", P.session_token(spark), sf_dir)
         path = _JSONL_STAGE.get(key)
         if path is None:
             path = tempfile.mkdtemp(prefix="etl_pyds_")
@@ -3666,7 +3666,7 @@ GROUP BY {daydiff}
         import tempfile
 
         views(spark, sf_dir)
-        key = ("schema_evo", id(spark), sf_dir)
+        key = ("schema_evo", P.session_token(spark), sf_dir)
         path = _JSONL_STAGE.get(key)
         if path is None:
             path = tempfile.mkdtemp(prefix="etl_schemaevo_")
@@ -3710,7 +3710,7 @@ FROM documents GROUP BY lang
         from ..sources import snapshots as S
 
         views(spark, sf_dir)
-        key = ("merge_upsert", id(spark), sf_dir)
+        key = ("merge_upsert", P.session_token(spark), sf_dir)
         path = _JSONL_STAGE.get(key)
         if path is None:
             path = tempfile.mkdtemp(prefix="etl_merge_")

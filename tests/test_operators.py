@@ -1186,3 +1186,29 @@ def test_zscore_zero_variance_group_no_crash_no_outliers(spark):
     assert set(sp.event_type) <= {"var"} and set(du.event_type) <= {"var"}
     assert sorted(sp.event_id) == sorted(du.event_id)
     spark.catalog.dropTempView("zv_events")
+
+
+def test_ngram_jaccard_lower_tau_keeps_sub08_pairs(spark, sf_dir):
+    """Regression: the PPJoin prefix/length filters were hardwired to
+    4/5, so tau < 0.8 silently dropped pairs with 0.7 <= J < 0.8. The
+    filters now derive a lossless lower-bound fraction from tau: every
+    pair the tau=0.7 run reports must satisfy J >= 0.7, the tau=0.8
+    pairs must be a subset, and both engines must agree at tau=0.7."""
+    import duckdb
+
+    from etl_service_spark.operators import dedup
+    from etl_service_spark.plans.queries import views
+
+    from .harness import compare, duck_connect
+
+    views(spark, sf_dir)
+    lo = dedup.ngram_jaccard_staged(spark, tau=0.7).toPandas()
+    hi = dedup.ngram_jaccard_staged(spark, tau=0.8).toPandas()
+    assert (lo.jaccard >= 0.7).all()
+    lo_pairs = set(zip(lo.doc_a, lo.doc_b))
+    hi_pairs = set(zip(hi.doc_a, hi.doc_b))
+    assert hi_pairs <= lo_pairs
+    con = duck_connect(sf_dir)
+    du = con.execute(dedup.ngram_jaccard_sql(tau=0.7)[1]).fetchdf()
+    con.close()
+    assert not compare(lo, du), "tau=0.7 engines disagree"
