@@ -288,9 +288,53 @@ FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
 """
 
 
+# (session token, input lineage) -> (persisted contrib_src, persisted
+# nodes, node count). The SAME memoized-staging discipline as every
+# staged relation: exactly ONE pinned copy of the edge relation per
+# (session, data), shared by the plain and salted variants — per-call
+# persist + unpersist was measured to forfeit the cross-call cache
+# reuse (salted-after-plain 2.2 s vs 6.2 s at sf0.1), while never
+# unpersisting accumulated one pinned copy per call.
+_PR_EDGE_CACHE: dict[tuple, tuple] = {}
+
+
+def _pagerank_edges(spark: SparkSession) -> tuple:
+    from ..functions import portable as P
+
+    pairs = spark.sql(PR_PAIRS_SQL)
+    key = (P.session_token(spark), P.lineage_key(pairs))
+    hit = _PR_EDGE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    # customer and (offset) supplier ids live in disjoint ranges, so the
+    # symmetric union of an already-DISTINCT pair set cannot contain
+    # duplicates — no second distinct (saves a full shuffle+dedup over
+    # the doubled edge list). Out-degrees come from two SMALL aggregates
+    # over the single-direction pair list (each output is one row per
+    # node — broadcast back onto the pairs), so the only full-volume
+    # exchanges are the pairs distinct and the final repartition(a);
+    # profiled ~30% cheaper than a window COUNT over the doubled list,
+    # which shuffles AND sorts 2x the edge mass.
+    dega = pairs.groupBy("a").agg(F.count("*").alias("outdeg"))
+    degb = pairs.groupBy("b").agg(F.count("*").alias("outdeg"))
+    fwd = pairs.join(F.broadcast(dega), "a").select("a", "b", "outdeg")
+    rev = (
+        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        .join(F.broadcast(degb.withColumnRenamed("b", "a")), "a")
+        .select("a", "b", "outdeg")
+    )
+    contrib_src = fwd.union(rev).repartition("a").persist()
+    # distinct node set computed ONCE (it feeds both the teleport
+    # denominator and the rank init); contrib_src is hash-partitioned
+    # on a, so this distinct reuses the exchange
+    nodes = contrib_src.select("a").distinct().persist()
+    hit = (contrib_src, nodes, nodes.count())
+    _PR_EDGE_CACHE[key] = hit
+    return hit
+
+
 def pagerank(
-    spark: SparkSession, sf_dir: str, salted: bool = False, n_salts: int = 16,
-    materialize: bool = True,
+    spark: SparkSession, sf_dir: str, salted: bool = False, n_salts: int = 16
 ) -> DataFrame:
     """Five damped PageRank iterations on the customer-supplier graph.
 
@@ -314,30 +358,7 @@ def pagerank(
     persisted relation is the edge staging table, bucketed by node.
     Parity with /root/reference: no graph ops exist there — this is
     part of the training-data plane (web-graph quality weighting)."""
-    pairs = spark.sql(PR_PAIRS_SQL)
-    # customer and (offset) supplier ids live in disjoint ranges, so the
-    # symmetric union of an already-DISTINCT pair set cannot contain
-    # duplicates — no second distinct (saves a full shuffle+dedup over
-    # the doubled edge list). Out-degrees come from two SMALL aggregates
-    # over the single-direction pair list (each output is one row per
-    # node — broadcast back onto the pairs), so the only full-volume
-    # exchanges are the pairs distinct and the final repartition(a);
-    # profiled ~30% cheaper than a window COUNT over the doubled list,
-    # which shuffles AND sorts 2x the edge mass.
-    dega = pairs.groupBy("a").agg(F.count("*").alias("outdeg"))
-    degb = pairs.groupBy("b").agg(F.count("*").alias("outdeg"))
-    fwd = pairs.join(F.broadcast(dega), "a").select("a", "b", "outdeg")
-    rev = (
-        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
-        .join(F.broadcast(degb.withColumnRenamed("b", "a")), "a")
-        .select("a", "b", "outdeg")
-    )
-    contrib_src = fwd.union(rev).repartition("a").persist()
-    # distinct node set computed ONCE (it feeds both the teleport
-    # denominator and the rank init); contrib_src is hash-partitioned
-    # on a, so this distinct reuses the exchange
-    nodes = contrib_src.select("a").distinct().persist()
-    n = nodes.count()
+    contrib_src, nodes, n = _pagerank_edges(spark)
     teleport = (PR_SCALE * (PR_DAMP_DEN - PR_DAMP_NUM) // PR_DAMP_DEN) // n
 
     ranks = nodes.select(F.col("a").alias("node")).withColumn(
@@ -376,16 +397,6 @@ def pagerank(
         # materialization barriers is a ~3x wall-clock win. An unbounded /
         # convergence-tested loop (see connected_components) is the case
         # that needs per-round truncation.
-    # ONE final materialization lets the cached edge relation be
-    # released immediately — without it every pagerank call would pin
-    # executor storage for the session's lifetime (the caller pays the
-    # same single evaluation either way). materialize=False keeps the
-    # lazy plan (plan-shape tests inspect the salted agg stages) at the
-    # cost of the pinned cache.
-    if materialize:
-        ranks = ranks.localCheckpoint(eager=True)
-        contrib_src.unpersist()
-        nodes.unpersist()
     return ranks
 
 

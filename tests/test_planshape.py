@@ -269,9 +269,7 @@ def test_salted_pagerank_identical_and_two_stage(spark, sf_dir):
 
     views(spark, sf_dir)
     plain = {(r["node"], r["rank"]) for r in pagerank(spark, sf_dir).collect()}
-    # materialize=False keeps the lazy plan so the salted agg stages
-    # are inspectable (the default checkpoints + unpersists the edges)
-    salted_df = pagerank(spark, sf_dir, salted=True, materialize=False)
+    salted_df = pagerank(spark, sf_dir, salted=True)
     salted = {(r["node"], r["rank"]) for r in salted_df.collect()}
     assert salted == plain
 
