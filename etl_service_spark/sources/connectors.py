@@ -32,6 +32,7 @@ literal passwords, mirroring the reference's config-DB indirection.
 from __future__ import annotations
 
 import os
+import re
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, DataFrameReader, SparkSession
@@ -146,7 +147,12 @@ def jdbc_options(conn: Connection, query_or_table: str) -> dict[str, str]:
         "fetchsize": str(conn.fetch_size),
     }
     text = query_or_table.strip()
-    if text.lower().startswith("select"):
+    # query detection must cover every SQL query form, not just
+    # SELECT-prefixed text: CTEs ('WITH ... SELECT'), parenthesized
+    # queries, and comment-prefixed SQL would otherwise be treated as
+    # table names and schema-prefixed into invalid dbtable text
+    head = re.sub(r"^(\s*(--[^\n]*\n|/\*.*?\*/))*", "", text, flags=re.S).lstrip()
+    if head[:1] == "(" or head.lower().startswith(("select", "with")):
         opts["dbtable"] = f"({text}) src"
     else:
         opts["dbtable"] = f"{conn.schema}.{text}" if conn.schema else text

@@ -187,12 +187,23 @@ def read_snapshot(
     return spark.read.parquet(*paths)
 
 
-def expire_snapshots(table_dir: str, keep_last: int = 1) -> dict:
+def expire_snapshots(
+    table_dir: str, keep_last: int = 1, orphan_grace_s: int = 3600
+) -> dict:
     """Reclaim space: drop all but the newest ``keep_last`` manifests,
     then delete every data file no surviving manifest references —
     including orphans from crashed writers. Deletion order is
     manifests-first so a crash mid-expire can only strand extra data
-    files (re-run finishes), never break a surviving version."""
+    files (re-run finishes), never break a surviving version.
+
+    ``orphan_grace_s``: an unreferenced file younger than this is
+    KEPT — it may belong to a concurrent writer that has staged its
+    data but not yet linked its manifest (the commit protocol's
+    stage-then-publish window); deleting it would corrupt that
+    writer's commit. An hour dwarfs any real stage-to-publish gap;
+    pass 0 only when no writer can be in flight."""
+    import time
+
     versions = list_versions(table_dir)
     keep = versions[-keep_last:] if keep_last > 0 else []
     referenced: set[str] = set()
@@ -202,14 +213,20 @@ def expire_snapshots(table_dir: str, keep_last: int = 1) -> dict:
     for v in dropped_manifests:
         os.remove(_manifest_path(table_dir, v))
     dropped_files = 0
+    now = time.time()
     data_root = os.path.join(table_dir, "data")
     if os.path.isdir(data_root):
         for stage in sorted(os.listdir(data_root)):
             stage_dir = os.path.join(data_root, stage)
             for f in sorted(os.listdir(stage_dir)):
                 rel = os.path.join("data", stage, f)
-                if rel not in referenced and f.endswith(".parquet"):
-                    os.remove(os.path.join(stage_dir, f))
+                path = os.path.join(stage_dir, f)
+                if (
+                    rel not in referenced
+                    and f.endswith(".parquet")
+                    and now - os.path.getmtime(path) >= orphan_grace_s
+                ):
+                    os.remove(path)
                     dropped_files += 1
             if not any(f.endswith(".parquet") for f in os.listdir(stage_dir)):
                 shutil.rmtree(stage_dir)
@@ -327,7 +344,13 @@ def merge_upsert(
     untouched = [f for f in all_files if f not in touched]
 
     if delete_col is not None:
-        keep = source.filter(~F.col(delete_col)).drop(delete_col)
+        # NULL flag = NOT a delete (Delta semantics: the delete
+        # condition must evaluate TRUE) — a bare ~col(flag) filter
+        # would drop NULL-flagged rows from 'keep' while the anti-join
+        # still removes their targets: silent row loss
+        keep = source.filter(
+            ~F.coalesce(F.col(delete_col), F.lit(False))
+        ).drop(delete_col)
     else:
         keep = source
     if touched:

@@ -101,8 +101,14 @@ def read_xlsx_rows(path: str) -> list[list]:
     rows: list[list] = []
     for row in sheet.iter(f"{_MAIN_NS}row"):
         vals: list = []
+        prev_idx = -1
         for c in row.findall(f"{_MAIN_NS}c"):
-            idx = _col_index(c.get("r", ""))
+            ref = c.get("r")
+            # c/@r is OPTIONAL in OOXML: r-less cells are positionally
+            # sequential after the previous cell — falling back to
+            # column 'A' would make every such cell overwrite column 0
+            idx = _col_index(ref) if ref else prev_idx + 1
+            prev_idx = idx
             while len(vals) <= idx:
                 vals.append(None)
             vals[idx] = _cell_value(c, shared)

@@ -107,14 +107,22 @@ def curate_batch(
         .withColumn("split", F.expr(SPLIT_EXPR))
     )
     curated.write.mode("append").partitionBy("split").parquet(out_dir)
-    # curated rows are durable — now record the batch's fingerprints
-    # (ALL fresh docs, including quality-rejected and benchmark-
-    # contaminated ones: dedup state tracks seen text, not kept text)
-    fresh.select("text_hash", "doc_id").write.mode("append").parquet(fingerprint_dir)
     if band_keys is not None:
         # ALL fresh docs' band keys (seen, not kept) — near-dups of a
-        # suppressed doc must stay suppressed in future batches
+        # suppressed doc must stay suppressed in future batches. This
+        # append comes BEFORE the fingerprint append: fingerprints are
+        # the replay gate (a replayed batch anti-joins to empty), so
+        # anything written after them is never re-derived on replay —
+        # a crash in that window would lose the band keys forever.
+        # Writes before the gate are merely redone on replay, and both
+        # the curated reader (dropDuplicates on doc_id) and the
+        # band-key state (a membership set) absorb duplicates.
         band_keys.write.mode("append").parquet(neardup_state_dir)
+    # curated rows + near-dup state are durable — now record the
+    # batch's fingerprints (ALL fresh docs, including quality-rejected
+    # and benchmark-contaminated ones: dedup state tracks seen text,
+    # not kept text)
+    fresh.select("text_hash", "doc_id").write.mode("append").parquet(fingerprint_dir)
 
 
 def run_corpus_curation(

@@ -61,8 +61,28 @@ def merge_batch_into_history(
     batch_ts: str,
 ) -> int:
     """One micro-batch: latest snapshot (or bootstrap) → scd2_merge →
-    commit_overwrite. Returns the committed version."""
+    commit_overwrite. Returns the committed version.
+
+    Precondition (scd2_merge's contract, enforced here because
+    Trigger.AvailableNow can coalesce several landing drops into ONE
+    micro-batch): at most one update row per key. Duplicate keys would
+    fan out through the merge's full-outer join — two closed copies of
+    the prior row and two open rows — and corrupt the history for
+    every later batch. There is no order column to reduce by, so this
+    fails loudly instead of picking an arbitrary winner; callers with
+    multi-version batches should reduce first (merge_stream's
+    latest_per_key is the keyed-stream equivalent)."""
+    from pyspark.sql import functions as F
+
     spark = batch_df.sparkSession
+    dup = (
+        batch_df.groupBy(key).count().filter(F.col("count") > 1).limit(1).collect()
+    )
+    if dup:
+        raise ValueError(
+            f"scd2 micro-batch has multiple rows for {key}={dup[0][0]!r}; "
+            "reduce the batch to one update per key first"
+        )
     if snapshots.list_versions(table_dir):
         current = snapshots.read_snapshot(spark, table_dir)
     else:

@@ -41,12 +41,16 @@ from ..sources import snapshots
 
 
 def latest_per_key(batch_df: DataFrame, key: str, order_col: str) -> DataFrame:
-    """Reduce a micro-batch to its newest row per key (order_col DESC,
-    then the key itself — total order, so replays pick identical
-    winners). One window over the batch — batch-sized, not
-    table-sized."""
+    """Reduce a micro-batch to its newest row per key. The tie-break
+    on equal order_col values is a deterministic hash of the FULL ROW
+    — the partition key itself is constant within its window partition
+    and would leave the winner to partition order, so a crash-and-
+    replay could commit a value-different version. With the row hash,
+    replays of the same batch contents pick identical winners. One
+    window over the batch — batch-sized, not table-sized."""
     w = Window.partitionBy(key).orderBy(
-        F.col(order_col).desc(), F.col(key)
+        F.col(order_col).desc(),
+        F.xxhash64(F.struct(*[F.col(c) for c in batch_df.columns])),
     )
     return (
         batch_df.withColumn("__rn", F.row_number().over(w))
@@ -71,9 +75,12 @@ def merge_batch(
     if not latest.take(1):
         return None
     for attempt in range(max_retries + 1):
-        if not snapshots.list_versions(table_dir):
-            return snapshots.commit_append(latest, table_dir)
         try:
+            # bootstrap is inside the retry too: two writers racing an
+            # EMPTY table both see no versions, and the loser's append
+            # must re-read and merge, not kill the stream
+            if not snapshots.list_versions(table_dir):
+                return snapshots.commit_append(latest, table_dir)
             return snapshots.merge_upsert(spark, table_dir, latest, key)
         except snapshots.ConcurrentCommitError:
             if attempt == max_retries:

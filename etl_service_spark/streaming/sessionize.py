@@ -66,6 +66,32 @@ def _sessionize_group(
     ts_all = sorted(
         int(t) for pdf in pdfs for t in pdf["ts_us"].to_numpy()
     )
+    # Late-but-within-watermark events EARLIER than the open session
+    # must not be absorbed into it (the gap rule is symmetric: an event
+    # more than one gap BEFORE session_start belongs to a different,
+    # earlier session — the batch twin would emit it separately).
+    # Early events are sessionized among themselves; the last early
+    # session chains into the open one only if it reaches within one
+    # gap of its start. Bounded-state caveat: an early session closed
+    # here cannot merge with even-later stragglers from future batches
+    # (the state holds one open session per user).
+    if s is not None:
+        early = [t for t in ts_all if t < s - SESSION_GAP_US]
+        ts_all = ts_all[len(early):]
+        en, es, ee = 0, None, None
+        for t in early:
+            if es is None:
+                en, es, ee = 1, t, t
+            elif t - ee > SESSION_GAP_US:
+                closed.append((user_id, en, es, ee))
+                en, es, ee = 1, t, t
+            else:
+                en, ee = en + 1, max(ee, t)
+        if es is not None:
+            if s - ee <= SESSION_GAP_US:  # chains into the open session
+                n, s = n + en, es
+            else:
+                closed.append((user_id, en, es, ee))
     for t in ts_all:
         if s is None:
             n, s, e = 1, t, t
@@ -73,7 +99,9 @@ def _sessionize_group(
             closed.append((user_id, n, s, e))
             n, s, e = 1, t, t
         else:
-            n, e = n + 1, max(e, t)
+            # within one gap of the session span; a t in [s-gap, s)
+            # extends the START (batch-twin semantics), not the end
+            n, s, e = n + 1, min(s, t), max(e, t)
     if s is not None:
         state.update((n, s, e))
         # close the session once no event arrives for one gap

@@ -173,10 +173,24 @@ def run_cms_rollup(events: DataFrame, checkpoint_dir: str, table_dir: str) -> No
 def read_cms_grid(spark: SparkSession, table_dir: str) -> DataFrame:
     """Compact the append-only grid log into the current sketch:
     dedup replayed batch cells (identical rows — any survivor is
-    correct), then cell-wise SUM across batches."""
+    correct), then cell-wise SUM across batches. Raw batches already
+    FOLDED by a compaction are dropped: a compacted grid encodes the
+    highest batch_id it merged as -(folded_thru + 1), and a raw batch
+    <= folded_thru can only be a post-compaction replay of a batch the
+    fold already counted (the stream crashed between its grid append
+    and its checkpoint commit, then maintenance compacted) — summing
+    it again would double-count exactly that batch."""
+    raw = spark.read.parquet(table_dir)
+    folded = (
+        raw.filter("batch_id < 0")
+        .selectExpr("max(-batch_id - 1) AS m")
+        .collect()[0]
+        .m
+    )
+    if folded is not None:
+        raw = raw.filter((F.col("batch_id") < 0) | (F.col("batch_id") > folded))
     return (
-        spark.read.parquet(table_dir)
-        .dropDuplicates(["batch_id", "d", "bucket"])
+        raw.dropDuplicates(["batch_id", "d", "bucket"])
         .groupBy("d", "bucket")
         .agg(F.sum("cnt").alias("cnt"))
     )
@@ -184,19 +198,25 @@ def read_cms_grid(spark: SparkSession, table_dir: str) -> DataFrame:
 
 def compact_cms_log(spark: SparkSession, table_dir: str) -> dict:
     """Rewrite the append-only CMS grid log as ONE SUM-merged grid
-    under a single synthetic batch_id — the maintenance step the
-    rollup's docstring defers to. The merged grid is what read_cms_grid
-    would compute anyway (dedup per batch then cell-wise SUM), so the
-    compaction changes bytes, never estimates. The swap protocol and
+    under a synthetic batch_id that ENCODES the fold boundary:
+    -(highest merged batch_id + 1). The merged grid is what
+    read_cms_grid would compute anyway (dedup per batch then cell-wise
+    SUM), so the compaction changes bytes, never estimates — and the
+    encoded boundary lets the reader reject a replayed batch that the
+    fold already absorbed (see read_cms_grid). The swap protocol and
     its crash-window analysis live in copy.compact_state_log."""
     from ..operators.copy import compact_state_log
 
     def merge(raw: DataFrame) -> DataFrame:
+        folded = raw.selectExpr(
+            "max(CASE WHEN batch_id >= 0 THEN batch_id"
+            "    ELSE -batch_id - 1 END) AS m"
+        ).collect()[0].m
         return (
             raw.dropDuplicates(["batch_id", "d", "bucket"])
             .groupBy("d", "bucket")
             .agg(F.sum("cnt").alias("cnt"))
-            .withColumn("batch_id", F.lit(-1))
+            .withColumn("batch_id", F.lit(-(int(folded) + 1)))
             .select("batch_id", "d", "bucket", "cnt")
         )
 

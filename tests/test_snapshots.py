@@ -61,7 +61,9 @@ def test_expire_reclaims_unreferenced_files_only(spark, table):
     # orphan from a crashed writer — must be swept too
     df = spark.createDataFrame([(99, 990)], "id bigint, v bigint")
     S._stage_data_files(df, d)
-    stats = S.expire_snapshots(d, keep_last=1)
+    # default grace would keep the seconds-old orphan (in-flight-writer
+    # protection); grace 0 asserts the sweep itself
+    stats = S.expire_snapshots(d, keep_last=1, orphan_grace_s=0)
     assert stats["dropped_manifests"] == [1, 2]
     assert stats["kept_versions"] == [3]
     assert stats["dropped_files"] > 0
@@ -125,7 +127,7 @@ def test_snapshot_layer_matches_model(spark, tmp_path_factory, ops):
         else:  # expire keep_last=arg
             if not model:
                 continue
-            S.expire_snapshots(d, keep_last=arg)
+            S.expire_snapshots(d, keep_last=arg, orphan_grace_s=0)
             keep = sorted(model)[-arg:]
             model = {v: model[v] for v in keep}
     assert S.list_versions(d) == sorted(model)
@@ -349,3 +351,18 @@ def test_clustering_report_and_recluster_restore_pruning(spark, tmp_path):
     )
     v_after = set(S._read_manifest(d, res["version"] + 1)["files"])
     assert len(v_before & v_after) == 3
+
+
+def test_expire_grace_protects_inflight_staged_files(spark, table):
+    """An unreferenced data file younger than the grace period is NOT
+    swept — it may be a concurrent writer's staged-but-unpublished
+    commit; deleting it would corrupt that writer's publish."""
+    d, commit = table
+    commit([1])
+    df = spark.createDataFrame([(99, 990)], "id bigint, v bigint")
+    files, _ = S._stage_data_files(df, d)  # in-flight writer's stage
+    stats = S.expire_snapshots(d, keep_last=1)  # default grace
+    assert stats["dropped_files"] == 0
+    import os
+
+    assert all(os.path.exists(os.path.join(d, f)) for f in files)

@@ -1131,3 +1131,106 @@ def test_merge_stream_replay_is_idempotent(spark, tmp_path):
     drain("ck2")  # replay: fresh checkpoint, same files
     after = {tuple(r) for r in snapshots.read_snapshot(spark, table).collect()}
     assert after == before
+
+
+class _FakeState:
+    def __init__(self, value=None):
+        self._v = value
+        self.hasTimedOut = False
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+
+    def setTimeoutTimestamp(self, ts):
+        self.timeout = ts
+
+    def remove(self):
+        self._v = None
+
+
+def test_sessionize_kernel_does_not_absorb_pre_session_late_events():
+    """Regression: an event more than one gap BEFORE the open session's
+    start belongs to an earlier session (the batch twin emits it
+    separately); the old kernel absorbed it silently (t - end < gap)
+    and inflated n_events with an unchanged start. Chaining: a late
+    run reaching within one gap of the open start merges and extends
+    the start instead."""
+    import pandas as pd
+
+    from etl_service_spark.streaming.sessionize import (
+        SESSION_GAP_US,
+        _sessionize_group,
+    )
+
+    gap = SESSION_GAP_US
+    # open session [100*gap, 100*gap + gap//2]
+    st = _FakeState((5, 100 * gap, 100 * gap + gap // 2))
+    # one event 3 gaps before the session start -> separate session
+    [out] = list(
+        _sessionize_group((7,), iter([pd.DataFrame({"ts_us": [97 * gap]})]), st)
+    )
+    assert len(out) == 1
+    assert tuple(out.iloc[0]) == (7, 1, 97 * gap, 97 * gap)
+    assert st.get == (5, 100 * gap, 100 * gap + gap // 2)  # open session intact
+
+    # a late run that chains to within one gap of the start MERGES
+    st2 = _FakeState((5, 100 * gap, 100 * gap + gap // 2))
+    ts = [99 * gap + gap // 2, 99 * gap + gap - 1]  # ends gap-close to start
+    [out2] = list(
+        _sessionize_group((7,), iter([pd.DataFrame({"ts_us": ts})]), st2)
+    )
+    assert len(out2) == 0  # nothing closed: merged into the open session
+    n, s, e = st2.get
+    assert n == 7 and s == ts[0] and e == 100 * gap + gap // 2
+
+
+def test_cms_compaction_rejects_replay_of_folded_batch(spark, tmp_path):
+    """Regression: the stream crashes between batch N's grid append and
+    its checkpoint commit; maintenance compacts; the stream replays
+    batch N and appends it again. The reader must reject the replayed
+    raw batch (the fold already counted it) — counts must not double."""
+    from etl_service_spark.streaming.sketch_stream import (
+        cms_grid,
+        compact_cms_log,
+        read_cms_grid,
+    )
+
+    d = str(tmp_path / "cms")
+    ev = spark.createDataFrame([(i % 7, 1) for i in range(100)], "user_id bigint, x bigint")
+
+    def append(batch_id):
+        cms_grid(ev).withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(d)
+
+    append(0)
+    append(1)  # batch 1 appended; checkpoint never committed
+    before = {(r.d, r.bucket): r.cnt for r in read_cms_grid(spark, d).collect()}
+    compact_cms_log(spark, d)
+    append(1)  # post-compaction replay of batch 1
+    after = {(r.d, r.bucket): r.cnt for r in read_cms_grid(spark, d).collect()}
+    assert after == before  # replay absorbed, nothing double-counted
+    append(2)  # genuinely new batch still counts
+    final = read_cms_grid(spark, d)
+    assert {(r.d, r.bucket): r.cnt for r in final.collect()} != before
+
+
+def test_scd2_stream_batch_with_duplicate_keys_fails_loudly(spark, tmp_path):
+    """Regression: Trigger.AvailableNow can coalesce two drops for one
+    key into a single micro-batch; scd2_merge's full-outer join would
+    fan out and corrupt the history, so the fold must raise instead."""
+    import pytest as _pytest
+
+    from etl_service_spark.streaming.dim_stream import merge_batch_into_history
+
+    batch = spark.createDataFrame([(1, 10), (1, 11)], "k bigint, v bigint")
+    with _pytest.raises(ValueError, match="multiple rows"):
+        merge_batch_into_history(batch, str(tmp_path / "dim"), "k", ["v"], "2025-01-01")
