@@ -68,19 +68,20 @@ unioned AS (
 ),
 carried AS (
   SELECT user_id, ts_us, tag, event_id,
-         LAST_VALUE(CASE WHEN tag = 0 THEN event_id END) IGNORE NULLS OVER (
+         -- ONE struct carry: independent per-column IGNORE NULLS
+         -- windows would mix fields from DIFFERENT clicks when the
+         -- nearest one has a NULL value (its value skipped, an older
+         -- click's value carried) — the ASOF oracle returns all
+         -- fields from the single nearest row
+         LAST_VALUE(CASE WHEN tag = 0 THEN
+             named_struct('event_id', event_id, 'ts_us', ts_us, 'value', value)
+           END) IGNORE NULLS OVER (
            PARTITION BY user_id ORDER BY ts_us, tag
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r_event_id,
-         LAST_VALUE(CASE WHEN tag = 0 THEN ts_us END) IGNORE NULLS OVER (
-           PARTITION BY user_id ORDER BY ts_us, tag
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r_ts_us,
-         LAST_VALUE(CASE WHEN tag = 0 THEN value END) IGNORE NULLS OVER (
-           PARTITION BY user_id ORDER BY ts_us, tag
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r_value
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r
   FROM unioned
 )
 SELECT event_id AS l_event_id, user_id, ts_us AS l_ts_us,
-       r_event_id, r_ts_us, r_value
+       r.event_id AS r_event_id, r.ts_us AS r_ts_us, r.value AS r_value
 FROM carried WHERE tag = 1
 """
     duck_sql = f"""

@@ -136,14 +136,21 @@ def write_bucketed(df: DataFrame, table: str, key: str, buckets: int = 32) -> No
 
 
 def write_copy(df: DataFrame, path: str, *, mode: str = "append", slice_partitioned: bool = False) -> int:
-    """Append the aligned relation to the destination. Returns observed
-    row count (the ErwarteteDaten metric) without a second scan by
-    counting the written partition files' rows via a cheap re-read."""
-    writer = df.write.mode(mode)
+    """Append the aligned relation to the destination. Returns the row
+    count of THIS write (the ErwarteteDaten metric), observed DURING
+    the write job via the Observation API — a destination re-read
+    would both pay an extra footer pass and, in append mode, report
+    the TOTAL table count (pre-existing rows included) instead of the
+    batch's own rows. write_copy_observed is the richer variant
+    (checksum column); this one keeps the count-only contract."""
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    writer = df.observe(obs, F.count(F.lit(1)).alias("n")).write.mode(mode)
     if slice_partitioned and SLICE_COL in df.columns:
         writer = writer.partitionBy(SLICE_COL)
     writer.parquet(path)
-    return df.sparkSession.read.parquet(path).count()
+    return obs.get["n"]
 
 
 def write_copy_observed(

@@ -122,14 +122,28 @@ def read_sheet(spark: SparkSession, path: str) -> DataFrame:
 
 
 # ----------------------------------------------------- staging protocol (D12)
+INGESTIBLE_EXTS = (".xlsx", ".xls", ".csv")
+
+
 def stage_files(directory: str) -> list[str]:
-    """Move Insert/* → TMP/ (CommandExecuter.cs:1086-1320), returning
-    the staged paths."""
+    """Move Insert/<sheet files> → TMP/ (CommandExecuter.cs:1086-1320),
+    returning the staged paths. Only ingestible FILES are staged — the
+    reference globs *.xlsx; moving everything would stage Excel lock
+    files (~$report.xlsx, perpetually failing), subdirectories, and a
+    mapping.csv kept beside the sheets would even be ingested as
+    data. Hidden/lock entries and other extensions stay in Insert/."""
     ins, tmp = os.path.join(directory, "Insert"), os.path.join(directory, "TMP")
     os.makedirs(tmp, exist_ok=True)
     staged = []
     for name in sorted(os.listdir(ins)) if os.path.isdir(ins) else []:
-        src, dst = os.path.join(ins, name), os.path.join(tmp, name)
+        src = os.path.join(ins, name)
+        if (
+            not os.path.isfile(src)
+            or name.startswith(("~$", "."))
+            or not name.lower().endswith(INGESTIBLE_EXTS)
+        ):
+            continue
+        dst = os.path.join(tmp, name)
         shutil.move(src, dst)
         staged.append(dst)
     return staged
@@ -164,6 +178,12 @@ def ingest_directory(
     staged = stage_files(directory)
     total, failed = 0, []
     for path in staged:
+        # rollback scope: the partition may already hold a PREVIOUS
+        # successful load of this filename (the D7 dedup gate then
+        # writes nothing new into it) — deleting it on failure would
+        # destroy committed data, not this run's rows
+        part = os.path.join(target_path, f"Dateiname={os.path.basename(path)}")
+        part_existed = os.path.isdir(part)
         try:
             df = read_sheet(spark, path)
             df = apply_mapping(df, mapping)
@@ -179,9 +199,10 @@ def ingest_directory(
             total += n
             os.remove(path)
         except Exception:
-            # rollback: drop this file's partition if written, restore file
-            part = os.path.join(target_path, f"Dateiname={os.path.basename(path)}")
-            shutil.rmtree(part, ignore_errors=True)
+            # rollback: drop this file's partition ONLY if this run
+            # created it, then restore the file for repair-and-replay
+            if not part_existed:
+                shutil.rmtree(part, ignore_errors=True)
             reset_file(path, directory)
             failed.append(os.path.basename(path))
     return total, failed

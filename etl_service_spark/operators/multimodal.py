@@ -416,6 +416,10 @@ def _parse_wav_header(payload: bytes) -> tuple[int, int, int] | None:
             rate = int.from_bytes(payload[pos + 12 : pos + 16], "little")
             block_align = int.from_bytes(payload[pos + 20 : pos + 22], "little")
         elif cid == b"data" and channels:
+            # malformed-but-well-framed headers (block_align or rate 0)
+            # are unparsable payloads, not task-killing ZeroDivisions
+            if not block_align or not rate:
+                return None
             return (rate, channels, clen // block_align)
         pos += 8 + clen
     return None
@@ -546,7 +550,8 @@ def sniff_video_meta(media: DataFrame) -> DataFrame:
                 )
                 if parsed is not None:
                     ts, dur = parsed
-                    rows.append((int(mid), ts, dur, dur * 1000 // ts))
+                    if ts:  # mvhd timescale 0 = malformed, drop
+                        rows.append((int(mid), ts, dur, dur * 1000 // ts))
             yield pd.DataFrame(
                 rows, columns=["media_id", "timescale", "duration_units", "duration_ms"]
             )

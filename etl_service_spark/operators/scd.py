@@ -42,8 +42,14 @@ def scd2_merge(
     closed_history = current.filter(F.col("valid_to").isNotNull())
     open_rows = current.filter(F.col("valid_to").isNull())
 
+    # explicit presence marker: testing a VALUE column for NULL would
+    # misclassify an update row whose first tracked attribute is NULL
+    # as absent from the snapshot (its change silently lost, or a new
+    # key dropped entirely)
     u = updates.select(
-        F.col(key), *[F.col(c).alias(f"__u_{c}") for c in tracked]
+        F.col(key),
+        *[F.col(c).alias(f"__u_{c}") for c in tracked],
+        F.lit(True).alias("__u_present"),
     )
     j = open_rows.join(u, key, "full_outer")
 
@@ -51,7 +57,7 @@ def scd2_merge(
     for c in tracked:
         diff = ~F.col(c).eqNullSafe(F.col(f"__u_{c}"))
         changed = diff if changed is None else (changed | diff)
-    in_update = F.col(f"__u_{tracked[0]}").isNotNull()
+    in_update = F.col("__u_present").isNotNull()
     in_open = F.col("valid_from").isNotNull()
 
     untouched = j.filter(in_open & (~in_update | ~changed)).select(

@@ -107,11 +107,11 @@ def bloom_prefilter_semi_join(
     pruned = (
         fact.crossJoin(F.broadcast(bits)).filter(" AND ".join(tests)).drop("_bf")
     )
-    return pruned.join(
-        keys.select(keys_key).distinct(),
-        pruned[fact_key] == F.col(keys_key),
-        "left_semi",
-    )
+    # resolve the probe side's column against ITS dataframe: a bare
+    # F.col(keys_key) is ambiguous whenever fact_key == keys_key (the
+    # common same-name join) and fails analysis
+    probe = keys.select(keys_key).distinct()
+    return pruned.join(probe, pruned[fact_key] == probe[keys_key], "left_semi")
 
 
 def salted_broadcastable_join(

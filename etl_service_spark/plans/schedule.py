@@ -97,15 +97,17 @@ def advance_interval(plan: SchedulePlan, now: datetime) -> datetime:
         # (Scheduler.cs:900-905); same result
         n = int((now - start) / step) + 1
         return start + n * step
-    if plan.interval == "Monat":
+    if plan.interval in ("Monat", "Jährlich"):
+        # candidates derive from the ORIGINAL start each step —
+        # iterating _add_months on the clamped candidate compounds the
+        # clamp (Jan 31 -> Feb 28 -> Mar 28 forever; a day-31 schedule
+        # would permanently drift to the 28th after one short month)
+        step = 1 if plan.interval == "Monat" else 12
+        k = 0
         cand = start
         while cand <= now:
-            cand = _add_months(cand, 1)
-        return cand
-    if plan.interval == "Jährlich":
-        cand = start
-        while cand <= now:
-            cand = _add_months(cand, 12)
+            k += 1
+            cand = _add_months(start, k * step)
         return cand
     raise ScheduleError(plan.interval)
 

@@ -28,6 +28,7 @@ from .orchestrator import Orchestrator, RunReport, Workflow
 from .schedule import (
     FailureBackoff,
     SchedulePlan,
+    ScheduleError,
     advance_interval,
     next_calendar_run,
     should_run_immediately,
@@ -68,11 +69,19 @@ class SchedulerLoop:
         self.workflows[sw.name] = sw
 
     def _next_request(self, sw: ScheduledWorkflow, now: datetime) -> datetime | None:
-        if should_run_immediately(sw.plan, sw.ever_executed):
-            return now
-        if sw.plan.interval == "Manuell":
-            return next_calendar_run(sw.plan, now)
-        return advance_interval(sw.plan, now)
+        """None = nothing to schedule. A plan with NO occurrence left
+        (endedatum passed, or a weekday/month mask with no match in the
+        horizon) raises ScheduleError from the calculus — converted to
+        None here so ONE expired plan cannot crash run_tick and halt
+        scheduling for every other workflow."""
+        try:
+            if should_run_immediately(sw.plan, sw.ever_executed):
+                return now
+            if sw.plan.interval == "Manuell":
+                return next_calendar_run(sw.plan, now)
+            return advance_interval(sw.plan, now)
+        except ScheduleError:
+            return None
 
     def run_tick(self, now: datetime) -> list[RunReport]:
         """One CheckForExecution pass: launch everything due within the
@@ -83,6 +92,17 @@ class SchedulerLoop:
                 continue
             request = self._next_request(sw, now)
             if request is None or request > now + self.tick:
+                continue
+            # idempotence against the T4 log: a caller ticking faster
+            # than tick_seconds (or catching up after a stall) must not
+            # fire the SAME scheduled occurrence twice — the reference
+            # keys executions on Anforderungszeitpunkt. Immediate
+            # (sofort) runs have request == now and are already gated
+            # by ever_executed, so they bypass the log check.
+            if request != now and any(
+                i.workflow == sw.name and i.Anforderungszeitpunkt == request
+                for i in self.instances
+            ):
                 continue
             inst = ScheduleInstance(sw.name, Anforderungszeitpunkt=request)
             self.instances.append(inst)

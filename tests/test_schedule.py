@@ -218,3 +218,82 @@ def test_scheduler_loop_tick_runs_due_and_backs_off():
     assert len(loop.instances) == n_inst  # deactivated: never scheduled again
     # the good workflow ran exactly once (Sofort consumed)
     assert ran == ["good"]
+
+
+def test_monthly_day31_schedule_does_not_drift(sample_plan=None):
+    """Regression: iterating _add_months on the clamped candidate
+    compounded the clamp — a day-31 monthly schedule permanently
+    drifted to the 28th after February. Candidates now derive from the
+    original start each step."""
+    from datetime import datetime
+
+    from etl_service_spark.plans.schedule import SchedulePlan, advance_interval
+
+    plan = SchedulePlan(
+        interval="Monat",
+        anfangsdatum=datetime(2026, 1, 31),
+        startzeit=datetime(2026, 1, 31, 2, 0).time(),
+    )
+    assert advance_interval(plan, datetime(2026, 2, 1)) == datetime(2026, 2, 28, 2, 0)
+    # March has a 31st again — must NOT stay stuck on the 28th
+    assert advance_interval(plan, datetime(2026, 3, 1)) == datetime(2026, 3, 31, 2, 0)
+    assert advance_interval(plan, datetime(2026, 4, 1)) == datetime(2026, 4, 30, 2, 0)
+
+
+def test_expired_manual_plan_does_not_halt_scheduler():
+    """Regression: ScheduleError from an expired 'Manuell' plan escaped
+    run_tick and halted scheduling for every workflow."""
+    from datetime import datetime, time
+
+    from etl_service_spark.plans.orchestrator import Package, Realization, Step, Workflow
+    from etl_service_spark.plans.schedule import SchedulePlan
+    from etl_service_spark.plans.scheduler_loop import ScheduledWorkflow, SchedulerLoop
+
+    ran = []
+
+    def wf(name):
+        return Workflow(name, {
+            "P": Package("P", (Realization("R", (Step("S", lambda: ran.append(name)),)),))
+        }, "P")
+
+    loop = SchedulerLoop()
+    expired = SchedulePlan(
+        interval="Manuell",
+        anfangsdatum=datetime(2020, 1, 1),
+        startzeit=time(2, 0),
+        endedatum=datetime(2020, 1, 2),
+    )
+    loop.add(ScheduledWorkflow("dead", expired, wf("dead")))
+    good = SchedulePlan(
+        interval="Sofort", anfangsdatum=datetime(2026, 1, 1), startzeit=time(2, 0),
+        sofort_ausfuehrung=True,
+    )
+    loop.add(ScheduledWorkflow("live", good, wf("live")))
+    loop.run_tick(datetime(2026, 3, 2, 9, 0))
+    assert ran == ["live"]  # expired plan skipped, scheduler alive
+
+
+def test_scheduled_occurrence_fires_once_across_fast_ticks():
+    """Regression: two run_ticks inside one tick window both saw the
+    same due Anforderungszeitpunkt and double-fired the workflow; the
+    T4 instance log now dedups scheduled occurrences."""
+    from datetime import datetime, time
+
+    from etl_service_spark.plans.orchestrator import Package, Realization, Step, Workflow
+    from etl_service_spark.plans.schedule import SchedulePlan
+    from etl_service_spark.plans.scheduler_loop import ScheduledWorkflow, SchedulerLoop
+
+    ran = []
+    wf = Workflow("w", {
+        "P": Package("P", (Realization("R", (Step("S", lambda: ran.append(1)),)),))
+    }, "P")
+    loop = SchedulerLoop(tick_seconds=10)
+    plan = SchedulePlan(
+        interval="Täglich", anfangsdatum=datetime(2026, 3, 1), startzeit=time(2, 0)
+    )
+    sw = ScheduledWorkflow("w", plan, wf)
+    sw.ever_executed = True  # past the sofort path
+    loop.add(sw)
+    loop.run_tick(datetime(2026, 3, 2, 1, 59, 52))
+    loop.run_tick(datetime(2026, 3, 2, 1, 59, 57))  # same due occurrence
+    assert len(ran) == 1
