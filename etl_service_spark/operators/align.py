@@ -68,15 +68,20 @@ def align_to_schema(
     for s, d in renames.items():
         if s.lower() in src_cols:
             src_cols[d.lower()] = src_cols.pop(s.lower())
-    audit_exprs = audit.exprs() if audit else {}
+    # audit columns match case-insensitively like source columns — a
+    # case-folding catalog (NUTZER/nutzer) must not silently NULL a
+    # governed audit column
+    audit_exprs = {
+        k.lower(): v for k, v in (audit.exprs() if audit else {}).items()
+    }
 
     out: list[Column] = []
     for field in dst_schema.fields:
         key = field.name.lower()
         if key in src_cols:
             out.append(F.col(src_cols[key]).cast(field.dataType).alias(field.name))
-        elif field.name in audit_exprs:
-            out.append(audit_exprs[field.name].cast(field.dataType).alias(field.name))
+        elif key in audit_exprs:
+            out.append(audit_exprs[key].cast(field.dataType).alias(field.name))
         else:
             out.append(F.lit(None).cast(field.dataType).alias(field.name))
     return src.select(*out)

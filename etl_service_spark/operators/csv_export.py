@@ -72,7 +72,16 @@ def _serialize_col(df: DataFrame, name: str, opts: CsvOptions) -> Column:
     else:
         text = c.cast("string")
     if dtype == "string":
-        needs_quote = c.contains(opts.delimiter) | c.contains(opts.qualifier)
+        # newlines MUST be quoted (an unquoted embedded newline splits
+        # the physical line and breaks every CSV consumer), and a bare
+        # escape char is ambiguous on read-back
+        needs_quote = (
+            c.contains(opts.delimiter)
+            | c.contains(opts.qualifier)
+            | c.contains("\n")
+            | c.contains("\r")
+            | c.contains(opts.escape)
+        )
         # regexp_replace's REPLACEMENT is also special-char sensitive:
         # \ and $ must be doubled or an escape char of '\' vanishes
         replacement = (opts.escape + opts.qualifier).replace("\\", "\\\\").replace("$", "\\$")

@@ -54,10 +54,21 @@ def translate_dialect(sql: str) -> str:
     out = sql
     for pat, repl in _DIALECT_RULES:
         out = pat.sub(repl, out)
-    m = _TOP_RE.search(out)
-    if m:
-        n = m.group(1)
-        out = _TOP_RE.sub("SELECT ", out).rstrip().rstrip(";") + f" LIMIT {n}"
+    tops = _TOP_RE.findall(out)
+    if tops:
+        # the TOP -> trailing-LIMIT rewrite is only meaning-preserving
+        # for a single OUTERMOST SELECT TOP: a TOP in a subquery or on
+        # a union branch would be silently re-scoped to the whole
+        # statement (wrong results, no error) — refuse those forms
+        if len(tops) > 1 or not _TOP_RE.match(out.lstrip()):
+            raise SqlTargetError(
+                "TOP inside a subquery/union is not supported by the "
+                "dialect shim; rewrite the command with LIMIT"
+            )
+        n = tops[0]
+        # LIMIT on its own LINE so a trailing '-- comment' on the last
+        # statement line cannot swallow it
+        out = _TOP_RE.sub("SELECT ", out).rstrip().rstrip(";") + f"\nLIMIT {n}"
     out = _DATEDIFF_RE.sub(lambda m: f"timestampdiff({_DATEDIFF_UNIT[m.group(1).upper()]},", out)
     return out
 
@@ -71,12 +82,22 @@ def execute_sql_target(
 ) -> DataFrame:
     """D3: resolve placeholders, translate dialect, run on the target
     (the Spark catalog). Raises SqlTargetError on the −1 sentinel."""
-    sql = resolve_placeholders(command, dict(context or {}), strict=bool(context))
+    # ALWAYS strict: an unresolved ##token## reaching spark.sql is at
+    # best an opaque parse error and at worst silently written into
+    # data when it sits inside a string literal — the reference raises
+    # on unknown tokens regardless of how many parameters were bound
+    sql = resolve_placeholders(command, dict(context or {}), strict=True)
     if translate:
         sql = translate_dialect(sql)
     df = spark.sql(sql)
     if "OutputParam1" in df.columns:
+        # persist before probing: the sentinel check executes the plan,
+        # and an uncached df would re-execute it (doubled work; a
+        # non-deterministic body could even pass the check yet return
+        # -1 rows to the caller)
+        df = df.persist()
         bad = df.filter(df["OutputParam1"] == -1).limit(1).count()
         if bad:
+            df.unpersist()
             raise SqlTargetError("target command signalled failure (OutputParam1 = -1)")
     return df

@@ -95,12 +95,20 @@ def _module_row(level: str, row, now: datetime | None) -> str:
     return "<tr>" + "".join(_TD.format(_esc(c) if i < 2 else c) for i, c in enumerate(cells)) + "</tr>"
 
 
-def result_table_html(spark: SparkSession, now: datetime | None = None) -> str:
+def result_table_html(
+    spark: SparkSession, now: datetime | None = None,
+    workflow_run_id: object | None = None,
+) -> str:
     """AnalyzeWorkflowRun: the \"Ausgeführte Module\" table — package
     rows each followed by their realization rows, each followed by that
     realization's step rows (depth-first, the reference's recursion
     order). Empty string when no packages ran (Helper.cs:826-829)."""
     pkgs = _state_rows(spark, "package")
+    if workflow_run_id is not None:
+        # scope to the reported run's subtree — the log is append-only
+        # across runs, and an unscoped table would mix every run's
+        # modules into one report
+        pkgs = [p for p in pkgs if p["parent_id"] == workflow_run_id]
     if not pkgs:
         return ""
     reals = _state_rows(spark, "realization")
@@ -123,12 +131,17 @@ def result_table_html(spark: SparkSession, now: datetime | None = None) -> str:
     )
 
 
-def error_table_html(spark: SparkSession, now: datetime | None = None) -> str:
+def error_table_html(
+    spark: SparkSession, now: datetime | None = None,
+    run_ids: set | None = None,
+) -> str:
     """AnalyzeWorkflowError: error messages joined to their failed run
     rows across all four levels (the A1 union, runlog.error_messages_sql
     == Helper.cs:922-1025), one table row per message. Empty string when
     there are no errors (Helper.cs:1036-1039)."""
     errs = spark.sql(RL.error_messages_sql()).collect()
+    if run_ids is not None:
+        errs = [e for e in errs if e["run_id"] in run_ids]
     if not errs:
         return ""
     state = {
@@ -183,10 +196,26 @@ def render_run_report(
     Returns a self-contained HTML document (inline styles only, as a
     mail client requires)."""
     wf = _state_rows(spark, "workflow")
-    exec_start = wf[0]["Startzeitpunkt"] if wf else None
-    exec_end = wf[0]["Endzeitpunkt"] if wf else None
+    # report THE requested run: run_id match first, else the LATEST
+    # workflow row — wf[0] would be the FIRST run ever logged in an
+    # append-only multi-run log, reporting run 1's window for run N
+    sel = next((r for r in wf if r["run_id"] == workflow_id), wf[-1] if wf else None)
+    exec_start = sel["Startzeitpunkt"] if sel else None
+    exec_end = sel["Endzeitpunkt"] if sel else None
+    wf_run_id = sel["run_id"] if sel else None
+    # the run's subtree ids scope the module and error tables
+    subtree: set = set()
+    if wf_run_id is not None:
+        subtree = {wf_run_id}
+        for lv in ("package", "realization", "step"):
+            subtree |= {
+                r["run_id"] for r in _state_rows(spark, lv)
+                if r["parent_id"] in subtree
+            }
     status, color = ("Erfolgreich", "#44d478") if success else ("Fehlgeschlagen", "#c4254a")
-    error_table = "" if success else error_table_html(spark, now)
+    error_table = "" if success else error_table_html(
+        spark, now, run_ids=subtree or None
+    )
     return f"""<!DOCTYPE html>
 <html><body style="font-family: Arial, sans-serif; color: #434C5E;">
 <h2 style="color: {color};">{status}</h2>
@@ -198,7 +227,7 @@ def render_run_report(
 <tr>{_TD.format("Übernahme von")}{_TD.format(_esc(takeover_from))}</tr>
 <tr>{_TD.format("Übernahme bis")}{_TD.format(_esc(takeover_to))}</tr>
 </table>
-{result_table_html(spark, now)}
+{result_table_html(spark, now, workflow_run_id=wf_run_id)}
 {error_table}
 </body></html>"""
 

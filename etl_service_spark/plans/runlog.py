@@ -148,6 +148,13 @@ class RunLog:
                 schema=self.QUERY_SCHEMA,
             )
             df.write.mode("append").parquet(os.path.join(self.base_path, "runlog_queries.parquet"))
+        # the log files are APPEND-only: a second flush must not
+        # re-append everything already written (errors/queries have no
+        # dedup key downstream — duplicates would inflate every report)
+        for lv in LEVELS:
+            self._rows[lv] = []
+        self._errors = []
+        self._queries = []
         return out
 
 
@@ -207,7 +214,17 @@ def error_messages_sql() -> str:
                coalesce(e.Sql_Text, q.Sql_Text, '-') AS sql_text
         FROM runlog_errors e
         JOIN ({current_state_sql(lv)}) r ON e.run_id = r.run_id AND e.level = '{lv}'
-        LEFT JOIN runlog_queries q ON e.level = 'step' AND q.run_id = e.run_id"""
+        LEFT JOIN (
+          -- the LAST logged command per run: a bare run_id join would
+          -- fan each error out once per logged query, with arbitrary
+          -- SQL attribution
+          SELECT run_id, Sql_Text FROM (
+            SELECT run_id, Sql_Text,
+                   ROW_NUMBER() OVER (PARTITION BY run_id
+                                      ORDER BY Zeitpunkt DESC) AS __rk
+            FROM runlog_queries
+          ) WHERE __rk = 1
+        ) q ON e.level = 'step' AND q.run_id = e.run_id"""
         )
     return "\nUNION ALL\n".join(branches)
 

@@ -83,9 +83,71 @@ def read_with_schema_evolution(spark: SparkSession, landing_dir: str) -> DataFra
     defaults instead of NULLs. Mirrors the reference's mapping.csv
     rename step (Helper.cs mapping load) which tolerates extra source
     columns by selection rather than failure."""
-    return (
-        spark.read.option("mergeSchema", "true")
-        # landing zones nest drops in per-batch/per-date subdirectories
-        .option("recursiveFileLookup", "true")
-        .parquet(landing_dir)
-    )
+    try:
+        return (
+            spark.read.option("mergeSchema", "true")
+            # landing zones nest drops in per-batch/per-date subdirectories
+            .option("recursiveFileLookup", "true")
+            .parquet(landing_dir)
+        )
+    except Exception:
+        # mergeSchema refuses NUMERIC WIDENING drift (INT vs BIGINT,
+        # FLOAT vs DOUBLE raise CANNOT_MERGE_SCHEMAS) — the most common
+        # real-world drift of all. Fall back to manual widening: group
+        # files by footer schema (metadata-only), read each group, cast
+        # every column to the widened common type, union by name.
+        return _read_with_numeric_widening(spark, landing_dir)
+
+
+_INT_LADDER = ["tinyint", "smallint", "int", "bigint"]
+_FLOAT_LADDER = ["float", "double"]
+
+
+def _wider(a: str | None, b: str) -> str:
+    if a is None or a == b:
+        return b
+    if a in _INT_LADDER and b in _INT_LADDER:
+        return _INT_LADDER[max(_INT_LADDER.index(a), _INT_LADDER.index(b))]
+    if a in _INT_LADDER + _FLOAT_LADDER and b in _INT_LADDER + _FLOAT_LADDER:
+        return "double"
+    raise ValueError(f"irreconcilable schema drift: {a} vs {b}")
+
+
+def _read_with_numeric_widening(spark: SparkSession, landing_dir: str) -> DataFrame:
+    import os
+    from functools import reduce
+
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    by_schema: dict[tuple, list[str]] = {}
+    for root, _dirs, names in os.walk(landing_dir):
+        for n in names:
+            if n.endswith(".parquet"):
+                p = os.path.join(root, n)
+                sch = pq.ParquetFile(p).schema_arrow
+                key = tuple((f.name, str(f.type)) for f in sch)
+                by_schema.setdefault(key, []).append(p)
+    if not by_schema:
+        raise FileNotFoundError(f"no parquet files under {landing_dir}")
+    dfs = [spark.read.parquet(*paths) for paths in by_schema.values()]
+    target: dict[str, str] = {}
+    order: list[str] = []
+    for df in dfs:
+        for name, t in df.dtypes:
+            if name not in target:
+                order.append(name)
+            target[name] = _wider(target.get(name), t)
+    aligned = [
+        df.select(
+            *[
+                (F.col(n) if dict(df.dtypes).get(n) == target[n]
+                 else F.col(n).cast(target[n]) if n in dict(df.dtypes)
+                 else F.lit(None).cast(target[n])).alias(n)
+                for n in order
+            ]
+        )
+        for df in dfs
+    ]
+    return reduce(lambda a, b: a.unionByName(b), aligned)
