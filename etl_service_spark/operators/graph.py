@@ -619,21 +619,29 @@ def kcore_peel(
 
 def kcore_oracle_sql(tau: float = 0.8, k: int = 2, rounds: int = 4) -> str:
     """Single-statement DuckDB oracle: the identical synchronous peel,
-    unrolled round by round over the same jaccard pair relation."""
+    unrolled round by round over the same jaccard pair relation.
+
+    Every CTE is ``AS MATERIALIZED``: each round's edge relation is
+    referenced three times (the degree filter and both semi-join sides),
+    and DuckDB's default CTE inlining re-derives it per reference — the
+    n-gram jaccard base relation would be recomputed ~3^rounds times,
+    which is exactly the memory blowup that OOM'd the round-4 driver
+    box. Materialization makes the oracle one pass per round, like the
+    Spark side's localCheckpoint."""
     from . import dedup
 
     pairs_sql = dedup.ngram_jaccard_sql(tau=tau)[1].strip()
     ctes = [
-        f"pairs AS (SELECT doc_a, doc_b FROM ({pairs_sql}) p)",
-        "e0 AS (SELECT doc_a AS u, doc_b AS v FROM pairs"
+        f"pairs AS MATERIALIZED (SELECT doc_a, doc_b FROM ({pairs_sql}) p)",
+        "e0 AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM pairs"
         " UNION SELECT doc_b, doc_a FROM pairs)",
     ]
     for r in range(rounds):
         ctes.append(
-            f"k{r} AS (SELECT u FROM e{r} GROUP BY u HAVING COUNT(*) >= {k})"
+            f"k{r} AS MATERIALIZED (SELECT u FROM e{r} GROUP BY u HAVING COUNT(*) >= {k})"
         )
         ctes.append(
-            f"e{r + 1} AS (SELECT e.u, e.v FROM e{r} e"
+            f"e{r + 1} AS MATERIALIZED (SELECT e.u, e.v FROM e{r} e"
             f" JOIN k{r} x ON e.u = x.u JOIN k{r} y ON e.v = y.u)"
         )
     return (

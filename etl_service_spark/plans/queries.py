@@ -1567,12 +1567,27 @@ def unpivot_stats(df: DataFrame, measures: tuple[str, ...]) -> DataFrame:
 
 
 # Names the driver already value-verified in a prior round — the union of
-# the green rows of CORRECTNESS_r01/r02/r03.json (50 + 50 + 44 distinct).
+# the green rows of CORRECTNESS_r01/r02/r03/r04.json.
 # The driver samples a PREFIX of the registry, so registry() floats the
 # still-unverified entries ahead of these, interleaved one per family so
 # whatever prefix is sampled covers every family.
 _DRIVER_VERIFIED = frozenset(
     {
+        # round 4 (CORRECTNESS_r04.json, 32 green rows)
+        "ann_ivf_nprobe_sweep", "ann_matryoshka_recall", "ann_pq_adc_topk",
+        "ann_pq_recall_report", "ann_recall_report",
+        "corpus_cross_source_overlap", "corpus_dedup_survivorship",
+        "corpus_length_histogram", "corpus_resample_plan",
+        "corpus_shard_plan", "corpus_weighted_sample", "dedup_best_keeper",
+        "dedup_lsh_cost_audit", "dedup_lsh_recall_report", "dedup_semantic",
+        "emb_centroid_outliers", "emb_pq_codes", "events_anomaly_mad",
+        "events_burst_windows", "events_distribution_drift",
+        "events_late_data_audit", "events_variant_extract",
+        "media_video_meta_sniff", "orders_ltv_cohort",
+        "profile_join_size_estimate", "profile_key_skew",
+        "src_python_datasource", "src_schema_evolution",
+        "text_langid_confusion", "text_ngram_novelty",
+        "text_token_estimate_bpe", "text_vocab_growth",
         # round 3 (CORRECTNESS_r03.json, 44 green rows)
         "ana_report_rows", "ann_range_search", "corpus_contamination",
         "corpus_dup_rate_by_source", "corpus_quality_curriculum",
@@ -1654,22 +1669,33 @@ _FAMILY_PREFIXES: tuple[tuple[str, ...], ...] = (
 )
 
 
-# Round 4 priority tier (VERDICT.md round 3, "Next round" #1-2): the 19
-# queries whose oracles had HUGEINT output columns — 6 driver-red in
-# CORRECTNESS_r03.json plus 13 latent — now fixed with CAST(... AS
-# BIGINT) and linted forever by tools/oracle_lint.py. They sort first so
-# round 4's driver sample re-verifies every one of them.
+# Round 5 priority tier (VERDICT.md round 4, "Next round" #1): the 41
+# registry queries with no driver-green row on record — first the 18
+# rows of CORRECTNESS_r04.json whose DuckDB oracles OOM'd on the driver
+# box (driver-RED on record even though the judge re-ran all 18 green
+# at sf0.1 — environmental, but they must land driver-green), then the
+# 23 entries never sampled in any round. A 41-entry prefix covers all.
 _PRIORITY_PENDING = (
-    # the 6 driver-red rows of CORRECTNESS_r03.json
-    "dedup_lsh_recall_report", "emb_pq_codes", "ann_pq_adc_topk",
-    "text_vocab_growth", "profile_key_skew", "ann_recall_report",
-    # the 13 latent same-class oracles (never driver-sampled)
-    "text_token_estimate_bpe", "corpus_resample_plan",
-    "ann_pq_recall_report", "corpus_length_histogram",
-    "events_anomaly_mad", "corpus_shard_plan", "emb_centroid_outliers",
-    "dedup_lsh_cost_audit", "text_ngram_novelty",
-    "corpus_dedup_survivorship", "events_distribution_drift",
-    "events_burst_windows", "events_late_data_audit",
+    # the 18 oracle-OOM rows of CORRECTNESS_r04.json (driver-red on record)
+    "graph_kcore", "text_bigram_lm_score", "profile_range_boundaries",
+    "events_hopping_window", "orders_yoy_growth", "dedup_chunk_exact",
+    "emb_hamming_knn_graph", "text_zipf_profile", "corpus_filter_waterfall",
+    "profile_group_cardinality", "events_user_rate_cap",
+    "basket_brand_pairs", "dedup_lsh_band_tuning",
+    "text_boilerplate_prefixes", "corpus_domain_quota_salted",
+    "events_markov_transitions", "orders_rfm_segments",
+    "dedup_winnowing_pairs",
+    # the 23 never-driver-sampled entries (local-green since r2-r4)
+    "corpus_domain_quota", "corpus_split_leakage",
+    "dedup_minhash_estimate_audit", "events_ab_lift",
+    "events_changepoint_scan", "events_forecast_backtest",
+    "events_moment_stats", "events_seasonal_residuals", "events_top_paths",
+    "orders_gap_distribution", "orders_pareto_share",
+    "recon_users_customers_full_outer", "snap_incremental_agg",
+    "snap_merge_upsert", "snap_time_travel", "snap_version_diff",
+    "text_bpe_merges", "text_chunk_overlap", "text_gopher_rules",
+    "text_hashed_linear_score", "text_pmi_collocations",
+    "text_rake_keywords", "text_winnowing_fingerprints",
 )
 
 

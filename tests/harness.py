@@ -30,6 +30,19 @@ TABLES = (
 
 def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
+    # Defensive against a memory-pressured box (round 4: 18 oracle
+    # OutOfMemoryExceptions on the driver, allocations as small as 2 KiB):
+    # cap DuckDB's budget well below free RAM and give it a disk spill
+    # directory so heavy oracles (recursive CTEs, wide sorts) spill
+    # instead of dying. Never lets one oracle's peak poison the next.
+    spill = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".duckdb_spill")
+    os.makedirs(spill, exist_ok=True)
+    try:
+        con.execute("SET memory_limit='4GB'")
+        con.execute(f"SET temp_directory='{spill}'")
+        con.execute("SET preserve_insertion_order=false")
+    except duckdb.Error:
+        pass  # older duckdb without a setting: run with defaults
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")

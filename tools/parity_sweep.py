@@ -83,6 +83,11 @@ def main() -> int:
                 rec["err"] = problems[0][:200]
         except Exception as e:  # noqa: BLE001 - report and keep sweeping
             rec["err"] = f"exception: {str(e).splitlines()[0][:160]}"
+        finally:
+            # Free each query's Arrow/pandas frames before the next one:
+            # round 4's driver run showed tail-clustered oracle OOMs from
+            # accumulated allocator pressure, not any single oracle's size.
+            spark_tbl = spark_pdf = duck_tbl = duck_pdf = None  # noqa: F841
         results[name] = rec
         if not rec["hash_match"]:
             bad += 1
