@@ -124,6 +124,11 @@ def read_sheet(spark: SparkSession, path: str) -> DataFrame:
 # ----------------------------------------------------- staging protocol (D12)
 INGESTIBLE_EXTS = (".xlsx", ".xls", ".csv")
 
+# Known sidecar/config names kept beside the sheets that must never be
+# staged as data even though their extension is ingestible (the
+# reference avoids the issue by globbing *.xlsx only).
+SIDECAR_NAMES = frozenset({"mapping.csv"})
+
 
 def stage_files(directory: str) -> list[str]:
     """Move Insert/<sheet files> → TMP/ (CommandExecuter.cs:1086-1320),
@@ -131,7 +136,8 @@ def stage_files(directory: str) -> list[str]:
     reference globs *.xlsx; moving everything would stage Excel lock
     files (~$report.xlsx, perpetually failing), subdirectories, and a
     mapping.csv kept beside the sheets would even be ingested as
-    data. Hidden/lock entries and other extensions stay in Insert/."""
+    data. Hidden/lock entries, sidecars (SIDECAR_NAMES), and other
+    extensions stay in Insert/."""
     ins, tmp = os.path.join(directory, "Insert"), os.path.join(directory, "TMP")
     os.makedirs(tmp, exist_ok=True)
     staged = []
@@ -140,6 +146,7 @@ def stage_files(directory: str) -> list[str]:
         if (
             not os.path.isfile(src)
             or name.startswith(("~$", "."))
+            or name.lower() in SIDECAR_NAMES
             or not name.lower().endswith(INGESTIBLE_EXTS)
         ):
             continue

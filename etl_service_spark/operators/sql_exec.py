@@ -91,13 +91,17 @@ def execute_sql_target(
         sql = translate_dialect(sql)
     df = spark.sql(sql)
     if "OutputParam1" in df.columns:
-        # persist before probing: the sentinel check executes the plan,
-        # and an uncached df would re-execute it (doubled work; a
-        # non-deterministic body could even pass the check yet return
-        # -1 rows to the caller)
-        df = df.persist()
+        # materialize ONCE before probing: the sentinel check executes
+        # the plan, and an unmaterialized df would re-execute it
+        # (doubled work; a non-deterministic body could even pass the
+        # check yet return -1 rows to the caller). localCheckpoint, not
+        # persist(): a persisted plan stays pinned in the session's
+        # CacheManager forever unless explicitly unpersisted — in a
+        # long-running scheduler loop every successful call leaked
+        # executor storage. Checkpoint blocks are freed by the
+        # ContextCleaner when the caller drops the DataFrame.
+        df = df.localCheckpoint(eager=True)
         bad = df.filter(df["OutputParam1"] == -1).limit(1).count()
         if bad:
-            df.unpersist()
             raise SqlTargetError("target command signalled failure (OutputParam1 = -1)")
     return df

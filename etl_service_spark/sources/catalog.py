@@ -121,14 +121,17 @@ def _read_with_numeric_widening(spark: SparkSession, landing_dir: str) -> DataFr
 
     from pyspark.sql import functions as F
 
-    by_schema: dict[tuple, list[str]] = {}
+    # Walk order is filesystem-dependent; sort the discovered paths so
+    # schema-group discovery — and therefore the derived union column
+    # order — is identical across runs and filesystems.
+    paths: list[str] = []
     for root, _dirs, names in os.walk(landing_dir):
-        for n in names:
-            if n.endswith(".parquet"):
-                p = os.path.join(root, n)
-                sch = pq.ParquetFile(p).schema_arrow
-                key = tuple((f.name, str(f.type)) for f in sch)
-                by_schema.setdefault(key, []).append(p)
+        paths.extend(os.path.join(root, n) for n in names if n.endswith(".parquet"))
+    by_schema: dict[tuple, list[str]] = {}
+    for p in sorted(paths):
+        sch = pq.ParquetFile(p).schema_arrow
+        key = tuple((f.name, str(f.type)) for f in sch)
+        by_schema.setdefault(key, []).append(p)
     if not by_schema:
         raise FileNotFoundError(f"no parquet files under {landing_dir}")
     dfs = [spark.read.parquet(*paths) for paths in by_schema.values()]

@@ -63,45 +63,31 @@ def _sessionize_group(
         return
 
     n, s, e = state.get if state.exists else (0, None, None)
-    ts_all = sorted(
-        int(t) for pdf in pdfs for t in pdf["ts_us"].to_numpy()
-    )
-    # Late-but-within-watermark events EARLIER than the open session
-    # must not be absorbed into it (the gap rule is symmetric: an event
-    # more than one gap BEFORE session_start belongs to a different,
-    # earlier session — the batch twin would emit it separately).
-    # Early events are sessionized among themselves; the last early
-    # session chains into the open one only if it reaches within one
-    # gap of its start. Bounded-state caveat: an early session closed
-    # here cannot merge with even-later stragglers from future batches
-    # (the state holds one open session per user).
+    # Interval-merge over SEGMENTS: each batch event is a point segment
+    # (1, t, t); the open session from state is one segment (n, s, e).
+    # Sorting by start and merging whenever the next segment begins
+    # within one gap of the merged end reproduces the batch twin's
+    # transitive chaining exactly — including an event more than one
+    # gap before the open session start that is BRIDGED to it by
+    # another in-batch event (gap=10, open s=100, batch {89, 91}:
+    # 89+91 merge, then 100-91<=gap chains all three into one session;
+    # the old two-phase early/main split closed 89 separately).
+    # Bounded-state caveat stands: a session closed here cannot merge
+    # with even-later stragglers from future batches (the state holds
+    # one open session per user).
+    segments = [(1, int(t), int(t)) for pdf in pdfs for t in pdf["ts_us"].to_numpy()]
     if s is not None:
-        early = [t for t in ts_all if t < s - SESSION_GAP_US]
-        ts_all = ts_all[len(early):]
-        en, es, ee = 0, None, None
-        for t in early:
-            if es is None:
-                en, es, ee = 1, t, t
-            elif t - ee > SESSION_GAP_US:
-                closed.append((user_id, en, es, ee))
-                en, es, ee = 1, t, t
-            else:
-                en, ee = en + 1, max(ee, t)
-        if es is not None:
-            if s - ee <= SESSION_GAP_US:  # chains into the open session
-                n, s = n + en, es
-            else:
-                closed.append((user_id, en, es, ee))
-    for t in ts_all:
+        segments.append((n, s, e))
+    segments.sort(key=lambda seg: (seg[1], seg[2]))
+    n, s, e = 0, None, None
+    for cn, cs, ce in segments:
         if s is None:
-            n, s, e = 1, t, t
-        elif t - e > SESSION_GAP_US:
+            n, s, e = cn, cs, ce
+        elif cs - e > SESSION_GAP_US:
             closed.append((user_id, n, s, e))
-            n, s, e = 1, t, t
+            n, s, e = cn, cs, ce
         else:
-            # within one gap of the session span; a t in [s-gap, s)
-            # extends the START (batch-twin semantics), not the end
-            n, s, e = n + 1, min(s, t), max(e, t)
+            n, e = n + cn, max(e, ce)
     if s is not None:
         state.update((n, s, e))
         # close the session once no event arrives for one gap

@@ -156,6 +156,26 @@ def test_ingest_directory_protocol(spark, tmp_path):
     assert os.listdir(d / "Insert") == []
 
 
+def test_stage_files_skips_mapping_sidecar_and_nonsheets(tmp_path):
+    """Round-5 ADVICE: a mapping.csv kept beside the sheets in Insert/
+    must NOT be staged as data (its extension is ingestible, its role
+    is config); lock files/hidden/other extensions also stay."""
+    from etl_service_spark.operators.file_ingest import stage_files
+
+    d = tmp_path / "exchange"
+    (d / "Insert").mkdir(parents=True)
+    (d / "Insert" / "sheet.csv").write_text("A,B\n1,2\n")
+    (d / "Insert" / "mapping.csv").write_text("source_column;target_column\nA;a\n")
+    (d / "Insert" / "Mapping.CSV").write_text("source_column;target_column\nA;a\n")
+    (d / "Insert" / "~$lock.xlsx").write_text("")
+    (d / "Insert" / "notes.txt").write_text("")
+    staged = stage_files(str(d))
+    assert [os.path.basename(p) for p in staged] == ["sheet.csv"]
+    assert sorted(os.listdir(d / "Insert")) == [
+        "Mapping.CSV", "mapping.csv", "notes.txt", "~$lock.xlsx",
+    ]
+
+
 def test_ingest_rollback_on_failure(spark, tmp_path):
     d = tmp_path / "exchange"
     (d / "Insert").mkdir(parents=True)

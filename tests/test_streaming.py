@@ -1192,6 +1192,45 @@ def test_sessionize_kernel_does_not_absorb_pre_session_late_events():
     assert n == 7 and s == ts[0] and e == 100 * gap + gap // 2
 
 
+def test_sessionize_kernel_bridges_early_event_through_in_batch_chain():
+    """Regression (round-5 ADVICE): an event more than one gap before
+    the open session start that is bridged to it by ANOTHER in-batch
+    event within [start-gap, start) must merge into the open session —
+    the batch twin chains transitively. The old two-phase kernel's
+    'chains into the open session' branch was unreachable (every early
+    event satisfied t < s - gap, so s - ee <= gap could never hold)
+    and closed the early event as its own session."""
+    import pandas as pd
+
+    from etl_service_spark.streaming.sessionize import (
+        SESSION_GAP_US,
+        _sessionize_group,
+    )
+
+    gap = SESSION_GAP_US
+    # gap=10 scaled: open start s=100*gap, batch {98.9*gap, 99.1*gap}:
+    # 98.9g is >1 gap before s, 99.1g bridges it (99.1g-98.9g <= gap
+    # and s-99.1g <= gap) -> ALL one session, nothing closed.
+    st = _FakeState((5, 100 * gap, 100 * gap + gap // 2))
+    ts = [99 * gap - gap // 10, 99 * gap + gap // 10]
+    [out] = list(
+        _sessionize_group((7,), iter([pd.DataFrame({"ts_us": ts})]), st)
+    )
+    assert len(out) == 0, out
+    n, s, e = st.get
+    assert n == 7 and s == ts[0] and e == 100 * gap + gap // 2
+    # and without the bridge the early event still closes separately
+    st2 = _FakeState((5, 100 * gap, 100 * gap + gap // 2))
+    [out2] = list(
+        _sessionize_group(
+            (7,), iter([pd.DataFrame({"ts_us": [99 * gap - gap // 10]})]), st2
+        )
+    )
+    assert len(out2) == 1
+    assert tuple(out2.iloc[0]) == (7, 1, ts[0], ts[0])
+    assert st2.get == (5, 100 * gap, 100 * gap + gap // 2)
+
+
 def test_cms_compaction_rejects_replay_of_folded_batch(spark, tmp_path):
     """Regression: the stream crashes between batch N's grid append and
     its checkpoint commit; maintenance compacts; the stream replays
