@@ -759,20 +759,34 @@ def kmeans_sql(k: int = 4, iters: int = 2, view: str = "embeddings") -> tuple[st
     map-side partial aggregate. The squared-error sums accumulate in
     DECIMAL(38,0)/HUGEINT (the BIGINT summand overflows near ~3e4
     members per cluster)."""
-    def body(elem: str, dims: str, big_t: str) -> str:
-        cte, cent, _assign = _kmeans_chain(elem, dims, k, iters, view, big_t)
-        final = f"""
+    return (
+        _kmeans_body(_KM_SPARK_ELEM, _KM_SPARK_DIMS, _KM_SPARK_BIG, k, iters, view),
+        _kmeans_body(_KM_DUCK_ELEM, _KM_DUCK_DIMS, _KM_DUCK_BIG, k, iters, view),
+    )
+
+
+def _kmeans_body(elem: str, dims: str, big_t: str, k: int, iters: int, view: str) -> str:
+    cte, cent, _assign = _kmeans_chain(elem, dims, k, iters, view, big_t)
+    final = f"""
 SELECT j, MAX(n) AS n_members,
        CAST(SUM(s) AS BIGINT) AS s_total,
        CAST(SUM(CAST(s AS {big_t}) * s) AS BIGINT) AS s_sq_total
 FROM {cent}
 GROUP BY j"""
-        return "WITH " + ",\n".join(cte) + final
+    return "WITH " + ",\n".join(cte) + final
 
-    return (
-        body(_KM_SPARK_ELEM, _KM_SPARK_DIMS, _KM_SPARK_BIG),
-        body(_KM_DUCK_ELEM, _KM_DUCK_DIMS, _KM_DUCK_BIG),
-    )
+
+def kmeans_spark_sql(n_rows: int, k: int = 4, iters: int = 2, view: str = "embeddings") -> str:
+    """Spark-side k-means SQL with the distance summand's integer type
+    GATED on the table's row count (a metadata-only parquet read at the
+    call site): cluster membership n is bounded by n_rows, and while
+    256 * V^2 * n^2 < 2^63 (V = 1.3e4 quantized-component bound, the
+    worst case of sum_64 (n*v - s)^2) the BIGINT summand provably
+    cannot overflow — so small/medium tables keep whole-stage-codegen
+    long arithmetic and only genuinely large tables pay for
+    DECIMAL(38,0). Same result either way; the oracle stays HUGEINT."""
+    big_t = "BIGINT" if n_rows < KM_BIGINT_SAFE_ROWS else _KM_SPARK_BIG
+    return _kmeans_body(_KM_SPARK_ELEM, _KM_SPARK_DIMS, big_t, k, iters, view)
 
 
 _KM_SPARK_ELEM = "element_at(embedding, i + 1)"
@@ -785,6 +799,14 @@ _KM_DUCK_DIMS = "SELECT range AS i FROM range(64)"
 # square accumulates in DECIMAL(38,0)/HUGEINT (exact, order-free).
 _KM_SPARK_BIG = "DECIMAL(38,0)"
 _KM_DUCK_BIG = "HUGEINT"
+
+# Largest table row count for which the BIGINT summand is PROVABLY
+# overflow-free: |n*v - s| <= 2*n*V with V = 1.3e4 (|component| <= 1.3
+# before 1e-4 quantization — embeddings are unit-normalized, observed
+# max |v| is 1.2e4 units), so sum_64 (n*v-s)^2 <= 256*V^2*n^2, which
+# stays under 2^63 while n < 1.46e4. Cluster membership n is bounded
+# by the table's rows, so gating on row count is safe a fortiori.
+KM_BIGINT_SAFE_ROWS = 14_000
 
 
 def _kmeans_chain(

@@ -2841,7 +2841,20 @@ FROM d GROUP BY decile
         other_cols=["o_orderstatus", "o_orderdate", "o_orderpriority"],
     )
     cases["profile_orders_columns"] = _sql_case(_profile_sql, _profile_sql)
-    cases["emb_kmeans"] = _pair_case(similarity.kmeans_sql())
+    def _q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # gate the distance summand's integer type on the table size
+        # (parquet-footer row count, no data read): BIGINT keeps the
+        # hot aggregate in whole-stage-codegen long arithmetic wherever
+        # it provably cannot overflow; only large tables pay DECIMAL.
+        import os
+
+        import pyarrow.parquet as pq
+
+        views(spark, sf_dir)
+        n = pq.ParquetFile(os.path.join(sf_dir, "embeddings.parquet")).metadata.num_rows
+        return spark.sql(similarity.kmeans_spark_sql(n))
+
+    cases["emb_kmeans"] = Case(_q_kmeans, similarity.kmeans_sql()[1])
     def _semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         views(spark, sf_dir)
         return similarity.semantic_dedup_staged(spark)

@@ -1232,3 +1232,34 @@ def test_ngram_jaccard_lower_tau_keeps_sub08_pairs(spark, sf_dir):
     du = con.execute(dedup.ngram_jaccard_sql(tau=0.7)[1]).fetchdf()
     con.close()
     assert not compare(lo, du), "tau=0.7 engines disagree"
+
+
+def test_kmeans_bigint_gate_is_provably_safe_and_applied(spark, sf_dir):
+    """Round-4 self-review widened the k-means distance summand to
+    DECIMAL(38,0) (BIGINT overflows near ~3e4 cluster members); round 5
+    gates the wide type on the table's row count so small/medium tables
+    keep codegen long arithmetic. Checks: (a) the gate's bound math —
+    256*V^2*n^2 stays under 2^63 at the threshold; (b) the builder
+    picks BIGINT below / DECIMAL above; (c) the BIGINT plan's result
+    equals the HUGEINT oracle exactly (same rows, same values)."""
+    from etl_service_spark.operators import similarity
+    from etl_service_spark.plans.queries import views
+
+    from .harness import compare, duck_connect
+
+    # (a) worst-case sum of 64 squared summands at the threshold
+    V = 13_000
+    n = similarity.KM_BIGINT_SAFE_ROWS
+    assert 256 * V * V * n * n < 2**63
+    # (b) the gate
+    lo = similarity.kmeans_spark_sql(n - 1)
+    hi = similarity.kmeans_spark_sql(n)
+    assert "DECIMAL(38,0)" not in lo and "AS BIGINT) * " not in lo.split("WITH")[0]
+    assert "DECIMAL(38,0)" in hi
+    # (c) value parity of the fast path vs the HUGEINT oracle
+    views(spark, sf_dir)
+    sp = spark.sql(lo).toPandas()
+    con = duck_connect(sf_dir)
+    du = con.execute(similarity.kmeans_sql()[1]).fetchdf()
+    con.close()
+    assert not compare(sp, du), "BIGINT fast path diverges from HUGEINT oracle"
