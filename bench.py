@@ -176,6 +176,8 @@ HEADLINERS = [
     "snap_merge_upsert",
     "emb_centroid_outliers",
     "text_bpe_merges",
+    "text_bpe_encode",
+    "corpus_token_budget_bpe",
     "events_moment_stats",
     "profile_group_cardinality",
     "corpus_domain_quota_salted",

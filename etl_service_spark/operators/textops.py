@@ -1407,40 +1407,7 @@ def bpe_merges_sql(rounds: int = 3, view: str = "documents") -> tuple[str, str]:
     sp = {0: "split(seq, ' ')", 1: "str_split(seq, ' ')"}
 
     def body(e: int) -> str:
-        ngrams = P.spark_ngrams(sp[0], 2) if e == 0 else P.duck_ngrams(sp[1], 2)
-        pair_explode = (
-            f"SELECT cnt, pr FROM w{{r}} LATERAL VIEW explode({ngrams}) x AS pr"
-            if e == 0
-            else f"SELECT cnt, unnest({ngrams}) AS pr FROM w{{r}}"
-        )
-        cte = [
-            f"""w0 AS (
-  SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt, {chars[e]} AS seq
-  FROM ({explode_tok[e]}) t
-  GROUP BY tok
-)"""
-        ]
-        for r in range(1, rounds + 1):
-            cte.append(
-                f"""p{r} AS (
-  SELECT pr, CAST(SUM(cnt) AS BIGINT) AS pcnt
-  FROM ({pair_explode.format(r=r - 1)}) x
-  GROUP BY pr
-)"""
-            )
-            cte.append(
-                f"""b{r} AS (
-  SELECT pr, pcnt FROM p{r} ORDER BY pcnt DESC, pr ASC LIMIT 1
-)"""
-            )
-            cte.append(
-                f"""w{r} AS (
-  SELECT w.tok, w.cnt,
-         replace(w.seq, b.pr,
-                 concat('|', replace(replace(b.pr, '|', ''), ' ', ''), '|')) AS seq
-  FROM w{r - 1} w CROSS JOIN b{r} b
-)"""
-            )
+        cte = _bpe_merge_ctes(e, rounds, view)
         union = "\nUNION ALL\n".join(
             f"SELECT {r} AS round, replace(pr, '|', '') AS merged_pair, "
             f"pcnt AS pair_count FROM b{r}"
@@ -1451,21 +1418,85 @@ def bpe_merges_sql(rounds: int = 3, view: str = "documents") -> tuple[str, str]:
     return body(0), body(1)
 
 
-def bpe_merges_staged(spark, rounds: int = 3, view: str = "documents") -> DataFrame:
-    """Execution path for :func:`bpe_merges_sql`'s semantics with the
-    word-count relation STAGED once and each round's merged vocabulary
-    re-staged: the single-statement form lets CTE inlining replay the
-    corpus explode and every earlier round's string transforms into
-    each later round (cost multiplies per round — measured 5.2 s at
-    sf0.01 vs 0.6 s staged). The elected pair is a 1-row driver pickup
-    per round (the scalar convergence-probe class graph.pagerank also
-    uses), which turns the merge into a LITERAL replace — constant-
-    folded into codegen, no cross join. Oracle stays the
-    single-statement SQL."""
+def _bpe_merge_ctes(e: int, rounds: int, view: str) -> list[str]:
+    """The unrolled BPE merge-training CTE chain (engine e: 0=Spark,
+    1=DuckDB) shared by bpe_merges_sql and oracle_bpe_encode. Relations:
+    w{r} = vocabulary after r merges (tok, cnt, seq), b{r} = round r's
+    elected pair. The DuckDB CTEs are AS MATERIALIZED: w{r} is
+    referenced by both p{r+1} and w{r+1}, so default inlining re-derives
+    the corpus explode 2^rounds times (the kcore-oracle failure class)."""
+    chars = {
+        0: "array_join(transform(filter(split(tok, ''), x -> x != ''), c -> concat('|', c, '|')), ' ')",
+        1: "array_to_string(list_transform(list_filter(regexp_split_to_array(tok, ''), x -> x != ''), c -> concat('|', c, '|')), ' ')",
+    }
+    tokens = {0: P.spark_tokens("text"), 1: P.duck_tokens("text")}
+    explode_tok = {
+        0: f"SELECT explode({tokens[0]}) AS tok FROM {view}",
+        1: f"SELECT unnest({tokens[1]}) AS tok FROM {view}",
+    }
+    sp = {0: "split(seq, ' ')", 1: "str_split(seq, ' ')"}
+    mat = " MATERIALIZED" if e == 1 else ""
+    ngrams = P.spark_ngrams(sp[0], 2) if e == 0 else P.duck_ngrams(sp[1], 2)
+    pair_explode = (
+        f"SELECT cnt, pr FROM w{{r}} LATERAL VIEW explode({ngrams}) x AS pr"
+        if e == 0
+        else f"SELECT cnt, unnest({ngrams}) AS pr FROM w{{r}}"
+    )
+    cte = [
+        f"""w0 AS{mat} (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt, {chars[e]} AS seq
+  FROM ({explode_tok[e]}) t
+  GROUP BY tok
+)"""
+    ]
+    for r in range(1, rounds + 1):
+        cte.append(
+            f"""p{r} AS{mat} (
+  SELECT pr, CAST(SUM(cnt) AS BIGINT) AS pcnt
+  FROM ({pair_explode.format(r=r - 1)}) x
+  GROUP BY pr
+)"""
+        )
+        cte.append(
+            f"""b{r} AS{mat} (
+  SELECT pr, pcnt FROM p{r} ORDER BY pcnt DESC, pr ASC LIMIT 1
+)"""
+        )
+        cte.append(
+            f"""w{r} AS{mat} (
+  SELECT w.tok, w.cnt,
+         replace(w.seq, b.pr,
+                 concat('|', replace(replace(b.pr, '|', ''), ' ', ''), '|')) AS seq
+  FROM w{r - 1} w CROSS JOIN b{r} b
+)"""
+        )
+    return cte
+
+
+def _bpe_train_staged(
+    spark, rounds: int = 3, view: str = "documents"
+) -> tuple[list[tuple[int, str, int]], str]:
+    """BPE merge training with the word-count relation STAGED once and
+    each round's merged vocabulary re-staged: the single-statement form
+    lets CTE inlining replay the corpus explode and every earlier
+    round's string transforms into each later round (cost multiplies
+    per round — measured 5.2 s at sf0.01 vs 0.6 s staged). The elected
+    pair is a 1-row driver pickup per round (the scalar convergence-
+    probe class graph.pagerank also uses), which turns the merge into
+    a LITERAL replace — constant-folded into codegen, no cross join.
+
+    Returns (merge table rows, staged FINAL-vocabulary view name) —
+    the final vocab (tok, cnt, seq after all merges) is what the
+    encoder applies to documents; memoized per (session, corpus,
+    rounds) so training is paid once per session."""
     from pyspark.sql import functions as F
 
     key = (P.session_token(spark), "bpe_w0", view, P.lineage_key(spark.table(view)),
            P.staging_dir(spark))
+    fkey = key + ("train", rounds)
+    done = _TOKENS_CACHE.get(fkey)
+    if done is not None:
+        return done
     cached = _TOKENS_CACHE.get(key)
     if cached is None:
         w0 = spark.sql(
@@ -1483,6 +1514,7 @@ GROUP BY tok"""
 
     ngrams = P.spark_ngrams("split(seq, ' ')", 2)
     merges = []
+    name = cached
     for r in range(1, rounds + 1):
         top = (
             w.selectExpr("cnt", f"explode({ngrams}) AS pr")
@@ -1496,11 +1528,167 @@ GROUP BY tok"""
         pat = top.pr
         rep = "|" + top.pr.replace("|", "").replace(" ", "") + "|"
         merged = w.withColumn("seq", F.expr(f"replace(seq, '{pat}', '{rep}')"))
-        if r < rounds:
-            name = P.stage_name("bpe_w", key[1:] + (r, top.pr))
-            w = P.stage_df(merged, name)
+        name = P.stage_name("bpe_w", key[1:] + (r, top.pr))
+        w = P.stage_df(merged, name)
+        w.createOrReplaceTempView(name)
+    _TOKENS_CACHE[fkey] = (merges, name)
+    return merges, name
+
+
+def bpe_merges_staged(spark, rounds: int = 3, view: str = "documents") -> DataFrame:
+    """Execution path for :func:`bpe_merges_sql`'s semantics (see
+    :func:`_bpe_train_staged`). Oracle stays the single-statement SQL."""
+    merges, _vocab = _bpe_train_staged(spark, rounds, view)
     return spark.createDataFrame(
         merges, "round int, merged_pair string, pair_count bigint"
+    )
+
+
+def bpe_encode_staged(spark, rounds: int = 3, view: str = "documents") -> DataFrame:
+    """Apply the LEARNED merges to actually encode the corpus: true BPE
+    token counts per document, beside the ceil(len/4) estimate the
+    budget planners previously ran on (closing round-4 VERDICT item
+    #3). Encoding a document under trained BPE is word-local, so it
+    happens on the VOCABULARY (tok → final merged seq → symbol count),
+    never the raw text: per-doc counts come from one join of the
+    staged (doc_id, tok) relation against the |V|-row vocab and an
+    integer aggregate. At 100 TB the join build side is the vocab —
+    broadcast-sized — and the probe reuses the staged token relation
+    every text op shares; nothing new touches raw text.
+
+    Output: doc_id, n_tokens_bpe (true count), est_subwords (the
+    heuristic), both BIGINT; docs with no tokens count 0."""
+    _merges, vocab = _bpe_train_staged(spark, rounds, view)
+    tok = materialize_tokens(spark, view)
+    return spark.sql(
+        f"""
+SELECT d.doc_id,
+       coalesce(t.n_tokens_bpe, CAST(0 AS BIGINT)) AS n_tokens_bpe,
+       coalesce(t.est_subwords, CAST(0 AS BIGINT)) AS est_subwords
+FROM {view} d
+LEFT JOIN (
+  SELECT tk.doc_id,
+         CAST(SUM(size(split(v.seq, ' '))) AS BIGINT) AS n_tokens_bpe,
+         CAST(SUM((length(tk.tok) + 3) DIV 4) AS BIGINT) AS est_subwords
+  FROM {tok} tk JOIN {vocab} v ON v.tok = tk.tok
+  GROUP BY tk.doc_id
+) t ON t.doc_id = d.doc_id"""
+    )
+
+
+def oracle_bpe_encode(rounds: int = 3, view: str = "documents") -> str:
+    """Single-statement DuckDB oracle for :func:`bpe_encode_staged`:
+    the same unrolled merge training (materialized CTEs), then the
+    vocab join + per-doc aggregate."""
+    ctes = _bpe_merge_ctes(1, rounds, view)
+    ctes.append(
+        f"""v AS MATERIALIZED (
+  SELECT tok, CAST(len(str_split(seq, ' ')) AS BIGINT) AS n_sym FROM w{rounds}
+)"""
+    )
+    ctes.append(
+        f"""dt AS (
+  SELECT doc_id, unnest({P.duck_tokens('text')}) AS tok FROM {view}
+)"""
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+SELECT d.doc_id,
+       CAST(coalesce(t.n_tokens_bpe, 0) AS BIGINT) AS n_tokens_bpe,
+       CAST(coalesce(t.est_subwords, 0) AS BIGINT) AS est_subwords
+FROM {view} d
+LEFT JOIN (
+  SELECT dt.doc_id,
+         SUM(v.n_sym) AS n_tokens_bpe,
+         SUM((length(dt.tok) + 3) // 4) AS est_subwords
+  FROM dt JOIN v ON v.tok = dt.tok
+  GROUP BY dt.doc_id
+) t ON t.doc_id = d.doc_id"""
+    )
+
+
+def bpe_token_budget_staged(
+    spark, rounds: int = 3, budget: int = 500000, view: str = "documents"
+) -> DataFrame:
+    """Token-budget planning per LANGUAGE on TRUE BPE token counts,
+    with the estimate-vs-actual drift the planner previously couldn't
+    see: est ceil(len/4) subwords vs the trained encoder's counts,
+    per language (drift is language-dependent — the 4-chars/token
+    heuristic is tuned on English). drift_permille = est*1000/actual,
+    integer-exact; token_quota follows corpus_token_budget's T=2
+    temperature rule (sqrt weights, integer micro-units) so the two
+    planners are directly comparable. One |docs|-row join of the
+    encode relation against the doc table, then a |langs|-row window."""
+    enc = bpe_encode_staged(spark, rounds, view)
+    enc.createOrReplaceTempView("__bpe_enc")
+    return spark.sql(
+        f"""
+WITH lt AS (
+  SELECT d.lang, COUNT(*) AS n_docs,
+         CAST(SUM(e.n_tokens_bpe) AS BIGINT) AS bpe_tokens,
+         CAST(SUM(e.est_subwords) AS BIGINT) AS est_tokens
+  FROM {view} d JOIN __bpe_enc e ON e.doc_id = d.doc_id
+  GROUP BY d.lang
+),
+w AS (
+  SELECT lang, n_docs, bpe_tokens, est_tokens,
+         CAST(ROUND(SQRT(CAST(bpe_tokens AS DOUBLE)) * 1000000) AS BIGINT) AS w_micro
+  FROM lt
+)
+SELECT lang, n_docs, bpe_tokens, est_tokens,
+       CAST(est_tokens * 1000 DIV bpe_tokens AS BIGINT) AS drift_permille,
+       CAST(({budget} * w_micro) DIV SUM(w_micro) OVER () AS BIGINT) AS token_quota
+FROM w"""
+    )
+
+
+def oracle_bpe_token_budget(
+    rounds: int = 3, budget: int = 500000, view: str = "documents"
+) -> str:
+    ctes = _bpe_merge_ctes(1, rounds, view)
+    ctes.append(
+        f"""v AS MATERIALIZED (
+  SELECT tok, CAST(len(str_split(seq, ' ')) AS BIGINT) AS n_sym FROM w{rounds}
+)"""
+    )
+    ctes.append(
+        f"""dt AS (
+  SELECT doc_id, unnest({P.duck_tokens('text')}) AS tok FROM {view}
+)"""
+    )
+    ctes.append(
+        """enc AS MATERIALIZED (
+  SELECT dt.doc_id,
+         SUM(v.n_sym) AS n_tokens_bpe,
+         SUM((length(dt.tok) + 3) // 4) AS est_subwords
+  FROM dt JOIN v ON v.tok = dt.tok
+  GROUP BY dt.doc_id
+)"""
+    )
+    ctes.append(
+        f"""lt AS (
+  SELECT d.lang, COUNT(*) AS n_docs,
+         CAST(SUM(e.n_tokens_bpe) AS BIGINT) AS bpe_tokens,
+         CAST(SUM(e.est_subwords) AS BIGINT) AS est_tokens
+  FROM {view} d JOIN enc e ON e.doc_id = d.doc_id
+  GROUP BY d.lang
+)"""
+    )
+    ctes.append(
+        """w AS (
+  SELECT lang, n_docs, bpe_tokens, est_tokens,
+         CAST(ROUND(SQRT(CAST(bpe_tokens AS DOUBLE)) * 1000000) AS BIGINT) AS w_micro
+  FROM lt
+)"""
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+SELECT lang, n_docs, bpe_tokens, est_tokens,
+       CAST(est_tokens * 1000 // bpe_tokens AS BIGINT) AS drift_permille,
+       CAST(({budget} * w_micro) // SUM(w_micro) OVER () AS BIGINT) AS token_quota
+FROM w"""
     )
 
 
