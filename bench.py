@@ -126,6 +126,10 @@ HEADLINERS = [
     "ann_recall_report",
     "ann_matryoshka_recall",
     "ann_ivf_nprobe_sweep",
+    # ann_ivf_incremental is registry-gated but not benched: it is a
+    # stateful multi-commit maintenance simulation (build/merge/rebuild
+    # snapshots), not a single query wall - its per-tick cost is what
+    # test_ivf_assign_stream_* pins.
     "dedup_lsh_recall_report",
     "dedup_strategy_sweep",
     "events_variant_extract",

@@ -3940,6 +3940,24 @@ GROUP BY a.event_type
         _bpe_budget, textops.oracle_bpe_token_budget()
     )
 
+    # --- incremental IVF maintenance (round-4 VERDICT #5): persisted
+    # centroid + assignment snapshot tables, two incremental batch
+    # ticks, churn-vs-full-rebuild drift gauge; the oracle is the
+    # stateless single-statement unroll of the same computation
+    def _ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import os
+
+        import pyarrow.parquet as pq
+
+        views(spark, sf_dir)
+        n = pq.ParquetFile(os.path.join(sf_dir, "embeddings.parquet")).metadata.num_rows
+        big = "BIGINT" if n < similarity.KM_BIGINT_SAFE_ROWS else None
+        return similarity.ivf_incremental_staged(spark, big_t=big)
+
+    cases["ann_ivf_incremental"] = Case(
+        _ivf_incremental, similarity.ivf_incremental_drift_sql()[1]
+    )
+
     # --- embedding-QA outliers: top-n furthest-from-centroid vectors
     # per k-means cluster, exact-integer distance ranking over the
     # same unrolled Lloyd chain as emb_kmeans

@@ -1273,3 +1273,73 @@ def test_scd2_stream_batch_with_duplicate_keys_fails_loudly(spark, tmp_path):
     batch = spark.createDataFrame([(1, 10), (1, 11)], "k bigint, v bigint")
     with _pytest.raises(ValueError, match="multiple rows"):
         merge_batch_into_history(batch, str(tmp_path / "dim"), "k", ["v"], "2025-01-01")
+
+
+def test_ivf_assign_stream_equals_batch_and_replay_converges(spark, sf_dir, tmp_path):
+    """Incremental ANN maintenance (round-5): vectors streamed in two
+    file drops through the foreachBatch fold must produce EXACTLY the
+    assignment table the batch path builds (same persisted centroids,
+    deterministic integer-exact argmin); re-running the drained stream
+    with the same checkpoint must leave the assignment STATE unchanged
+    (convergent under at-least-once); and the measured churn vs a full
+    rebuild stays under the drift bound the report itself gauges."""
+    import os
+
+    from etl_service_spark.operators import similarity
+    from etl_service_spark.plans.queries import views
+    from etl_service_spark.sources import snapshots
+    from etl_service_spark.streaming.ann_stream import (
+        read_vector_stream,
+        run_ivf_assign_stream,
+    )
+
+    views(spark, sf_dir)
+    emb = spark.table("embeddings").select("vec_id", "embedding")
+    index_dir, assign_dir, landing, ckpt = [
+        str(tmp_path / d) for d in ("idx", "asg", "landing", "ckpt")
+    ]
+    os.makedirs(landing)
+    # index trained on the base corpus; base assignments folded batch-side
+    similarity.ivf_index_build(
+        spark, index_dir, base_filter=similarity._IVF_INC_BASE, big_t="BIGINT"
+    )
+    similarity.ivf_index_append_batch(
+        spark, index_dir, assign_dir, emb.filter(similarity._IVF_INC_BASE), "BIGINT"
+    )
+    # two later arrivals land as parquet file drops
+    for i, m in enumerate((6, 7)):
+        emb.filter(f"vec_id % 8 = {m}").coalesce(1).write.parquet(
+            str(tmp_path / f"stage{i}")
+        )
+        f = [x for x in os.listdir(tmp_path / f"stage{i}") if x.endswith(".parquet")][0]
+        os.rename(tmp_path / f"stage{i}" / f, os.path.join(landing, f"drop{i}.parquet"))
+
+    run_ivf_assign_stream(
+        read_vector_stream(spark, landing), index_dir, assign_dir, ckpt, "BIGINT"
+    )
+    streamed = {
+        (r.vec_id, r.j) for r in snapshots.read_snapshot(spark, assign_dir).collect()
+    }
+    batch = {
+        (r.vec_id, r.j)
+        for r in similarity.ivf_index_assign(spark, index_dir, emb, "BIGINT").collect()
+    }
+    assert streamed == batch  # full-frame equality with the batch twin
+
+    # replay: drained stream re-run with the same checkpoint is a no-op
+    v_before = snapshots.list_versions(assign_dir)[-1]
+    run_ivf_assign_stream(
+        read_vector_stream(spark, landing), index_dir, assign_dir, ckpt, "BIGINT"
+    )
+    after = {
+        (r.vec_id, r.j) for r in snapshots.read_snapshot(spark, assign_dir).collect()
+    }
+    assert after == streamed and snapshots.list_versions(assign_dir)[-1] == v_before
+
+    # drift gauge: the report's total churn equals the set difference
+    # between incremental and rebuilt assignments, and stays a minority
+    rep = similarity.ivf_incremental_staged(spark, big_t="BIGINT").collect()
+    n_total = sum(r.n_base + r.n_new for r in rep)
+    n_churn = sum(r.n_churn for r in rep)
+    assert n_total == emb.count()
+    assert 0 < n_churn < n_total // 2
