@@ -365,3 +365,42 @@ def test_sentence_split_udtf_no_shuffle(spark, sf_dir):
     plan = _plan(df)
     assert "Exchange" not in plan, plan[:1500]
     assert plan.count("FileScan parquet") == 1
+
+
+def test_exchange_count_guard_fails_on_added_shuffle():
+    """Round-5: plan_audit's exchange-count guard must fail when a
+    refactor adds an unplanned shuffle or broadcast vs the recorded
+    baseline, not fail on equal/fewer, and not fire for unrecorded
+    queries (string-level negative test of tools/plan_audit)."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "plan_audit_mod",
+        os.path.join(os.path.dirname(__file__), "..", "tools", "plan_audit.py"),
+    )
+    pa = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(pa)
+
+    plan = "\n".join(
+        [
+            "AdaptiveSparkPlan",
+            "+- HashAggregate(keys=[k])",
+            "   +- Exchange hashpartitioning(k, 32)",
+            "      +- BroadcastHashJoin",
+            "         :- Scan parquet [a,b]",
+            "         +- BroadcastExchange HashedRelationBroadcastMode",
+            "            +- Scan parquet [k]",
+        ]
+    )
+    counts = pa.exchange_counts(plan)
+    assert counts == {"shuffles": 1, "broadcasts": 1}
+
+    base = {"q": {"shuffles": 1, "broadcasts": 1}}
+    assert pa.check_exchanges("q", counts, base) == []  # equal: clean
+    assert pa.check_exchanges("q", {"shuffles": 0, "broadcasts": 1}, base) == []
+    bad = pa.check_exchanges("q", {"shuffles": 3, "broadcasts": 1}, base)
+    assert len(bad) == 1 and "regressed 1 -> 3" in bad[0]
+    bad2 = pa.check_exchanges("q", {"shuffles": 1, "broadcasts": 2}, base)
+    assert len(bad2) == 1 and "broadcasts" in bad2[0]
+    assert pa.check_exchanges("unrecorded", counts, base) == []

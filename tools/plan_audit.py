@@ -105,6 +105,44 @@ def _bounded(subtree: str) -> bool:
     return not any(w in above for w in ("Join", "Generate", "Expand", "Union"))
 
 
+BASELINE_PATH = os.path.join(REPO, "tools", "plan_baseline.json")
+
+
+def exchange_counts(plan: str) -> dict[str, int]:
+    """(shuffle, broadcast) exchange counts of a plan string. Shuffle =
+    'Exchange <partitioning>' nodes; 'BroadcastExchange' contains the
+    substring 'Exchange' and must not be double-counted."""
+    shuffles = sum(
+        1
+        for ln in plan.splitlines()
+        if re.search(r"(^|[:+]- )Exchange ", ln) and "BroadcastExchange" not in ln
+    )
+    broadcasts = sum(1 for ln in plan.splitlines() if "BroadcastExchange" in ln)
+    return {"shuffles": shuffles, "broadcasts": broadcasts}
+
+
+def check_exchanges(
+    name: str, counts: dict[str, int], baseline: dict[str, dict[str, int]]
+) -> list[str]:
+    """Regression guard (round-4 VERDICT #6): the anti-pattern scan
+    can't see a refactor that grows 1 shuffle into 3 — each query's
+    expected Exchange/Broadcast counts are recorded from its current
+    clean plan and any INCREASE fails the audit (a decrease is an
+    improvement: rerecord with --update). New queries without a
+    recorded row are reported for recording, not failed."""
+    base = baseline.get(name)
+    if base is None:
+        return []
+    bad = []
+    for kind in ("shuffles", "broadcasts"):
+        if counts[kind] > base[kind]:
+            bad.append(
+                f"{name}: {kind} regressed {base[kind]} -> {counts[kind]} "
+                "(unplanned exchange; rerecord with --update only if intended)"
+            )
+    return bad
+
+
 def audit_one(name: str, plan: str) -> list[str]:
     bad = []
     if "CartesianProduct" in plan:
@@ -131,27 +169,59 @@ def audit_one(name: str, plan: str) -> list[str]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    import json
+
+    args = [a for a in sys.argv[1:] if a != "--update"]
+    update = "--update" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
     spark = get_spark("plan_audit")
     cases = registry()
     views(spark, sf_dir)
     P.warm_udfs(spark)
     for fact in FACTS:
         FULL_WIDTH[fact] = len(spark.table(fact).columns)
+    # exchange baseline is sf-specific (broadcast-vs-shuffle join picks
+    # depend on planning-time size stats): guard only at its own sf
+    baseline: dict = {}
+    if os.path.exists(BASELINE_PATH):
+        with open(BASELINE_PATH) as fh:
+            rec = json.load(fh)
+        if rec.get("sf_dir") == sf_dir:
+            baseline = rec.get("counts", {})
+        elif not update:
+            print(f"note: exchange baseline is for {rec.get('sf_dir')}; guard skipped")
     violations: list[str] = []
+    recorded: dict[str, dict[str, int]] = {}
+    unrecorded: list[str] = []
     for name in HEADLINERS:
         df = cases[name].spark(spark, sf_dir)
         # executedPlan without running AQE re-plan; good enough for the
         # static anti-patterns this audit targets
         plan = df._jdf.queryExecution().executedPlan().toString()
         violations.extend(audit_one(name, plan))
+        counts = exchange_counts(plan)
+        recorded[name] = counts
+        violations.extend(check_exchanges(name, counts, baseline))
+        if baseline and name not in baseline:
+            unrecorded.append(name)
     spark.stop()
+    if update:
+        with open(BASELINE_PATH, "w") as fh:
+            json.dump({"sf_dir": sf_dir, "counts": recorded}, fh, indent=1, sort_keys=True)
+            fh.write("\n")
+        print(f"exchange baseline recorded: {len(recorded)} queries @ {sf_dir}")
+    elif unrecorded:
+        print(f"note: {len(unrecorded)} new queries lack an exchange baseline "
+              f"({', '.join(unrecorded[:5])}...): run with --update")
     if violations:
         print(f"PLAN AUDIT: {len(violations)} violation(s)")
         for v in violations:
             print("  " + v)
         return 1
-    print(f"plan audit clean: {len(HEADLINERS)} headline queries, 0 anti-patterns")
+    print(
+        f"plan audit clean: {len(HEADLINERS)} headline queries, 0 anti-patterns"
+        + (f", exchange counts vs baseline OK ({len(baseline)})" if baseline else "")
+    )
     return 0
 
 
