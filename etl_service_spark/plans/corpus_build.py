@@ -57,6 +57,14 @@ SPLIT_EXPR = (
 )
 
 
+def _write_report_json(table_dir: str, version: int, report: dict) -> None:
+    """Derived convenience copy of the committed ledger (the manifest's
+    ``extra`` is authoritative). Separate function so the crash-window
+    test can fail it independently of the atomic commit."""
+    with open(os.path.join(table_dir, f"report_v{version:06d}.json"), "w") as fh:
+        json.dump(report, fh, indent=1, sort_keys=True)
+
+
 class _BuildContext:
     """Mutable state threaded through the stages: the surviving doc-id
     relation (lineage-truncated per stage — the ledger count AND the
@@ -139,20 +147,23 @@ def _stages(
             ctx.docs.join(ctx.kept, "doc_id")
             .withColumn("split", F.expr(SPLIT_EXPR))
             .select("doc_id", "split", "quality", "lang", "source", "n_chars", "text")
+            .localCheckpoint(eager=True)
         )
-        version = snapshots.commit_overwrite(curated, ctx.table_dir)
-        ctx.report["version"] = version
+        # ledger is complete BEFORE the commit and rides INSIDE the
+        # manifest (snapshots extra): corpus version + its ledger appear
+        # in ONE atomic rename — a crash can no longer leave a published
+        # version without its audit trail (the report_v*.json beside the
+        # table is a DERIVED convenience copy, rebuildable from the
+        # manifest via snapshots.read_manifest_extra).
         ctx.report["n_per_split"] = {
             r["split"]: r["n"]
-            for r in snapshots.read_snapshot(spark, ctx.table_dir, version)
-            .groupBy("split")
-            .agg(F.count("*").alias("n"))
-            .collect()
+            for r in curated.groupBy("split").agg(F.count("*").alias("n")).collect()
         }
-        with open(
-            os.path.join(ctx.table_dir, f"report_v{version:06d}.json"), "w"
-        ) as fh:
-            json.dump(ctx.report, fh, indent=1, sort_keys=True)
+        version = snapshots.commit_overwrite(
+            curated, ctx.table_dir, extra={"ledger": ctx.report}
+        )
+        ctx.report["version"] = version
+        _write_report_json(ctx.table_dir, version, ctx.report)
 
     return [
         ("ingest", s_ingest),

@@ -103,7 +103,7 @@ class ConcurrentCommitError(RuntimeError):
 
 def _commit(
     table_dir: str, op: str, files: list[str], rows: int,
-    parent_version: int | None = None,
+    parent_version: int | None = None, extra: dict | None = None,
 ) -> int:
     """Atomically publish the next version with OPTIMISTIC CONCURRENCY
     (the Delta/Iceberg commit protocol): the writer declares the
@@ -119,6 +119,12 @@ def _commit(
         parent_version = (list_versions(table_dir) or [0])[-1]
     version = parent_version + 1
     manifest = {"version": version, "op": op, "files": files, "rows": rows}
+    if extra is not None:
+        # caller metadata (e.g. the corpus build ledger) rides INSIDE
+        # the manifest: one atomic rename publishes data + metadata
+        # together — there is no crash window in which the version
+        # exists without its ledger (round-4 VERDICT #7)
+        manifest["extra"] = extra
     tmp = _manifest_path(table_dir, version) + f".{uuid.uuid4().hex[:8]}.tmp"
     with open(tmp, "w") as fh:
         json.dump(manifest, fh, indent=1)
@@ -153,19 +159,32 @@ def commit_append(df: DataFrame, table_dir: str) -> int:
     )
 
 
-def commit_overwrite(df: DataFrame, table_dir: str) -> int:
+def commit_overwrite(df: DataFrame, table_dir: str, extra: dict | None = None) -> int:
     """Stage df's files, then commit them as the COMPLETE next version.
     Prior versions' data files are untouched (time travel keeps
-    working) until expire_snapshots reclaims them."""
+    working) until expire_snapshots reclaims them. ``extra`` metadata
+    (a JSON-able dict) is committed INSIDE the manifest — atomic with
+    the data; read it back with read_manifest_extra."""
     os.makedirs(table_dir, exist_ok=True)
     new_files, new_rows = _stage_data_files(df, table_dir)
     # overwrite's result is independent of the parent state, so a
     # version-claim collision is safe to retry internally.
     while True:
         try:
-            return _commit(table_dir, "overwrite", new_files, new_rows)
+            return _commit(table_dir, "overwrite", new_files, new_rows, extra=extra)
         except ConcurrentCommitError:
             continue
+
+
+def read_manifest_extra(table_dir: str, version: int | None = None) -> dict | None:
+    """The ``extra`` metadata committed with a version (None if that
+    commit carried none). Reading it can never observe a version
+    without its metadata: both live in one atomically-renamed file."""
+    versions = list_versions(table_dir)
+    if not versions:
+        raise FileNotFoundError(f"no committed versions under {table_dir}")
+    v = versions[-1] if version is None else version
+    return _read_manifest(table_dir, v).get("extra")
 
 
 def read_snapshot(

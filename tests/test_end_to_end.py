@@ -16,6 +16,8 @@ from __future__ import annotations
 import os
 from datetime import datetime
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from etl_service_spark.functions.placeholders import resolve_placeholders
@@ -232,6 +234,46 @@ def test_build_corpus_ledger_and_idempotent_rebuild(spark, tmp_path):
     again = snapshots.read_snapshot(spark, table, rep2["version"])
     assert {tuple(r) for r in again.collect()} == {tuple(r) for r in cur.collect()}
     assert snapshots.list_versions(table) == [1, 2]
+    # the ledger is committed INSIDE each version's manifest, atomic
+    # with the data — and matches the returned report minus the
+    # post-commit version field
+    for v, r in ((1, rep), (2, rep2)):
+        led = snapshots.read_manifest_extra(table, v)["ledger"]
+        assert led == {k: x for k, x in r.items() if k != "version"}
+
+
+def test_build_corpus_crash_window_keeps_ledger_atomic(spark, tmp_path, monkeypatch):
+    """Round-5 (VERDICT #7): a crash BETWEEN the corpus publish and the
+    report write used to leave a published version without its ledger.
+    Now the ledger rides inside the manifest: fail the derived
+    report_v*.json write and the committed version still carries its
+    complete ledger; no version can exist ledgerless."""
+    from etl_service_spark.plans import corpus_build
+    from etl_service_spark.sources import snapshots
+
+    table = str(tmp_path / "corpus")
+
+    def boom(table_dir, version, report):
+        raise OSError("disk full right after the commit")
+
+    monkeypatch.setattr(corpus_build, "_write_report_json", boom)
+    with pytest.raises(OSError):
+        corpus_build.build_corpus(spark, "/root/testdata/sf0.01", table)
+
+    # the version IS published (atomic commit happened first)...
+    assert snapshots.list_versions(table) == [1]
+    led = snapshots.read_manifest_extra(table, 1)["ledger"]
+    # ...and its ledger is complete: every stage count + split census
+    assert {
+        "n_input", "n_after_exact", "n_after_neardup",
+        "n_after_decontamination", "n_after_quality", "n_per_split",
+    } <= set(led)
+    assert snapshots.read_snapshot(spark, table, 1).count() == led["n_after_quality"]
+    # the derived convenience file is absent — and rebuildable
+    assert not any(f.startswith("report_") for f in os.listdir(table))
+    monkeypatch.undo()
+    corpus_build._write_report_json(table, 1, dict(led, version=1))
+    assert any(f.startswith("report_") for f in os.listdir(table))
 
 
 def test_corpus_build_runs_under_the_orchestrator(spark, tmp_path):
