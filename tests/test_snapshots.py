@@ -292,14 +292,14 @@ def test_concurrent_overwrite_retries_and_wins(spark, table):
     real_commit = S._commit
     calls = {"n": 0}
 
-    def racing_commit(table_dir, op, files, rows, parent_version=None):
+    def racing_commit(table_dir, op, files, rows, parent_version=None, extra=None):
         if calls["n"] == 0:
             calls["n"] += 1
             # another writer publishes v2 between this writer's read
             # and publish; this writer's first claim of v2 collides
             real_commit(table_dir, "append", files, rows, parent_version=1)
-            return real_commit(table_dir, op, files, rows, parent_version=1)
-        return real_commit(table_dir, op, files, rows, parent_version)
+            return real_commit(table_dir, op, files, rows, parent_version=1, extra=extra)
+        return real_commit(table_dir, op, files, rows, parent_version, extra=extra)
 
     orig = S._commit
     S._commit = racing_commit
