@@ -1,0 +1,88 @@
+#!/usr/bin/env python
+"""Deterministic full sf1.0-scale twin for scale validation.
+
+TESTDATA.md stops at sf0.1; round-4 VERDICT #2 asks for full-registry
+parity + bench at sf1.0 ("this is where any remaining ANSI-overflow or
+posting-list-growth surprises will appear"). This generates a COMPLETE
+10x twin of /root/testdata/sf0.1 under /tmp/etl_sf1.0:
+
+- TPC-H-ish tables + events: 10 key-remapped copies of the sf0.1 rows
+  (every join key shifted by copy * 1e6, consistently across tables:
+  o_custkey tracks c_custkey, l_orderkey tracks o_orderkey, events
+  user_id tracks c_custkey, ...). Key remapping keeps join/self-join
+  cardinality LINEAR in the copy count — a naive row duplication would
+  quadratically inflate every keyed self-join and measure nothing.
+  Dimension tables region/nation are copied unscaled.
+- documents/embeddings: the distribution-matched generators from
+  tools/scale_bench (same vocabulary, length distribution, dup/near-dup
+  structure, ~unit-norm gaussian embeddings) at 50k docs / 20k vectors.
+
+Parity at this scale is engine-vs-engine over the same files, so the
+sweep is exactly as strict as at sf0.1 — just 10x the data.
+
+Run: python tools/gen_sf1.py   (then tools/parity_sweep.py /tmp/etl_sf1.0)
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SF01 = "/root/testdata/sf0.1"
+OUT = "/tmp/etl_sf1.0"
+COPIES = 10
+OFF = 1_000_000  # > every sf0.1 key space; one offset for all key kinds
+
+# key columns to shift per table (all other columns are copied verbatim)
+KEYED = {
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["event_id", "user_id"],
+}
+UNSCALED = ["region", "nation"]
+
+
+def _scale_table(name: str) -> None:
+    src = pq.read_table(os.path.join(SF01, f"{name}.parquet"))
+    cols = {c: src.column(c) for c in src.column_names}
+    chunks = []
+    for c in range(COPIES):
+        shifted = dict(cols)
+        for k in KEYED[name]:
+            arr = cols[k].to_numpy(zero_copy_only=False)
+            shifted[k] = pa.array(arr + c * OFF, type=src.schema.field(k).type)
+        chunks.append(pa.table(shifted, schema=src.schema))
+    pq.write_table(pa.concat_tables(chunks), os.path.join(OUT, f"{name}.parquet"))
+
+
+def main() -> int:
+    from tools.scale_bench import _gen_documents, _gen_embeddings
+
+    if os.path.isdir(OUT):
+        shutil.rmtree(OUT)
+    os.makedirs(OUT)
+    for t in UNSCALED:
+        shutil.copy(os.path.join(SF01, f"{t}.parquet"), os.path.join(OUT, f"{t}.parquet"))
+    for t in KEYED:
+        _scale_table(t)
+        n = pq.ParquetFile(os.path.join(OUT, f"{t}.parquet")).metadata.num_rows
+        print(f"{t}: {n} rows", flush=True)
+    _gen_documents(os.path.join(OUT, "documents.parquet"))
+    _gen_embeddings(os.path.join(OUT, "embeddings.parquet"))
+    print(f"sf1.0 twin ready at {OUT}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -37,6 +37,7 @@ from etl_service_spark.session import get_spark  # noqa: E402
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    out_name = sys.argv[2] if len(sys.argv) > 2 else "CORRECTNESS_LOCAL.json"
     spark = get_spark("parity_sweep")
     views(spark, sf_dir)
     P.warm_udfs(spark)
@@ -98,7 +99,7 @@ def main() -> int:
         "n_match": len(cases) - bad,
         "results": results,
     }
-    with open(os.path.join(REPO, "CORRECTNESS_LOCAL.json"), "w") as fh:
+    with open(os.path.join(REPO, out_name), "w") as fh:
         json.dump(out, fh, indent=1)
         fh.write("\n")
     print(f"parity sweep @ {sf_dir}: {len(cases) - bad}/{len(cases)} match")
