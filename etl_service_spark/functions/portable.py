@@ -373,8 +373,29 @@ def duck_chunks(tokens_expr: str, w: int = 8) -> str:
 
 def money_sum(expr: str, alias: str) -> str:
     """Engine-shared aggregate: exact decimal sum surfaced as DOUBLE.
-    ``expr`` must already be decimal (use dec())."""
+    ``expr`` must already be decimal (use dec()).
+
+    Portability bound: the direct DECIMAL→DOUBLE cast is identical
+    across engines only while |sum|·10^scale < 2^53. Above that,
+    DuckDB's conversion (int128→double, then scale division — two
+    roundings) can differ from Spark's single correctly-rounded cast
+    by 1 ulp — found by the sf1.0 sweep on tpch_q1's scale-6
+    sum_charge. Use money_out() when the scaled sum can cross 2^53."""
     return f"CAST(SUM({expr}) AS DOUBLE) AS {alias}"
+
+
+def money_out(sum_expr: str, s: int, alias: str | None = None) -> str:
+    """Exact decimal aggregate surfaced as DOUBLE deterministically at
+    ANY magnitude the scaled integer fits in BIGINT (|sum|·10^s <
+    2^63): scale the exact sum to integer units (exact decimal
+    multiply), cast to BIGINT (integer-valued → exact), then
+    BIGINT→DOUBLE (ONE correctly-rounded conversion, IEEE-identical in
+    both engines) and divide by the 10^s literal (one more identical
+    correctly-rounded op). This pins the rounding SEQUENCE, which a
+    bare DECIMAL→DOUBLE cast does not (engines factor it differently
+    above 2^53 — see money_sum)."""
+    out = f"CAST(CAST(({sum_expr}) * {10 ** s} AS BIGINT) AS DOUBLE) / {float(10 ** s)}"
+    return f"{out} AS {alias}" if alias else out
 
 
 def dec(col: str, p: int = 18, s: int = 4) -> str:

@@ -406,15 +406,22 @@ WHERE o.o_orderdate >= TIMESTAMP '1998-06-01 00:00:00'
 # =====================================================================
 # TPC-H-style headline queries (bench + gate)
 # =====================================================================
-TPCH_Q1_TEMPLATE = """
+# Every money sum is surfaced through P.money_out's pinned rounding
+# sequence, not a bare DECIMAL→DOUBLE cast: the sf1.0 sweep caught the
+# scale-6 sum_charge crossing 2^53 in scaled-integer form, where
+# DuckDB's two-step decimal→double conversion differs from Spark's
+# single rounding by 1 ulp. The avg columns divide the SAME scaled
+# BIGINT→DOUBLE by (10^s · count) — exact product, one rounding, both
+# engines identical.
+TPCH_Q1_TEMPLATE = f"""
 SELECT l_returnflag, l_linestatus,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))) * (CAST(1 AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE) AS sum_charge,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_qty,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_price,
-       CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_disc,
+       {P.money_out("SUM(CAST(l_quantity AS DECIMAL(12,2)))", 2, "sum_qty")},
+       {P.money_out("SUM(CAST(l_extendedprice AS DECIMAL(12,2)))", 2, "sum_base_price")},
+       {P.money_out("SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))))", 4, "sum_disc_price")},
+       {P.money_out("SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))) * (CAST(1 AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(12,2))))", 6, "sum_charge")},
+       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) * 100 AS BIGINT) AS DOUBLE) / (100.0 * CAST(COUNT(*) AS DOUBLE)) AS avg_qty,
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) * 100 AS BIGINT) AS DOUBLE) / (100.0 * CAST(COUNT(*) AS DOUBLE)) AS avg_price,
+       CAST(CAST(SUM(CAST(l_discount AS DECIMAL(12,2))) * 100 AS BIGINT) AS DOUBLE) / (100.0 * CAST(COUNT(*) AS DOUBLE)) AS avg_disc,
        COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
