@@ -198,6 +198,8 @@ HEADLINERS = [
     "text_rake_keywords",
     "snap_incremental_agg",
     "events_forecast_backtest",
+    "corpus_dsir_weights",
+    "corpus_dsir_quota",
 ]
 
 

@@ -683,3 +683,156 @@ SELECT t.source, t.n_docs, k.kept,
        k.kept_chars, k.min_kept_chars
 FROM totals t JOIN k ON k.source = t.source
 """
+
+
+# -------------------------------------------------------- DSIR weights
+def _dsir_body(tk_sql: str, idiv: str, big_t: str, n_buckets: int) -> str:
+    """Shared doc-score body for the DSIR operators (engine-specific
+    token relation injected as ``tk_sql`` = (doc_id, lang, b)). Emits
+    the per-doc relation ``dscore`` (doc_id, n_tok, mass) plus the
+    bucket model CTEs; callers append their own final SELECT."""
+    return f"""
+tk AS ({tk_sql}),
+tgt AS (SELECT b, COUNT(*) AS cnt FROM tk WHERE lang = 'en' GROUP BY b),
+raw AS (SELECT b, COUNT(*) AS cnt FROM tk WHERE lang <> 'en' GROUP BY b),
+mass AS (SELECT (SELECT COALESCE(SUM(cnt), 0) FROM tgt) AS t_mass,
+                (SELECT COALESCE(SUM(cnt), 0) FROM raw) AS r_mass),
+buck AS (
+  SELECT COALESCE(t.b, r.b) AS b,
+         CAST(CAST(COALESCE(t.cnt, 0) + 1 AS {big_t})
+                * (m.r_mass + {n_buckets}) * 1000000
+              {idiv} (CAST(COALESCE(r.cnt, 0) + 1 AS {big_t})
+                * (m.t_mass + {n_buckets}))
+              AS {big_t}) AS ratio_ppm
+  FROM tgt t FULL OUTER JOIN raw r ON t.b = r.b CROSS JOIN mass m
+),
+dscore AS (
+  SELECT tk.doc_id, COUNT(*) AS n_tok, SUM(bu.ratio_ppm) AS mass
+  FROM tk JOIN buck bu ON bu.b = tk.b
+  GROUP BY tk.doc_id
+)"""
+
+
+def _dsir_spark_sql(tok_view: str, n_buckets: int) -> str:
+    tk = (
+        f"SELECT doc_id, lang, CAST(h % {n_buckets} AS BIGINT) AS b "
+        f"FROM {tok_view}"
+    )
+    return _dsir_body(tk, "DIV", "DECIMAL(38,0)", n_buckets)
+
+
+def _dsir_duck_sql(view: str, n_buckets: int) -> str:
+    tk = (
+        f"SELECT doc_id, lang, {P.duck_poly_hash('tok')} % {n_buckets} AS b "
+        f"FROM (SELECT doc_id, lang, unnest({P.duck_tokens('text')}) AS tok "
+        f"FROM {view}) t"
+    )
+    return _dsir_body(tk, "//", "HUGEINT", n_buckets)
+
+
+_DSIR_WEIGHTS_TAIL = """
+SELECT d.doc_id, d.lang,
+       CAST(COALESCE(x.n_tok, 0) AS BIGINT) AS n_tok,
+       CAST(COALESCE(x.mass {idiv} x.n_tok, 1000000) AS BIGINT) AS dsir_score_ppm
+FROM {view} d LEFT JOIN dscore x ON x.doc_id = d.doc_id
+"""
+
+
+def dsir_weights_staged(
+    spark: SparkSession, n_buckets: int = 1024, view: str = "documents"
+) -> DataFrame:
+    """DSIR importance weights (Xie et al., NeurIPS'23, arXiv:2302.03169)
+    over hashed unigram bag features: score each document by how much
+    more likely its tokens are under the TARGET distribution (lang='en'
+    here — "select raw data that looks like the target domain") than
+    under the raw distribution.
+
+    Log-free stand-in per DETERMINISM.md (the paper sums log-ratios;
+    LN would diverge in the last ulp across engines): per-bucket
+    importance ratio_ppm = p_hat/q_hat in ppm computed EXACTLY from the
+    Laplace-smoothed counts — ((t_cnt+1)(r_mass+B)·1e6) div
+    ((r_cnt+1)(t_mass+B)) — and the doc score is the arithmetic mean of
+    its tokens' ratios (monotone proxy for the paper's mean log-ratio;
+    preserves the selection ranking for thresholding). Numerator
+    reaches t_cnt·r_mass·1e6 ~ 1e30 on a 100 TB corpus: widened to
+    DECIMAL(38,0)/HUGEINT before the multiply (the _PMI_FRAGS guard).
+
+    Scale shape: the bucket model is ≤ B=1024 rows — two map-side-
+    combined aggregates on the staged token relation, one broadcast
+    join back onto it, one per-doc aggregate. Nothing materializes
+    above token-relation size; the hash is the staged relation's
+    precomputed ``h`` (free). Tokens-absent docs score neutral (1e6).
+
+    The reference has no corpus surface; this extends the quality-gate
+    discipline (Helper.cs audit plane) to target-aware data selection.
+    """
+    from . import textops
+
+    tok = textops.materialize_tokens(spark, view)
+    return spark.sql(
+        "WITH "
+        + _dsir_spark_sql(tok, n_buckets)
+        + _DSIR_WEIGHTS_TAIL.format(idiv="DIV", view=view)
+    )
+
+
+def oracle_dsir_weights(n_buckets: int = 1024, view: str = "documents") -> str:
+    return (
+        "WITH "
+        + _dsir_duck_sql(view, n_buckets)
+        + _DSIR_WEIGHTS_TAIL.format(idiv="//", view=view)
+    )
+
+
+_DSIR_QUOTA_TAIL = """,
+src AS (
+  SELECT d.source,
+         COUNT(*) AS n_docs,
+         CAST(SUM(COALESCE(x.n_tok, 0)) AS BIGINT) AS n_tokens,
+         SUM(COALESCE(x.mass, 0)) AS w_mass
+  FROM {view} d LEFT JOIN dscore x ON x.doc_id = d.doc_id
+  GROUP BY d.source
+)
+SELECT source, n_docs, n_tokens,
+       CAST(w_mass {idiv} 1000000 AS BIGINT) AS weighted_tokens,
+       CAST(({budget} * w_mass) {idiv} SUM(w_mass) OVER () AS BIGINT) AS token_quota
+FROM src
+"""
+
+
+def dsir_quota_staged(
+    spark: SparkSession,
+    n_buckets: int = 1024,
+    budget: int = 500000,
+    view: str = "documents",
+) -> DataFrame:
+    """The resampling step of DSIR at source granularity: each source's
+    token quota is proportional to its IMPORTANCE-WEIGHTED token mass
+    (sum of its docs' per-token target/raw ratios) instead of
+    corpus_token_budget's target-blind sqrt-temperature weights — a
+    source whose text looks like the target wins budget even if small.
+    weighted_tokens = w_mass/1e6 is the effective token count after
+    importance weighting (== n_tokens when a source is exactly
+    target-neutral). Same integer quota arithmetic as the other
+    planners so the three mixing strategies are directly comparable.
+
+    Scale: reuses the DSIR doc relation; adds one |sources|-row
+    aggregate and a window over it."""
+    from . import textops
+
+    tok = textops.materialize_tokens(spark, view)
+    return spark.sql(
+        "WITH "
+        + _dsir_spark_sql(tok, n_buckets)
+        + _DSIR_QUOTA_TAIL.format(idiv="DIV", view=view, budget=budget)
+    )
+
+
+def oracle_dsir_quota(
+    n_buckets: int = 1024, budget: int = 500000, view: str = "documents"
+) -> str:
+    return (
+        "WITH "
+        + _dsir_duck_sql(view, n_buckets)
+        + _DSIR_QUOTA_TAIL.format(idiv="//", view=view, budget=budget)
+    )

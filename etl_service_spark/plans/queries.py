@@ -3983,4 +3983,22 @@ GROUP BY a.event_type
     # cap with survival report
     cases["corpus_domain_quota"] = _pair_case(corpus.domain_quota_sql())
 
+    # --- DSIR importance weights (arXiv:2302.03169): hashed-unigram
+    # target/raw bucket model (≤1024 rows, broadcast), exact integer
+    # ratio arithmetic, per-doc mean importance in ppm
+    def _dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+        views(spark, sf_dir)
+        return corpus.dsir_weights_staged(spark)
+
+    cases["corpus_dsir_weights"] = Case(_dsir_weights, corpus.oracle_dsir_weights())
+
+    # --- DSIR resampling quota: per-source token budget proportional
+    # to importance-weighted token mass (target-aware mixing, vs the
+    # target-blind sqrt-temperature planners)
+    def _dsir_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+        views(spark, sf_dir)
+        return corpus.dsir_quota_staged(spark)
+
+    cases["corpus_dsir_quota"] = Case(_dsir_quota, corpus.oracle_dsir_quota())
+
     return _driver_order(cases)
