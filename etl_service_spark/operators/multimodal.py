@@ -131,15 +131,154 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 256, max_frames: int = 
     return media.mapInPandas(kernel, schema=FRAME_SCHEMA)
 
 
-def resize_stub(media: DataFrame, width: int, height: int) -> DataFrame:
-    """STUB image resize: real impl needs PIL (not installed). Raises at
-    execution; exists to pin the operator signature + schema contract."""
+RAW_IMAGE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("payload", BinaryType()),
+    ]
+)
+
+
+def synthesize_rgb_images(docs: DataFrame) -> DataFrame:
+    """Raw-RGB fixture relation for the resize operator (the same
+    injection discipline as synthesize_image_headers: the corpus has no
+    images, so byte-predictable ones are synthesized in the query
+    path). Dims derive from media_id (W = 8 + id % 9, H = 8 + id % 5);
+    pixel (y, x, c) = (id + 7y + 13x + 31c) mod 256 — every byte of the
+    payload is arithmetically predictable, so any downstream transform
+    has a full value oracle. Payloads are built as a numpy broadcast in
+    an Arrow-batched kernel (a ~576-byte variable pixel grid is past
+    what SQL hex assembly can express readably)."""
+    import numpy as np
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        raise NotImplementedError("image resize requires PIL; not available in this container")
-        yield  # pragma: no cover
+        for pdf in batches:
+            rows = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                w, h = 8 + mid % 9, 8 + mid % 5
+                yy, xx, cc = np.ogrid[0:h, 0:w, 0:3]
+                arr = ((mid + 7 * yy + 13 * xx + 31 * cc) % 256).astype(np.uint8)
+                rows.append((mid, w, h, arr.tobytes()))
+            yield pd.DataFrame(rows, columns=["media_id", "width", "height", "payload"])
 
-    return media.mapInPandas(kernel, schema=media.schema)
+    return docs.selectExpr("doc_id AS media_id").mapInPandas(kernel, RAW_IMAGE_SCHEMA)
+
+
+def resize_nearest(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """PIL-free image resize: nearest-neighbor over raw interleaved-RGB
+    payloads, vectorized numpy inside an Arrow-batched mapInPandas —
+    the codec-free half of the resize stage (decode of compressed
+    formats still needs a codec lib; see extract_features' stub note).
+    Source index mapping is the floor convention sy = y'·H div h',
+    sx = x'·W div w' (top-left anchored, matching OpenCV's
+    INTER_NEAREST grid rather than PIL's half-pixel-center one — pinned
+    here because the value oracle reproduces it arithmetically).
+
+    Scale: per-row work is O(out_w·out_h), no shuffle introduced; the
+    operator inherits upstream partitioning, so a 100 TB image table
+    resizes embarrassingly parallel."""
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, w, h, payload in zip(
+                pdf["media_id"], pdf["width"], pdf["height"], pdf["payload"]
+            ):
+                w, h = int(w), int(h)
+                arr = np.frombuffer(bytes(payload), dtype=np.uint8)
+                if arr.size != w * h * 3:
+                    continue  # quarantine malformed payloads, like the sniffers
+                arr = arr.reshape(h, w, 3)
+                idx_y = (np.arange(out_h) * h) // out_h
+                idx_x = (np.arange(out_w) * w) // out_w
+                out = arr[idx_y][:, idx_x]
+                rows.append((int(mid), out_w, out_h, out.tobytes()))
+            yield pd.DataFrame(rows, columns=["media_id", "width", "height", "payload"])
+
+    return media.mapInPandas(kernel, RAW_IMAGE_SCHEMA)
+
+
+RESIZE_PROBE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("out_w", LongType()),
+        StructField("out_h", LongType()),
+        StructField("out_bytes", LongType()),
+        StructField("p_tl", LongType()),
+        StructField("p_mid", LongType()),
+        StructField("p_br", LongType()),
+        StructField("row1_sum", LongType()),
+    ]
+)
+
+
+def probe_resized(media: DataFrame) -> DataFrame:
+    """Value probes over ACTUAL resized bytes (corner/center pixels +
+    the full channel sum of output row 1): with the synthesized pixel
+    function and the pinned index mapping, each probe is predictable in
+    closed form — the oracle recomputes them arithmetically, so the
+    whole generate→resize→probe pipeline is value-checked end to end."""
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, w, h, payload in zip(
+                pdf["media_id"], pdf["width"], pdf["height"], pdf["payload"]
+            ):
+                w, h = int(w), int(h)
+                arr = np.frombuffer(bytes(payload), dtype=np.uint8).reshape(h, w, 3)
+                rows.append(
+                    (
+                        int(mid), w, h, arr.size,
+                        int(arr[0, 0, 0]),
+                        int(arr[h // 2, w // 2, 1]),
+                        int(arr[h - 1, w - 1, 2]),
+                        int(arr[1, :, :].sum()),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in RESIZE_PROBE_SCHEMA.fields])
+
+    return media.mapInPandas(kernel, RESIZE_PROBE_SCHEMA)
+
+
+def resize_probe_oracle(out_w: int, out_h: int) -> str:
+    """DuckDB twin of synthesize_rgb_images → resize_nearest(out_w,
+    out_h) → probe_resized: every probe from the pixel function and the
+    floor index mapping, no image bytes involved."""
+    px = "({mid} + 7 * (({y} * h) // {oh}) + 13 * (({x} * w) // {ow}) + 31 * {c}) % 256"
+
+    def p(y: str, x: str, c: str) -> str:
+        return px.format(mid="d.media_id", y=y, x=x, c=c, oh=out_h, ow=out_w)
+
+    row1 = px.format(mid="d.media_id", y="1", x="t.x", c="u.c", oh=out_h, ow=out_w)
+    return f"""
+WITH d AS (
+  SELECT doc_id AS media_id,
+         8 + doc_id % 9 AS w, 8 + doc_id % 5 AS h
+  FROM documents
+),
+rowsum AS (
+  SELECT d.media_id, SUM({row1}) AS s
+  FROM d
+  CROSS JOIN (SELECT unnest(range({out_w})) AS x) t
+  CROSS JOIN (SELECT unnest(range(3)) AS c) u
+  GROUP BY d.media_id
+)
+SELECT d.media_id,
+       CAST({out_w} AS BIGINT) AS out_w,
+       CAST({out_h} AS BIGINT) AS out_h,
+       CAST({out_w * out_h * 3} AS BIGINT) AS out_bytes,
+       CAST({p("0", "0", "0")} AS BIGINT) AS p_tl,
+       CAST({p(str(out_h // 2), str(out_w // 2), "1")} AS BIGINT) AS p_mid,
+       CAST({p(str(out_h - 1), str(out_w - 1), "2")} AS BIGINT) AS p_br,
+       CAST(r.s AS BIGINT) AS row1_sum
+FROM d JOIN rowsum r ON d.media_id = r.media_id
+"""
 
 
 def media_stats_sql(view: str = "documents") -> tuple[str, str]:

@@ -135,6 +135,42 @@ class TableLockManager:
             lock.release()
 
 
+class AdmissionGate:
+    """O1 as a LIVE cap (C9): the reference re-reads Anzahl_ETL_Threads
+    every 10-second tick and applies it to the running service
+    (Helper.cs:301-410 ReadConfigurations, Processor.cs:1174-1247
+    UpdateParameters) — operators use it to throttle a heavy run
+    without restarting. A ThreadPoolExecutor's max_workers is fixed at
+    construction, so admission is gated here instead: a resizable
+    counting gate. Shrinking never preempts — running steps finish;
+    every NEW admission obeys the cap in force at acquire time."""
+
+    def __init__(self, cap: int) -> None:
+        self._cond = threading.Condition()
+        self._cap = max(1, int(cap))
+        self._in_use = 0
+
+    @property
+    def cap(self) -> int:
+        with self._cond:
+            return self._cap
+
+    def set_cap(self, cap: int) -> None:
+        with self._cond:
+            self._cap = max(1, int(cap))
+            self._cond.notify_all()  # growth admits queued steps now
+
+    def acquire(self) -> None:
+        with self._cond:
+            self._cond.wait_for(lambda: self._in_use < self._cap)
+            self._in_use += 1
+
+    def release(self) -> None:
+        with self._cond:
+            self._in_use -= 1
+            self._cond.notify_all()
+
+
 class ExclusiveGate:
     """O3 Parallelsperre: an exclusive step announces, waits for running
     normal steps to drain, runs alone; normal steps wait while an
@@ -179,10 +215,22 @@ class Orchestrator:
     """Runs one workflow: state machine + DAG + admission + locks."""
 
     def __init__(self, max_threads: int = 10) -> None:
-        # O1: Anzahl_ETL_Threads (Processor.cs:66, default 10)
-        self.max_threads = max_threads
+        # O1: Anzahl_ETL_Threads (Processor.cs:66, default 10) — held in
+        # a resizable AdmissionGate so C9's per-tick config reload can
+        # retune a LIVE run (set_max_threads below).
+        self._admission = AdmissionGate(max_threads)
         self.tables = TableLockManager()
         self.gate = ExclusiveGate()
+
+    @property
+    def max_threads(self) -> int:
+        return self._admission.cap
+
+    def set_max_threads(self, n: int) -> None:
+        """C9 hot-reload application point (Processor.cs:1216-1231):
+        running steps are untouched; admissions after this call obey
+        the new cap, shrink or grow."""
+        self._admission.set_cap(n)
     # ------------------------------------------------------------ steps
     def _run_step(self, step: Step, realization_sem: threading.Semaphore | None,
                   cancel: threading.Event, report: RunReport,
@@ -191,6 +239,11 @@ class Orchestrator:
             report.skipped.append(step.name)
             return
         self.gate.enter(step.exclusive)
+        # O1/C9: the live thread cap. AFTER the exclusive gate — an
+        # exclusive step must be able to wait for normal steps to drain
+        # without a normal step deadlocking the last admission slot
+        # inside gate.enter.
+        self._admission.acquire()
         try:
             if realization_sem:
                 realization_sem.acquire()
@@ -252,6 +305,7 @@ class Orchestrator:
             # decided) — cancelled, not an independent failure
             report.skipped.append(step.name)
         finally:
+            self._admission.release()
             self.gate.leave(step.exclusive)
 
     def _run_realization(self, pool: ThreadPoolExecutor, r: Realization,
@@ -322,7 +376,11 @@ class Orchestrator:
         waves = topological_waves({n: wf.packages[n] for n in needed})
         if state:
             state.transition(Stage.EXECUTING)
-        with ThreadPoolExecutor(max_workers=self.max_threads) as pool:
+        # The pool is THREAD SUPPLY, not the cap — the AdmissionGate is
+        # the cap (so C9's reload can retune it mid-run). Supply is
+        # sized above any plausible cap; a grow past it still admits,
+        # just bounded by supply until the next run.
+        with ThreadPoolExecutor(max_workers=max(64, self.max_threads)) as pool:
             try:
                 for wave in waves:
                     if errors:

@@ -531,6 +531,96 @@ JOIN nation n ON c.c_nationkey = n.n_nationkey
 WHERE o.o_orderpriority = '1-URGENT' AND n.n_regionkey = 1
 """
 
+# C9 config hot-reload as a query shape (Helper.cs:301-410
+# ReadConfigurations + Processor.cs:1174-1247 UpdateParameters): per
+# tick, the service re-reads (Parametername, Parameterwert) rows and
+# computes the EFFECTIVE typed parameters — a missing row keeps the
+# read default (threads 1 / debug 0 / interval 5), an unparseable
+# Parameterwert falls back to the default instead of crashing the
+# tick, and a change against the previous tick is logged (the
+# `start || old != new` branch). Ticks/rows are synthesized from
+# orders arithmetic; tick 4 simulates the whole config query failing
+# (all defaults), tick 2 drops only the Debug row.
+CFG_PARAM_RELOAD_TEMPLATE = """
+WITH raw AS (
+  SELECT o_orderkey % 6 AS tick,
+         CASE o_orderkey % 3 WHEN 0 THEN 'Anzahl_ETL_Threads'
+                             WHEN 1 THEN 'Debug'
+                             ELSE 'LogInterval' END AS param,
+         CASE WHEN o_orderkey % 11 = 0 THEN 'kaputt'
+              ELSE CAST(o_orderkey % 4 AS {str_t}) END AS wert,
+         o_orderkey
+  FROM orders
+  WHERE NOT (o_orderkey % 6 = 2 AND o_orderkey % 3 = 1)
+    AND NOT (o_orderkey % 6 = 4)
+),
+one_per AS (
+  SELECT tick, param, wert FROM (
+    SELECT tick, param, wert,
+           ROW_NUMBER() OVER (PARTITION BY tick, param ORDER BY o_orderkey) AS rn
+    FROM raw
+  ) t WHERE rn = 1
+),
+spine AS (SELECT DISTINCT o_orderkey % 6 AS tick FROM orders),
+params AS (
+  SELECT 'Anzahl_ETL_Threads' AS param, CAST(1 AS BIGINT) AS dflt
+  UNION ALL SELECT 'Debug', CAST(0 AS BIGINT)
+  UNION ALL SELECT 'LogInterval', CAST(5 AS BIGINT)
+),
+eff AS (
+  SELECT s.tick, p.param,
+         COALESCE(TRY_CAST(o.wert AS BIGINT), p.dflt) AS effective,
+         CASE WHEN o.wert IS NULL THEN 'default'
+              WHEN TRY_CAST(o.wert AS BIGINT) IS NULL THEN 'fallback'
+              ELSE 'read' END AS quelle
+  FROM spine s
+  CROSS JOIN params p
+  LEFT JOIN one_per o ON o.tick = s.tick AND o.param = p.param
+)
+SELECT tick, param, effective, quelle,
+       CASE WHEN LAG(effective) OVER (PARTITION BY param ORDER BY tick) IS NULL
+              OR LAG(effective) OVER (PARTITION BY param ORDER BY tick) <> effective
+            THEN 1 ELSE 0 END AS changed
+FROM eff
+ORDER BY tick, param
+"""
+
+# C10 mail recipient resolution as a query shape (Workflow.cs:1296-1317
+# success path, :1561-1581 failure path): per workflow run, resolve the
+# active distribution rows into TO/CC counts — the SUCCESS mail skips
+# Nur_Fehler subscribers, the FAILURE mail includes them, and mail is
+# sent only when the TO list is non-empty (CC-only resolutions send
+# nothing). Distribution rows synthesized from customer, run outcomes
+# from the workflow id's parity.
+CFG_MAIL_RECIPIENTS_TEMPLATE = """
+WITH dist AS (
+  SELECT c_custkey % 20 AS wf_id,
+         c_name AS empfaenger,
+         CASE WHEN c_custkey % 3 = 0 THEN 1 ELSE 0 END AS cc,
+         CASE WHEN c_custkey % 5 = 0 THEN 1 ELSE 0 END AS nur_fehler,
+         CASE WHEN c_custkey % 7 = 0 THEN 0 ELSE 1 END AS ist_aktiv
+  FROM customer WHERE c_custkey % 4 = 0
+),
+runs AS (
+  SELECT wf_id, CASE WHEN wf_id % 2 = 0 THEN 1 ELSE 0 END AS success
+  FROM (SELECT DISTINCT o_orderkey % 20 AS wf_id FROM orders) w
+)
+SELECT r.wf_id, r.success,
+       COUNT(CASE WHEN d.cc = 0 AND (r.success = 0 OR d.nur_fehler = 0)
+                  THEN 1 END) AS n_to,
+       COUNT(CASE WHEN d.cc = 1 AND (r.success = 0 OR d.nur_fehler = 0)
+                  THEN 1 END) AS n_cc,
+       MIN(CASE WHEN d.cc = 0 AND (r.success = 0 OR d.nur_fehler = 0)
+                THEN d.empfaenger END) AS first_to,
+       CASE WHEN COUNT(CASE WHEN d.cc = 0 AND (r.success = 0 OR d.nur_fehler = 0)
+                            THEN 1 END) > 0
+            THEN 1 ELSE 0 END AS send_mail
+FROM runs r
+LEFT JOIN dist d ON d.wf_id = r.wf_id AND d.ist_aktiv = 1
+GROUP BY r.wf_id, r.success
+ORDER BY r.wf_id
+"""
+
 # A4 running workflows (app.R:262-280): open-state filter + sort.
 ANA_RUNNING_TEMPLATE = """
 SELECT o_orderkey, o_custkey, o_totalprice
@@ -1573,13 +1663,12 @@ def unpivot_stats(df: DataFrame, measures: tuple[str, ...]) -> DataFrame:
     )
 
 
-# Names the driver already value-verified in a prior round — the union of
-# the green rows of CORRECTNESS_r01/r02/r03/r04.json.
-# The driver samples a PREFIX of the registry, so registry() floats the
-# still-unverified entries ahead of these, interleaved one per family so
-# whatever prefix is sampled covers every family.
-_DRIVER_VERIFIED = frozenset(
-    {
+# Names the driver already value-verified, one tuple per round (the
+# green rows of CORRECTNESS_r01..r05.json). The driver samples a PREFIX
+# of the registry, so registry() floats unverified entries first, then
+# orders the verified tail STALEST ROUND FIRST — each round's 50-sample
+# refreshes the oldest driver-green currency (VERDICT r5 item 6).
+_VERIFIED_R4 = (
         # round 4 (CORRECTNESS_r04.json, 32 green rows)
         "ann_ivf_nprobe_sweep", "ann_matryoshka_recall", "ann_pq_adc_topk",
         "ann_pq_recall_report", "ann_recall_report",
@@ -1595,6 +1684,9 @@ _DRIVER_VERIFIED = frozenset(
         "src_python_datasource", "src_schema_evolution",
         "text_langid_confusion", "text_ngram_novelty",
         "text_token_estimate_bpe", "text_vocab_growth",
+)
+
+_VERIFIED_R3 = (
         # round 3 (CORRECTNESS_r03.json, 44 green rows)
         "ana_report_rows", "ann_range_search", "corpus_contamination",
         "corpus_dup_rate_by_source", "corpus_quality_curriculum",
@@ -1616,6 +1708,9 @@ _DRIVER_VERIFIED = frozenset(
         "src_binaryfile_ingest", "src_jsonl_roundtrip", "src_orc_roundtrip",
         "text_repetition_quality", "text_sentence_split",
         "text_top_terms_per_language", "text_vocab_by_source",
+)
+
+_VERIFIED_R1 = (
         # round 1 (CORRECTNESS_r01.json)
         "ana_argmax_last_run", "ana_drilldown_levels", "ana_duration_datediff",
         "ana_hierarchy_tree", "ana_running_filter", "ana_runstructure_real",
@@ -1637,6 +1732,9 @@ _DRIVER_VERIFIED = frozenset(
         "tpch_q4_late_priority", "tpch_q5_local_supplier",
         "tpch_q6_forecast_revenue", "tpch_q7_volume_shipping",
         "tpch_q8_market_share", "tpch_q9_product_profit",
+)
+
+_VERIFIED_R2 = (
         # round 2 (CORRECTNESS_r02.json)
         "ann_cosine_topk",
         "ann_ivf_topk", "ann_lsh_bucketed", "anti_join_never_shipped",
@@ -1657,8 +1755,48 @@ _DRIVER_VERIFIED = frozenset(
         "sketch_kmv_audience_overlap", "sketch_kmv_distinct", "text_fingerprint",
         "text_lang_id", "text_normalize", "text_quality_score",
         "text_tfidf_top_terms", "text_token_stats", "top_parts_by_revenue",
-    }
 )
+
+_VERIFIED_R5 = (
+        # round 5 (CORRECTNESS_r05.json, 50 green rows)
+        "ann_ivf_incremental", "basket_brand_pairs", "corpus_domain_quota",
+        "corpus_domain_quota_salted", "corpus_dsir_quota",
+        "corpus_dsir_weights", "corpus_filter_waterfall",
+        "corpus_split_leakage", "corpus_token_budget_bpe",
+        "dedup_chunk_exact", "dedup_lsh_band_tuning",
+        "dedup_minhash_estimate_audit", "dedup_winnowing_pairs",
+        "emb_hamming_knn_graph", "etl_copy_align_audit",
+        "etl_copy_timesliced", "etl_placeholder_window",
+        "etl_sql_target_dialect", "events_ab_lift",
+        "events_changepoint_scan", "events_forecast_backtest",
+        "events_hopping_window", "events_markov_transitions",
+        "events_moment_stats", "events_seasonal_residuals",
+        "events_top_paths", "events_user_rate_cap", "graph_kcore",
+        "orders_gap_distribution", "orders_pareto_share",
+        "orders_rfm_segments", "orders_yoy_growth",
+        "profile_group_cardinality", "profile_range_boundaries",
+        "recon_users_customers_full_outer", "snap_incremental_agg",
+        "snap_merge_upsert", "snap_time_travel", "snap_version_diff",
+        "text_bigram_lm_score", "text_boilerplate_prefixes",
+        "text_bpe_encode", "text_bpe_merges", "text_chunk_overlap",
+        "text_gopher_rules", "text_hashed_linear_score",
+        "text_pmi_collocations", "text_rake_keywords",
+        "text_winnowing_fingerprints", "text_zipf_profile",
+)
+
+# Stalest driver row first: r1-verified entries are 5 rounds old, so
+# they lead the verified tail; a name verified in several rounds keeps
+# only its FRESHEST (latest-round) position.
+_seen: set[str] = set()
+_stale_tiers: list[tuple[str, ...]] = []
+for _tier in (_VERIFIED_R5, _VERIFIED_R4, _VERIFIED_R3, _VERIFIED_R2, _VERIFIED_R1):
+    _stale_tiers.append(tuple(n for n in _tier if n not in _seen))
+    _seen.update(_tier)
+_VERIFIED_STALE_ORDER: tuple[str, ...] = tuple(
+    n for tier in reversed(_stale_tiers) for n in tier
+)
+_DRIVER_VERIFIED = frozenset(_VERIFIED_STALE_ORDER)
+del _seen, _stale_tiers, _tier
 
 # Family buckets for the interleave: a prefix of the reordered registry
 # hits every family after ~one round-robin pass.
@@ -1676,44 +1814,32 @@ _FAMILY_PREFIXES: tuple[tuple[str, ...], ...] = (
 )
 
 
-# Round 5 priority tier (VERDICT.md round 4, "Next round" #1): the 41
-# registry queries with no driver-green row on record — first the 18
-# rows of CORRECTNESS_r04.json whose DuckDB oracles OOM'd on the driver
-# box (driver-RED on record even though the judge re-ran all 18 green
-# at sf0.1 — environmental, but they must land driver-green), then the
-# 23 entries never sampled in any round. A 41-entry prefix covers all.
+# Round 6 priority tier (VERDICT.md round 5, "Next round" #6): the new
+# round-6 registry entries (never driver-sampled), then RE-VERIFY rows
+# whose implementation changed AFTER their last driver-green row — the
+# post-r4-sweep commits touched these plans (fd3be9e k-means summand
+# type gate, 36f156a money_out rounding pin on Q1, f3c501a sessionize
+# interval-merge rewrite), so their last green row predates the code
+# that now runs.
 _PRIORITY_PENDING = (
-    # the 18 oracle-OOM rows of CORRECTNESS_r04.json (driver-red on record)
-    "graph_kcore", "text_bigram_lm_score", "profile_range_boundaries",
-    "events_hopping_window", "orders_yoy_growth", "dedup_chunk_exact",
-    "emb_hamming_knn_graph", "text_zipf_profile", "corpus_filter_waterfall",
-    "profile_group_cardinality", "events_user_rate_cap",
-    "basket_brand_pairs", "dedup_lsh_band_tuning",
-    "text_boilerplate_prefixes", "corpus_domain_quota_salted",
-    "events_markov_transitions", "orders_rfm_segments",
-    "dedup_winnowing_pairs",
-    # the 23 never-driver-sampled entries (local-green since r2-r4)
-    "corpus_domain_quota", "corpus_split_leakage",
-    "dedup_minhash_estimate_audit", "events_ab_lift",
-    "events_changepoint_scan", "events_forecast_backtest",
-    "events_moment_stats", "events_seasonal_residuals", "events_top_paths",
-    "orders_gap_distribution", "orders_pareto_share",
-    "recon_users_customers_full_outer", "snap_incremental_agg",
-    "snap_merge_upsert", "snap_time_travel", "snap_version_diff",
-    "text_bpe_merges", "text_chunk_overlap", "text_gopher_rules",
-    "text_hashed_linear_score", "text_pmi_collocations",
-    "text_rake_keywords", "text_winnowing_fingerprints",
+    # new in round 6
+    "cfg_param_reload", "cfg_mail_recipients", "media_resize",
+    # re-verify: plan changed since last driver-green row
+    "emb_kmeans",            # fd3be9e summand type gate (last green r2)
+    "tpch_q1_pricing",       # 36f156a money_out rounding pin (last green r1)
+    "events_sessionize",     # f3c501a interval-merge rewrite (last green r2)
 )
 
 
 def _driver_order(cases: dict[str, Case]) -> dict[str, Case]:
     """Order the registry for the driver's prefix sample: first the
-    never-yet-sampled priority tier, then the remaining driver-unverified
-    entries interleaved one-per-family, then everything a prior round's
-    CORRECTNESS_r*.json already value-verified (original order preserved
-    within each group). Pure reordering — same keys/cases."""
+    priority tier (new entries + re-verify rows whose plan changed since
+    their last green row), then the remaining driver-unverified entries
+    interleaved one-per-family, then the already-verified tail ordered
+    stalest driver row first — a 50-entry prefix refreshes the oldest
+    green currency every round. Pure reordering — same keys/cases."""
     names = list(cases)
-    prio = [n for n in _PRIORITY_PENDING if n in cases and n not in _DRIVER_VERIFIED]
+    prio = [n for n in _PRIORITY_PENDING if n in cases]
     pending = [n for n in names if n not in _DRIVER_VERIFIED and n not in prio]
     queues = []
     claimed: set[str] = set()
@@ -1727,7 +1853,12 @@ def _driver_order(cases: dict[str, Case]) -> dict[str, Case]:
         for q in queues:
             if q:
                 ordered.append(q.pop(0))
-    ordered.extend(n for n in names if n in _DRIVER_VERIFIED)
+    placed = set(ordered)
+    ordered.extend(
+        n for n in _VERIFIED_STALE_ORDER if n in cases and n not in placed
+    )
+    placed.update(ordered)
+    ordered.extend(n for n in names if n not in placed)  # safety net
     return {n: cases[n] for n in ordered}
 
 
@@ -1766,6 +1897,10 @@ def registry() -> dict[str, Case]:
     cases["cfg_left_join_steps"] = _bi_case(CFG_LEFT_JOIN_TEMPLATE)
     cases["cfg_dependency_edges"] = _bi_case(CFG_DEP_EDGES_TEMPLATE)
     cases["cfg_params_threeway"] = _bi_case(CFG_PARAMS_TEMPLATE)
+    cases["cfg_param_reload"] = _bi_case(
+        CFG_PARAM_RELOAD_TEMPLATE, str_t=("STRING", "VARCHAR")
+    )
+    cases["cfg_mail_recipients"] = _bi_case(CFG_MAIL_RECIPIENTS_TEMPLATE)
 
     # --- run-log analytics shapes
     cases["ana_union_report"] = _bi_case(ANA_UNION_TEMPLATE)
@@ -3874,6 +4009,19 @@ GROUP BY a.event_type
         return multimodal.sniff_video_meta(media)
 
     cases["media_video_meta_sniff"] = Case(_video_meta, multimodal.VIDEO_META_ORACLE)
+
+    # --- PIL-free nearest-neighbor resize over synthesized raw-RGB
+    # payloads (pure numpy under mapInPandas), probed on ACTUAL resized
+    # bytes; the oracle recomputes every probe arithmetically from the
+    # pixel function + the pinned floor index mapping — the full
+    # generate→resize→probe pipeline is value-checked end to end
+    def _media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+        views(spark, sf_dir)
+        raw = multimodal.synthesize_rgb_images(spark.table("documents"))
+        resized = multimodal.resize_nearest(raw, out_w=10, out_h=6)
+        return multimodal.probe_resized(resized)
+
+    cases["media_resize"] = Case(_media_resize, multimodal.resize_probe_oracle(10, 6))
 
     # --- key reconciliation across systems via FULL OUTER join (the
     # migration-validation staple: which keys exist where, with row

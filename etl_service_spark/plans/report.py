@@ -32,11 +32,52 @@ Faithful behaviors (same decision points, original markup):
 from __future__ import annotations
 
 import html
+from dataclasses import dataclass
 from datetime import datetime
 
 from pyspark.sql import SparkSession
 
 from . import runlog as RL
+
+
+@dataclass(frozen=True)
+class DistributionEntry:
+    """One conf.Email_Verteiler_Workflow row (the reference's mail
+    distribution table): recipient address plus the three routing flags
+    (Workflow.cs:1296-1317 success path, :1561-1581 failure path)."""
+
+    workflow_id: object
+    empfaenger: str
+    cc: bool = False  # True → CC list, else TO list
+    nur_fehler: bool = False  # True → error mails only
+    ist_aktiv: bool = True
+
+
+def resolve_recipients(
+    distribution: list[DistributionEntry], workflow_id: object, success: bool
+) -> tuple[list[str], list[str]]:
+    """C10: the reference's recipient resolution, both paths.
+
+    - rows are scoped ``ETL_Workflow_ID = id AND Ist_Aktiv = 1`` (the
+      WHERE of both queries);
+    - the SUCCESS mail skips ``Nur_Fehler`` recipients (the ``continue``
+      in Workflow.cs:1307-1308); the FAILURE/abort mail has no such
+      filter (Workflow.cs:1561-1581) — error-only subscribers get it;
+    - ``CC`` splits the CC list from the TO list, preserving row order
+      (the reference appends in DataTable row order, no dedup).
+
+    Returns (to, cc). The caller sends only when ``to`` is non-empty —
+    the reference's ``_emailReceiver.Count > 0`` guard; CC-only
+    distributions produce no mail."""
+    to: list[str] = []
+    cc: list[str] = []
+    for row in distribution:
+        if row.workflow_id != workflow_id or not row.ist_aktiv:
+            continue
+        if success and row.nur_fehler:
+            continue
+        (cc if row.cc else to).append(row.empfaenger)
+    return to, cc
 
 _TD = (
     '<td style="font-family: Arial, sans-serif; font-size: 12px; '
@@ -240,13 +281,18 @@ def finalize_run(
     *,
     takeover_from: str = "-",
     takeover_to: str = "-",
-) -> dict[str, str]:
+    distribution: list[DistributionEntry] | None = None,
+) -> dict[str, object]:
     """Write the end-of-run artifacts the reference mails out
     (SendResultMail, Helper.cs:606-806: HTML body + the run-graph PNG
     attachment) into ``out_dir`` — the sandbox has no SMTP, so the
     artifact directory IS the outbox; an operator wires delivery.
-    Returns {"html": path, "png": path}. Call after the runlog views
+    Returns {"html": path, "png": path} plus — when a distribution
+    list is given (C10) — the resolved "to"/"cc" recipient lists and
+    the "send" decision, written alongside as an envelope JSON so the
+    outbox artifact is deliverable as-is. Call after the runlog views
     are registered (the orchestrator's close-out does both)."""
+    import json
     import os
 
     from . import viz
@@ -265,4 +311,20 @@ def finalize_run(
             )
         )
     viz.render_run_graph_png(spark, png_path)
-    return {"html": html_path, "png": png_path}
+    out: dict[str, object] = {"html": html_path, "png": png_path}
+    if distribution is not None:
+        to, cc = resolve_recipients(distribution, workflow_id, success)
+        envelope = {
+            "workflow_id": str(workflow_id),
+            "success": success,
+            "to": to,
+            "cc": cc,
+            # _emailReceiver.Count > 0: CC-only → no mail
+            "send": len(to) > 0,
+        }
+        env_path = os.path.join(out_dir, f"envelope_{workflow_id}.json")
+        with open(env_path, "w") as fh:
+            json.dump(envelope, fh, indent=1)
+        out.update(envelope)
+        out["envelope"] = env_path
+    return out

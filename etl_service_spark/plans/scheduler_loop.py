@@ -21,6 +21,7 @@ O(config) per tick.
 
 from __future__ import annotations
 
+from collections.abc import Callable, Iterable
 from dataclasses import dataclass, field
 from datetime import datetime, timedelta
 
@@ -58,12 +59,89 @@ class ScheduledWorkflow:
     backoff: FailureBackoff = field(default_factory=FailureBackoff)
 
 
+# C9 config hot-reload (Helper.cs:301-410 ReadConfigurations +
+# Processor.cs:1174-1247 UpdateParameters). Two default layers, both
+# faithful: READ defaults apply when conf.Konfigurationsparameter has
+# no row (or the whole query fails) for a parameter; APPLY fallbacks
+# are UpdateParameters' catch arms when the read value can't be used.
+CONFIG_READ_DEFAULTS = {"Anzahl_ETL_Threads": 1, "Debug": False, "LogInterval": 5}
+CONFIG_APPLY_FALLBACKS = {"Anzahl_ETL_Threads": 10, "Debug": True, "LogInterval": 5}
+
+ConfigSource = Callable[[], Iterable[tuple[str, str]]]
+
+
+def read_configurations(
+    rows: Iterable[tuple[str, str]], errlog: list[str] | None = None
+) -> dict[str, object]:
+    """ReadConfigurations: (Parametername, Parameterwert) rows → typed
+    parameter dict. An unparseable Parameterwert keeps the read default
+    and error-logs 'minor' (the reference never crashes the tick over a
+    bad config row); unknown parameter names are ignored (the switch's
+    default arm)."""
+    params: dict[str, object] = dict(CONFIG_READ_DEFAULTS)
+    for name, wert in rows:
+        try:
+            if name == "Anzahl_ETL_Threads":
+                params[name] = int(wert)
+            elif name == "Debug":
+                params[name] = int(wert) == 1  # Parameterwert is 0/1
+            elif name == "LogInterval":
+                params[name] = int(wert)
+        except (TypeError, ValueError):
+            if errlog is not None:
+                errlog.append(f"minor: extracting parameter {name!r} failed")
+    return params
+
+
 class SchedulerLoop:
-    def __init__(self, orchestrator: Orchestrator | None = None, tick_seconds: int = 10) -> None:
+    def __init__(
+        self,
+        orchestrator: Orchestrator | None = None,
+        tick_seconds: int = 10,
+        config_source: ConfigSource | None = None,
+    ) -> None:
         self.orchestrator = orchestrator or Orchestrator()
         self.tick = timedelta(seconds=tick_seconds)
         self.workflows: dict[str, ScheduledWorkflow] = {}
         self.instances: list[ScheduleInstance] = []  # T4 log
+        # C9: re-read per tick from this source (a config-table query in
+        # production; any callable returning (name, wert) rows here)
+        self.config_source = config_source
+        self.debug = CONFIG_READ_DEFAULTS["Debug"]
+        self.log_interval = CONFIG_READ_DEFAULTS["LogInterval"]  # MaxWaitWithoutMessage
+        self.param_log: list[str] = []  # change log (Processor.cs logs on start/delta)
+        self._params_initialized = False
+
+    def update_parameters(self, start: bool = False) -> None:
+        """One UpdateParameters pass: re-read the config source and apply
+        to the LIVE service — the orchestrator's thread cap can shrink or
+        grow while a workflow is running (running steps finish; new step
+        admissions obey the new cap: Orchestrator.set_max_threads)."""
+        if self.config_source is None:
+            return
+        try:
+            rows = list(self.config_source())
+        except Exception:
+            # 'Querying Configurations failed!' minor — defaults apply
+            self.param_log.append("minor: querying configurations failed")
+            rows = []
+        params = read_configurations(rows, errlog=self.param_log)
+
+        def _apply(name: str, current: object, cast) -> object:
+            try:
+                value = cast(params[name])
+            except Exception:
+                value = CONFIG_APPLY_FALLBACKS[name]
+                self.param_log.append(f"PARAMETER {name}: {value}")
+                return value
+            if start or value != current:
+                self.param_log.append(f"PARAMETER {name}: {value}")
+            return value
+
+        self.debug = _apply("Debug", self.debug, bool)
+        threads = _apply("Anzahl_ETL_Threads", self.orchestrator.max_threads, int)
+        self.orchestrator.set_max_threads(int(threads))
+        self.log_interval = _apply("LogInterval", self.log_interval, int)
 
     def add(self, sw: ScheduledWorkflow) -> None:
         self.workflows[sw.name] = sw
@@ -85,7 +163,11 @@ class SchedulerLoop:
 
     def run_tick(self, now: datetime) -> list[RunReport]:
         """One CheckForExecution pass: launch everything due within the
-        tick window; returns the run reports (empty when idle)."""
+        tick window; returns the run reports (empty when idle). The tick
+        FIRST re-reads config (C9) — the reference's timer callback runs
+        UpdateParameters before CheckForExecution every 10 s."""
+        self.update_parameters(start=not self._params_initialized)
+        self._params_initialized = True
         reports: list[RunReport] = []
         for sw in self.workflows.values():
             if not (sw.active and sw.backoff.active):

@@ -361,13 +361,30 @@ def test_html_run_report(spark, tmp_path):
     assert "Fehlermeldungen" not in ok_doc
 
     # end-of-run artifact writer (SendResultMail minus SMTP): both
-    # files land in the outbox dir and carry the rendered content
-    from etl_service_spark.plans.report import finalize_run
+    # files land in the outbox dir and carry the rendered content;
+    # the distribution list resolves to a deliverable envelope (C10)
+    from etl_service_spark.plans.report import DistributionEntry, finalize_run
 
-    paths = finalize_run(spark, 42, False, str(tmp_path / "outbox"))
+    dist = [
+        DistributionEntry(42, "ops@example.org"),
+        DistributionEntry(42, "lead@example.org", cc=True),
+        DistributionEntry(42, "onfail@example.org", nur_fehler=True),
+        DistributionEntry(42, "gone@example.org", ist_aktiv=False),
+        DistributionEntry(99, "other-wf@example.org"),
+    ]
+    paths = finalize_run(spark, 42, False, str(tmp_path / "outbox"), distribution=dist)
     written = open(paths["html"]).read()
     assert "Fehlgeschlagen" in written and "sentinel -1 from target" in written
     assert open(paths["png"], "rb").read(8) == b"\x89PNG\r\n\x1a\n"
+    # failure mail: Nur_Fehler recipients INCLUDED (Workflow.cs:1561-1581
+    # has no filter); inactive + other-workflow rows excluded; CC split
+    assert paths["to"] == ["ops@example.org", "onfail@example.org"]
+    assert paths["cc"] == ["lead@example.org"]
+    assert paths["send"] is True
+    import json as _json
+
+    env = _json.load(open(paths["envelope"]))
+    assert env["to"] == paths["to"] and env["cc"] == paths["cc"]
 
     # duration rule (Helper.cs:710-717): minutes when rounded > 0, else
     # seconds; open run measures against now; missing start -> '-'
@@ -1307,3 +1324,47 @@ def test_dsir_quota_conserves_budget_and_tilts_toward_target(spark, sf_dir):
     for r in rows:
         assert 0 <= r.token_quota <= budget
         assert r.weighted_tokens >= 0
+
+
+def test_mail_recipient_resolution_paths():
+    """C10 pure semantics (Workflow.cs:1296-1317 vs :1561-1581): the
+    SUCCESS mail skips Nur_Fehler subscribers and a CC-only resolution
+    sends nothing; the FAILURE mail includes everyone active."""
+    from etl_service_spark.plans.report import DistributionEntry, resolve_recipients
+
+    dist = [
+        DistributionEntry(7, "a@x"),
+        DistributionEntry(7, "b@x", cc=True),
+        DistributionEntry(7, "err@x", nur_fehler=True),
+        DistributionEntry(7, "errcc@x", cc=True, nur_fehler=True),
+        DistributionEntry(7, "off@x", ist_aktiv=False),
+        DistributionEntry(8, "other@x"),
+    ]
+    to, cc = resolve_recipients(dist, 7, success=True)
+    assert to == ["a@x"] and cc == ["b@x"]
+    to, cc = resolve_recipients(dist, 7, success=False)
+    assert to == ["a@x", "err@x"] and cc == ["b@x", "errcc@x"]
+    # CC-only active set on success: _emailReceiver.Count == 0 -> no mail
+    cc_only = [DistributionEntry(7, "only@x", cc=True)]
+    to, cc = resolve_recipients(cc_only, 7, success=True)
+    assert to == [] and cc == ["only@x"]
+
+
+def test_resize_nearest_quarantines_malformed(spark):
+    """resize_nearest drops payloads whose byte count contradicts the
+    declared dims (like the sniffers) and resizes the rest with the
+    pinned floor mapping."""
+    import numpy as np
+
+    from etl_service_spark.operators.multimodal import RAW_IMAGE_SCHEMA, resize_nearest
+
+    good = ((np.arange(8 * 4 * 3) % 256).astype(np.uint8)).tobytes()
+    rows = [(1, 8, 4, good), (2, 8, 4, good[:-5])]  # row 2: truncated
+    media = spark.createDataFrame(rows, RAW_IMAGE_SCHEMA)
+    out = resize_nearest(media, out_w=4, out_h=2).collect()
+    assert [r["media_id"] for r in out] == [1]
+    arr = np.frombuffer(out[0]["payload"], dtype=np.uint8).reshape(2, 4, 3)
+    src = np.frombuffer(good, dtype=np.uint8).reshape(4, 8, 3)
+    # floor mapping: sy = y*4//2? no: y*H//out_h = y*4//2, sx = x*8//4
+    expect = src[(np.arange(2) * 4) // 2][:, (np.arange(4) * 8) // 4]
+    assert (arr == expect).all()

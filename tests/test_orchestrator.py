@@ -285,3 +285,90 @@ def test_running_spark_job_is_cancelled_on_abort(spark):
     assert "long" in report.skipped  # recorded as cancelled, not failed
     assert report.fallback_ran and ran == [10]
     assert elapsed < 120, f"cancellation did not kill the running job ({elapsed:.0f}s)"
+
+
+def test_admission_cap_shrinks_mid_run():
+    """C9 hot-reload, shrink half (Processor.cs:1216-1231): cap 3 -> 1
+    while 3 steps run; the runners finish untouched, every admission
+    AFTER the change obeys the new cap."""
+    orch = Orchestrator(3)
+    running: set[str] = set()
+    post_shrink_peak = 0
+    shrunk = threading.Event()
+    cond = threading.Condition()
+    go = {f"s{i}": threading.Event() for i in range(8)}
+
+    def act(name):
+        def _():
+            nonlocal post_shrink_peak
+            with cond:
+                running.add(name)
+                if shrunk.is_set():
+                    post_shrink_peak = max(post_shrink_peak, len(running))
+                cond.notify_all()
+            go[name].wait(30)
+            with cond:
+                running.discard(name)
+        return _
+
+    steps = tuple(Step(n, act(n)) for n in go)
+    pkg = Package("p", (Realization("r", steps),))
+
+    def controller():
+        with cond:
+            cond.wait_for(lambda: len(running) == 3, timeout=30)
+            first = set(running)
+        orch.set_max_threads(1)
+        shrunk.set()
+        for n in first:
+            go[n].set()
+        released = set(first)
+        while len(released) < len(go):
+            with cond:
+                cond.wait_for(
+                    lambda: any(n not in released for n in running), timeout=30
+                )
+                nxt = next(n for n in running if n not in released)
+            released.add(nxt)
+            go[nxt].set()
+
+    t = threading.Thread(target=controller)
+    t.start()
+    report = orch.run(_wf([pkg], "p"))
+    t.join(30)
+    assert sorted(report.succeeded) == sorted(go)
+    assert post_shrink_peak == 1, f"post-shrink admissions ran {post_shrink_peak} wide"
+    assert orch.max_threads == 1
+
+
+def test_admission_cap_grows_mid_run():
+    """C9 grow half: cap 1 -> 4 mid-run unblocks a workflow whose steps
+    all wait for 4-wide concurrency (a fixed pool could never do this)."""
+    orch = Orchestrator(1)
+    running: set[str] = set()
+    cond = threading.Condition()
+    all_in = threading.Event()
+
+    def act(name):
+        def _():
+            with cond:
+                running.add(name)
+                cond.notify_all()
+                if len(running) == 4:
+                    all_in.set()
+            assert all_in.wait(30), "cap growth never admitted 4 concurrent steps"
+        return _
+
+    steps = tuple(Step(f"g{i}", act(f"g{i}")) for i in range(4))
+    pkg = Package("p", (Realization("r", steps),))
+
+    def controller():
+        with cond:
+            cond.wait_for(lambda: len(running) >= 1, timeout=30)
+        orch.set_max_threads(4)
+
+    t = threading.Thread(target=controller)
+    t.start()
+    report = orch.run(_wf([pkg], "p"))
+    t.join(30)
+    assert len(report.succeeded) == 4 and not report.failed

@@ -297,3 +297,56 @@ def test_scheduled_occurrence_fires_once_across_fast_ticks():
     loop.run_tick(datetime(2026, 3, 2, 1, 59, 52))
     loop.run_tick(datetime(2026, 3, 2, 1, 59, 57))  # same due occurrence
     assert len(ran) == 1
+
+
+def test_scheduler_tick_hot_reloads_config():
+    """C9: every tick re-reads the config source (UpdateParameters
+    before CheckForExecution, Processor.cs:1174-1247) and applies it to
+    the LIVE orchestrator; missing rows fall back to the read defaults
+    (1/False/5), unparseable values keep the default and error-log
+    'minor' instead of crashing the tick."""
+    from etl_service_spark.plans.orchestrator import Orchestrator
+    from etl_service_spark.plans.scheduler_loop import SchedulerLoop
+
+    rows = [("Anzahl_ETL_Threads", "3"), ("Debug", "1"), ("LogInterval", "7")]
+    loop = SchedulerLoop(Orchestrator(10), config_source=lambda: list(rows))
+    now = datetime(2026, 4, 1, 9, 0)
+    loop.run_tick(now)
+    assert loop.orchestrator.max_threads == 3
+    assert loop.debug is True and loop.log_interval == 7
+    # start=True logs every parameter once (the reference's start branch)
+    assert "PARAMETER Anzahl_ETL_Threads: 3" in loop.param_log
+    assert "PARAMETER Debug: True" in loop.param_log
+
+    # change mid-service: threads re-read, absent params -> read defaults
+    rows[:] = [("Anzahl_ETL_Threads", "5")]
+    loop.run_tick(datetime(2026, 4, 1, 9, 0, 10))
+    assert loop.orchestrator.max_threads == 5
+    assert loop.debug is False and loop.log_interval == 5
+    assert "PARAMETER Anzahl_ETL_Threads: 5" in loop.param_log
+
+    # unparseable value: minor error, read default applies
+    n_log = len(loop.param_log)
+    rows[:] = [("Anzahl_ETL_Threads", "not_a_number"), ("Unbekannt", "9")]
+    loop.run_tick(datetime(2026, 4, 1, 9, 0, 20))
+    assert loop.orchestrator.max_threads == 1
+    assert any("minor" in m for m in loop.param_log[n_log:])
+
+    # a failing config QUERY must not halt the tick (reference logs
+    # minor and keeps the defaults)
+    def boom():
+        raise RuntimeError("db down")
+
+    loop.config_source = boom
+    loop.run_tick(datetime(2026, 4, 1, 9, 0, 30))
+    assert loop.orchestrator.max_threads == 1
+    assert any("querying configurations failed" in m for m in loop.param_log)
+
+
+def test_scheduler_without_config_source_keeps_cap():
+    from etl_service_spark.plans.orchestrator import Orchestrator
+    from etl_service_spark.plans.scheduler_loop import SchedulerLoop
+
+    loop = SchedulerLoop(Orchestrator(6))
+    loop.run_tick(datetime(2026, 4, 1, 9, 0))
+    assert loop.orchestrator.max_threads == 6
