@@ -200,12 +200,32 @@ HEADLINERS = [
     "events_forecast_backtest",
     "corpus_dsir_weights",
     "corpus_dsir_quota",
+    "cfg_param_reload",
+    "cfg_mail_recipients",
+    "media_resize",
 ]
+
+
+def _env_stanza() -> dict:
+    """Host-contention fingerprint recorded WITH the numbers: round 5's
+    driver bench drifted 1.2x uniformly vs a 2.4x-faster quiet-box run
+    of the same commit — without load context such drift is
+    uninterpretable round-over-round. loadavg is sampled at start and
+    (by the caller) at end; a 1-minute load near/above the core count
+    means the timings measured a busy box, not the plans."""
+    la = os.getloadavg()
+    return {
+        "os_cpus": os.cpu_count(),
+        "spark_cpus": os.environ.get("SPARK_GRAFT_CPUS", "(default)"),
+        "load_1m_start": round(la[0], 2),
+        "load_5m_start": round(la[1], 2),
+    }
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    env = _env_stanza()
     spark = get_spark("etl_service_spark_bench")
     cases = registry()
     views(spark, sf_dir)  # pay view registration once, like a real session
@@ -233,6 +253,7 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
+    env["load_1m_end"] = round(os.getloadavg()[0], 2)
     full = {
         "metric": "headline_queries_total_wall",
         "value": total,
@@ -240,6 +261,7 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf),
         "n_queries": len(timings),
+        "env": env,
     }
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"), "w") as fh:
         json.dump(full, fh, indent=1, sort_keys=True)
@@ -261,6 +283,7 @@ def main() -> None:
                 "unit": "sec",
                 "sf": float(sf),
                 "n_queries": len(timings),
+                "env": env,
                 "queries": slowest,
                 "full_results": "BENCH_LOCAL.json",
             },

@@ -393,8 +393,38 @@ def money_out(sum_expr: str, s: int, alias: str | None = None) -> str:
     both engines) and divide by the 10^s literal (one more identical
     correctly-rounded op). This pins the rounding SEQUENCE, which a
     bare DECIMAL→DOUBLE cast does not (engines factor it differently
-    above 2^53 — see money_sum)."""
+    above 2^53 — see money_sum).
+
+    CALL-SITE DUTY (round-5 advisor): the BIGINT cast is exact only
+    while |sum|·10^s < 2^63 ≈ 9.2e18 — above it the query ERRORS under
+    ANSI/DuckDB (loud, never silently wrong, but still an outage).
+    Each call must pick s with documented headroom. The tightest
+    current call is tpch_q1's s=6 sum_charge: ≈5.7e10 per GROUP per sf
+    unit ⇒ scaled-integer form crosses 2^63 near sf≈160 (~160 GB).
+    Past that, use money_out_wide() below — same pinned rounding
+    sequence through a DECIMAL(38,0) integer instead of BIGINT, exact
+    to |sum|·10^s < 10^38 (any realistic corpus)."""
     out = f"CAST(CAST(({sum_expr}) * {10 ** s} AS BIGINT) AS DOUBLE) / {float(10 ** s)}"
+    return f"{out} AS {alias}" if alias else out
+
+
+def money_out_wide(sum_expr: str, s: int, alias: str | None = None) -> str:
+    """money_out for sums past the BIGINT-scaled bound: the integer
+    intermediate is DECIMAL(38,0) instead of BIGINT — exact while
+    |sum|·10^s < 10^38, i.e. any physically realistic money sum. The
+    rounding sequence stays pinned: exact decimal multiply (integer-
+    valued), one DECIMAL(38,0)→DOUBLE conversion (correctly rounded in
+    BOTH engines — Java BigDecimal.doubleValue vs DuckDB int128→double;
+    verified bit-identical across the 2^63..10^38 range in
+    tests/test_properties.py::test_money_out_wide_cross_engine), one
+    identical double divide. Trade-off vs money_out: the DECIMAL
+    intermediate keeps Spark's aggregate out of the fastest codegen
+    path, so prefer money_out while the s-scaled sum provably fits
+    BIGINT (see its headroom note) and switch here above that."""
+    out = (
+        f"CAST(CAST(({sum_expr}) * {10 ** s} AS DECIMAL(38,0)) AS DOUBLE)"
+        f" / {float(10 ** s)}"
+    )
     return f"{out} AS {alias}" if alias else out
 
 

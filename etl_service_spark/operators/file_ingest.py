@@ -26,6 +26,7 @@ Spark-first:
 
 from __future__ import annotations
 
+import logging
 import os
 import shutil
 from dataclasses import dataclass
@@ -149,6 +150,14 @@ def stage_files(directory: str) -> list[str]:
             or name.lower() in SIDECAR_NAMES
             or not name.lower().endswith(INGESTIBLE_EXTS)
         ):
+            if os.path.isfile(src) and name.lower() in SIDECAR_NAMES:
+                # a DATA file that happens to be named like a sidecar
+                # would otherwise strand in Insert/ forever with no
+                # trace (round-5 advisor finding) — leave it, but say so
+                logging.getLogger(__name__).info(
+                    "stage_files: leaving sidecar-named %s in Insert/ "
+                    "(config name, never staged as data)", name
+                )
             continue
         dst = os.path.join(tmp, name)
         shutil.move(src, dst)

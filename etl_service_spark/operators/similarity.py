@@ -20,6 +20,8 @@ work — no Python in the loop.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
@@ -785,6 +787,27 @@ def ivf_index_append_batch(
 _IVF_INC_STATE: dict[tuple, tuple[str, str, str]] = {}
 
 
+def _ivf_state_dir(spark, prefix: str) -> str:
+    """Snapshot-state directory with a LIFECYCLE (round-5 advisor
+    finding: bare mkdtemp per (session, corpus) key accumulated
+    orphaned /tmp dirs across sessions). Rooted under the session
+    staging dir when one is configured (its owner already cleans it
+    up); otherwise a mkdtemp registered for atexit removal."""
+    import atexit
+    import shutil as _shutil
+    import tempfile
+    import uuid as _uuid
+
+    base = P.staging_dir(spark)
+    if base:
+        d = os.path.join(base, f"{prefix}{_uuid.uuid4().hex[:10]}")
+        os.makedirs(d, exist_ok=True)
+        return d
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(_shutil.rmtree, d, ignore_errors=True)
+    return d
+
+
 def ivf_incremental_staged(
     spark: SparkSession, k: int = 4, view: str = "embeddings",
     big_t: str | None = None,
@@ -796,7 +819,6 @@ def ivf_incremental_staged(
     everything, and emit the per-cell churn report — value-identical to
     :func:`ivf_incremental_drift_sql`'s stateless DuckDB unroll, which
     is exactly the point: the stateful path is oracle-checked."""
-    import tempfile
     import uuid
 
     from ..sources import snapshots
@@ -807,9 +829,9 @@ def ivf_incremental_staged(
     )
     state = _IVF_INC_STATE.get(key)
     if state is None:
-        index_dir = tempfile.mkdtemp(prefix="etl_ivf_idx_")
-        assign_dir = tempfile.mkdtemp(prefix="etl_ivf_asg_")
-        rebuild_dir = tempfile.mkdtemp(prefix="etl_ivf_reb_")
+        index_dir = _ivf_state_dir(spark, "etl_ivf_idx_")
+        assign_dir = _ivf_state_dir(spark, "etl_ivf_asg_")
+        rebuild_dir = _ivf_state_dir(spark, "etl_ivf_reb_")
         ivf_index_build(
             spark, index_dir, k=k, view=view, base_filter=_IVF_INC_BASE, big_t=big_t
         )

@@ -312,3 +312,49 @@ def test_corpus_build_runs_under_the_orchestrator(spark, tmp_path):
     a = snapshots.read_snapshot(spark, seq_table)
     b = snapshots.read_snapshot(spark, wf_table)
     assert {tuple(r) for r in a.collect()} == {tuple(r) for r in b.collect()}
+
+
+def test_run_tree_unroll_is_fixpoint(spark, tmp_path):
+    """DETERMINISM #30: the 4-level UNION in run_tree_sql is the exact
+    recursion fixpoint for this schema. Assert (a) every non-root
+    node's parent exists in the tree exactly one level up, and (b) an
+    additional expansion round over the emitted tree adds no rows — if
+    the hierarchy ever deepens, this fails loudly and the driver-loop
+    generalization documented there takes over."""
+    from etl_service_spark.plans.runlog import LEVELS, RunLog, register_runlog_views, run_tree_sql
+
+    log = RunLog(str(tmp_path / "runlog"))
+    t0 = datetime(2026, 2, 1, 8, 0)
+    wf_run = log.open("workflow", "WF_FIX", None, t0)
+    for p in range(2):
+        pkg = log.open("package", f"P{p}", wf_run, t0)
+        real = log.open("realization", f"R{p}", pkg, t0)
+        for s in range(2 if p else 1):
+            sid = log.open("step", f"S{p}_{s}", real, t0)
+            log.close("step", sid, success=True)
+        log.close("realization", real, success=True)
+        log.close("package", pkg, success=True)
+    log.close("workflow", wf_run, success=True)
+    log.flush(spark)
+    register_runlog_views(spark, str(tmp_path / "runlog"))
+    rows = spark.sql(run_tree_sql()).collect()
+    by_node = {r["node"]: r for r in rows}
+    depth = {lv: i for i, lv in enumerate(LEVELS)}
+    for r in rows:
+        if r["parent"] == "ROOT":
+            assert r["level"] == "workflow"
+            continue
+        parent = by_node.get(r["parent"])
+        assert parent is not None, f"dangling parent {r['parent']} of {r['node']}"
+        assert depth[parent["level"]] == depth[r["level"]] - 1
+    # one more expansion round: children of the deepest level — none
+    deepest = [r["node"] for r in rows if r["level"] == LEVELS[-1]]
+    children_of_deepest = [r for r in rows if r["parent"] in deepest]
+    assert not children_of_deepest
+    # and the tree is closed: every level's row count matches its view
+    from etl_service_spark.plans.runlog import current_state_sql
+
+    for lv in LEVELS:
+        n_view = spark.sql(current_state_sql(lv)).count()
+        n_tree = sum(1 for r in rows if r["level"] == lv)
+        assert n_view == n_tree

@@ -598,3 +598,41 @@ def test_winnowing_sql_matches_replica(docs):
             assert got[doc_id] == (len(fps), sum(fps) % 1000000007, min(fps))
         else:
             assert doc_id not in got
+
+
+def test_money_out_wide_cross_engine(spark):
+    """money_out_wide's DECIMAL(38,0)->DOUBLE conversion must be the
+    same single correctly-rounded operation in Spark and DuckDB across
+    the whole 2^63..10^38 range money_out cannot reach (round-5
+    advisor: sum_charge crosses BIGINT-scaled bounds near sf~160). A
+    deterministic sweep of awkward values: powers of two +/- small
+    deltas (rounding-boundary neighborhoods), repunits, and seeded
+    pseudo-random 20-38 digit integers — compared bit-exactly after the
+    full money_out_wide expression (multiply, cast, divide)."""
+    import random
+    import struct
+
+    rng = random.Random(20260815)
+    vals: list[int] = []
+    # sums up to ~10^31 (DECIMAL(38,6) ceiling); the s=6-scaled integer
+    # the conversion sees then sweeps 2^63..~10^37
+    for p in range(60, 103, 4):
+        for d in (-3, -1, 0, 1, 3):
+            vals.append(2**p + d)
+    vals += [int("1" * n) for n in range(19, 32)]  # repunits
+    vals += [rng.randrange(10**19, 10**31) for _ in range(40)]
+    # the money sum arrives as DECIMAL(38,6); fabricate it EXACTLY in
+    # both engines from a decimal-point literal (decimal division would
+    # itself round, differently per engine — not what's under test)
+    def lit(v: int) -> str:
+        s = str(v).rjust(7, "0")
+        return f"CAST('{s[:-6]}.{s[-6:]}' AS DECIMAL(38,6))"
+
+    expr = P.money_out_wide("v", 6, "d")
+    rows = " UNION ALL ".join(f"SELECT {lit(v)} AS v" for v in vals)
+    q = f"SELECT {expr} FROM ({rows}) t ORDER BY d"
+    got_spark = [r["d"] for r in spark.sql(q).collect()]
+    got_duck = [r[0] for r in duckdb.sql(q).fetchall()]
+    assert len(got_spark) == len(got_duck) == len(vals)
+    for a, b in zip(got_spark, got_duck):
+        assert struct.pack("<d", a) == struct.pack("<d", b), (a.hex(), b.hex())

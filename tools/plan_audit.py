@@ -181,15 +181,23 @@ def main() -> int:
     for fact in FACTS:
         FULL_WIDTH[fact] = len(spark.table(fact).columns)
     # exchange baseline is sf-specific (broadcast-vs-shuffle join picks
-    # depend on planning-time size stats): guard only at its own sf
+    # depend on planning-time size stats): one baseline entry PER sf,
+    # and a missing entry for the audited sf is a hard failure — a CI
+    # default-sf change must not silently disable the regression guard
+    # (round-5 advisor finding).
     baseline: dict = {}
+    per_sf: dict[str, dict] = {}
+    missing_baseline = False
     if os.path.exists(BASELINE_PATH):
         with open(BASELINE_PATH) as fh:
             rec = json.load(fh)
-        if rec.get("sf_dir") == sf_dir:
-            baseline = rec.get("counts", {})
-        elif not update:
-            print(f"note: exchange baseline is for {rec.get('sf_dir')}; guard skipped")
+        # migrate the legacy single-sf shape {sf_dir, counts} in place
+        per_sf = rec.get("baselines") or (
+            {rec["sf_dir"]: rec.get("counts", {})} if rec.get("sf_dir") else {}
+        )
+        baseline = per_sf.get(sf_dir, {})
+        if not baseline and not update:
+            missing_baseline = True
     violations: list[str] = []
     recorded: dict[str, dict[str, int]] = {}
     unrecorded: list[str] = []
@@ -206,10 +214,16 @@ def main() -> int:
             unrecorded.append(name)
     spark.stop()
     if update:
+        per_sf[sf_dir] = recorded
         with open(BASELINE_PATH, "w") as fh:
-            json.dump({"sf_dir": sf_dir, "counts": recorded}, fh, indent=1, sort_keys=True)
+            json.dump({"baselines": per_sf}, fh, indent=1, sort_keys=True)
             fh.write("\n")
         print(f"exchange baseline recorded: {len(recorded)} queries @ {sf_dir}")
+    elif missing_baseline:
+        violations.append(
+            f"no exchange baseline recorded for {sf_dir} — the regression "
+            "guard did not run; record one with --update"
+        )
     elif unrecorded:
         print(f"note: {len(unrecorded)} new queries lack an exchange baseline "
               f"({', '.join(unrecorded[:5])}...): run with --update")
