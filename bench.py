@@ -203,6 +203,10 @@ HEADLINERS = [
     "cfg_param_reload",
     "cfg_mail_recipients",
     "media_resize",
+    "dedup_exact_substr_spans",
+    "text_bpe_fertility",
+    "text_ngram_coverage",
+    "emb_whitening_stats",
 ]
 
 

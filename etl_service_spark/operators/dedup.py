@@ -1278,3 +1278,76 @@ def lsh_band_tuning_staged(
         **_hashset_frags(view),
     )[0]
     return spark.sql(body)
+
+
+# ------------------------------------------- exact-substring span finder
+_ESS_TAIL = """gf AS {mat}(
+  SELECT gh, COUNT(*) AS n_occ FROM {rel} GROUP BY gh
+),
+dup AS (
+  SELECT g.doc_id, g.pos
+  FROM {rel} g JOIN gf f ON g.gh = f.gh
+  WHERE f.n_occ > 1
+),
+isl AS (
+  SELECT doc_id, pos,
+         pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM dup
+)
+SELECT doc_id,
+       CAST(MIN(pos) AS BIGINT) AS span_start,
+       CAST(MAX(pos) + {k} - 1 AS BIGINT) AS span_end,
+       CAST(MAX(pos) - MIN(pos) + {k} AS BIGINT) AS span_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_dup_grams
+FROM isl GROUP BY doc_id, grp"""
+
+
+def exact_substr_spans_staged(
+    spark: SparkSession, k: int = 8, view: str = "documents"
+) -> DataFrame:
+    """TRUE ExactSubstr span finder (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better") at word granularity —
+    the position-level upgrade of :func:`chunk_dedup_sql`'s
+    non-overlapping proxy: every k-token window of every document is
+    checked for repetition ANYWHERE else in the corpus (other docs or
+    elsewhere in the same doc), and runs of duplicated positions merge
+    into MAXIMAL spans via gaps-and-islands, exactly the spans the
+    suffix-array formulation reports (restricted to word boundaries
+    and the k-token minimum match length).
+
+    Output: one row per maximal duplicated span — (doc_id, span_start,
+    span_end, span_tokens, n_dup_grams), token indices 1-based
+    inclusive. Gram identity is the exact 1e9+7 poly-hash (same proxy
+    winnowing uses): both engines hash identically so the comparison
+    is exact; a hash collision can over-mark a position in BOTH
+    engines with probability ~|grams|^2/2e9 — the standard
+    fingerprinting trade.
+
+    Scale shape: the staged (doc_id, pos, gh) relation is one Arrow
+    pass over the corpus (shared with winnowing's stage cache at equal
+    k); one hash agg on gh (the only corpus-wide shuffle — posting
+    lists are occurrence counts, no pair explosion); one semi-shaped
+    join back on gh; one per-doc window (shuffle on doc_id, bounded by
+    per-doc positions) and a per-(doc, run) aggregate that reuses the
+    window's partitioning. Linear in token mass at any scale — the
+    suffix array's O(N log N) global sort is replaced by the gh hash
+    agg, which distributes without a global order."""
+    from .textops import materialize_gram_positions
+
+    rel = materialize_gram_positions(spark, k, view)
+    return spark.sql("WITH " + _ESS_TAIL.format(mat="", rel=rel, k=k))
+
+
+def exact_substr_spans_oracle(k: int = 8, view: str = "documents") -> str:
+    """Single-statement DuckDB oracle for
+    :func:`exact_substr_spans_staged`: the winnowing gram CTE (same
+    tokenizer/poly-hash fragments), ph MATERIALIZED because it is
+    referenced twice (gf build + position join)."""
+    from . import textops as T
+
+    duck = P.bi_sql(
+        "WITH " + T._WINNOW_GRAM_CTE + ",\n"
+        + _ESS_TAIL.format(mat="", rel="ph", k=k),
+        **T._winnow_gram_frags(k, view),
+    )[1]
+    return duck.replace("ph AS (", "ph AS MATERIALIZED (", 1)

@@ -1938,3 +1938,52 @@ def ivf_nprobe_sweep_staged(
         one_based=False, idiv="DIV",
     )
     return spark.sql("WITH " + tail)
+
+
+# ------------------------------------------------- whitening statistics
+def whitening_stats_sql(view: str = "embeddings") -> tuple[str, str]:
+    """Per-dimension moment report for embedding WHITENING / PCA prep —
+    the first diagnostic an embedding pipeline runs before choosing a
+    transform (Su et al., "Whitening Sentence Representations"): a
+    dimension with outsized variance dominates cosine similarity, and
+    a (near-)zero-variance dimension is dead weight a truncation can
+    drop (the matryoshka report measures the recall side of the same
+    decision). Components quantize once to integer 1e-4 units
+    (FLOOR(double*1e4) — the same exact grid emb_kmeans uses), so the
+    per-dimension count/sum/sum-of-squares are integer-exact and
+    order-free; the centered variance numerator n·Σv² − (Σv)² is
+    non-negative and accumulates in DECIMAL(38,0)/HUGEINT (the BIGINT
+    bound n·Σv² ≤ 1.7e8·n² crosses 2^63 near n ≈ 2.3e5 rows), surfaced
+    as its correctly-rounded DOUBLE alongside a deterministic variance
+    rank.
+
+    Scale shape: one map-side dimension explode (64 rows per vector,
+    all narrow integers), ONE hash agg keyed on dim (64 groups —
+    partial aggregation collapses everything map-side; the shuffle
+    carries 64 rows per task), and a 64-row window. Linear scan cost,
+    constant-size shuffle, at any corpus size."""
+
+    def body(elem: str, dims: str, big_t: str) -> str:
+        return f"""
+WITH dims AS ({dims}),
+q AS (
+  SELECT i, CAST(FLOOR(CAST({elem} AS DOUBLE) * 10000) AS BIGINT) AS v
+  FROM {view} CROSS JOIN dims
+),
+m AS (
+  SELECT i, COUNT(*) AS n, SUM(v) AS sum_q, SUM(v * v) AS sumsq_q,
+         CAST(COUNT(*) AS {big_t}) * SUM(v * v)
+           - CAST(SUM(v) AS {big_t}) * SUM(v) AS var_num
+  FROM q GROUP BY i
+)
+SELECT CAST(i AS BIGINT) AS dim, CAST(n AS BIGINT) AS n,
+       CAST(sum_q AS BIGINT) AS sum_q, CAST(sumsq_q AS BIGINT) AS sumsq_q,
+       CAST(var_num AS DOUBLE) AS var_num,
+       ROW_NUMBER() OVER (ORDER BY var_num DESC, i ASC) AS var_rank
+FROM m
+"""
+
+    return (
+        body(_KM_SPARK_ELEM, _KM_SPARK_DIMS, _KM_SPARK_BIG),
+        body(_KM_DUCK_ELEM, _KM_DUCK_DIMS, _KM_DUCK_BIG),
+    )

@@ -2104,3 +2104,131 @@ def rake_keywords_staged(
 ):
     rel = materialize_token_positions(spark, view)
     return spark.sql(rake_keywords_sql(topk, max_phrase, view)[0].format(rel=rel))
+
+
+# ------------------------------------------------------- BPE fertility
+_FERTILITY_LT = """lt AS (
+  SELECT d.lang, COUNT(*) AS n_docs,
+         CAST(SUM({words}) AS BIGINT) AS n_words,
+         CAST(SUM(d.n_chars) AS BIGINT) AS n_chars,
+         CAST(SUM(e.n_tokens_bpe) AS BIGINT) AS bpe_tokens
+  FROM {view} d JOIN {enc} e ON e.doc_id = d.doc_id
+  GROUP BY d.lang
+)"""
+
+_FERTILITY_SELECT = """
+SELECT lang, CAST(n_docs AS BIGINT) AS n_docs, n_words, n_chars, bpe_tokens,
+       CAST(bpe_tokens * 1000 {idiv} GREATEST(n_words, 1) AS BIGINT)
+         AS fertility_permille,
+       CAST(bpe_tokens * 100000 {idiv} GREATEST(n_chars, 1) AS BIGINT)
+         AS tok_per_100k_chars
+FROM lt"""
+
+
+def bpe_fertility_staged(spark, rounds: int = 3, view: str = "documents"):
+    """Tokenizer FERTILITY report per language — the standard
+    tokenizer-efficiency metric a multilingual pipeline tracks before
+    committing to a tokenizer (tokens/word; high fertility on a
+    language means its text costs disproportionate sequence length).
+    Computed from the TRAINED merges via :func:`bpe_encode_staged`
+    (true counts, not the 4-chars/token heuristic —
+    bpe_token_budget_staged reports that drift separately):
+    fertility_permille = BPE tokens per 1000 words, tok_per_100k_chars
+    = BPE tokens per 100k characters (byte-level cost proxy). Integer
+    micro-unit arithmetic throughout — cross-engine exact; operands
+    non-negative so trunc-div == floor-div.
+
+    Scale shape: one |docs|-row join of the encode relation against
+    the doc table, one |langs|-row hash agg. The encode relation
+    itself is vocabulary-local (see bpe_encode_staged) — nothing here
+    re-touches raw text except the word count, which rides the same
+    scan that reads n_chars."""
+    enc = bpe_encode_staged(spark, rounds, view)
+    enc.createOrReplaceTempView("__bpe_fert_enc")
+    return spark.sql(
+        "WITH "
+        + _FERTILITY_LT.format(
+            words=f"size({P.spark_tokens('d.text')})",
+            view=view, enc="__bpe_fert_enc",
+        )
+        + _FERTILITY_SELECT.format(idiv="DIV")
+    )
+
+
+def oracle_bpe_fertility(rounds: int = 3, view: str = "documents") -> str:
+    ctes = _bpe_merge_ctes(1, rounds, view)
+    ctes.append(
+        f"""v AS MATERIALIZED (
+  SELECT tok, CAST(len(str_split(seq, ' ')) AS BIGINT) AS n_sym FROM w{rounds}
+)"""
+    )
+    ctes.append(
+        f"""dt AS (
+  SELECT doc_id, unnest({P.duck_tokens('text')}) AS tok FROM {view}
+)"""
+    )
+    ctes.append(
+        f"""enc AS MATERIALIZED (
+  SELECT d.doc_id, CAST(coalesce(t.n, 0) AS BIGINT) AS n_tokens_bpe
+  FROM {view} d LEFT JOIN (
+    SELECT dt.doc_id, SUM(v.n_sym) AS n
+    FROM dt JOIN v ON v.tok = dt.tok GROUP BY dt.doc_id
+  ) t ON t.doc_id = d.doc_id
+)"""
+    )
+    ctes.append(
+        _FERTILITY_LT.format(
+            words=f"len({P.duck_tokens('d.text')})", view=view, enc="enc"
+        )
+    )
+    return "WITH " + ",\n".join(ctes) + _FERTILITY_SELECT.format(idiv="//")
+
+
+# ------------------------------------------------- held-out n-gram coverage
+def ngram_coverage_sql(n: int = 2, view: str = "documents") -> tuple[str, str]:
+    """Held-out n-gram COVERAGE per language — the train/validation
+    vocabulary-overlap check a pretraining pipeline runs before
+    trusting a validation split: what fraction of the held-out split's
+    distinct n-grams appear in the training split at all (low coverage
+    → the val set measures OOV noise, not model quality; coverage ~1
+    at the doc level would instead signal leakage, which
+    corpus_split_leakage checks from the other direction). Split rule
+    is the same deterministic doc_id % 10 assignment the corpus
+    split/leakage queries use (9:1).
+
+    Output per language: distinct held-out n-grams, how many also
+    occur in train, coverage_ppm (integer-exact).
+
+    Scale shape: ONE pass over the corpus (tokenize once in an inner
+    projection, explode n-grams WITH multiplicity collapsed by the
+    group), one hash agg on (lang, gram) computing per-split presence
+    flags map-side — the gram relation is never joined against itself
+    — then a |langs|-row re-aggregation. Linear in token mass; the
+    only corpus-wide shuffle is the (lang, gram) agg."""
+    template = f"""
+WITH b AS (
+  SELECT doc_id, lang, {{explode}} AS g
+  FROM (SELECT doc_id, lang, {{toks}} AS toks FROM {view}) t
+),
+pres AS (
+  SELECT lang, g,
+         MAX(CASE WHEN doc_id % 10 < 9 THEN 1 ELSE 0 END) AS in_train,
+         MAX(CASE WHEN doc_id % 10 = 9 THEN 1 ELSE 0 END) AS in_val
+  FROM b GROUP BY lang, g
+)
+SELECT lang,
+       CAST(SUM(in_val) AS BIGINT) AS val_grams,
+       CAST(SUM(in_val * in_train) AS BIGINT) AS covered_grams,
+       CAST(SUM(in_val * in_train) * 1000000
+            {{idiv}} GREATEST(SUM(in_val), 1) AS BIGINT) AS coverage_ppm
+FROM pres GROUP BY lang
+"""
+    return P.bi_sql(
+        template,
+        toks=(P.spark_tokens("text"), P.duck_tokens("text")),
+        explode=(
+            f"explode({P.spark_ngrams('toks', n)})",
+            f"unnest({P.duck_ngrams('toks', n)})",
+        ),
+        idiv=("DIV", "//"),
+    )

@@ -1824,6 +1824,8 @@ _FAMILY_PREFIXES: tuple[tuple[str, ...], ...] = (
 _PRIORITY_PENDING = (
     # new in round 6
     "cfg_param_reload", "cfg_mail_recipients", "media_resize",
+    "dedup_exact_substr_spans", "text_bpe_fertility",
+    "text_ngram_coverage", "emb_whitening_stats",
     # re-verify: plan changed since last driver-green row
     "emb_kmeans",            # fd3be9e summand type gate (last green r2)
     "tpch_q1_pricing",       # 36f156a money_out rounding pin (last green r1)
@@ -4148,5 +4150,35 @@ GROUP BY a.event_type
         return corpus.dsir_quota_staged(spark)
 
     cases["corpus_dsir_quota"] = Case(_dsir_quota, corpus.oracle_dsir_quota())
+
+    # --- TRUE ExactSubstr spans (Lee et al.): maximal duplicated
+    # k=8-token spans from the position-indexed gram relation —
+    # the overlapping upgrade of dedup_chunk_exact's chunk proxy
+    def _ess_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+        views(spark, sf_dir)
+        return dedup.exact_substr_spans_staged(spark, 8)
+
+    cases["dedup_exact_substr_spans"] = Case(
+        _ess_spans, dedup.exact_substr_spans_oracle(8)
+    )
+
+    # --- tokenizer fertility per language on TRUE trained-BPE counts
+    # (tokens/1000 words + tokens/100k chars)
+    def _bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+        views(spark, sf_dir)
+        return textops.bpe_fertility_staged(spark)
+
+    cases["text_bpe_fertility"] = Case(
+        _bpe_fertility, textops.oracle_bpe_fertility()
+    )
+
+    # --- held-out bigram coverage per language (train/val vocabulary
+    # overlap — the OOV-noise check beside corpus_split_leakage)
+    cases["text_ngram_coverage"] = _pair_case(textops.ngram_coverage_sql())
+
+    # --- per-dimension embedding moments for whitening/PCA prep:
+    # integer-exact count/sum/sumsq on the 1e-4 grid, wide-decimal
+    # variance numerator, deterministic variance rank
+    cases["emb_whitening_stats"] = _pair_case(similarity.whitening_stats_sql())
 
     return _driver_order(cases)

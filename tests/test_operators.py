@@ -1368,3 +1368,36 @@ def test_resize_nearest_quarantines_malformed(spark):
     # floor mapping: sy = y*4//2? no: y*H//out_h = y*4//2, sx = x*8//4
     expect = src[(np.arange(2) * 4) // 2][:, (np.arange(4) * 8) // 4]
     assert (arr == expect).all()
+
+
+def test_exact_substr_spans_island_merge(spark):
+    """Hand-computed fixture for the TRUE ExactSubstr span finder
+    (k=3): doc 1 and doc 2 share the 5-token run "a b c d e" (3
+    consecutive duplicated 3-gram positions MUST merge into ONE
+    maximal span of 5 tokens), doc 3 repeats its own opening 3-gram
+    later in the same doc (within-doc duplication counts), and doc 4
+    shares nothing (absent from the report)."""
+    from etl_service_spark.operators.dedup import exact_substr_spans_staged
+
+    rows = [
+        (1, "a b c d e x y z"),
+        (2, "q q a b c d e"),
+        (3, "m n o t u v m n o"),
+        (4, "p r s w j k l"),
+    ]
+    spark.createDataFrame(rows, "doc_id bigint, text string") \
+        .createOrReplaceTempView("ess_docs")
+    out = {
+        (r.doc_id, r.span_start): r
+        for r in exact_substr_spans_staged(spark, 3, "ess_docs").collect()
+    }
+    assert set(out) == {(1, 1), (2, 3), (3, 1), (3, 7)}
+    # doc 1: positions 1..3 duplicated -> one span, tokens 1..5
+    s = out[(1, 1)]
+    assert (s.span_end, s.span_tokens, s.n_dup_grams) == (5, 5, 3)
+    # doc 2: same run starts at token 3
+    s = out[(2, 3)]
+    assert (s.span_end, s.span_tokens, s.n_dup_grams) == (7, 5, 3)
+    # doc 3: "m n o" duplicated within the doc at positions 1 and 7
+    assert out[(3, 1)].span_tokens == 3
+    assert out[(3, 7)].span_tokens == 3
