@@ -204,6 +204,7 @@ HEADLINERS = [
     "cfg_mail_recipients",
     "media_resize",
     "dedup_exact_substr_spans",
+    "dedup_exact_substr_removal",
     "text_bpe_fertility",
     "text_ngram_coverage",
     "emb_whitening_stats",

@@ -1281,7 +1281,7 @@ def lsh_band_tuning_staged(
 
 
 # ------------------------------------------- exact-substring span finder
-_ESS_TAIL = """gf AS {mat}(
+_ESS_SPAN_CTES = """gf AS (
   SELECT gh, COUNT(*) AS n_occ FROM {rel} GROUP BY gh
 ),
 dup AS (
@@ -1293,13 +1293,62 @@ isl AS (
   SELECT doc_id, pos,
          pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
   FROM dup
+),
+sp AS (
+  SELECT doc_id,
+         CAST(MIN(pos) AS BIGINT) AS span_start,
+         CAST(MAX(pos) + {k} - 1 AS BIGINT) AS span_end,
+         CAST(MAX(pos) - MIN(pos) + {k} AS BIGINT) AS span_tokens,
+         CAST(COUNT(*) AS BIGINT) AS n_dup_grams
+  FROM isl GROUP BY doc_id, grp
+)"""
+
+_ESS_SPAN_SELECT = """
+SELECT doc_id, span_start, span_end, span_tokens, n_dup_grams FROM sp"""
+
+# Per-doc removal report. Position-run spans are disjoint in POSITION
+# space but can overlap in TOKEN space (runs p..q and p' with
+# p' - q < k share tokens p'..q+k-1), so the duplicated-token mass is
+# the length-sum of the MERGED token intervals — a second
+# gaps-and-islands pass: cumulative MAX(span_end) flags each interval
+# that starts past everything before it, the running flag-sum numbers
+# the merged groups. span_start is unique per doc (one run per start),
+# so the window order is total and both engines agree.
+_ESS_REMOVAL_SELECT = """,
+ordd AS (
+  SELECT doc_id, span_start, span_end,
+         MAX(span_end) OVER (
+           PARTITION BY doc_id ORDER BY span_start
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS prev_end
+  FROM sp
+),
+grp AS (
+  SELECT doc_id, span_start, span_end,
+         SUM(CASE WHEN prev_end IS NULL OR span_start > prev_end
+                  THEN 1 ELSE 0 END) OVER (
+           PARTITION BY doc_id ORDER BY span_start
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS g
+  FROM ordd
+),
+mrg AS (
+  SELECT doc_id, MIN(span_start) AS s, MAX(span_end) AS e
+  FROM grp GROUP BY doc_id, g
+),
+agg AS (
+  SELECT doc_id, SUM(e - s + 1) AS dup_tokens, COUNT(*) AS n_spans
+  FROM mrg GROUP BY doc_id
 )
-SELECT doc_id,
-       CAST(MIN(pos) AS BIGINT) AS span_start,
-       CAST(MAX(pos) + {k} - 1 AS BIGINT) AS span_end,
-       CAST(MAX(pos) - MIN(pos) + {k} AS BIGINT) AS span_tokens,
-       CAST(COUNT(*) AS BIGINT) AS n_dup_grams
-FROM isl GROUP BY doc_id, grp"""
+SELECT d.doc_id,
+       CAST(d.n_tokens AS BIGINT) AS n_tokens,
+       CAST(coalesce(a.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       CAST(d.n_tokens - coalesce(a.dup_tokens, 0) AS BIGINT) AS kept_tokens,
+       CAST(coalesce(a.n_spans, 0) AS BIGINT) AS n_spans,
+       CAST(coalesce(a.dup_tokens, 0) * 1000000
+            {idiv} GREATEST(d.n_tokens, 1) AS BIGINT) AS dup_ppm
+FROM (SELECT doc_id, {ntok} AS n_tokens FROM {view}) d
+LEFT JOIN agg a ON a.doc_id = d.doc_id"""
 
 
 def exact_substr_spans_staged(
@@ -1335,19 +1384,60 @@ def exact_substr_spans_staged(
     from .textops import materialize_gram_positions
 
     rel = materialize_gram_positions(spark, k, view)
-    return spark.sql("WITH " + _ESS_TAIL.format(mat="", rel=rel, k=k))
+    return spark.sql(
+        "WITH " + _ESS_SPAN_CTES.format(rel=rel, k=k) + _ESS_SPAN_SELECT
+    )
 
 
-def exact_substr_spans_oracle(k: int = 8, view: str = "documents") -> str:
-    """Single-statement DuckDB oracle for
-    :func:`exact_substr_spans_staged`: the winnowing gram CTE (same
-    tokenizer/poly-hash fragments), ph MATERIALIZED because it is
-    referenced twice (gf build + position join)."""
+def _ess_oracle(tail: str, k: int, view: str) -> str:
+    """DuckDB single-statement body for the ExactSubstr family: the
+    winnowing gram CTE (same tokenizer/poly-hash fragments), ph
+    MATERIALIZED because it is referenced twice (gf build + position
+    join)."""
     from . import textops as T
 
     duck = P.bi_sql(
         "WITH " + T._WINNOW_GRAM_CTE + ",\n"
-        + _ESS_TAIL.format(mat="", rel="ph", k=k),
+        + _ESS_SPAN_CTES.format(rel="ph", k=k) + tail,
         **T._winnow_gram_frags(k, view),
     )[1]
     return duck.replace("ph AS (", "ph AS MATERIALIZED (", 1)
+
+
+def exact_substr_spans_oracle(k: int = 8, view: str = "documents") -> str:
+    """Single-statement DuckDB oracle for
+    :func:`exact_substr_spans_staged`."""
+    return _ess_oracle(_ESS_SPAN_SELECT, k, view)
+
+
+def exact_substr_removal_staged(
+    spark: SparkSession, k: int = 8, view: str = "documents"
+) -> DataFrame:
+    """The removal ACTION on :func:`exact_substr_spans_staged`'s spans
+    — what the pipeline actually materializes (Lee et al. cut the
+    duplicated ranges out of the training text): per document, total
+    tokens, duplicated-token mass (merged token intervals — see the
+    _ESS_REMOVAL_SELECT note on why position-run spans must be
+    interval-merged before summing), tokens kept after cutting, merged
+    region count, and dup_ppm. Every document reports (LEFT JOIN), so
+    the relation is directly usable as a filter/weight table.
+
+    Scale shape: everything exact_substr_spans_staged does plus one
+    more per-doc window pass over the SPAN relation (rows = span
+    count, far below token mass) and a |docs|-row join against the
+    token-count projection, which rides the same scan the stage
+    built."""
+    from .textops import materialize_gram_positions
+
+    rel = materialize_gram_positions(spark, k, view)
+    tail = _ESS_REMOVAL_SELECT.format(
+        idiv="DIV", ntok=f"size({P.spark_tokens('text')})", view=view
+    )
+    return spark.sql("WITH " + _ESS_SPAN_CTES.format(rel=rel, k=k) + tail)
+
+
+def exact_substr_removal_oracle(k: int = 8, view: str = "documents") -> str:
+    tail = _ESS_REMOVAL_SELECT.format(
+        idiv="//", ntok=f"len({P.duck_tokens('text')})", view=view
+    )
+    return _ess_oracle(tail, k, view)

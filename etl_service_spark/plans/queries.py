@@ -1824,8 +1824,8 @@ _FAMILY_PREFIXES: tuple[tuple[str, ...], ...] = (
 _PRIORITY_PENDING = (
     # new in round 6
     "cfg_param_reload", "cfg_mail_recipients", "media_resize",
-    "dedup_exact_substr_spans", "text_bpe_fertility",
-    "text_ngram_coverage", "emb_whitening_stats",
+    "dedup_exact_substr_spans", "dedup_exact_substr_removal",
+    "text_bpe_fertility", "text_ngram_coverage", "emb_whitening_stats",
     # re-verify: plan changed since last driver-green row
     "emb_kmeans",            # fd3be9e summand type gate (last green r2)
     "tpch_q1_pricing",       # 36f156a money_out rounding pin (last green r1)
@@ -4160,6 +4160,16 @@ GROUP BY a.event_type
 
     cases["dedup_exact_substr_spans"] = Case(
         _ess_spans, dedup.exact_substr_spans_oracle(8)
+    )
+
+    # --- the removal action on those spans: per-doc duplicated-token
+    # mass from MERGED token intervals, tokens kept after cutting
+    def _ess_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+        views(spark, sf_dir)
+        return dedup.exact_substr_removal_staged(spark, 8)
+
+    cases["dedup_exact_substr_removal"] = Case(
+        _ess_removal, dedup.exact_substr_removal_oracle(8)
     )
 
     # --- tokenizer fertility per language on TRUE trained-BPE counts

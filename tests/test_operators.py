@@ -1401,3 +1401,25 @@ def test_exact_substr_spans_island_merge(spark):
     # doc 3: "m n o" duplicated within the doc at positions 1 and 7
     assert out[(3, 1)].span_tokens == 3
     assert out[(3, 7)].span_tokens == 3
+
+
+def test_exact_substr_removal_merges_token_overlap(spark):
+    """Position-run spans that OVERLAP in token space must be
+    interval-merged before summing (k=3: dup positions {1,2,3} and {5}
+    cover tokens 1..5 and 5..7 — 7 duplicated tokens, not 8). Doc A's
+    gram 4 ("d e f") is shared by nobody, so its dup positions are
+    exactly {1,2,3,5}."""
+    from etl_service_spark.operators.dedup import exact_substr_removal_staged
+
+    rows = [
+        (1, "a b c d e f g h"),
+        (2, "a b c d e q e f g"),
+    ]
+    spark.createDataFrame(rows, "doc_id bigint, text string") \
+        .createOrReplaceTempView("ess_ov_docs")
+    out = {r.doc_id: r for r in
+           exact_substr_removal_staged(spark, 3, "ess_ov_docs").collect()}
+    a = out[1]
+    assert (a.n_tokens, a.dup_tokens, a.kept_tokens, a.n_spans) == (8, 7, 1, 1)
+    b = out[2]  # runs {1,2,3} -> tokens 1..5 and {7} -> tokens 7..9: disjoint
+    assert (b.n_tokens, b.dup_tokens, b.kept_tokens, b.n_spans) == (9, 8, 1, 2)
