@@ -53,6 +53,18 @@ KEYED = {
 UNSCALED = ["region", "nation"]
 
 
+# Key-DERIVED string columns must track their shifted key, or they stop
+# being keys in the twin: c_name is 'Customer#%09d' of c_custkey, and
+# dedup_fuzzy_names BLOCKS on a c_name prefix — leaving the string
+# unshifted stacks all 10 copies into each block (100x the pair mass;
+# measured 28.9 s vs the ~3 s a linear twin costs at sf1.0), which is a
+# twin artifact, not a plan property.
+DERIVED = {
+    "customer": [("c_name", "Customer#{:09d}", "c_custkey")],
+    "supplier": [("s_name", "Supplier#{:09d}", "s_suppkey")],
+}
+
+
 def _scale_table(name: str) -> None:
     src = pq.read_table(os.path.join(SF01, f"{name}.parquet"))
     cols = {c: src.column(c) for c in src.column_names}
@@ -62,6 +74,12 @@ def _scale_table(name: str) -> None:
         for k in KEYED[name]:
             arr = cols[k].to_numpy(zero_copy_only=False)
             shifted[k] = pa.array(arr + c * OFF, type=src.schema.field(k).type)
+        for col, fmt, key in DERIVED.get(name, []):
+            keys = shifted[key].to_numpy(zero_copy_only=False)
+            shifted[col] = pa.array(
+                [fmt.format(k) for k in keys],
+                type=src.schema.field(col).type,
+            )
         chunks.append(pa.table(shifted, schema=src.schema))
     pq.write_table(pa.concat_tables(chunks), os.path.join(OUT, f"{name}.parquet"))
 
