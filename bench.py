@@ -208,6 +208,8 @@ HEADLINERS = [
     "text_bpe_fertility",
     "text_ngram_coverage",
     "emb_whitening_stats",
+    "events_watermark_lateness",
+    "dq_volume_anomaly",
 ]
 
 

@@ -1826,6 +1826,7 @@ _PRIORITY_PENDING = (
     "cfg_param_reload", "cfg_mail_recipients", "media_resize",
     "dedup_exact_substr_spans", "dedup_exact_substr_removal",
     "text_bpe_fertility", "text_ngram_coverage", "emb_whitening_stats",
+    "events_watermark_lateness", "dq_volume_anomaly",
     # re-verify: plan changed since last driver-green row
     "emb_kmeans",            # fd3be9e summand type gate (last green r2)
     "tpch_q1_pricing",       # 36f156a money_out rounding pin (last green r1)
@@ -1863,6 +1864,78 @@ def _driver_order(cases: dict[str, Case]) -> dict[str, Case]:
     ordered.extend(n for n in names if n not in placed)  # safety net
     return {n: cases[n] for n in ordered}
 
+
+# Watermark-lateness audit for a batched-per-entity ingest: the event
+# table is time-ordered by event_id, but a bulk per-entity export
+# replayed into a stream arrives ordered by (user_id, event_id) —
+# each entity's history lands as a batch, so the merged stream is NOT
+# event-time-ordered and a watermark must cover the regression. The
+# audit computes each event's lateness against its ingest partition's
+# event-time frontier (running MAX over the arrival order inside
+# partition user_id % 32 — the per-partition maximum is exactly what
+# Structured Streaming tracks), then buckets by closed-form integer
+# micro thresholds; '-1' is the in-order bucket. The per-(type,
+# bucket) MAX is the tail number a withWatermark() choice must cover.
+WATERMARK_LATENESS_TEMPLATE = """
+WITH seq AS (
+  SELECT user_id, event_type, {ts_us} AS t,
+         MAX({ts_us}) OVER (
+           PARTITION BY user_id % 32 ORDER BY user_id, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS frontier
+  FROM events WHERE ts IS NOT NULL
+),
+lat AS (
+  SELECT event_type, frontier - t AS late_us FROM seq
+),
+buck AS (
+  SELECT event_type, late_us,
+         CASE WHEN late_us <= 0 THEN -1
+              WHEN late_us < 1000000 THEN 0
+              WHEN late_us < 60000000 THEN 1
+              WHEN late_us < 600000000 THEN 2
+              WHEN late_us < 3600000000 THEN 3
+              WHEN late_us < 21600000000 THEN 4
+              WHEN late_us < 86400000000 THEN 5
+              ELSE 6 END AS bucket
+  FROM lat
+)
+SELECT event_type, CAST(bucket AS BIGINT) AS bucket,
+       COUNT(*) AS n_events,
+       CAST(MAX(late_us) AS BIGINT) AS max_late_us
+FROM buck GROUP BY event_type, bucket
+"""
+
+# Volume-anomaly freshness check: a day is anomalous when its count
+# leaves the ±50% band around the trailing-7-day mean (needs >= 3 prior
+# days). n vs sum/c compared by cross-multiplication — integer-exact.
+DQ_VOLUME_ANOMALY_TEMPLATE = """
+WITH daily AS (
+  SELECT event_type, CAST({ts_us} {idiv} 86400000000 AS BIGINT) AS day,
+         COUNT(*) AS n
+  FROM events WHERE ts IS NOT NULL
+  GROUP BY event_type, CAST({ts_us} {idiv} 86400000000 AS BIGINT)
+),
+w AS (
+  SELECT event_type, day, n,
+         SUM(n) OVER (
+           PARTITION BY event_type ORDER BY day
+           ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING
+         ) AS s,
+         COUNT(n) OVER (
+           PARTITION BY event_type ORDER BY day
+           ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING
+         ) AS c
+  FROM daily
+)
+SELECT event_type, day, CAST(n AS BIGINT) AS n,
+       CAST(coalesce(s, 0) AS BIGINT) AS trailing_sum,
+       CAST(c AS BIGINT) AS trailing_days,
+       CAST(CASE WHEN c >= 3
+                  AND (n * c * 1000 > s * 1500 OR n * c * 1000 < s * 500)
+                 THEN 1 ELSE 0 END AS BIGINT) AS anomaly
+FROM w
+"""
 
 RECON_FULL_OUTER_SQL = """
 WITH l AS (
@@ -4150,6 +4223,32 @@ GROUP BY a.event_type
         return corpus.dsir_quota_staged(spark)
 
     cases["corpus_dsir_quota"] = Case(_dsir_quota, corpus.oracle_dsir_quota())
+
+    # --- watermark-lateness audit for a batched-per-entity replay —
+    # THE input to choosing withWatermark() before streaming a bulk
+    # export (see the template note). Complements
+    # events_late_data_audit, which counts drops under a FIXED delay in
+    # the native ingest order (ordered here, so its late_ppm is 0 —
+    # the replay model is where this corpus actually needs a
+    # watermark). Scale shape: ONE window shuffled
+    # on the ingest-partition id (partition count is the ingest
+    # fan-in, which grows with the source at scale) + one
+    # (type, bucket) hash agg — never a global event-order sort.
+    cases["events_watermark_lateness"] = _bi_case(
+        WATERMARK_LATENESS_TEMPLATE, ts_us=TS_US
+    )
+
+    # --- volume-anomaly freshness check: per (event_type, day) row
+    # counts flagged against the trailing-7-day mean (ETL pipeline
+    # health — the reference service mails on failed loads; this is the
+    # silent-failure twin: a load that SUCCEEDS with half the rows).
+    # Integer cross-multiplication (n*c*1000 vs sum*permille bounds)
+    # keeps the ±50% band exact in both engines. Scale shape: one
+    # map-side-combined (type, day) agg, then a per-type window over a
+    # days-sized relation.
+    cases["dq_volume_anomaly"] = _bi_case(
+        DQ_VOLUME_ANOMALY_TEMPLATE, ts_us=TS_US, idiv=("DIV", "//")
+    )
 
     # --- TRUE ExactSubstr spans (Lee et al.): maximal duplicated
     # k=8-token spans from the position-indexed gram relation —
