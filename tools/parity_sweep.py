@@ -36,12 +36,27 @@ from etl_service_spark.session import get_spark  # noqa: E402
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    out_name = sys.argv[2] if len(sys.argv) > 2 else "CORRECTNESS_LOCAL.json"
+    args = [a for a in sys.argv[1:] if not a.startswith("--only=")]
+    only = next(
+        (a.split("=", 1)[1].split(",") for a in sys.argv[1:] if a.startswith("--only=")),
+        None,
+    )
+    sf_dir = args[0] if len(args) > 0 else "/root/testdata/sf0.1"
+    out_name = args[1] if len(args) > 1 else "CORRECTNESS_LOCAL.json"
     spark = get_spark("parity_sweep")
     views(spark, sf_dir)
     P.warm_udfs(spark)
     cases = registry()
+    if only is not None:
+        # Delta mode: sweep ONLY the named queries and MERGE into an
+        # existing record (registry entries added after a long full
+        # sweep started get value-checked without re-running the other
+        # ~230 — the merged file stays a complete, current record).
+        unknown = [n for n in only if n not in cases]
+        if unknown:
+            print(f"unknown queries: {unknown}")
+            return 2
+        cases = {n: cases[n] for n in only}
     results: dict[str, dict] = {}
     bad = 0
     for name, case in cases.items():  # registry order == driver sample order
@@ -93,16 +108,35 @@ def main() -> int:
         if not rec["hash_match"]:
             bad += 1
             print(f"MISMATCH {name}: {rec['err']}")
-    out = {
-        "sf_dir": sf_dir,
-        "n_queries": len(cases),
-        "n_match": len(cases) - bad,
-        "results": results,
-    }
-    with open(os.path.join(REPO, out_name), "w") as fh:
+    out_path = os.path.join(REPO, out_name)
+    if only is not None and os.path.exists(out_path):
+        with open(out_path) as fh:
+            prior = json.load(fh)
+        if prior.get("sf_dir") != sf_dir:
+            print(f"refusing merge: {out_name} is for {prior.get('sf_dir')}")
+            return 2
+        merged = dict(prior.get("results", {}))
+        merged.update(results)
+        out = {
+            "sf_dir": sf_dir,
+            "n_queries": len(merged),
+            "n_match": sum(1 for r in merged.values() if r["hash_match"]),
+            "results": merged,
+        }
+    else:
+        out = {
+            "sf_dir": sf_dir,
+            "n_queries": len(cases),
+            "n_match": len(cases) - bad,
+            "results": results,
+        }
+    with open(out_path, "w") as fh:
         json.dump(out, fh, indent=1)
         fh.write("\n")
-    print(f"parity sweep @ {sf_dir}: {len(cases) - bad}/{len(cases)} match")
+    print(
+        f"parity sweep @ {sf_dir}: {out['n_match']}/{out['n_queries']} match"
+        + (f" (delta: {len(cases)} swept)" if only is not None else "")
+    )
     return 1 if bad else 0
 
 
