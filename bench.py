@@ -210,6 +210,7 @@ HEADLINERS = [
     "emb_whitening_stats",
     "events_watermark_lateness",
     "dq_volume_anomaly",
+    "ann_hamming_banded",
 ]
 
 

@@ -1826,7 +1826,7 @@ _PRIORITY_PENDING = (
     "cfg_param_reload", "cfg_mail_recipients", "media_resize",
     "dedup_exact_substr_spans", "dedup_exact_substr_removal",
     "text_bpe_fertility", "text_ngram_coverage", "emb_whitening_stats",
-    "events_watermark_lateness", "dq_volume_anomaly",
+    "events_watermark_lateness", "dq_volume_anomaly", "ann_hamming_banded",
     # re-verify: plan changed since last driver-green row
     "emb_kmeans",            # fd3be9e summand type gate (last green r2)
     "tpch_q1_pricing",       # 36f156a money_out rounding pin (last green r1)
@@ -4248,6 +4248,20 @@ GROUP BY a.event_type
     # days-sized relation.
     cases["dq_volume_anomaly"] = _bi_case(
         DQ_VOLUME_ANOMALY_TEMPLATE, ts_us=TS_US, idiv=("DIV", "//")
+    )
+
+    # --- multi-index banded Hamming KNN — the coded scale path for the
+    # exact label-blocked reference (found 56x at the sf1.0 twin, the
+    # one quadratic-by-design member of the round-6 scale bench):
+    # 4x16-bit signature words, pigeonhole-exact within Hamming radius
+    # 3, candidate-only bit_count ranking. Shares the staged signature
+    # relation with emb_hamming_knn_graph.
+    def _ham_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+        views(spark, sf_dir)
+        return similarity.hamming_banded_staged(spark, 3)
+
+    cases["ann_hamming_banded"] = Case(
+        _ham_banded, similarity.hamming_banded_sql(3)[1]
     )
 
     # --- TRUE ExactSubstr spans (Lee et al.): maximal duplicated
