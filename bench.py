@@ -211,6 +211,7 @@ HEADLINERS = [
     "events_watermark_lateness",
     "dq_volume_anomaly",
     "ann_hamming_banded",
+    "ann_hamming_banded_recall",
 ]
 
 

@@ -2059,26 +2059,160 @@ def hamming_banded_sql(k: int = 3, view: str = "embeddings") -> tuple[str, str]:
     )
 
 
-def hamming_banded_staged(
-    spark: SparkSession, k: int = 3, view: str = "embeddings"
-) -> DataFrame:
-    """Execution path over the SAME staged (vec_id, label, lo, hi)
-    signature relation hamming_knn_graph_staged pins (identical stage
-    key — one signature build serves the exact reference and the
-    banded path), for the same Catalyst CTE-inlining hazard: unstaged,
-    the 64-CASE sign chains re-evaluate once per band row and once per
-    candidate side. Oracle stays the single-statement SQL."""
+def _hamsig_rel(spark: SparkSession, view: str) -> str:
+    """The staged sign-word signature relation, shared across the
+    exact reference, the banded path, and the recall report (identical
+    stage key — one signature build serves all three). `label` rides
+    along only when the source has it (the default embeddings table
+    does; synthetic test views need not) — the key includes the view
+    name, so schema variants never collide."""
+    cols = spark.table(view).columns
+
     def build():
+        label = "label, " if "label" in cols else ""
         return spark.sql(
-            f"SELECT vec_id, label, "
+            f"SELECT vec_id, {label}"
             f"{_sign_word_sql(0, one_based=False)} AS lo, "
             f"{_sign_word_sql(1, one_based=False)} AS hi FROM {view}"
         )
 
-    rel = _stage_view(spark, build, "hamsig", view, ())
+    return _stage_view(spark, build, "hamsig", view, ())
+
+
+def hamming_banded_staged(
+    spark: SparkSession, k: int = 3, view: str = "embeddings"
+) -> DataFrame:
+    """Execution path over the SAME staged (vec_id[, label], lo, hi)
+    signature relation hamming_knn_graph_staged pins, for the same
+    Catalyst CTE-inlining hazard: unstaged, the 64-CASE sign chains
+    re-evaluate once per band row and once per candidate side. Oracle
+    stays the single-statement SQL."""
+    rel = _hamsig_rel(spark, view)
     return spark.sql(
         "WITH " + _HAM_BAND_TAIL.format(
             s=rel, k=k, xor_lo="(sa.lo ^ sb.lo)", xor_hi="(sa.hi ^ sb.hi)",
             idiv="DIV",
+        )
+    )
+
+
+_HAM_RECALL_TAIL = """q AS (
+  SELECT vec_id, lo, hi FROM {s} WHERE vec_id < {nq}
+),
+ex AS (
+  SELECT src, dst, dist FROM (
+    SELECT a.vec_id AS src, b.vec_id AS dst,
+           CAST(bit_count({xor_ab_lo}) + bit_count({xor_ab_hi}) AS BIGINT)
+             AS dist,
+           ROW_NUMBER() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY bit_count({xor_ab_lo}) + bit_count({xor_ab_hi}) ASC,
+                      b.vec_id ASC
+           ) AS rk
+    FROM q a JOIN {s} b ON a.vec_id <> b.vec_id
+  ) r WHERE rk <= {k}
+),
+qw AS (
+  SELECT vec_id, 0 AS wi, lo {idiv} 65536 AS wv FROM q
+  UNION ALL SELECT vec_id, 1, lo % 65536 FROM q
+  UNION ALL SELECT vec_id, 2, hi {idiv} 65536 FROM q
+  UNION ALL SELECT vec_id, 3, hi % 65536 FROM q
+),
+w AS (
+  SELECT vec_id, 0 AS wi, lo {idiv} 65536 AS wv FROM {s}
+  UNION ALL SELECT vec_id, 1, lo % 65536 FROM {s}
+  UNION ALL SELECT vec_id, 2, hi {idiv} 65536 FROM {s}
+  UNION ALL SELECT vec_id, 3, hi % 65536 FROM {s}
+),
+cand AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst
+  FROM qw a JOIN w b ON a.wi = b.wi AND a.wv = b.wv AND a.vec_id <> b.vec_id
+  GROUP BY a.vec_id, b.vec_id
+),
+bd AS (
+  SELECT src, dst FROM (
+    SELECT c.src, c.dst,
+           ROW_NUMBER() OVER (
+             PARTITION BY c.src
+             ORDER BY bit_count({xor_sab_lo}) + bit_count({xor_sab_hi}) ASC,
+                      c.dst ASC
+           ) AS rk
+    FROM cand c
+    JOIN {s} sa ON sa.vec_id = c.src
+    JOIN {s} sb ON sb.vec_id = c.dst
+  ) r WHERE rk <= {k}
+)
+SELECT CASE WHEN ex.dist <= 3 THEN 'within_radius3' ELSE 'beyond' END AS band,
+       COUNT(*) AS exact_rows,
+       CAST(SUM(CASE WHEN bd.dst IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS found_rows,
+       CAST(SUM(CASE WHEN bd.dst IS NOT NULL THEN 1 ELSE 0 END) * 1000000
+            {idiv} COUNT(*) AS BIGINT) AS recall_ppm
+FROM ex LEFT JOIN bd ON bd.src = ex.src AND bd.dst = ex.dst
+GROUP BY CASE WHEN ex.dist <= 3 THEN 'within_radius3' ELSE 'beyond' END"""
+
+
+def hamming_banded_recall_sql(
+    k: int = 3, n_queries: int = 64, view: str = "embeddings"
+) -> tuple[str, str]:
+    """Recall of the banded Hamming path against the EXACT global
+    top-k, sampled-query protocol (same as ann_recall_report /
+    ann_pq_recall_report — recall is MEASURED, not assumed): for the
+    first ``n_queries`` vectors, exact top-k over the whole corpus vs
+    banded top-k, split by the pigeonhole boundary. The
+    'within_radius3' row is a checkable INVARIANT, not an observation:
+    an exact neighbor at Hamming distance <= 3 shares a 16-bit word
+    with its query, is therefore a candidate, and the candidate subset
+    preserves the total (dist, dst) order — its banded rank can only
+    be better, so recall_ppm MUST be 1000000 whenever the row exists.
+    The 'beyond' row is the honest trade the banding makes.
+
+    Scale shape: the exact arm is n_queries x N pair rows (the sampled
+    -recall standard — bounded by the sample, not the corpus); the
+    banded arm reuses the banded join restricted to sampled sources.
+    One LEFT JOIN on (src, dst), one 2-row aggregate."""
+
+    def body(s_cte: str, frags: dict) -> str:
+        return "WITH " + s_cte + _HAM_RECALL_TAIL.format(
+            s="s", k=k, nq=n_queries, **frags
+        )
+
+    spark_cte = (
+        f"s AS (SELECT vec_id, {_sign_word_sql(0, one_based=False)} AS lo, "
+        f"{_sign_word_sql(1, one_based=False)} AS hi FROM {view}),\n"
+    )
+    duck_cte = (
+        f"s AS MATERIALIZED (SELECT vec_id, "
+        f"{_sign_word_sql(0, one_based=True)} AS lo, "
+        f"{_sign_word_sql(1, one_based=True)} AS hi FROM {view}),\n"
+    )
+    sp = dict(
+        idiv="DIV",
+        xor_ab_lo="(a.lo ^ b.lo)", xor_ab_hi="(a.hi ^ b.hi)",
+        xor_sab_lo="(sa.lo ^ sb.lo)", xor_sab_hi="(sa.hi ^ sb.hi)",
+    )
+    du = dict(
+        idiv="//",
+        xor_ab_lo="xor(a.lo, b.lo)", xor_ab_hi="xor(a.hi, b.hi)",
+        xor_sab_lo="xor(sa.lo, sb.lo)", xor_sab_hi="xor(sa.hi, sb.hi)",
+    )
+    return (body(spark_cte, sp), body(duck_cte, du))
+
+
+def hamming_banded_recall_staged(
+    spark: SparkSession, k: int = 3, n_queries: int = 64,
+    view: str = "embeddings",
+) -> DataFrame:
+    """Execution path over the shared staged signature relation (same
+    stage key as the exact reference and the banded path — one
+    signature build serves all three). Oracle stays the
+    single-statement SQL."""
+    rel = _hamsig_rel(spark, view)
+    return spark.sql(
+        "WITH " + _HAM_RECALL_TAIL.format(
+            s=rel, k=k, nq=n_queries,
+            idiv="DIV",
+            xor_ab_lo="(a.lo ^ b.lo)", xor_ab_hi="(a.hi ^ b.hi)",
+            xor_sab_lo="(sa.lo ^ sb.lo)", xor_sab_hi="(sa.hi ^ sb.hi)",
         )
     )

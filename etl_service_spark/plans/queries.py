@@ -1827,6 +1827,7 @@ _PRIORITY_PENDING = (
     "dedup_exact_substr_spans", "dedup_exact_substr_removal",
     "text_bpe_fertility", "text_ngram_coverage", "emb_whitening_stats",
     "events_watermark_lateness", "dq_volume_anomaly", "ann_hamming_banded",
+    "ann_hamming_banded_recall",
     # re-verify: plan changed since last driver-green row
     "emb_kmeans",            # fd3be9e summand type gate (last green r2)
     "tpch_q1_pricing",       # 36f156a money_out rounding pin (last green r1)
@@ -4262,6 +4263,18 @@ GROUP BY a.event_type
 
     cases["ann_hamming_banded"] = Case(
         _ham_banded, similarity.hamming_banded_sql(3)[1]
+    )
+
+    # --- measured recall of the banded path vs the exact global top-k
+    # (sampled-query protocol), split at the pigeonhole boundary: the
+    # within_radius3 row is a provable 100% whenever present, the
+    # beyond row is the honest banding trade
+    def _ham_banded_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+        views(spark, sf_dir)
+        return similarity.hamming_banded_recall_staged(spark, 3, 64)
+
+    cases["ann_hamming_banded_recall"] = Case(
+        _ham_banded_recall, similarity.hamming_banded_recall_sql(3, 64)[1]
     )
 
     # --- TRUE ExactSubstr spans (Lee et al.): maximal duplicated

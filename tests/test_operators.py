@@ -1423,3 +1423,38 @@ def test_exact_substr_removal_merges_token_overlap(spark):
     assert (a.n_tokens, a.dup_tokens, a.kept_tokens, a.n_spans) == (8, 7, 1, 1)
     b = out[2]  # runs {1,2,3} -> tokens 1..5 and {7} -> tokens 7..9: disjoint
     assert (b.n_tokens, b.dup_tokens, b.kept_tokens, b.n_spans) == (9, 8, 1, 2)
+
+
+def test_hamming_banded_recall_pigeonhole_invariant(spark):
+    """The banded-recall report's within_radius3 row must be 100%
+    recall whenever it exists (a dist<=3 neighbor shares one of the
+    four 16-bit signature words by pigeonhole, and the candidate
+    subset preserves the (dist, dst) order). Planted pairs: vec 1 is
+    vec 0 with two sign flips (Hamming 2), vec 3 is vec 2 with one
+    (Hamming 1); vecs 4..9 alternate signs per-index pattern far from
+    everything."""
+    from etl_service_spark.operators.similarity import (
+        hamming_banded_recall_staged,
+    )
+
+    def vec(signs):
+        return [1.0 if s else -1.0 for s in signs]
+
+    base0 = [True] * 64
+    flip0 = list(base0); flip0[3] = False; flip0[40] = False
+    base2 = [i % 2 == 0 for i in range(64)]
+    flip2 = list(base2); flip2[17] = not flip2[17]
+    rows = [(0, vec(base0)), (1, vec(flip0)), (2, vec(base2)), (3, vec(flip2))]
+    rows += [
+        (i, vec([(i * 7 + j * 3) % 5 < 2 for j in range(64)]))
+        for i in range(4, 10)
+    ]
+    spark.createDataFrame(rows, "vec_id bigint, embedding array<float>") \
+        .createOrReplaceTempView("hamrec_vecs")
+    out = {r.band: r for r in hamming_banded_recall_staged(
+        spark, 3, 4, "hamrec_vecs").collect()}
+    assert "within_radius3" in out
+    w = out["within_radius3"]
+    # queries 0,1,2,3 each have their planted partner at dist <= 3
+    assert w.exact_rows >= 4
+    assert w.recall_ppm == 1000000, w
