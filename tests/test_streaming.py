@@ -1343,3 +1343,66 @@ def test_ivf_assign_stream_equals_batch_and_replay_converges(spark, sf_dir, tmp_
     n_churn = sum(r.n_churn for r in rep)
     assert n_total == emb.count()
     assert 0 < n_churn < n_total // 2
+
+
+def test_replay_order_watermark_drops_match_prediction(spark, sf_dir, tmp_path):
+    """Streaming twin of the events_watermark_lateness audit's premise:
+    replaying a time-ordered extract in batched-per-entity order
+    (sorted by user_id) through a watermarked aggregation REALLY drops
+    the rows whose window closed before the late batch arrived — and
+    the drop set is exactly predictable from the first batch's
+    event-time frontier. Two landing drops in replay order (low user
+    ids, then high), 1h watermark: after drop 1 the watermark is
+    max(ts in drop 1) - 1h, so drop 2 loses precisely its rows with
+    window_end <= that; a far-future sentinel then flushes every open
+    window so the surviving count is assertable without append-mode
+    holdback."""
+    import pyspark.sql.functions as F
+
+    from etl_service_spark.streaming.events_stream import (
+        run_available_now_to_parquet,
+    )
+
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    events = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    med = events.approxQuantile("user_id", [0.5], 0.0)[0]
+    h1 = events.filter(F.col("user_id") <= med)
+    h2 = events.filter(F.col("user_id") > med)
+    n_total = events.count()
+
+    ts1 = with_event_time(h1).agg(F.max("ts")).collect()[0][0]
+    wm = ts1 - __import__("datetime").timedelta(hours=1)
+    h2t = with_event_time(h2).withColumn(
+        "wend", F.col("ts") + F.expr("INTERVAL 1 HOUR")
+        - (F.col("ts") - F.date_trunc("hour", F.col("ts"))).cast("interval day to second")
+    )
+    # boundary guard: no h2 window-end lands exactly ON the watermark,
+    # so <= vs < cannot flip the prediction
+    assert h2t.filter(F.col("wend") == F.lit(wm)).count() == 0
+    predicted_dropped = h2t.filter(F.col("wend") <= F.lit(wm)).count()
+    assert predicted_dropped > 0, "replay order must make some rows late"
+
+    h1.write.mode("append").parquet(landing)
+    stream = lambda: windowed_event_counts(  # noqa: E731
+        read_event_stream(spark, landing), watermark="1 hour"
+    )
+    ckpt, out = str(tmp_path / "ckpt"), str(tmp_path / "out")
+    run_available_now_to_parquet(stream(), ckpt, out)
+    h2.write.mode("append").parquet(landing)
+    run_available_now_to_parquet(stream(), ckpt, out)
+    template = next(
+        os.path.join(landing, f) for f in os.listdir(landing) if f.endswith(".parquet")
+    )
+    _drop_sentinel_event(landing, template, "zz_flush.parquet")
+    run_available_now_to_parquet(stream(), ckpt, out)
+
+    got = spark.read.parquet(out)
+    ts_max = with_event_time(events).agg(F.max("ts")).collect()[0][0]
+    survived = (
+        got.filter(F.col("window_start") <= F.lit(ts_max))
+        .agg(F.sum("n_events")).collect()[0][0]
+    )
+    assert survived == n_total - predicted_dropped
