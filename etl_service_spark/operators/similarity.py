@@ -1674,8 +1674,11 @@ def hamming_knn_graph_staged(
         )
 
     # the (vec_id, label, lo, hi) signature relation is independent of
-    # k — an empty params tuple lets k=3 and k=5 calls share one stage
-    rel = _stage_view(spark, build, "hamsig", view, ())
+    # k — k=3 and k=5 calls share one stage; the ("label",) schema
+    # marker keeps it distinct from _hamsig_rel's label-less variant
+    # over the same lineage (the cache key is lineage-based, not
+    # view-name-based, so schema must be part of params)
+    rel = _stage_view(spark, build, "hamsig", view, ("label",))
     return spark.sql(
         f"""
 WITH pairs AS (
@@ -2064,19 +2067,22 @@ def _hamsig_rel(spark: SparkSession, view: str) -> str:
     exact reference, the banded path, and the recall report (identical
     stage key — one signature build serves all three). `label` rides
     along only when the source has it (the default embeddings table
-    does; synthetic test views need not) — the key includes the view
-    name, so schema variants never collide."""
+    does; synthetic test views need not) — the cache key is the table
+    LINEAGE plus a schema marker in params, so a label-ful and a
+    label-less signature over the same lineage never collide, and the
+    label-ful variant is shared with hamming_knn_graph_staged's."""
     cols = spark.table(view).columns
+    has_label = "label" in cols
 
     def build():
-        label = "label, " if "label" in cols else ""
+        label = "label, " if has_label else ""
         return spark.sql(
             f"SELECT vec_id, {label}"
             f"{_sign_word_sql(0, one_based=False)} AS lo, "
             f"{_sign_word_sql(1, one_based=False)} AS hi FROM {view}"
         )
 
-    return _stage_view(spark, build, "hamsig", view, ())
+    return _stage_view(spark, build, "hamsig", view, ("label",) if has_label else ())
 
 
 def hamming_banded_staged(

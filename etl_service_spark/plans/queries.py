@@ -1910,12 +1910,32 @@ FROM buck GROUP BY event_type, bucket
 # Volume-anomaly freshness check: a day is anomalous when its count
 # leaves the ±50% band around the trailing-7-day mean (needs >= 3 prior
 # days). n vs sum/c compared by cross-multiplication — integer-exact.
+# The day spine is DENSIFIED per event_type (every calendar day between
+# the type's first and last observed day gets a row, zero-filled), so
+# (a) the ROWS 7..1 PRECEDING frame IS a calendar window — gap days no
+# longer let the baseline reach back to stale volumes — and (b) a load
+# that silently produces ZERO rows on a day is itself flagged: n=0
+# against any positive trailing sum fails the lower band. A type whose
+# trailing week is all-zero stays unflagged (0 vs 0 — a dead stream is
+# steady-state, not an anomaly).
 DQ_VOLUME_ANOMALY_TEMPLATE = """
 WITH daily AS (
   SELECT event_type, CAST({ts_us} {idiv} 86400000000 AS BIGINT) AS day,
          COUNT(*) AS n
   FROM events WHERE ts IS NOT NULL
   GROUP BY event_type, CAST({ts_us} {idiv} 86400000000 AS BIGINT)
+),
+bounds AS (
+  SELECT event_type, MIN(day) AS lo, MAX(day) AS hi FROM daily
+  GROUP BY event_type
+),
+spine AS (
+  SELECT event_type, {day_spine} AS day FROM bounds
+),
+dense AS (
+  SELECT s.event_type, s.day, CAST(coalesce(d.n, 0) AS BIGINT) AS n
+  FROM spine s LEFT JOIN daily d
+    ON s.event_type = d.event_type AND s.day = d.day
 ),
 w AS (
   SELECT event_type, day, n,
@@ -1927,7 +1947,7 @@ w AS (
            PARTITION BY event_type ORDER BY day
            ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING
          ) AS c
-  FROM daily
+  FROM dense
 )
 SELECT event_type, day, CAST(n AS BIGINT) AS n,
        CAST(coalesce(s, 0) AS BIGINT) AS trailing_sum,
@@ -4242,13 +4262,21 @@ GROUP BY a.event_type
     # --- volume-anomaly freshness check: per (event_type, day) row
     # counts flagged against the trailing-7-day mean (ETL pipeline
     # health — the reference service mails on failed loads; this is the
-    # silent-failure twin: a load that SUCCEEDS with half the rows).
-    # Integer cross-multiplication (n*c*1000 vs sum*permille bounds)
-    # keeps the ±50% band exact in both engines. Scale shape: one
-    # map-side-combined (type, day) agg, then a per-type window over a
-    # days-sized relation.
+    # silent-failure twin: a load that SUCCEEDS with half the rows, or
+    # with NO rows — the densified day spine makes zero-volume days
+    # first-class anomalies). Integer cross-multiplication (n*c*1000 vs
+    # sum*permille bounds) keeps the ±50% band exact in both engines.
+    # Scale shape: one map-side-combined (type, day) agg, a per-type
+    # generate_series spine (days-sized), then a per-type window — all
+    # over a relation bounded by types x days, never by events.
     cases["dq_volume_anomaly"] = _bi_case(
-        DQ_VOLUME_ANOMALY_TEMPLATE, ts_us=TS_US, idiv=("DIV", "//")
+        DQ_VOLUME_ANOMALY_TEMPLATE,
+        ts_us=TS_US,
+        idiv=("DIV", "//"),
+        day_spine=(
+            "explode(sequence(lo, hi))",
+            "unnest(generate_series(lo, hi))",
+        ),
     )
 
     # --- multi-index banded Hamming KNN — the coded scale path for the

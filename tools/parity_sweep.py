@@ -47,6 +47,7 @@ def main() -> int:
     views(spark, sf_dir)
     P.warm_udfs(spark)
     cases = registry()
+    full_names = frozenset(cases)  # pre-delta registry, for merge pruning
     if only is not None:
         # Delta mode: sweep ONLY the named queries and MERGE into an
         # existing record (registry entries added after a long full
@@ -117,6 +118,14 @@ def main() -> int:
             return 2
         merged = dict(prior.get("results", {}))
         merged.update(results)
+        # Prune rows for queries since removed/renamed in the registry:
+        # without this, n_queries/n_match count stale entries and the
+        # merged file overstates coverage of the CURRENT code.
+        stale = [n for n in merged if n not in full_names]
+        for n in stale:
+            del merged[n]
+        if stale:
+            print(f"pruned {len(stale)} stale result rows: {sorted(stale)}")
         out = {
             "sf_dir": sf_dir,
             "n_queries": len(merged),
