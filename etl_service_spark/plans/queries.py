@@ -621,6 +621,43 @@ GROUP BY r.wf_id, r.success
 ORDER BY r.wf_id
 """
 
+# Boot-recovery audit (Worker.cs:45-51: on service start, UPDATE
+# pc.ETL_Zeitplan_Ausfuehrungen SET Ausgefuehrt = 1 WHERE Ausgefuehrt
+# = 0 closes rows a crash left half-open; Erfolgreich keeps its
+# DEFAULT(0), so a crashed run reads as executed-and-failed). The
+# UPDATE's effect expressed as the per-workflow recovery report an
+# operator reads after a restart: how many rows the boot reset closed,
+# and the request-time span of the crash window. Instance rows
+# synthesized from orders (status 'O' = still-open = crash candidate;
+# 'F' = finished ok; else finished failed). Durable-store twin:
+# plans/instance_store.py reset_stale + the kill-and-restart pytest.
+CFG_STALE_RESET_TEMPLATE = """
+WITH inst AS (
+  SELECT o_orderkey % 25 AS wf_id,
+         o_orderdate AS anforderung,
+         CASE WHEN o_orderstatus = 'O' THEN 0 ELSE 1 END AS ausgefuehrt,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS erfolgreich
+  FROM orders WHERE o_orderkey % 10 = 0
+),
+after_boot AS (
+  SELECT wf_id, anforderung, erfolgreich,
+         CASE WHEN ausgefuehrt = 0 THEN 1 ELSE 0 END AS was_reset
+  FROM inst
+)
+SELECT wf_id,
+       COUNT(*) AS n_rows,
+       CAST(SUM(was_reset) AS BIGINT) AS n_reset,
+       CAST(SUM(CASE WHEN erfolgreich = 1 AND was_reset = 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_ok,
+       CAST(SUM(CASE WHEN erfolgreich = 0 AND was_reset = 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_failed,
+       MIN(CASE WHEN was_reset = 1 THEN anforderung END) AS first_reset_request,
+       MAX(CASE WHEN was_reset = 1 THEN anforderung END) AS last_reset_request
+FROM after_boot
+GROUP BY wf_id
+ORDER BY wf_id
+"""
+
 # A4 running workflows (app.R:262-280): open-state filter + sort.
 ANA_RUNNING_TEMPLATE = """
 SELECT o_orderkey, o_custkey, o_totalprice
@@ -1997,6 +2034,7 @@ def registry() -> dict[str, Case]:
         CFG_PARAM_RELOAD_TEMPLATE, str_t=("STRING", "VARCHAR")
     )
     cases["cfg_mail_recipients"] = _bi_case(CFG_MAIL_RECIPIENTS_TEMPLATE)
+    cases["cfg_stale_reset"] = _bi_case(CFG_STALE_RESET_TEMPLATE)
 
     # --- run-log analytics shapes
     cases["ana_union_report"] = _bi_case(ANA_UNION_TEMPLATE)

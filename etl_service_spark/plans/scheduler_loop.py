@@ -99,11 +99,26 @@ class SchedulerLoop:
         orchestrator: Orchestrator | None = None,
         tick_seconds: int = 10,
         config_source: ConfigSource | None = None,
+        instance_store=None,  # plans.instance_store.InstanceStore | None
+        service_user: str = "etl_service",
     ) -> None:
         self.orchestrator = orchestrator or Orchestrator()
         self.tick = timedelta(seconds=tick_seconds)
         self.workflows: dict[str, ScheduledWorkflow] = {}
         self.instances: list[ScheduleInstance] = []  # T4 log
+        # Durable T4 log (pc.ETL_Zeitplan_Ausfuehrungen). Constructing
+        # the loop IS service boot, so the Worker.cs:45-51 recovery
+        # runs here: rows a crash left half-open (Ausgefuehrt = 0) are
+        # closed as executed-and-failed BEFORE the prior log is loaded
+        # — the loaded Anforderungszeitpunkt set then keeps a restarted
+        # service from refiring occurrences the dead process already
+        # requested.
+        self.store = instance_store
+        self.service_user = service_user
+        self.recovered_stale = 0
+        if self.store is not None:
+            self.recovered_stale = self.store.reset_stale()
+            self.instances = [r.to_instance() for r in self.store.load()]
         # C9: re-read per tick from this source (a config-table query in
         # production; any callable returning (name, wert) rows here)
         self.config_source = config_source
@@ -189,6 +204,12 @@ class SchedulerLoop:
             inst = ScheduleInstance(sw.name, Anforderungszeitpunkt=request)
             self.instances.append(inst)
             inst.Startzeitpunkt = now
+            if self.store is not None:
+                # persist BEFORE the run: a crash inside the workflow
+                # leaves this half-open row for the next boot's
+                # reset_stale (the reference's insert-then-execute
+                # ordering, Processor.cs lifecycle)
+                self.store.record(inst, self.service_user, now)
             try:
                 report = self.orchestrator.run(sw.workflow)
                 ok = not report.failed
@@ -200,6 +221,8 @@ class SchedulerLoop:
             inst.Endzeitpunkt = now
             inst.Ausgefuehrt = True
             inst.Erfolgreich = ok
+            if self.store is not None:
+                self.store.record(inst, self.service_user, now)
             sw.ever_executed = True
             if ok:
                 sw.backoff.record_success()
@@ -207,3 +230,19 @@ class SchedulerLoop:
                 sw.backoff.record_failure(sw.name)
                 sw.active = sw.backoff.active  # T5 deactivation
         return reports
+
+    def stop(self, now: datetime) -> int:
+        """Graceful service stop (Worker.cs:78-103 StopAsync): close
+        every still-open durable row, stamping Letzte_Aenderung and
+        Letzte_Aenderung_Nutzer (the stop UPDATE stamps; the boot one
+        does not). Returns the number of rows closed; 0 without a
+        store — the in-memory log dies with the process anyway."""
+        if self.store is None:
+            return 0
+        closed = self.store.reset_stale(user=self.service_user, now=now)
+        for inst in self.instances:
+            if not inst.Ausgefuehrt:
+                inst.Ausgefuehrt = True
+                if inst.Erfolgreich is None:
+                    inst.Erfolgreich = False
+        return closed

@@ -350,3 +350,148 @@ def test_scheduler_without_config_source_keeps_cap():
     loop = SchedulerLoop(Orchestrator(6))
     loop.run_tick(datetime(2026, 4, 1, 9, 0))
     assert loop.orchestrator.max_threads == 6
+
+
+# ---------------------------------------------------------------- durability
+# Worker.cs:45-51 boot recovery / Worker.cs:78-103 StopAsync close-out
+# over the durable pc.ETL_Zeitplan_Ausfuehrungen twin
+# (plans/instance_store.py).
+
+
+def _simple_wf(name, action):
+    from etl_service_spark.plans.orchestrator import (
+        Package, Realization, Step, Workflow,
+    )
+
+    return Workflow(
+        name,
+        {"P": Package("P", (Realization("R", (Step("S", action),)),))},
+        "P",
+    )
+
+
+def test_crash_restart_resets_stale_instance_rows(tmp_path):
+    """Kill the service between instance-start and finish; the next
+    boot must close the half-open row (Ausgefuehrt=1, Erfolgreich
+    keeps the DDL's DEFAULT(0) = failed) and must NOT refire the
+    occurrence the dead process already requested."""
+    from etl_service_spark.plans.instance_store import InstanceStore
+    from etl_service_spark.plans.scheduler_loop import (
+        ScheduledWorkflow, SchedulerLoop,
+    )
+
+    store = InstanceStore(str(tmp_path / "instances.jsonl"))
+    ran: list[str] = []
+    now = datetime(2026, 3, 2, 8, 59, 55)
+    plan = SchedulePlan(
+        interval="Täglich", anfangsdatum=datetime(2026, 3, 1),
+        startzeit=time(9, 0),
+    )
+
+    class Killed(BaseException):  # a SIGKILL stand-in: not an Exception
+        pass
+
+    class DyingOrchestrator:
+        max_threads = 1
+
+        def set_max_threads(self, n):
+            pass
+
+        def run(self, wf):
+            raise Killed()
+
+    loop_a = SchedulerLoop(orchestrator=DyingOrchestrator(), instance_store=store)
+    loop_a.add(ScheduledWorkflow("w", plan, _simple_wf("w", lambda: ran.append("a"))))
+    with pytest.raises(Killed):
+        loop_a.run_tick(now)  # crash: start was persisted, finish never
+
+    rows = store.load()
+    assert len(rows) == 1 and rows[0].Ausgefuehrt is False  # half-open on disk
+
+    # ---- service restart (fresh process: new loop over the same store)
+    loop_b = SchedulerLoop(instance_store=store)
+    assert loop_b.recovered_stale == 1
+    rows = store.load()
+    assert rows[0].Ausgefuehrt is True
+    assert rows[0].Erfolgreich is False  # crashed run reads as failed
+    # boot reset is the RAW update — no NEW Letzte_Aenderung stamp: the
+    # row keeps the stamp written when the dead process recorded the
+    # start (StopAsync's stamped variant is tested separately)
+    assert rows[0].Letzte_Aenderung == now
+
+    # same occurrence must not refire after restart
+    loop_b.add(ScheduledWorkflow("w", plan, _simple_wf("w", lambda: ran.append("b"))))
+    loop_b.run_tick(now)
+    assert ran == []  # request 09:00 already in the durable log
+    # but the NEXT day's occurrence fires normally
+    loop_b.run_tick(datetime(2026, 3, 3, 8, 59, 55))
+    assert ran == ["b"]
+    rows = store.load()
+    assert len(rows) == 2 and all(r.Ausgefuehrt for r in rows)
+    assert rows[-1].Erfolgreich is True
+
+
+def test_graceful_stop_stamps_letzte_aenderung(tmp_path):
+    """StopAsync: same UPDATE as the boot reset but WITH the
+    Letzte_Aenderung / Letzte_Aenderung_Nutzer stamp."""
+    from etl_service_spark.plans.instance_store import InstanceStore
+    from etl_service_spark.plans.scheduler_loop import (
+        ScheduleInstance, SchedulerLoop,
+    )
+
+    store = InstanceStore(str(tmp_path / "instances.jsonl"))
+    open_inst = ScheduleInstance(
+        "w", Anforderungszeitpunkt=datetime(2026, 3, 2, 9, 0),
+        Startzeitpunkt=datetime(2026, 3, 2, 9, 0, 1),
+    )
+    store.record(open_inst, "etl_service", datetime(2026, 3, 2, 9, 0, 1))
+
+    loop = SchedulerLoop(instance_store=store, service_user="svc_user")
+    # constructing the loop already ran the BOOT reset (no stamp);
+    # reopen a row to exercise the STOP path
+    open2 = ScheduleInstance("w2", Anforderungszeitpunkt=datetime(2026, 3, 2, 9, 5))
+    store.record(open2, "svc_user", datetime(2026, 3, 2, 9, 5))
+    stop_at = datetime(2026, 3, 2, 9, 10)
+    assert loop.stop(stop_at) == 1
+    by_wf = {r.workflow: r for r in store.load()}
+    assert by_wf["w2"].Ausgefuehrt is True
+    assert by_wf["w2"].Letzte_Aenderung == stop_at
+    assert by_wf["w2"].Letzte_Aenderung_Nutzer == "svc_user"
+    # idempotent: nothing left open
+    assert loop.stop(stop_at) == 0
+
+
+def test_instance_store_torn_tail_and_compact(tmp_path):
+    """A crash mid-append tears only the final journal line: load()
+    drops it (an unacknowledged write). compact() folds the journal to
+    one row per instance, atomically."""
+    from etl_service_spark.plans.instance_store import InstanceStore
+    from etl_service_spark.plans.scheduler_loop import ScheduleInstance
+
+    path = tmp_path / "instances.jsonl"
+    store = InstanceStore(str(path))
+    a = ScheduleInstance("w", Anforderungszeitpunkt=datetime(2026, 3, 2, 9, 0))
+    store.record(a, "u", datetime(2026, 3, 2, 9, 0))
+    a.Ausgefuehrt = True
+    a.Erfolgreich = True
+    a.Endzeitpunkt = datetime(2026, 3, 2, 9, 1)
+    store.record(a, "u", datetime(2026, 3, 2, 9, 1))
+    with open(path, "a") as fh:
+        fh.write('{"workflow": "w", "anforderung": "2026-03-02T09:0')  # torn
+
+    rows = store.load()
+    assert len(rows) == 1 and rows[0].Ausgefuehrt is True  # fold + torn drop
+
+    assert store.compact() == 1
+    with open(path) as fh:
+        lines = [ln for ln in fh.read().splitlines() if ln]
+    assert len(lines) == 1
+    assert store.load()[0].Erfolgreich is True
+
+    # a corrupt NON-final line is foreign interference, not a crash —
+    # refuse to fold around it
+    with open(path, "a") as fh:
+        fh.write("garbage\n")
+        fh.write('{"workflow":"w2","anforderung":"2026-03-02T10:00:00","ausgefuehrt":false}\n')
+    with pytest.raises(ValueError, match="corrupt journal"):
+        store.load()
