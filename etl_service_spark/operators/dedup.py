@@ -1145,42 +1145,80 @@ def _band_sig_sql(k: int) -> str:
 
 
 def _band_tuning_tail(
-    k: int, band_configs: tuple[int, ...]
+    k: int, band_configs: tuple[int, ...], cap_rows: int = 32
 ) -> tuple[str, dict]:
     """CTE tail from a signature relation {sig_rel} + exact-pair
-    relation {exact_rel} to the per-banding recall/cost table: per
-    config one banded self-join and ONE full-outer scan against the
-    exact pairs. Returns (tail, band_arr placeholder dict)."""
+    relation {exact_rel} to the per-banding recall/cost table.
+    Returns (tail, band_arr placeholder dict).
+
+    The report never materializes a candidate-pair relation (the
+    round-6 shape did, and its loosest arm's DISTINCT + full-outer
+    join over ~10M pairs dominated the sf1.0 sweep at 5.7 s): the two
+    axes a banding decision needs are computable without it —
+
+    - **cost** = cand_mass: Σ over buckets of C(min(size, cap), 2),
+      the verification-join work the config would generate, from ONE
+      per-bucket size aggregate (bucket-count-bounded, closed form —
+      pair multiplicity across bands included, because that IS the
+      work a production join performs before pair-dedup);
+    - **recall** = n_hits / n_true driven from the TRUTH side: each
+      exact pair checks whether it collides in ≥1 band under the cap
+      — two joins keyed on the truth relation (hundreds of rows, a
+      broadcast), never on the pair space.
+
+    ``cap_rows``: per-bucket posting-list cap. The loosest arm (b=k,
+    one row per band) agrees on a SINGLE minhash component, so its
+    bucket sizes grow with corpus size. Buckets keep their first
+    ``cap_rows`` doc_ids (deterministic ROW_NUMBER order); everything
+    clipped is COUNTED and surfaced as dropped_postings — no silent
+    cap. The reported recall of a capped config is the recall of the
+    CAPPED join, exactly what a production run with a posting-list
+    limit would see."""
     parts = []
     for b in band_configs:
         parts.append(
-            f"bands_{b} AS (\n  SELECT doc_id, {{explode}}({{band_arr_{b}}}) AS band_key FROM {{sig_rel}}\n)"
-        )
-        parts.append(
-            f"""cand_{b} AS (
-  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-  FROM bands_{b} x JOIN bands_{b} y
-    ON x.band_key = y.band_key AND x.doc_id < y.doc_id
+            f"""bands_{b} AS (
+  SELECT doc_id, band_key,
+         ROW_NUMBER() OVER (PARTITION BY band_key ORDER BY doc_id) AS rn
+  FROM (SELECT doc_id, {{explode}}({{band_arr_{b}}}) AS band_key
+        FROM {{sig_rel}}) e
 )"""
         )
         parts.append(
-            f"""m_{b} AS (
+            f"""mass_{b} AS (
   SELECT
-    CAST(SUM(CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_candidates,
-    CAST(SUM(CASE WHEN e.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
-    CAST(SUM(CASE WHEN e.doc_a IS NOT NULL AND c.doc_a IS NOT NULL
-             THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
-  FROM cand_{b} c
-  FULL OUTER JOIN {{exact_rel}} e
-    ON e.doc_a = c.doc_a AND e.doc_b = c.doc_b
+    CAST(coalesce(SUM(kept * (kept - 1) {{idiv}} 2), 0) AS BIGINT) AS cand_mass,
+    CAST(coalesce(SUM(sz - kept), 0) AS BIGINT) AS dropped_postings
+  FROM (
+    SELECT COUNT(*) AS sz,
+           SUM(CASE WHEN rn <= {cap_rows} THEN 1 ELSE 0 END) AS kept
+    FROM bands_{b} GROUP BY band_key
+  ) s
 )"""
         )
+        parts.append(
+            f"""hits_{b} AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_hits
+  FROM (
+    SELECT e.doc_a, e.doc_b
+    FROM {{exact_rel}} e
+    JOIN bands_{b} x ON x.doc_id = e.doc_a AND x.rn <= {cap_rows}
+    JOIN bands_{b} y ON y.doc_id = e.doc_b AND y.rn <= {cap_rows}
+                    AND y.band_key = x.band_key
+    GROUP BY e.doc_a, e.doc_b
+  ) h
+)"""
+        )
+    parts.append(
+        "truth AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_true FROM {exact_rel})"
+    )
     unions = "\nUNION ALL\n".join(
         f"""SELECT {b} AS bands, {k // b} AS rows_per_band,
-       n_candidates, n_true, n_hits,
+       cand_mass, n_true, n_hits,
        CAST(n_hits * 1000000 {{idiv}} NULLIF(n_true, 0) AS BIGINT) AS recall_ppm,
-       CAST(n_hits * 1000000 {{idiv}} NULLIF(n_candidates, 0) AS BIGINT) AS precision_ppm
-FROM m_{b}"""
+       CAST(n_hits * 1000000 {{idiv}} NULLIF(cand_mass, 0) AS BIGINT) AS hits_per_mass_ppm,
+       dropped_postings
+FROM mass_{b} CROSS JOIN hits_{b} CROSS JOIN truth"""
         for b in band_configs
     )
     band_arrs = {f"band_arr_{b}": _band_arr(k, b) for b in band_configs}
@@ -1192,6 +1230,7 @@ def lsh_band_tuning_sql(
     band_configs: tuple[int, ...] = (16, 8, 4),
     tau: float = 0.8,
     view: str = "documents",
+    cap_rows: int = 32,
 ) -> tuple[str, str]:
     """Banding-parameter sweep for the minhash-LSH join: for each
     (bands b x rows r = k/b) configuration over the SAME k-minhash
@@ -1213,7 +1252,7 @@ def lsh_band_tuning_sql(
     would re-run the signature aggregate per config and the PPJoin
     verify per full-outer scan).
     """
-    tail, band_arrs = _band_tuning_tail(k, band_configs)
+    tail, band_arrs = _band_tuning_tail(k, band_configs, cap_rows)
     exact = ngram_jaccard_sql(tau, view)
     return P.bi_sql(
         _HASHSET_PROLOGUE + ",\nsig AS (\n" + _band_sig_sql(k) + "\n),\n" + tail,
@@ -1250,6 +1289,7 @@ def lsh_band_tuning_staged(
     band_configs: tuple[int, ...] = (16, 8, 4),
     tau: float = 0.8,
     view: str = "documents",
+    cap_rows: int = 32,
 ) -> DataFrame:
     """Spark path: the signature aggregate and the exact truth pairs
     are STAGED once per (session, params, hashset lineage) — Spark
@@ -1269,7 +1309,7 @@ def lsh_band_tuning_staged(
         spark, "band_exact", (tau, view), hs_rel,
         lambda: ngram_jaccard_staged(spark, tau, view).select("doc_a", "doc_b"),
     )
-    tail, band_arrs = _band_tuning_tail(k, band_configs)
+    tail, band_arrs = _band_tuning_tail(k, band_configs, cap_rows)
     body = P.bi_sql(
         "WITH " + tail,
         sig_rel=sig_rel,

@@ -1562,7 +1562,7 @@ def _sign_word_sql(word: int, *, one_based: bool) -> str:
 
 
 def hamming_knn_graph_sql(
-    k: int = 3, view: str = "embeddings"
+    k: int = 3, view: str = "embeddings", src_modulus: int = 1
 ) -> tuple[str, str]:
     """k-NN graph over 64-bit sign-bit (SimHash-style) signatures with
     exact Hamming distance, blocked by label: each vector's k nearest
@@ -1586,9 +1586,19 @@ def hamming_knn_graph_sql(
     shuffle on label and a per-src top-k window. At 100 TB the label
     blocking generalizes to IVF cell ids (emb_kmeans/ann_ivf_topk) and
     the per-word signature join to multi-index Hamming banding.
+
+    ``src_modulus``: the sampled-exact protocol for sf >= 1. This
+    relation is the exact ground truth the banded-ANN recall reports
+    score against, and exact truth only ever needs to exist for the
+    SOURCES being scored — so the bench/registry-facing call samples
+    the src side (vec_id % m = 0; the dst side stays full, so every
+    emitted row is still the vector's true global-within-label top-k),
+    cutting the per-label pair mass by m while keeping exactness for
+    the sampled sources. m=1 (default) is the full-exact form.
     """
     xor_lo = ("(a.lo ^ b.lo)", "xor(a.lo, b.lo)")
     xor_hi = ("(a.hi ^ b.hi)", "xor(a.hi, b.hi)")
+    src_where = f" AND a.vec_id % {src_modulus} = 0" if src_modulus > 1 else ""
     template = f"""
 WITH s AS (
   SELECT vec_id, label, {{sig_lo}} AS lo, {{sig_hi}} AS hi FROM {view}
@@ -1596,7 +1606,7 @@ WITH s AS (
 pairs AS (
   SELECT a.label AS label, a.vec_id AS src, b.vec_id AS dst,
          CAST(bit_count({{xor_lo}}) + bit_count({{xor_hi}}) AS BIGINT) AS dist
-  FROM s a JOIN s b ON a.label = b.label AND a.vec_id <> b.vec_id
+  FROM s a JOIN s b ON a.label = b.label AND a.vec_id <> b.vec_id{src_where}
 ),
 ranked AS (
   SELECT label, src, dst, dist,
@@ -1654,7 +1664,8 @@ SELECT j, rk, vec_id, CAST(dist_num AS BIGINT) AS dist_num, n_members FROM (
 
 
 def hamming_knn_graph_staged(
-    spark: SparkSession, k: int = 3, view: str = "embeddings"
+    spark: SparkSession, k: int = 3, view: str = "embeddings",
+    src_modulus: int = 1,
 ) -> DataFrame:
     """Execution path for :func:`hamming_knn_graph_sql`'s semantics
     with the signature relation STAGED: the single-statement form lets
@@ -1679,12 +1690,13 @@ def hamming_knn_graph_staged(
     # over the same lineage (the cache key is lineage-based, not
     # view-name-based, so schema must be part of params)
     rel = _stage_view(spark, build, "hamsig", view, ("label",))
+    src_where = f" AND a.vec_id % {src_modulus} = 0" if src_modulus > 1 else ""
     return spark.sql(
         f"""
 WITH pairs AS (
   SELECT a.label AS label, a.vec_id AS src, b.vec_id AS dst,
          CAST(bit_count(a.lo ^ b.lo) + bit_count(a.hi ^ b.hi) AS BIGINT) AS dist
-  FROM {rel} a JOIN {rel} b ON a.label = b.label AND a.vec_id <> b.vec_id
+  FROM {rel} a JOIN {rel} b ON a.label = b.label AND a.vec_id <> b.vec_id{src_where}
 ),
 ranked AS (
   SELECT label, src, dst, dist,
