@@ -69,7 +69,27 @@ JDBC_TYPES: dict[str, tuple[str, str]] = {
     # lives in the driver/executor JVM, so it is a single-JVM test
     # engine only; production DBMSes above are the cluster path.
     "Derby": ("org.apache.derby.jdbc.EmbeddedDriver", "jdbc:derby:{database};create=true"),
+    # Spark SQL thrift endpoints (Spark Thrift Server / Kyuubi) over
+    # the hive-jdbc wire protocol — a second LIVE engine the tests
+    # exercise end-to-end by starting Spark's own thrift server
+    # in-process (a real TCP socket + a genuinely different SQL
+    # dialect, unlike embedded Derby's in-JVM path). The URL appends
+    # the ANSI double-quoted-identifier session conf because Spark's
+    # JDBC source quotes pruned columns with double quotes and a Spark
+    # SQL endpoint parses those as string literals otherwise (each row
+    # would come back as the literal column names). READ-ONLY:
+    # hive-jdbc's PreparedStatement has no addBatch/executeBatch, so
+    # Spark's batched JDBC writer cannot target it — write_jdbc raises
+    # a declared error rather than failing deep inside a task.
+    "SparkThrift": (
+        "org.apache.hive.jdbc.HiveDriver",
+        "jdbc:hive2://{host}:{port}/{database}"
+        "?spark.sql.ansi.doubleQuotedIdentifiers=true",
+    ),
 }
+
+# types whose JDBC driver cannot run Spark's batched writer
+READ_ONLY_JDBC_TYPES = ("SparkThrift",)
 
 FILE_TYPES = ("FILE-PARQUET", "FILE-CSV", "FILE-JSON", "Excel", "CSV")
 
@@ -201,6 +221,12 @@ def write_jdbc(df: DataFrame, conn: Connection, table: str, batchsize: int = 50_
     """Bulk append — the SqlBulkCopy/OracleBulkCopy equivalent
     (CommandExecuter.cs:888-930). batchsize mirrors the reference's
     50k-row write chunks (CommandExecuter.cs:729-757)."""
+    if conn.type_name in READ_ONLY_JDBC_TYPES:
+        raise NotImplementedError(
+            f"{conn.type_name} is a read-only JDBC engine: its driver "
+            "has no batched PreparedStatement, which Spark's JDBC "
+            "writer requires"
+        )
     opts = jdbc_options(conn, table)
     (
         df.write.format("jdbc")
