@@ -69,18 +69,61 @@ def _decode_stub(payload: bytes) -> list[float]:
     return [total / len(payload) / 255.0, float(len(payload))]
 
 
-def extract_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
+def pil_available() -> bool:
+    """Feature-detect a real image codec. The container this engine is
+    developed in ships none; if PIL ever lands, extract_features can
+    opt into it with decoder='pil'/'auto' without code changes."""
+    try:
+        import PIL.Image  # noqa: F401
+    except Exception:
+        return False
+    return True
+
+
+def _decode_pil(payload: bytes) -> list[float]:
+    """Real codec kernel (used only when PIL is importable): decode to
+    grayscale, same (mean-intensity, size) feature shape as the stub —
+    mean over DECODED pixels instead of raw compressed bytes."""
+    if not payload:
+        return [0.0, 0.0]
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    img = Image.open(io.BytesIO(payload)).convert("L")
+    a = np.asarray(img, dtype=np.float64)
+    return [float(a.mean() / 255.0), float(a.size)]
+
+
+def extract_features(
+    media: DataFrame, batch_hint: int = 1024, decoder: str = "stub"
+) -> DataFrame:
     """Arrow-batched feature extraction over the payload column.
 
-    mapInPandas: each executor processes whole Arrow batches; the stub
-    kernel is where a real decoder plugs in. Partitioning: inherits the
-    upstream layout — repartition by size class upstream if payload
-    sizes are skewed.
+    mapInPandas: each executor processes whole Arrow batches; the
+    kernel is where a real decoder plugs in. ``decoder``: 'stub' (the
+    deterministic byte-moment fake — the DEFAULT, because the oracle
+    registry pins its exact values), 'pil' (real image decode; raises
+    the declared codec-gap error when PIL is absent), or 'auto'
+    (feature-detect on the driver: pil when importable, stub
+    otherwise). Partitioning: inherits the upstream layout —
+    repartition by size class upstream if payload sizes are skewed.
     """
+    if decoder == "auto":
+        decoder = "pil" if pil_available() else "stub"
+    if decoder == "pil" and not pil_available():
+        raise NotImplementedError(
+            "decoder='pil' needs PIL, which this container does not "
+            "ship — the declared compressed-codec gap; use 'stub'/'auto'"
+        )
+    if decoder not in ("pil", "stub"):
+        raise ValueError(f"unknown decoder {decoder!r}")
+    decode = _decode_pil if decoder == "pil" else _decode_stub
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = pdf["payload"].map(lambda p: _decode_stub(bytes(p) if p is not None else b""))
+            feats = pdf["payload"].map(lambda p: decode(bytes(p) if p is not None else b""))
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

@@ -1458,3 +1458,64 @@ def test_hamming_banded_recall_pigeonhole_invariant(spark):
     # queries 0,1,2,3 each have their planted partner at dist <= 3
     assert w.exact_rows >= 4
     assert w.recall_ppm == 1000000, w
+
+
+def test_extract_features_decoder_matrix(spark):
+    """Codec feature-detect: 'stub' is the pinned deterministic default
+    (the oracle registry depends on its exact values); 'auto' resolves
+    to the stub when no codec library ships; 'pil' raises the DECLARED
+    codec-gap error in a PIL-less container instead of failing inside
+    a task."""
+    import pytest
+
+    from etl_service_spark.operators import multimodal as mm
+
+    media = mm.documents_as_media(
+        spark.createDataFrame(
+            [(1, "abc", "s")], "doc_id LONG, text STRING, source STRING"
+        )
+    )
+    row = mm.extract_features(media).collect()[0]
+    assert row["feat_dim"] == 2
+    assert abs(row["feat_mean"] - (sum(b"abc") / 3 / 255.0)) < 1e-12
+
+    with pytest.raises(ValueError, match="unknown decoder"):
+        mm.extract_features(media, decoder="librosa")
+
+    if mm.pil_available():  # pragma: no cover - container has no PIL
+        got = mm.extract_features(media, decoder="pil")
+        assert got.schema == mm.extract_features(media).schema
+    else:
+        with pytest.raises(NotImplementedError, match="codec gap"):
+            mm.extract_features(media, decoder="pil")
+        # auto == stub, bit-identical, when no codec is available
+        auto = mm.extract_features(media, decoder="auto").collect()[0]
+        assert auto == row
+
+
+@pytest.mark.skipif(
+    not __import__("importlib").util.find_spec("PIL"),
+    reason="PIL not shipped in this container (declared codec gap)",
+)
+def test_extract_features_pil_decodes_real_png(spark):
+    """Runs only if PIL ever lands in the image: a real 2x2 PNG decodes
+    to mean pixel intensity over DECODED pixels, not raw bytes."""
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    from etl_service_spark.operators import multimodal as mm
+
+    buf = io.BytesIO()
+    Image.fromarray(
+        np.array([[0, 255], [255, 0]], dtype=np.uint8), mode="L"
+    ).save(buf, format="PNG")
+    payload = buf.getvalue()
+    media = spark.createDataFrame(
+        [(1, "image/png", bytearray(payload), len(payload), "t")],
+        "media_id LONG, media_type STRING, payload BINARY, n_bytes LONG, source STRING",
+    )
+    row = mm.extract_features(media, decoder="pil").collect()[0]
+    assert row["feat_dim"] == 4
+    assert abs(row["feat_mean"] - 0.5) < 1e-9

@@ -372,3 +372,76 @@ def test_admission_cap_grows_mid_run():
     report = orch.run(_wf([pkg], "p"))
     t.join(30)
     assert len(report.succeeded) == 4 and not report.failed
+
+
+def test_step_killed_mid_snapshot_write_leaves_no_torn_table(spark, tmp_path, monkeypatch):
+    """Chaos: a step dies INSIDE the snapshot store's
+    staged-uncommitted window (data files written, manifest never
+    committed). The orchestrator must run the run-log close-out +
+    fallback package, and the table must not be torn: readers still
+    see the pre-crash version, and a post-restart retry of the same
+    append commits cleanly on top of it (the orphaned staged files are
+    invisible — no manifest references them)."""
+    from etl_service_spark.sources import snapshots
+
+    table = str(tmp_path / "tbl")
+    v1 = snapshots.commit_append(
+        spark.range(10).selectExpr("id", "id * 2 AS v"), table
+    )
+    assert snapshots.list_versions(table) == [v1]
+
+    # die AFTER staging, BEFORE the manifest publish — the real crash
+    # window of commit_append (files land under data/<uuid>/ first)
+    real_commit = snapshots._commit
+
+    def dying_commit(*args, **kwargs):
+        raise RuntimeError("killed mid-write")
+
+    monkeypatch.setattr(snapshots, "_commit", dying_commit)
+
+    fb_ran = []
+
+    def append_step():
+        snapshots.commit_append(
+            spark.range(5).selectExpr("id + 100 AS id", "id AS v"), table
+        )
+
+    wf = _wf(
+        [
+            Package("main", (Realization("r", (Step("write", append_step),)),)),
+            Package(
+                "cleanup",
+                (Realization("fb", (Step("fb_step", lambda: fb_ran.append(1)),)),),
+            ),
+        ],
+        "main",
+        fallback="cleanup",
+    )
+    state = WorkflowState("wf")
+    state.transition(Stage.SCHEDULED)
+    report = Orchestrator(2).run(wf, state)
+
+    # close-out: failure recorded, fallback ran, state machine FAILED
+    assert report.failed == ["write"]
+    assert report.fallback_ran and fb_ran == [1]
+    assert state.stage is Stage.FAILED
+
+    # no torn table: version list unchanged, reads see the old data,
+    # even though the dead step's files are physically on disk
+    assert snapshots.list_versions(table) == [v1]
+    assert snapshots.read_snapshot(spark, table).count() == 10
+    import glob
+    import os
+
+    orphans = glob.glob(os.path.join(table, "data", "*"))
+    assert len(orphans) == 2  # v1's stage + the dead step's stage
+
+    # restart: the retried append commits on top of v1 cleanly
+    monkeypatch.setattr(snapshots, "_commit", real_commit)
+    v2 = snapshots.commit_append(
+        spark.range(5).selectExpr("id + 100 AS id", "id AS v"), table
+    )
+    assert snapshots.list_versions(table) == [v1, v2]
+    assert snapshots.read_snapshot(spark, table).count() == 15
+    # time travel to the pre-crash version still works
+    assert snapshots.read_snapshot(spark, table, version=v1).count() == 10
