@@ -212,6 +212,9 @@ HEADLINERS = [
     "dq_volume_anomaly",
     "ann_hamming_banded",
     "ann_hamming_banded_recall",
+    "cfg_stale_reset",
+    "media_wav_rms_windows",
+    "dedup_threshold_curve",
 ]
 
 

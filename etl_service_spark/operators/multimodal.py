@@ -749,3 +749,136 @@ SELECT doc_id AS media_id,
          // CASE WHEN doc_id % 2 = 0 THEN 600 ELSE 1000 END AS duration_ms
 FROM documents
 """
+
+
+# ------------------------------------------------ windowed RMS loudness
+WAV_RMS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("win", LongType()),
+        StructField("n", LongType()),
+        StructField("sum_sq", LongType()),
+        StructField("rms", DoubleType()),
+    ]
+)
+
+# closed-form PCM so the oracle can predict every sample: mono 16-bit,
+# s_i = ((media_id*131 + i*7919) % 65521) - 32760  (int16-ranged)
+_PCM_A, _PCM_B, _PCM_M, _PCM_OFF = 131, 7919, 65521, 32760
+_RMS_WIN = 256  # samples per loudness window (full windows only)
+
+
+def synthesize_wav_pcm(docs: DataFrame, modulus: int = 10) -> DataFrame:
+    """REAL PCM payloads (header + samples), unlike the header-only
+    synthesize_wav_headers: every 10th document becomes a mono 16-bit
+    WAV whose samples follow the closed form above — so a decode
+    kernel downstream is value-checked end to end (generate -> decode
+    -> aggregate, the media_resize pattern). Arrow-batched generation;
+    payload ~2 KB/doc."""
+    import struct
+
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                ns = 500 + mid % 500
+                i = np.arange(ns, dtype=np.int64)
+                s = ((mid * _PCM_A + i * _PCM_B) % _PCM_M - _PCM_OFF).astype("<i2")
+                data = s.tobytes()
+                hdr = (
+                    b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+                    + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 16000, 32000, 2, 16)
+                    + b"data" + struct.pack("<I", len(data))
+                )
+                rows.append((mid, hdr + data))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    return (
+        docs.filter(F.col("doc_id") % modulus == 0)
+        .select(F.col("doc_id").alias("media_id"))
+        .mapInPandas(kernel, "media_id LONG, payload BINARY")
+    )
+
+
+def wav_rms_windows(media: DataFrame) -> DataFrame:
+    """Windowed RMS loudness over DECODED PCM — the first pass an
+    audio-curation pipeline runs (silence gating, loudness
+    normalization prep, clipping detection all start from per-window
+    RMS). Walks the RIFF chunks to the data payload, reinterprets it
+    as little-endian int16 with numpy (one frombuffer per row — no
+    per-sample Python), and aggregates FULL windows of 256 samples to
+    (n, Σs², rms). Σs² is integer-exact (256·32768² « 2^63), so the
+    oracle hash-matches; rms is the one IEEE-deterministic double.
+    Unparsable payloads are dropped, like the other sniffers.
+
+    Scale shape: map-side only — decode + window aggregation happen
+    inside one Arrow batch pass; output is windows-sized (samples/256),
+    never samples-sized. 100 TB of audio = an embarrassingly parallel
+    scan whose output is ~0.4% of input rows."""
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                buf = bytes(payload) if payload is not None else None
+                meta = _parse_wav_header(buf)
+                if meta is None:
+                    continue
+                # find the data chunk's byte offset (the header parse
+                # validated structure; this walk locates the payload)
+                pos, off, dlen = 12, None, 0
+                while pos + 8 <= len(buf):
+                    cid = buf[pos : pos + 4]
+                    clen = int.from_bytes(buf[pos + 4 : pos + 8], "little")
+                    if cid == b"data":
+                        off, dlen = pos + 8, clen
+                        break
+                    pos += 8 + clen
+                if off is None or off + dlen > len(buf):
+                    continue
+                s = np.frombuffer(buf, dtype="<i2", count=dlen // 2, offset=off)
+                nwin = len(s) // _RMS_WIN
+                if nwin == 0:
+                    continue
+                w = s[: nwin * _RMS_WIN].astype(np.int64).reshape(nwin, _RMS_WIN)
+                ssq = (w * w).sum(axis=1)
+                for k in range(nwin):
+                    rows.append(
+                        (
+                            int(mid), k, _RMS_WIN, int(ssq[k]),
+                            float(np.sqrt(ssq[k] / _RMS_WIN)),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "win", "n", "sum_sq", "rms"]
+            )
+
+    return media.mapInPandas(kernel, WAV_RMS_SCHEMA)
+
+
+# DuckDB regenerates the closed-form samples directly (it never sees
+# the bytes; the VALUE check is that Spark's generate->encode->decode
+# round trip lands on the same numbers)
+WAV_RMS_ORACLE = f"""
+WITH m AS (
+  SELECT doc_id AS media_id, 500 + doc_id % 500 AS ns
+  FROM documents WHERE doc_id % 10 = 0
+),
+s AS (
+  SELECT media_id, unnest(range(0, (ns // {_RMS_WIN}) * {_RMS_WIN})) AS i
+  FROM m
+),
+v AS (
+  SELECT media_id, i // {_RMS_WIN} AS win,
+         (media_id * {_PCM_A} + i * {_PCM_B}) % {_PCM_M} - {_PCM_OFF} AS x
+  FROM s
+)
+SELECT media_id, win, COUNT(*) AS n,
+       CAST(SUM(x * x) AS BIGINT) AS sum_sq,
+       sqrt(CAST(SUM(x * x) AS DOUBLE) / COUNT(*)) AS rms
+FROM v GROUP BY media_id, win
+"""

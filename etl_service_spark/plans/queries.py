@@ -1821,12 +1821,39 @@ _VERIFIED_R5 = (
         "text_winnowing_fingerprints", "text_zipf_profile",
 )
 
-# Stalest driver row first: r1-verified entries are 5 rounds old, so
-# they lead the verified tail; a name verified in several rounds keeps
-# only its FRESHEST (latest-round) position.
+_VERIFIED_R6 = (
+        # round 6 (CORRECTNESS_r06.json, 50 green rows)
+        "ana_argmax_last_run", "ana_drilldown_levels", "ana_duration_datediff",
+        "ana_hierarchy_tree", "ana_running_filter", "ana_runstructure_real",
+        "ana_timeline_union", "ana_today_runs", "ana_union_report",
+        "ann_hamming_banded", "ann_hamming_banded_recall",
+        "cfg_dependency_edges", "cfg_filter_due", "cfg_join_priority",
+        "cfg_left_join_steps", "cfg_mail_recipients", "cfg_param_reload",
+        "cfg_params_threeway", "dedup_exact_substr_removal",
+        "dedup_exact_substr_spans", "dim_scd2_merge", "dq_volume_anomaly",
+        "emb_kmeans", "emb_whitening_stats", "etl_csv_export_lines",
+        "etl_dedup_filename", "etl_excel_ingest_audit",
+        "events_attribution_join", "events_cohort_retention",
+        "events_sessionize", "events_value_deciles", "events_value_time_corr",
+        "events_watermark_lateness", "media_resize",
+        "nation_top_customer_argmax", "orders_halfyear_setops",
+        "orders_running_spend", "text_bpe_fertility", "text_ngram_coverage",
+        "tpch_q10_returned_items", "tpch_q11_important_stock",
+        "tpch_q12_priority_classes", "tpch_q13_custdist",
+        "tpch_q14_promo_share", "tpch_q15_top_supplier",
+        "tpch_q16_supplier_variety", "tpch_q18_bulk_customers",
+        "tpch_q19_or_pushdown", "tpch_q1_pricing", "tpch_q20_volume_suppliers",
+)
+
+# Stalest driver row first: the oldest-round tier leads the verified
+# tail; a name verified in several rounds keeps only its FRESHEST
+# (latest-round) position.
 _seen: set[str] = set()
 _stale_tiers: list[tuple[str, ...]] = []
-for _tier in (_VERIFIED_R5, _VERIFIED_R4, _VERIFIED_R3, _VERIFIED_R2, _VERIFIED_R1):
+for _tier in (
+    _VERIFIED_R6, _VERIFIED_R5, _VERIFIED_R4, _VERIFIED_R3,
+    _VERIFIED_R2, _VERIFIED_R1,
+):
     _stale_tiers.append(tuple(n for n in _tier if n not in _seen))
     _seen.update(_tier)
 _VERIFIED_STALE_ORDER: tuple[str, ...] = tuple(
@@ -1851,24 +1878,19 @@ _FAMILY_PREFIXES: tuple[tuple[str, ...], ...] = (
 )
 
 
-# Round 6 priority tier (VERDICT.md round 5, "Next round" #6): the new
-# round-6 registry entries (never driver-sampled), then RE-VERIFY rows
-# whose implementation changed AFTER their last driver-green row — the
-# post-r4-sweep commits touched these plans (fd3be9e k-means summand
-# type gate, 36f156a money_out rounding pin on Q1, f3c501a sessionize
-# interval-merge rewrite), so their last green row predates the code
-# that now runs.
+# Round 7 priority tier (VERDICT.md round 6, "Next round" #4): the new
+# round-7 registry entries (never driver-sampled), then RE-VERIFY rows
+# whose implementation changed AFTER their last (r6) driver-green row —
+# the round-7 commits rewrote these plans (densified day spine on the
+# volume anomaly; pair-free mass/recall band-tuning report with new
+# columns; sampled-exact src_modulus=8 on the Hamming graph).
 _PRIORITY_PENDING = (
-    # new in round 6
-    "cfg_param_reload", "cfg_mail_recipients", "media_resize",
-    "dedup_exact_substr_spans", "dedup_exact_substr_removal",
-    "text_bpe_fertility", "text_ngram_coverage", "emb_whitening_stats",
-    "events_watermark_lateness", "dq_volume_anomaly", "ann_hamming_banded",
-    "ann_hamming_banded_recall",
+    # new in round 7
+    "cfg_stale_reset", "media_wav_rms_windows", "dedup_threshold_curve",
     # re-verify: plan changed since last driver-green row
-    "emb_kmeans",            # fd3be9e summand type gate (last green r2)
-    "tpch_q1_pricing",       # 36f156a money_out rounding pin (last green r1)
-    "events_sessionize",     # f3c501a interval-merge rewrite (last green r2)
+    "dq_volume_anomaly",       # calendar-true densified spine (green r6)
+    "dedup_lsh_band_tuning",   # mass-based capped report (green r5)
+    "emb_hamming_knn_graph",   # sampled-exact protocol (green r5)
 )
 
 
@@ -3942,6 +3964,44 @@ GROUP BY {daydiff}
         _band_tuning, dedup.lsh_band_tuning_sql()[1]
     )
 
+    # --- duplicate-mass-vs-threshold curve: PPJoin once at a LOW tau
+    # (0.6), then bucket verified pairs into 0.05-Jaccard bands with a
+    # top-down cumulative — "how many pairs (and removable docs) does
+    # each candidate tau actually cost on THIS corpus", the number the
+    # band-tuning report's tau input comes from. Jaccard doubles are
+    # the same integer-ratio division in both engines, so the FLOOR
+    # bucketing is cross-engine exact. Scale shape: one shared staged
+    # PPJoin (prefix-filtered, pair-bounded), one pair-relation-sized
+    # agg to <=9 buckets, one 9-row window.
+    _CURVE_TAIL = """
+WITH b AS (
+  SELECT CAST(FLOOR(jaccard * 20) AS BIGINT) AS bucket, doc_a, doc_b
+  FROM {pairs}
+),
+g AS (
+  SELECT bucket, COUNT(*) AS n_pairs,
+         COUNT(DISTINCT doc_b) AS n_docs_removable
+  FROM b GROUP BY bucket
+)
+SELECT bucket, CAST(bucket * 50000 AS BIGINT) AS tau_ppm_lo,
+       n_pairs, n_docs_removable,
+       CAST(SUM(n_pairs) OVER (
+         ORDER BY bucket DESC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS pairs_at_or_above
+FROM g
+"""
+
+    def _threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+        views(spark, sf_dir)
+        pv = graph.staged_pairs_view(spark, tau=0.6)
+        return spark.sql(_CURVE_TAIL.format(pairs=pv))
+
+    cases["dedup_threshold_curve"] = Case(
+        _threshold_curve,
+        _CURVE_TAIL.format(pairs=f"({dedup.ngram_jaccard_sql(0.6)[1]}) pp"),
+    )
+
     # --- overlapping token-window chunk plan (RAG indexing / long-doc
     # training windows): shuffle-free explode of one per-doc chunk
     # array, Arrow-hashed chunk text (1.5x the interpreted SQL fold)
@@ -4142,6 +4202,21 @@ GROUP BY a.event_type
         return multimodal.sniff_audio_meta(media)
 
     cases["media_audio_meta_sniff"] = Case(_audio_meta, multimodal.AUDIO_META_ORACLE)
+
+    # --- windowed RMS loudness over DECODED PCM (silence gating /
+    # loudness-normalization prep): Spark synthesizes REAL mono-16-bit
+    # WAV payloads from a closed-form sample function, decodes them
+    # back (RIFF walk + numpy frombuffer), and aggregates 256-sample
+    # windows map-side; the oracle regenerates the samples
+    # arithmetically — the generate→encode→decode→aggregate round trip
+    # is value-checked end to end (Σs² integer-exact; rms is one IEEE
+    # sqrt). Output is windows-sized, never samples-sized.
+    def _wav_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
+        views(spark, sf_dir)
+        media = multimodal.synthesize_wav_pcm(spark.table("documents"))
+        return multimodal.wav_rms_windows(media)
+
+    cases["media_wav_rms_windows"] = Case(_wav_rms, multimodal.WAV_RMS_ORACLE)
 
     # --- MP4 box walk (ftyp validation, moov descent, mvhd v0 fields)
     # over synthesized ISO-BMFF bytes — the video leg of the triple

@@ -256,6 +256,52 @@ def expire_snapshots(
     }
 
 
+def remove_orphan_files(table_dir: str, orphan_grace_s: int = 3600) -> dict:
+    """GC crashed-writer debris WITHOUT expiring any version (the
+    Iceberg remove_orphan_files / expire_snapshots split): delete data
+    files no manifest of ANY live version references — exactly what a
+    writer killed inside the stage-then-publish window leaves behind
+    (see the orchestrator chaos test) — while every committed version,
+    including time travel to all of them, stays intact.
+
+    ``orphan_grace_s``: same concurrent-writer guard as
+    expire_snapshots — an unreferenced file younger than the grace may
+    be a live writer's staged-but-unpublished data; deleting it would
+    corrupt that writer's commit. Returns {orphans_removed,
+    bytes_reclaimed, versions_kept}."""
+    import time
+
+    versions = list_versions(table_dir)
+    referenced: set[str] = set()
+    for v in versions:
+        referenced.update(_read_manifest(table_dir, v)["files"])
+    removed = 0
+    reclaimed = 0
+    now = time.time()
+    data_root = os.path.join(table_dir, "data")
+    if os.path.isdir(data_root):
+        for stage in sorted(os.listdir(data_root)):
+            stage_dir = os.path.join(data_root, stage)
+            for f in sorted(os.listdir(stage_dir)):
+                rel = os.path.join("data", stage, f)
+                path = os.path.join(stage_dir, f)
+                if (
+                    rel not in referenced
+                    and f.endswith(".parquet")
+                    and now - os.path.getmtime(path) >= orphan_grace_s
+                ):
+                    reclaimed += os.path.getsize(path)
+                    os.remove(path)
+                    removed += 1
+            if not any(f.endswith(".parquet") for f in os.listdir(stage_dir)):
+                shutil.rmtree(stage_dir)
+    return {
+        "orphans_removed": removed,
+        "bytes_reclaimed": reclaimed,
+        "versions_kept": versions,
+    }
+
+
 def file_key_ranges(table_dir: str, files: list[str], key: str) -> dict[str, tuple]:
     """Per-file (min, max) of ``key``, read from the parquet footers —
     O(files) metadata reads, zero data scanned. The Iceberg/Delta

@@ -445,3 +445,15 @@ def test_step_killed_mid_snapshot_write_leaves_no_torn_table(spark, tmp_path, mo
     assert snapshots.read_snapshot(spark, table).count() == 15
     # time travel to the pre-crash version still works
     assert snapshots.read_snapshot(spark, table, version=v1).count() == 10
+
+    # orphan GC: the dead step's staged files are reclaimable WITHOUT
+    # expiring any version (grace=0: no writer is in flight here) —
+    # versions, reads, and time travel all survive the GC
+    gc = snapshots.remove_orphan_files(table, orphan_grace_s=0)
+    assert gc["orphans_removed"] >= 1 and gc["bytes_reclaimed"] > 0
+    assert gc["versions_kept"] == [v1, v2]
+    assert len(glob.glob(os.path.join(table, "data", "*"))) == 2  # v1+v2 stages
+    assert snapshots.read_snapshot(spark, table).count() == 15
+    assert snapshots.read_snapshot(spark, table, version=v1).count() == 10
+    # idempotent: a second pass finds nothing
+    assert snapshots.remove_orphan_files(table, orphan_grace_s=0)["orphans_removed"] == 0
