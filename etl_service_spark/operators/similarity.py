@@ -1884,13 +1884,19 @@ def ivf_nprobe_sweep_sql(
         norm = _norm("embedding", one_based=one_based)
         adot = _dot("v.embedding", "c.cv", one_based=one_based)
         sdot = _dot("qv.embedding", "nv2.embedding", one_based=one_based)
-        head = f"""nv AS (
+        # DuckDB variant: MATERIALIZED, or the inliner re-derives nv's
+        # 64-element norm per reference and assign's N x n_cells dot
+        # ranking once per probe config — the kcore re-derivation class
+        # (DETERMINISM.md), observed as a 4GB-budget OOM at the sf1.0
+        # twin in round 7. The Spark side is the staged path anyway.
+        mat = " MATERIALIZED" if one_based else ""
+        head = f"""nv AS{mat} (
   SELECT vec_id, embedding, ({norm}) AS nrm FROM {view}
 ),
-c AS (
+c AS{mat} (
   SELECT vec_id AS c_id, embedding AS cv, nrm AS cnrm FROM nv WHERE vec_id < {n_cells}
 ),
-assign AS (
+assign AS{mat} (
   SELECT v.vec_id, v.c_id, v.rn FROM (
     SELECT v.vec_id, c.c_id,
            ROW_NUMBER() OVER (
@@ -1906,7 +1912,7 @@ exscored AS (
   FROM nv qv JOIN nv nv2 ON nv2.vec_id <> qv.vec_id
   WHERE qv.vec_id < {n_queries}
 ),
-exact AS (
+exact AS{mat} (
   SELECT q_id, n_id FROM (
     SELECT q_id, n_id,
            ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rk
