@@ -215,6 +215,9 @@ HEADLINERS = [
     "cfg_stale_reset",
     "media_wav_rms_windows",
     "dedup_threshold_curve",
+    "privacy_dp_epsilon_ledger",
+    "corpus_epoch_mix_schedule",
+    "dedup_url_canonical",
 ]
 
 

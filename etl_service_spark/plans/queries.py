@@ -1887,6 +1887,8 @@ _FAMILY_PREFIXES: tuple[tuple[str, ...], ...] = (
 _PRIORITY_PENDING = (
     # new in round 7
     "cfg_stale_reset", "media_wav_rms_windows", "dedup_threshold_curve",
+    "privacy_dp_epsilon_ledger", "corpus_epoch_mix_schedule",
+    "dedup_url_canonical",
     # re-verify: plan changed since last driver-green row
     "dq_volume_anomaly",       # calendar-true densified spine (green r6)
     "dedup_lsh_band_tuning",   # mass-based capped report (green r5)
@@ -4397,6 +4399,162 @@ GROUP BY a.event_type
         day_spine=(
             "explode(sequence(lo, hi))",
             "unnest(generate_series(lo, hi))",
+        ),
+    )
+
+    # --- differential-privacy epsilon ledger (the DP accountant's
+    # audit table): per analyst, basic sequential composition of the
+    # released epsilons in integer micro-units against a 10.0 budget —
+    # who is over, who has headroom, what the largest single release
+    # was (Dwork & Roth, "Algorithmic Foundations of DP", Thm 3.16:
+    # sequential composition adds epsilons). Release log synthesized
+    # from events; all-integer arithmetic, so the gate is exact.
+    # Scale shape: one map-side-combined GROUP BY analyst — the ledger
+    # is O(analysts) however many releases exist.
+    _DP_LEDGER_TEMPLATE = """
+WITH rel AS (
+  SELECT event_id % 16 AS analyst,
+         1000 + (event_id * 37) % 9000 AS eps_micro
+  FROM events
+)
+SELECT analyst,
+       COUNT(*) AS n_releases,
+       CAST(SUM(eps_micro) AS BIGINT) AS eps_total_micro,
+       CAST(MAX(eps_micro) AS BIGINT) AS eps_max_micro,
+       CAST(GREATEST(0, 10000000 - SUM(eps_micro)) AS BIGINT)
+         AS eps_remaining_micro,
+       CAST(CASE WHEN SUM(eps_micro) > 10000000 THEN 1 ELSE 0 END
+            AS BIGINT) AS over_budget
+FROM rel
+GROUP BY analyst
+"""
+    cases["privacy_dp_epsilon_ledger"] = _bi_case(_DP_LEDGER_TEMPLATE)
+
+    # --- epoch/mixture schedule planner (Muennighoff et al. 2023,
+    # "Scaling Data-Constrained Language Models": repeating data past
+    # ~4 epochs stops buying loss): given per-source token mass and a
+    # target mixture weight, the tokens each source must contribute to
+    # a 10x-total-token budget and the implied EPOCHS over that source
+    # in integer micro-units, flagged where the mixture would repeat a
+    # source past 4 epochs — the report that tells you a weight is
+    # infeasible BEFORE sampling starts. Scale shape: one GROUP BY
+    # source + two 1-row broadcast totals; output is |sources| rows.
+    _EPOCH_MIX_TEMPLATE = """
+WITH toks AS (
+  SELECT source,
+         CAST(SUM(n_chars {idiv} 4) AS BIGINT) AS est_tokens,
+         COUNT(*) AS n_docs
+  FROM documents GROUP BY source
+),
+w AS (
+  SELECT source, est_tokens, n_docs,
+         1 + CAST(SUBSTRING(source, 4) AS BIGINT) % 5 AS weight
+  FROM toks
+),
+tot AS (
+  SELECT CAST(SUM(est_tokens) AS BIGINT) AS all_tokens,
+         CAST(SUM(weight) AS BIGINT) AS wsum
+  FROM w
+)
+SELECT source, est_tokens, n_docs, weight,
+       CAST(weight * 10 * all_tokens {idiv} wsum AS BIGINT) AS target_tokens,
+       CAST(weight * 10 * all_tokens * 1000000
+            {idiv} (wsum * est_tokens) AS BIGINT) AS epochs_micro,
+       CAST(CASE WHEN weight * 10 * all_tokens * 1000000
+                      {idiv} (wsum * est_tokens) > 4000000
+                 THEN 1 ELSE 0 END AS BIGINT) AS over_4_epochs
+FROM w CROSS JOIN tot
+"""
+    cases["corpus_epoch_mix_schedule"] = _bi_case(
+        _EPOCH_MIX_TEMPLATE, idiv=("DIV", "//")
+    )
+
+    # --- URL-canonicalization dedup (the CCNet/RefinedWeb FIRST dedup
+    # pass — by canonical URL, before any content fingerprint): messy
+    # URL variants synthesized deterministically per doc (scheme case,
+    # WWW prefix, :80 default port, trailing slash, utm_*/ref tracking
+    # params, unsorted query params), canonicalized declaratively —
+    # lowercase, strip www./:80/trailing slash, drop tracking params,
+    # SORT surviving params (array_sort/list_sort) — then per-source
+    # dup accounting. Everything is built-in array/string functions on
+    # both engines; no UDF. Scale shape: one map-side projection + one
+    # GROUP BY source over distinct-canonical counts.
+    _URL_CANON_TEMPLATE = """
+WITH raw AS (
+  SELECT doc_id, source,
+         CASE doc_id % 4
+           WHEN 0 THEN {concat}('http://example-', source, '.com/a/',
+                        CAST(doc_id % 50 AS {str_t}))
+           WHEN 1 THEN {concat}('HTTP://EXAMPLE-', {upper}(source),
+                        '.COM:80/a/', CAST(doc_id % 50 AS {str_t}), '/')
+           WHEN 2 THEN {concat}('http://www.example-', source, '.com/a/',
+                        CAST(doc_id % 50 AS {str_t}),
+                        '?utm_source=x&ref=y')
+           ELSE {concat}('http://example-', source, '.com:80/a/',
+                        CAST(doc_id % 50 AS {str_t}), '?b=2&a=1')
+         END AS url
+  FROM documents
+),
+split_q AS (
+  SELECT doc_id, source,
+         {lower}({split_part}(url, '?', 1)) AS base,
+         CASE WHEN {strpos}(url, '?') > 0
+              THEN {split_part}(url, '?', 2) ELSE '' END AS query
+  FROM raw
+),
+norm_base AS (
+  SELECT doc_id, source, query,
+         TRIM(TRAILING '/' FROM
+           {replace}(
+             {replace}(
+               {replace}(base, 'http://', ''),
+               'www.', ''),
+             ':80', '')
+         ) AS host_path
+  FROM split_q
+),
+canon AS (
+  SELECT doc_id, source,
+         CASE WHEN query = '' THEN host_path
+              ELSE {concat}(host_path, '?', {canon_params}) END AS canonical
+  FROM norm_base
+),
+keep_params AS (
+  SELECT doc_id, source, canonical,
+         CASE WHEN canonical LIKE '%?' THEN
+           {substr_to_qmark}
+         ELSE canonical END AS canonical_url
+  FROM canon
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT canonical_url) AS n_canonical,
+       CAST(COUNT(*) - COUNT(DISTINCT canonical_url) AS BIGINT)
+         AS n_url_dups,
+       CAST((COUNT(*) - COUNT(DISTINCT canonical_url)) * 1000000
+            {idiv} COUNT(*) AS BIGINT) AS dup_rate_ppm
+FROM keep_params
+GROUP BY source
+"""
+    cases["dedup_url_canonical"] = _bi_case(
+        _URL_CANON_TEMPLATE,
+        idiv=("DIV", "//"),
+        str_t=("STRING", "VARCHAR"),
+        concat=("concat", "concat"),
+        upper=("upper", "upper"),
+        lower=("lower", "lower"),
+        replace=("replace", "replace"),
+        strpos=("instr", "strpos"),
+        split_part=("split_part", "split_part"),
+        canon_params=(
+            "array_join(array_sort(filter(split(query, '&'),"
+            " x -> NOT (x LIKE 'utm_%' OR x LIKE 'ref=%'))), '&')",
+            "list_aggregate(list_sort(list_filter(string_split(query, '&'),"
+            " x -> NOT (x LIKE 'utm_%' OR x LIKE 'ref=%'))), 'string_agg', '&')",
+        ),
+        substr_to_qmark=(
+            "substring(canonical, 1, length(canonical) - 1)",
+            "substring(canonical, 1, length(canonical) - 1)",
         ),
     )
 
