@@ -4506,9 +4506,9 @@ norm_base AS (
   SELECT doc_id, source, query,
          TRIM(TRAILING '/' FROM
            {replace}(
-             {replace}(
+             {regexp_replace}(
                {replace}(base, 'http://', ''),
-               'www.', ''),
+               '^www[.]', ''),
              ':80', '')
          ) AS host_path
   FROM split_q
@@ -4546,11 +4546,15 @@ GROUP BY source
         replace=("replace", "replace"),
         strpos=("instr", "strpos"),
         split_part=("split_part", "split_part"),
+        regexp_replace=("regexp_replace", "regexp_replace"),
+        # tracking-param drop via an exact literal prefix test (substring
+        # compare) — LIKE 'utm_%' would treat '_' as a single-char
+        # wildcard and also match 'utmX…'
         canon_params=(
             "array_join(array_sort(filter(split(query, '&'),"
-            " x -> NOT (x LIKE 'utm_%' OR x LIKE 'ref=%'))), '&')",
+            " x -> NOT (substring(x, 1, 4) = 'utm_' OR x LIKE 'ref=%'))), '&')",
             "list_aggregate(list_sort(list_filter(string_split(query, '&'),"
-            " x -> NOT (x LIKE 'utm_%' OR x LIKE 'ref=%'))), 'string_agg', '&')",
+            " x -> NOT (substring(x, 1, 4) = 'utm_' OR x LIKE 'ref=%'))), 'string_agg', '&')",
         ),
         substr_to_qmark=(
             "substring(canonical, 1, length(canonical) - 1)",

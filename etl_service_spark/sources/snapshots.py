@@ -247,13 +247,43 @@ def expire_snapshots(
                 ):
                     os.remove(path)
                     dropped_files += 1
-            if not any(f.endswith(".parquet") for f in os.listdir(stage_dir)):
-                shutil.rmtree(stage_dir)
+            _maybe_remove_stage_dir(stage_dir, now, orphan_grace_s)
     return {
         "dropped_manifests": dropped_manifests,
         "dropped_files": dropped_files,
         "kept_versions": keep,
     }
+
+
+def _maybe_remove_stage_dir(stage_dir: str, now: float, grace_s: int) -> None:
+    """rmtree a stage directory ONLY when doing so cannot race a live
+    writer. A concurrent ``df.write.parquet`` holds only a
+    ``_temporary/`` subtree until Spark's commit-time rename produces
+    the top-level part files, so "no *.parquet present" does NOT mean
+    abandoned. Safe conditions, in order: (a) the dir is completely
+    empty, or (b) it has no ``_temporary`` entry AND the dir mtime and
+    every remaining entry are older than the grace window (a crashed
+    writer's debris, not an in-flight commit). Anything else is left
+    for a later GC pass — GC is re-runnable, corruption is not."""
+    entries = os.listdir(stage_dir)
+    if not entries:
+        shutil.rmtree(stage_dir)
+        return
+    if any(e.endswith(".parquet") for e in entries):
+        return
+    # A live writer's activity may be buried deep (e.g. task attempts
+    # under _temporary/0/…), so the freshness probe must be recursive:
+    # the newest mtime anywhere in the subtree is the writer's last
+    # observable action.
+    ages = [os.path.getmtime(stage_dir)]
+    try:
+        for root, dirs, files in os.walk(stage_dir):
+            for e in dirs + files:
+                ages.append(os.path.getmtime(os.path.join(root, e)))
+    except OSError:
+        return  # entry vanished mid-scan: a writer is active here
+    if all(now - a >= grace_s for a in ages):
+        shutil.rmtree(stage_dir)
 
 
 def remove_orphan_files(table_dir: str, orphan_grace_s: int = 3600) -> dict:
@@ -293,8 +323,7 @@ def remove_orphan_files(table_dir: str, orphan_grace_s: int = 3600) -> dict:
                     reclaimed += os.path.getsize(path)
                     os.remove(path)
                     removed += 1
-            if not any(f.endswith(".parquet") for f in os.listdir(stage_dir)):
-                shutil.rmtree(stage_dir)
+            _maybe_remove_stage_dir(stage_dir, now, orphan_grace_s)
     return {
         "orphans_removed": removed,
         "bytes_reclaimed": reclaimed,

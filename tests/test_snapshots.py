@@ -366,3 +366,34 @@ def test_expire_grace_protects_inflight_staged_files(spark, table):
     import os
 
     assert all(os.path.exists(os.path.join(d, f)) for f in files)
+
+
+def test_gc_never_rmtrees_midwrite_temporary_stage_dir(spark, table):
+    """The pre-commit window of a concurrent df.write.parquet holds
+    ONLY a _temporary/ subtree in its stage dir (part files appear at
+    Spark's commit-time rename). A GC pass during that window — even
+    one invoked with grace 0 elsewhere in the tree — must not rmtree
+    the live writer's stage dir: the freshness probe is recursive, so
+    the just-written task files deep under _temporary keep the dir
+    alive."""
+    d, commit = table
+    commit([1])
+    # simulate the mid-write window: a stage dir whose only content is
+    # a fresh _temporary subtree with task-attempt files deep inside
+    stage = os.path.join(d, "data", "stage-inflight")
+    deep = os.path.join(stage, "_temporary", "0", "task_0000_m_000000")
+    os.makedirs(deep)
+    with open(os.path.join(deep, "part-00000.snappy.parquet.inprogress"), "w") as fh:
+        fh.write("x")
+    S.remove_orphan_files(d, orphan_grace_s=3600)
+    S.expire_snapshots(d, keep_last=1, orphan_grace_s=3600)
+    assert os.path.isdir(stage)  # live writer's stage dir untouched
+    # once the subtree is genuinely stale (older than grace), GC may
+    # reclaim it — backdate every path and rerun
+    old = 1_000_000_000
+    for root, dirs, files in os.walk(stage, topdown=False):
+        for e in dirs + files:
+            os.utime(os.path.join(root, e), (old, old))
+    os.utime(stage, (old, old))
+    S.remove_orphan_files(d, orphan_grace_s=3600)
+    assert not os.path.exists(stage)  # crashed-writer debris reclaimed
