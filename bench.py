@@ -218,7 +218,82 @@ HEADLINERS = [
     "privacy_dp_epsilon_ledger",
     "corpus_epoch_mix_schedule",
     "dedup_url_canonical",
+    "emb_knn_guarded_graph",
+    "emb_knn_cell_guard_report",
 ]
+
+# Registry entries NOT in the standing headline set, each with its
+# stated reason (the repo's no-silent-caps rule applied to the bench
+# itself — VERDICT r7 #5). The partition is machine-checked:
+# tests/test_correctness.py asserts HEADLINERS ∪ EXCLUDED == registry()
+# with no overlap, so a new registry entry must land in one of the two
+# lists explicitly. `python bench.py --full` benches the ENTIRE
+# registry (headliners + excluded) and writes BENCH_FULL.json — the
+# one-off record proving nothing excluded hides a pathological cost.
+_R = {
+    "fixture": "times a tempdir write+read fixture build, not a data plan",
+    "config": "config/control-plane scan over tables that do not scale "
+              "with sf (hundreds of rows at every scale factor)",
+    "sibling": "same plan shape and staged inputs as a benched sibling; "
+               "kept out to cap per-family redundancy in the standing set",
+}
+EXCLUDED = {
+    "semi_join_urgent_customers": _R["sibling"],  # anti_join_never_shipped twin
+    "text_lang_id": _R["sibling"],                # text_quality_score family
+    "text_normalize": _R["sibling"],              # text_token_stats family
+    "text_token_stats": _R["sibling"],            # text_tfidf_top_terms family
+    "ana_report_rows": _R["config"],
+    "ann_range_search": _R["sibling"],            # ann_cosine_topk scored rel
+    "corpus_quality_curriculum": _R["sibling"],   # corpus_filter_waterfall
+    "events_dau_wau_stickiness": _R["sibling"],   # events_cohort_retention
+    "events_funnel_windowed": _R["sibling"],      # events_funnel
+    "events_json_extract": _R["sibling"],         # events_top_paths family
+    "events_pivot_by_user": _R["sibling"],        # events_user_rate_cap
+    "events_value_quantiles": _R["sibling"],      # sketch_histogram_quantiles
+    "events_zscore_outliers": _R["sibling"],      # events_moment_stats
+    "graph_degree_distribution": _R["sibling"],   # graph_kcore staged pairs
+    "graph_pagerank_salted": _R["sibling"],       # graph_pagerank salted twin
+    "media_feature_extract": _R["sibling"],       # media_binary_stats kernel
+    "src_binaryfile_ingest": _R["fixture"],
+    "src_jsonl_roundtrip": _R["fixture"],
+    "src_orc_roundtrip": _R["fixture"],
+    "src_python_datasource": _R["fixture"],
+    "text_vocab_by_source": _R["sibling"],        # text_vocab_growth
+    "orders_ltv_cohort": _R["sibling"],           # orders_rfm_segments
+    "text_token_estimate_bpe": _R["sibling"],     # text_bpe_encode
+    "text_vocab_growth": _R["sibling"],           # text_ngram_coverage
+    "ann_ivf_incremental": _R["fixture"],         # snapshot-store fixture
+    "basket_brand_pairs": _R["sibling"],          # dedup_ngram_jaccard shape
+    "etl_placeholder_window": _R["config"],
+    "etl_sql_target_dialect": _R["config"],
+    "orders_yoy_growth": _R["sibling"],           # orders_running_spend
+    "snap_time_travel": _R["fixture"],
+    "snap_version_diff": _R["fixture"],
+    "ana_drilldown_levels": _R["config"],
+    "ana_duration_datediff": _R["config"],
+    "ana_hierarchy_tree": _R["config"],
+    "ana_running_filter": _R["config"],
+    "ana_runstructure_real": _R["config"],
+    "ana_timeline_union": _R["config"],
+    "ana_today_runs": _R["config"],
+    "ana_union_report": _R["config"],
+    "cfg_dependency_edges": _R["config"],
+    "cfg_filter_due": _R["config"],
+    "cfg_join_priority": _R["config"],
+    "cfg_left_join_steps": _R["config"],
+    "cfg_params_threeway": _R["config"],
+    "etl_csv_export_lines": _R["fixture"],        # csv tempdir export
+    "etl_dedup_filename": _R["fixture"],
+    "etl_excel_ingest_audit": _R["fixture"],      # xlsx tempdir fixture
+    "orders_halfyear_setops": _R["sibling"],      # orders_pareto_share
+    "tpch_q14_promo_share": _R["sibling"],        # tpch_q19_or_pushdown
+    "corpus_mixture_sample": _R["sibling"],       # corpus_stratified_sample
+    "corpus_source_composition": _R["sibling"],   # corpus_domain_quota
+    "corpus_split_assign": _R["sibling"],         # corpus_split_leakage
+    "dedup_simhash_pairs": _R["sibling"],         # dedup_simhash
+    "tpch_q22_idle_rich": _R["sibling"],          # tpch_q13_custdist family
+    "tpch_q4_late_priority": _R["sibling"],       # tpch_q12_priority_classes
+}
 
 
 def _env_stanza() -> dict:
@@ -238,11 +313,18 @@ def _env_stanza() -> dict:
 
 
 def main() -> None:
+    full = "--full" in sys.argv[1:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     env = _env_stanza()
     spark = get_spark("etl_service_spark_bench")
     cases = registry()
+    if full:
+        # whole registry, and fail loudly if the partition drifted
+        missing = set(cases) - set(HEADLINERS) - set(EXCLUDED)
+        if missing:
+            raise SystemExit(f"registry entries in neither list: {sorted(missing)}")
+    names = list(cases) if full else HEADLINERS
     views(spark, sf_dir)  # pay view registration once, like a real session
 
     # JVM/codegen warm-up + Python/Arrow worker spawn on unrelated
@@ -257,7 +339,7 @@ def main() -> None:
     # and host contention, and min-of-N is the standard way to measure
     # the steady-state cost (what a long-running cluster session pays).
     timings: dict[str, float] = {}
-    for name in HEADLINERS:
+    for name in names:
         case = cases[name]
         best = float("inf")
         for _ in range(2):
@@ -269,8 +351,9 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     env["load_1m_end"] = round(os.getloadavg()[0], 2)
-    full = {
-        "metric": "headline_queries_total_wall",
+    metric = "full_registry_total_wall" if full else "headline_queries_total_wall"
+    payload = {
+        "metric": metric,
         "value": total,
         "unit": "sec",
         "queries": timings,
@@ -278,8 +361,9 @@ def main() -> None:
         "n_queries": len(timings),
         "env": env,
     }
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"), "w") as fh:
-        json.dump(full, fh, indent=1, sort_keys=True)
+    out_file = "BENCH_FULL.json" if full else "BENCH_LOCAL.json"
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), out_file), "w") as fh:
+        json.dump(payload, fh, indent=1, sort_keys=True)
         fh.write("\n")
     # Printed line stays well under common capture limits (~1 KB): the
     # headline value leads, the queries map is trimmed to the slowest 20
@@ -293,14 +377,14 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "headline_queries_total_wall",
+                "metric": metric,
                 "value": total,
                 "unit": "sec",
                 "sf": float(sf),
                 "n_queries": len(timings),
                 "env": env,
                 "queries": slowest,
-                "full_results": "BENCH_LOCAL.json",
+                "full_results": out_file,
             },
             separators=(",", ":"),
         )

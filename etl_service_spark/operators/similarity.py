@@ -1663,6 +1663,24 @@ SELECT j, rk, vec_id, CAST(dist_num AS BIGINT) AS dist_num, n_members FROM (
     )
 
 
+def _hamsig_labeled_rel(spark: SparkSession, view: str) -> str:
+    """Staged (vec_id, label, lo, hi) sign-bit signature relation —
+    independent of k and of the consumer (exact graph, guarded graph,
+    guard report all share one stage per view); the ("label",) schema
+    marker keeps it distinct from _hamsig_rel's label-less variant
+    over the same lineage (the cache key is lineage-based, not
+    view-name-based, so schema must be part of params)."""
+
+    def build():
+        return spark.sql(
+            f"SELECT vec_id, label, "
+            f"{_sign_word_sql(0, one_based=False)} AS lo, "
+            f"{_sign_word_sql(1, one_based=False)} AS hi FROM {view}"
+        )
+
+    return _stage_view(spark, build, "hamsig", view, ("label",))
+
+
 def hamming_knn_graph_staged(
     spark: SparkSession, k: int = 3, view: str = "embeddings",
     src_modulus: int = 1,
@@ -1677,19 +1695,7 @@ def hamming_knn_graph_staged(
     (vec_id, label, lo, hi) relation pins signature cost at O(N) and
     the pair stage reads 8-byte words. Oracle stays the
     single-statement SQL."""
-    def build():
-        return spark.sql(
-            f"SELECT vec_id, label, "
-            f"{_sign_word_sql(0, one_based=False)} AS lo, "
-            f"{_sign_word_sql(1, one_based=False)} AS hi FROM {view}"
-        )
-
-    # the (vec_id, label, lo, hi) signature relation is independent of
-    # k — k=3 and k=5 calls share one stage; the ("label",) schema
-    # marker keeps it distinct from _hamsig_rel's label-less variant
-    # over the same lineage (the cache key is lineage-based, not
-    # view-name-based, so schema must be part of params)
-    rel = _stage_view(spark, build, "hamsig", view, ("label",))
+    rel = _hamsig_labeled_rel(spark, view)
     src_where = f" AND a.vec_id % {src_modulus} = 0" if src_modulus > 1 else ""
     return spark.sql(
         f"""
@@ -1706,6 +1712,241 @@ ranked AS (
 SELECT label, src, dst, dist, rk FROM ranked WHERE rk <= {k}
 """
     )
+
+
+# ------------------------------------- hot-cell guard for blocked graphs
+#
+# The label-blocked exact graph above is quadratic WITHIN each label
+# cell by design — fine while every cell is bounded, pathological the
+# day one label holds half the corpus (src sampling divides the pair
+# mass by m, it does not bound the cell). The guard below is the coded
+# escape hatch (SCALE.md "known scale limits"): cells past ``cell_cap``
+# are split into IVF-style sub-cells in SIGNATURE space — each vector
+# is assigned to its Hamming-nearest seed among the cell's
+# ceil(n/cap) lexicographically-first members — and the pair stage
+# blocks on (label, sub_cell). Cold cells get exactly one seed, so the
+# guarded graph is IDENTICAL to the exact one wherever the guard does
+# not engage (proved by pytest frame-equality on planted-skew data and
+# in-band by the report's recall_ppm = 1000000 rows). Hot cells trade
+# cross-sub-cell edges for boundedness; the report SURFACES that trade
+# (pair_mass_split_off, measured recall vs exact) instead of hiding it
+# — the repo's no-silent-caps rule.
+#
+# Cost model (per hot cell of n vectors, s = ceil(n/cap) seeds):
+# assignment is n·s pairs, pair stage is Σ c_i(c_i−1) ≤ n·max_cell —
+# both a factor ~cap below n²; max_cell_n is emitted as the gauge for
+# the residual imbalance risk (IVF sub-cells are data-sized, not
+# hash-balanced). At deployment, pick cap ≈ √n_expected so the two
+# terms balance at ~2·n^1.5, or recurse one more level.
+
+
+def _knn_guard_chain(cell_cap: int, src_modulus: int) -> str:
+    """CTE chain from a ``sig`` relation (vec_id, label, lo, hi) to the
+    guarded pair top-k ``granked``; {{idiv}}/{{xor_*}} placeholders are
+    rendered per engine by bi_sql."""
+    if cell_cap < 2:
+        raise ValueError(f"cell_cap must be >= 2: {cell_cap}")
+    src_where = f" AND a.vec_id % {src_modulus} = 0" if src_modulus > 1 else ""
+    return f"""cnt AS (SELECT label, COUNT(*) AS n FROM sig GROUP BY label),
+nsub AS (
+  SELECT label, (n + {cell_cap - 1}) {{idiv}} {cell_cap} AS n_sub FROM cnt
+),
+seeds AS (
+  SELECT label, vec_id AS seed_id, lo AS s_lo, hi AS s_hi,
+         ROW_NUMBER() OVER (PARTITION BY label ORDER BY vec_id) AS seed_rk
+  FROM sig
+),
+useed AS (
+  SELECT se.label, se.seed_id, se.s_lo, se.s_hi
+  FROM seeds se JOIN nsub ns
+    ON ns.label = se.label AND se.seed_rk <= ns.n_sub
+),
+assign AS (
+  SELECT label, vec_id, lo, hi, sub_cell FROM (
+    SELECT v.label, v.vec_id, v.lo, v.hi, u.seed_id AS sub_cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY bit_count({{xor_va_lo}}) + bit_count({{xor_va_hi}}) ASC,
+                      u.seed_id ASC
+           ) AS rk
+    FROM sig v JOIN useed u ON u.label = v.label
+  ) r WHERE rk = 1
+),
+gpairs AS (
+  SELECT a.label AS label, a.vec_id AS src, b.vec_id AS dst,
+         CAST(bit_count({{xor_ab_lo}}) + bit_count({{xor_ab_hi}}) AS BIGINT) AS dist
+  FROM assign a JOIN assign b
+    ON a.label = b.label AND a.sub_cell = b.sub_cell
+       AND a.vec_id <> b.vec_id{src_where}
+),
+granked AS (
+  SELECT label, src, dst, dist,
+         ROW_NUMBER() OVER (PARTITION BY src ORDER BY dist ASC, dst ASC) AS rk
+  FROM gpairs
+)"""
+
+
+_GUARD_FRAGS = dict(
+    idiv=("DIV", "//"),
+    xor_va_lo=("(v.lo ^ u.s_lo)", "xor(v.lo, u.s_lo)"),
+    xor_va_hi=("(v.hi ^ u.s_hi)", "xor(v.hi, u.s_hi)"),
+    xor_ab_lo=("(a.lo ^ b.lo)", "xor(a.lo, b.lo)"),
+    xor_ab_hi=("(a.hi ^ b.hi)", "xor(a.hi, b.hi)"),
+    xor_ae_lo=("(a.lo ^ b.lo)", "xor(a.lo, b.lo)"),
+    xor_ae_hi=("(a.hi ^ b.hi)", "xor(a.hi, b.hi)"),
+)
+
+
+def hamming_knn_guarded_sql(
+    k: int = 3,
+    cell_cap: int = 40,
+    view: str = "embeddings",
+    src_modulus: int = 1,
+) -> tuple[str, str]:
+    """Single-statement (spark, duckdb) form of the GUARDED
+    label-blocked k-NN graph — same output relation (label, src, dst,
+    dist, rk) as :func:`hamming_knn_graph_sql`, with per-cell pair
+    mass bounded by the hot-cell split documented above. Identical to
+    the exact graph on every label of size <= cell_cap."""
+    chain = _knn_guard_chain(cell_cap, src_modulus)
+    template = f"""
+WITH sig AS (
+  SELECT vec_id, label, {{sig_lo}} AS lo, {{sig_hi}} AS hi FROM {view}
+),
+{chain}
+SELECT label, src, dst, dist, rk FROM granked WHERE rk <= {k}
+"""
+    return P.bi_sql(
+        template,
+        sig_lo=(_sign_word_sql(0, one_based=False), _sign_word_sql(0, one_based=True)),
+        sig_hi=(_sign_word_sql(1, one_based=False), _sign_word_sql(1, one_based=True)),
+        **_GUARD_FRAGS,
+    )
+
+
+def hamming_knn_guarded_staged(
+    spark: SparkSession,
+    k: int = 3,
+    cell_cap: int = 40,
+    view: str = "embeddings",
+    src_modulus: int = 1,
+) -> DataFrame:
+    """Execution path for :func:`hamming_knn_guarded_sql` over the
+    shared staged signature relation (same staging rationale as
+    hamming_knn_graph_staged; the exact graph, the guarded graph and
+    the guard report all read ONE O(N) stage)."""
+    rel = _hamsig_labeled_rel(spark, view)
+    chain = _knn_guard_chain(cell_cap, src_modulus)
+    template = f"""
+WITH sig AS (SELECT vec_id, label, lo, hi FROM {rel}),
+{chain}
+SELECT label, src, dst, dist, rk FROM granked WHERE rk <= {k}
+"""
+    frags = {n: s for n, (s, _) in _GUARD_FRAGS.items()}
+    return spark.sql(template.format(**frags))
+
+
+def _knn_guard_report_tail(k: int, src_modulus: int) -> str:
+    """Gauge + recall tail appended after the guard chain: per-label
+    cell statistics (the hot-cell GAUGE: sub-cell count, largest
+    sub-cell, exact vs guarded pair mass, split-off mass) and measured
+    edge recall of the guarded graph against the exact one on the same
+    sampled sources. Engine-shared except {{idiv}}."""
+    esrc_where = f" AND a.vec_id % {src_modulus} = 0" if src_modulus > 1 else ""
+    return f"""epairs AS (
+  SELECT a.label AS label, a.vec_id AS src, b.vec_id AS dst,
+         CAST(bit_count({{xor_ae_lo}}) + bit_count({{xor_ae_hi}}) AS BIGINT) AS dist
+  FROM sig a JOIN sig b
+    ON a.label = b.label AND a.vec_id <> b.vec_id{esrc_where}
+),
+etopk AS (
+  SELECT label, src, dst FROM (
+    SELECT label, src, dst,
+           ROW_NUMBER() OVER (PARTITION BY src ORDER BY dist ASC, dst ASC) AS rk
+    FROM epairs
+  ) r WHERE rk <= {k}
+),
+gtopk AS (SELECT src, dst FROM granked WHERE rk <= {k}),
+cellstats AS (
+  SELECT label, sub_cell, COUNT(*) AS c FROM assign GROUP BY label, sub_cell
+),
+mass AS (
+  SELECT label,
+         CAST(SUM(c) AS BIGINT) AS n_vectors,
+         CAST(COUNT(*) AS BIGINT) AS n_sub_cells,
+         CAST(MAX(c) AS BIGINT) AS max_cell_n,
+         CAST(SUM(c * (c - 1)) AS BIGINT) AS guarded_pair_mass
+  FROM cellstats GROUP BY label
+),
+recall AS (
+  SELECT e.label, COUNT(*) AS n_true,
+         SUM(CASE WHEN g.dst IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+  FROM etopk e LEFT JOIN gtopk g ON g.src = e.src AND g.dst = e.dst
+  GROUP BY e.label
+)
+SELECT m.label, m.n_vectors, m.n_sub_cells, m.max_cell_n,
+       CAST(m.n_vectors * (m.n_vectors - 1) AS BIGINT) AS exact_pair_mass,
+       m.guarded_pair_mass,
+       CAST(m.n_vectors * (m.n_vectors - 1) - m.guarded_pair_mass AS BIGINT)
+         AS pair_mass_split_off,
+       CAST(COALESCE(r.n_true, 0) AS BIGINT) AS n_true,
+       CAST(COALESCE(r.n_hit, 0) AS BIGINT) AS n_hit,
+       CAST(CASE WHEN COALESCE(r.n_true, 0) = 0 THEN 1000000
+            ELSE COALESCE(r.n_hit, 0) * 1000000 {{idiv}} r.n_true
+       END AS BIGINT) AS recall_ppm
+FROM mass m LEFT JOIN recall r ON r.label = m.label
+ORDER BY m.label"""
+
+
+def knn_cell_guard_report_sql(
+    k: int = 3,
+    cell_cap: int = 40,
+    view: str = "embeddings",
+    src_modulus: int = 8,
+) -> tuple[str, str]:
+    """Single-statement (spark, duckdb) hot-cell guard REPORT: one row
+    per label with the cell gauge and the guarded-vs-exact recall.
+    ``src_modulus`` applies the sampled-exact protocol to BOTH graphs
+    symmetrically (the exact side is the quadratic one; the guarded
+    side is sampled identically so the recall join is src-aligned).
+    Cold labels (n <= cell_cap) must show recall_ppm = 1000000 — the
+    in-band proof that the guard is the identity when not engaged."""
+    chain = _knn_guard_chain(cell_cap, src_modulus)
+    tail = _knn_guard_report_tail(k, src_modulus)
+    template = f"""
+WITH sig AS (
+  SELECT vec_id, label, {{sig_lo}} AS lo, {{sig_hi}} AS hi FROM {view}
+),
+{chain},
+{tail}
+"""
+    return P.bi_sql(
+        template,
+        sig_lo=(_sign_word_sql(0, one_based=False), _sign_word_sql(0, one_based=True)),
+        sig_hi=(_sign_word_sql(1, one_based=False), _sign_word_sql(1, one_based=True)),
+        **_GUARD_FRAGS,
+    )
+
+
+def knn_cell_guard_report_staged(
+    spark: SparkSession,
+    k: int = 3,
+    cell_cap: int = 40,
+    view: str = "embeddings",
+    src_modulus: int = 8,
+) -> DataFrame:
+    """Execution path for :func:`knn_cell_guard_report_sql` over the
+    shared staged signature relation."""
+    rel = _hamsig_labeled_rel(spark, view)
+    chain = _knn_guard_chain(cell_cap, src_modulus)
+    tail = _knn_guard_report_tail(k, src_modulus)
+    template = f"""
+WITH sig AS (SELECT vec_id, label, lo, hi FROM {rel}),
+{chain},
+{tail}
+"""
+    frags = {n: s for n, (s, _) in _GUARD_FRAGS.items()}
+    return spark.sql(template.format(**frags))
 
 
 # ------------------------------------------- Matryoshka truncation report

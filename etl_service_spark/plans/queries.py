@@ -1845,13 +1845,37 @@ _VERIFIED_R6 = (
         "tpch_q19_or_pushdown", "tpch_q1_pricing", "tpch_q20_volume_suppliers",
 )
 
+_VERIFIED_R7 = (
+        # round 7 (CORRECTNESS_r07.json, 50 green rows)
+        "ann_cosine_topk", "ann_ivf_topk", "ann_lsh_bucketed",
+        "anti_join_never_shipped", "cfg_stale_reset", "chain_join_revenue",
+        "corpus_epoch_mix_schedule", "corpus_mixture_sample",
+        "corpus_pack_sequences", "corpus_source_composition",
+        "corpus_split_assign", "corpus_stratified_sample",
+        "corpus_training_pipeline", "dedup_cluster_components", "dedup_exact",
+        "dedup_lsh_band_tuning", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+        "dedup_simhash", "dedup_simhash_pairs", "dedup_threshold_curve",
+        "dedup_url_canonical", "dq_expectation_report", "dq_volume_anomaly",
+        "emb_cosine_neardup", "emb_hamming_knn_graph", "emb_quantize_int8",
+        "events_asof_join", "events_funnel", "events_range_join",
+        "events_session_window_native", "events_window_agg", "graph_pagerank",
+        "media_binary_stats", "media_chunk_windows", "media_frame_sample",
+        "media_wav_rms_windows", "orders_cube_revenue",
+        "privacy_dp_epsilon_ledger", "privacy_k_anonymity",
+        "tpch_q21_lone_late_supplier", "tpch_q22_idle_rich",
+        "tpch_q2_min_cost_supplier", "tpch_q3_shipping",
+        "tpch_q4_late_priority", "tpch_q5_local_supplier",
+        "tpch_q6_forecast_revenue", "tpch_q7_volume_shipping",
+        "tpch_q8_market_share", "tpch_q9_product_profit",
+)
+
 # Stalest driver row first: the oldest-round tier leads the verified
 # tail; a name verified in several rounds keeps only its FRESHEST
 # (latest-round) position.
 _seen: set[str] = set()
 _stale_tiers: list[tuple[str, ...]] = []
 for _tier in (
-    _VERIFIED_R6, _VERIFIED_R5, _VERIFIED_R4, _VERIFIED_R3,
+    _VERIFIED_R7, _VERIFIED_R6, _VERIFIED_R5, _VERIFIED_R4, _VERIFIED_R3,
     _VERIFIED_R2, _VERIFIED_R1,
 ):
     _stale_tiers.append(tuple(n for n in _tier if n not in _seen))
@@ -1878,21 +1902,19 @@ _FAMILY_PREFIXES: tuple[tuple[str, ...], ...] = (
 )
 
 
-# Round 7 priority tier (VERDICT.md round 6, "Next round" #4): the new
-# round-7 registry entries (never driver-sampled), then RE-VERIFY rows
-# whose implementation changed AFTER their last (r6) driver-green row —
-# the round-7 commits rewrote these plans (densified day spine on the
-# volume anomaly; pair-free mass/recall band-tuning report with new
-# columns; sampled-exact src_modulus=8 on the Hamming graph).
+# Round 8 priority tier (VERDICT.md round 7, "Next round" #4): the new
+# round-8 registry entries (never driver-sampled), then RE-VERIFY rows
+# whose implementation changed AFTER their last (r7) driver-green row.
+# The verified tail behind this tier starts with the r2 (17 rows) and
+# r3 (44 rows) staleness tiers, so the driver's 50-sample drains all
+# of r2 and most of r3 this round.
 _PRIORITY_PENDING = (
-    # new in round 7
-    "cfg_stale_reset", "media_wav_rms_windows", "dedup_threshold_curve",
-    "privacy_dp_epsilon_ledger", "corpus_epoch_mix_schedule",
+    # new in round 8
+    "emb_knn_guarded_graph", "emb_knn_cell_guard_report",
+    # re-verify: plan changed since last (r7) driver-green row — the
+    # round-8 edge-case fix (anchored www. strip, wildcard-free
+    # tracking-param test)
     "dedup_url_canonical",
-    # re-verify: plan changed since last driver-green row
-    "dq_volume_anomaly",       # calendar-true densified spine (green r6)
-    "dedup_lsh_band_tuning",   # mass-based capped report (green r5)
-    "emb_hamming_knn_graph",   # sampled-exact protocol (green r5)
 )
 
 
@@ -3906,6 +3928,45 @@ GROUP BY {daydiff}
 
     cases["emb_hamming_knn_graph"] = Case(
         _hamming_knn, similarity.hamming_knn_graph_sql(src_modulus=8)[1]
+    )
+
+    # --- hot-cell GUARDED twin of the graph above (r8, VERDICT r7 #1):
+    # labels past cell_cap split into IVF-style sub-cells in signature
+    # space, so per-task pair mass stays bounded even when one label
+    # holds half the corpus — src sampling divides pair mass by m, the
+    # guard is what BOUNDS the cell. cell_cap=40 engages on every
+    # recorded sf (cells are ~50 at sf0.01, ~2000 at sf1.0), so the
+    # oracle exercises the split machinery itself, not a no-op path;
+    # identity-when-cold is proved by the planted-skew pytest and the
+    # report's recall_ppm column. Unsampled: the guarded pair mass is
+    # ~n*cell_cap per label, never quadratic.
+    def _knn_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
+        views(spark, sf_dir)
+        return similarity.hamming_knn_guarded_staged(spark, cell_cap=40)
+
+    cases["emb_knn_guarded_graph"] = Case(
+        _knn_guarded, similarity.hamming_knn_guarded_sql(cell_cap=40)[1]
+    )
+
+    # --- the guard's gauge report: per-label sub-cell count, largest
+    # sub-cell (the residual-imbalance gauge), exact vs guarded pair
+    # mass with the split-off mass SURFACED (no-silent-caps rule), and
+    # measured edge recall of the guarded graph vs the sampled exact
+    # one. Cold labels must read recall_ppm = 1000000. Recall on this
+    # testdata is the honest worst case — the synthetic embeddings are
+    # near-uniform random, so signature sub-cells cannot align with
+    # cluster structure; on clusterable real embeddings the same split
+    # follows the clusters. That data-dependence is exactly what the
+    # report measures ("measure, don't guess").
+    def _knn_guard_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+        views(spark, sf_dir)
+        return similarity.knn_cell_guard_report_staged(
+            spark, cell_cap=40, src_modulus=8
+        )
+
+    cases["emb_knn_cell_guard_report"] = Case(
+        _knn_guard_report,
+        similarity.knn_cell_guard_report_sql(cell_cap=40, src_modulus=8)[1],
     )
 
     # --- trailing-baseline burst detection over hourly counts

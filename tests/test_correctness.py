@@ -41,3 +41,24 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) > 0
     assert "revenue" in df.columns
+
+
+def test_bench_partition_covers_registry():
+    """The bench's no-silent-caps invariant: every registry query is
+    either a standing headliner or an explicitly-excluded entry WITH a
+    stated reason — a new registry entry that lands in neither list
+    fails here, and `python bench.py --full` (BENCH_FULL.json) times
+    both sides."""
+    import bench
+    from etl_service_spark.plans.queries import registry
+
+    names = set(registry())
+    headliners = set(bench.HEADLINERS)
+    excluded = set(bench.EXCLUDED)
+    assert len(bench.HEADLINERS) == len(headliners)  # no duplicate rows
+    assert not headliners & excluded, sorted(headliners & excluded)
+    assert headliners | excluded == names, {
+        "unlisted": sorted(names - headliners - excluded),
+        "phantom": sorted((headliners | excluded) - names),
+    }
+    assert all(reason.strip() for reason in bench.EXCLUDED.values())

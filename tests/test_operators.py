@@ -1523,3 +1523,60 @@ def test_extract_features_pil_decodes_real_png(spark):
     # decode really saw 4 pixels via the exact mean instead.
     assert row["feat_dim"] == 2
     assert abs(row["feat_mean"] - 0.5) < 1e-9
+
+
+def test_knn_hot_cell_guard_planted_skew(spark):
+    """Planted pathological skew: one label holds 50% of all vectors —
+    the cell the label-blocked exact graph is quadratic in. The
+    hot-cell guard must SPLIT that cell (bounding per-task pair mass),
+    surface the split in the gauge report, and stay edge-for-edge
+    IDENTICAL to the exact graph on every cold label."""
+    from etl_service_spark.operators import similarity as sim
+
+    rows = []
+    vid = 0
+    # hot label 0: 60 vectors; cold labels 1..6: 10 each (120 total)
+    for label, count in [(0, 60)] + [(lbl, 10) for lbl in range(1, 7)]:
+        for _ in range(count):
+            vec = [
+                float(((vid + 1) * (d + 3) + d * d) % 11 - 5) + 0.25
+                for d in range(sim.DIM)
+            ]
+            rows.append((vid, vec, label))
+            vid += 1
+    spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    ).createOrReplaceTempView("__skew_emb")
+
+    exact = sim.hamming_knn_graph_staged(spark, k=3, view="__skew_emb").toPandas()
+    guarded = sim.hamming_knn_guarded_staged(
+        spark, k=3, cell_cap=16, view="__skew_emb"
+    ).toPandas()
+    report = {
+        r["label"]: r.asDict()
+        for r in sim.knn_cell_guard_report_staged(
+            spark, k=3, cell_cap=16, view="__skew_emb", src_modulus=1
+        ).collect()
+    }
+
+    hot = report[0]
+    # ceil(60/16) = 4 seeds; a seed that wins no vectors leaves an
+    # empty (uncounted) sub-cell, so 2..4 NONEMPTY cells prove a split
+    assert 2 <= hot["n_sub_cells"] <= 4
+    assert hot["max_cell_n"] < hot["n_vectors"]  # no task sees the 60^2 space
+    assert hot["guarded_pair_mass"] < hot["exact_pair_mass"]
+    assert (
+        hot["exact_pair_mass"] - hot["guarded_pair_mass"]
+        == hot["pair_mass_split_off"]
+    )
+    # per-cell mass bound: sum c_i*(c_i-1) <= n * (max_cell - 1)
+    assert hot["guarded_pair_mass"] <= hot["n_vectors"] * (hot["max_cell_n"] - 1)
+    for lbl in range(1, 7):
+        cold = report[lbl]
+        assert cold["n_sub_cells"] == 1
+        assert cold["pair_mass_split_off"] == 0
+        assert cold["recall_ppm"] == 1000000  # in-band identity proof
+    # cold labels: the guard is the identity, edge for edge
+    ge = guarded[guarded.label > 0].sort_values(["src", "rk"]).reset_index(drop=True)
+    ee = exact[exact.label > 0].sort_values(["src", "rk"]).reset_index(drop=True)
+    assert ge.equals(ee)
