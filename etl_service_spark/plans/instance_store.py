@@ -31,6 +31,7 @@ old journal intact.
 
 from __future__ import annotations
 
+import fcntl
 import json
 import os
 import tempfile
@@ -41,6 +42,11 @@ from .scheduler_loop import ScheduleInstance
 
 # pc.ETL_Zeitplan_Ausfuehrungen natural key for fold + idempotence
 Key = tuple[str, str]  # (workflow, Anforderungszeitpunkt isoformat)
+
+
+class StoreLockedError(RuntimeError):
+    """Another live InstanceStore (this or any process) holds the
+    journal's writer lock."""
 
 
 def _iso(ts: datetime | None) -> str | None:
@@ -80,23 +86,100 @@ class StoredRow:
 
 
 class InstanceStore:
-    def __init__(self, path: str) -> None:
+    """``exclusive`` (default): take the journal's single-writer lock
+    for the store's lifetime. The reference's table is multi-writer
+    because the DB serializes it (Worker.cs:45-51 assumes that); a
+    shared FILE journal has no such referee, and two interleaving
+    writers would let one loop's ``reset_stale`` close a row a live
+    peer just opened. The lock is an ``fcntl.flock`` on a sidecar
+    ``<path>.lock``: held while the store lives, released by
+    ``close()`` — and by the KERNEL when the process dies, including
+    SIGKILL, so a crashed service never wedges its successor (no lease
+    or TTL guesswork). A second store on the same journal raises
+    :class:`StoreLockedError` immediately, or blocks until the peer
+    exits with ``wait=True`` (clean takeover: the new boot's
+    ``reset_stale`` then closes only a DEAD peer's rows, by
+    construction). ``exclusive=False`` opens a read-only observer —
+    every mutating call refuses.
+
+    ``autocompact_lines``: a long-lived service appends one line per
+    state change forever; past this many lines ``load()`` folds the
+    journal back to one line per instance (the atomic ``compact()``
+    machinery), bounding the file at O(instances). Only an exclusive
+    store compacts — an observer never rewrites the file it is
+    watching."""
+
+    def __init__(
+        self,
+        path: str,
+        exclusive: bool = True,
+        wait: bool = False,
+        autocompact_lines: int = 4096,
+    ) -> None:
         self.path = path
+        self.exclusive = exclusive
+        self.autocompact_lines = autocompact_lines
         os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+        self._lock_fd: int | None = None
+        if exclusive:
+            fd = os.open(self.path + ".lock", os.O_CREAT | os.O_RDWR, 0o644)
+            try:
+                flags = fcntl.LOCK_EX | (0 if wait else fcntl.LOCK_NB)
+                fcntl.flock(fd, flags)
+            except OSError:
+                os.close(fd)
+                raise StoreLockedError(
+                    f"journal {path} is held by another live scheduler "
+                    "instance (pass wait=True to take over when it exits, "
+                    "or exclusive=False for a read-only observer)"
+                ) from None
+            self._lock_fd = fd
+
+    def close(self) -> None:
+        """Release the writer lock (idempotent). The kernel does the
+        same implicitly when the process exits — even on SIGKILL."""
+        if self._lock_fd is not None:
+            fcntl.flock(self._lock_fd, fcntl.LOCK_UN)
+            os.close(self._lock_fd)
+            self._lock_fd = None
+
+    def __enter__(self) -> "InstanceStore":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+    def __del__(self) -> None:  # best-effort; close() is the contract
+        try:
+            self.close()
+        except Exception:
+            pass
+
+    def _require_writer(self) -> None:
+        if self.exclusive and self._lock_fd is None:
+            raise StoreLockedError(f"store for {self.path} is closed")
+        if not self.exclusive:
+            raise StoreLockedError(
+                f"store for {self.path} is a read-only observer "
+                "(exclusive=False)"
+            )
 
     # -- journal primitives ------------------------------------------------
 
     def _append(self, row: dict) -> None:
+        self._require_writer()
         line = json.dumps(row, separators=(",", ":"))
         with open(self.path, "a", encoding="utf-8") as fh:
             fh.write(line + "\n")
             fh.flush()
             os.fsync(fh.fileno())
 
-    def _fold(self) -> dict[Key, StoredRow]:
+    def _fold(self) -> tuple[dict[Key, StoredRow], int]:
+        """Folded rows plus the RAW journal line count (the
+        auto-compaction trigger)."""
         rows: dict[Key, StoredRow] = {}
         if not os.path.exists(self.path):
-            return rows
+            return rows, 0
         with open(self.path, encoding="utf-8") as fh:
             lines = fh.read().split("\n")
         for i, line in enumerate(lines):
@@ -126,7 +209,7 @@ class InstanceStore:
                 Letzte_Aenderung_Nutzer=d.get("aenderung_nutzer"),
             )
             rows[row.key()] = row  # last write wins
-        return rows
+        return rows, sum(1 for x in lines if x)
 
     # -- table API ----------------------------------------------------------
 
@@ -151,9 +234,21 @@ class InstanceStore:
 
     def load(self) -> list[StoredRow]:
         """All current rows, request-time order (the table's natural
-        read order for the scheduler's idempotence check)."""
+        read order for the scheduler's idempotence check). An
+        exclusive store auto-compacts when the journal has outgrown
+        its folded row set past ``autocompact_lines`` — the bound that
+        keeps a long-lived service's journal O(instances), not
+        O(state changes ever)."""
+        folded, n_lines = self._fold()
+        if (
+            self.exclusive
+            and self._lock_fd is not None
+            and n_lines >= self.autocompact_lines
+            and n_lines > len(folded)
+        ):
+            self._rewrite(folded)
         return sorted(
-            self._fold().values(),
+            folded.values(),
             key=lambda r: (r.Anforderungszeitpunkt, r.workflow),
         )
 
@@ -168,7 +263,7 @@ class InstanceStore:
         half-open row closes as failed unless a finish was recorded.
         Returns the number of rows closed."""
         closed = 0
-        for row in self._fold().values():
+        for row in self._fold()[0].values():
             if row.Ausgefuehrt:
                 continue
             row.Ausgefuehrt = True
@@ -195,7 +290,17 @@ class InstanceStore:
     def compact(self) -> int:
         """Rewrite the journal to one line per instance (atomic via
         temp-file + os.replace). Returns the folded row count."""
-        rows = self.load()
+        self._require_writer()
+        folded = self._fold()[0]
+        self._rewrite(folded)
+        return len(folded)
+
+    def _rewrite(self, folded: dict[Key, StoredRow]) -> None:
+        self._require_writer()
+        rows = sorted(
+            folded.values(),
+            key=lambda r: (r.Anforderungszeitpunkt, r.workflow),
+        )
         fd, tmp = tempfile.mkstemp(
             dir=os.path.dirname(os.path.abspath(self.path)), suffix=".tmp"
         )
@@ -225,4 +330,3 @@ class InstanceStore:
             if os.path.exists(tmp):
                 os.unlink(tmp)
             raise
-        return len(rows)

@@ -495,3 +495,140 @@ def test_instance_store_torn_tail_and_compact(tmp_path):
         fh.write('{"workflow":"w2","anforderung":"2026-03-02T10:00:00","ausgefuehrt":false}\n')
     with pytest.raises(ValueError, match="corrupt journal"):
         store.load()
+
+
+def test_instance_store_single_writer_lock(tmp_path):
+    """The DB table the reference journals to is multi-writer because
+    the DB serializes it; the file journal gets the same guarantee
+    from an fcntl writer lock held for the store's lifetime. While a
+    peer LIVES, a second exclusive store cannot even open — so its
+    reset_stale can never close a row the live peer just opened."""
+    from etl_service_spark.plans.instance_store import (
+        InstanceStore, StoreLockedError,
+    )
+    from etl_service_spark.plans.scheduler_loop import ScheduleInstance
+
+    path = str(tmp_path / "instances.jsonl")
+    a = InstanceStore(path)
+    live = ScheduleInstance("w", Anforderungszeitpunkt=datetime(2026, 3, 2, 9, 0))
+    a.record(live, "svc_a", datetime(2026, 3, 2, 9, 0))  # half-open, LIVE
+
+    with pytest.raises(StoreLockedError):
+        InstanceStore(path)  # a second boot fails fast, row stays open
+    assert a.load()[0].Ausgefuehrt is False
+
+    # read-only observer: may watch, may never mutate
+    obs = InstanceStore(path, exclusive=False)
+    assert len(obs.load()) == 1
+    with pytest.raises(StoreLockedError):
+        obs.record(live, "obs", datetime(2026, 3, 2, 9, 1))
+    with pytest.raises(StoreLockedError):
+        obs.reset_stale()
+    with pytest.raises(StoreLockedError):
+        obs.compact()
+
+    # peer exits -> clean takeover; only NOW may the boot reset close
+    # the (genuinely dead) row
+    a.close()
+    with pytest.raises(StoreLockedError):
+        a.record(live, "svc_a", datetime(2026, 3, 2, 9, 2))  # closed store
+    b = InstanceStore(path, wait=True)
+    assert b.reset_stale() == 1
+    assert b.load()[0].Ausgefuehrt is True
+    b.close()
+
+
+def test_instance_store_survives_real_sigkill(tmp_path):
+    """Process-level chaos: a CHILD process appends journal rows and
+    prints each acknowledged (post-fsync) sequence number; the parent
+    SIGKILLs it mid-stream. Recovery contract: the kernel released the
+    dead writer's flock (no wedged lock), every acknowledged write is
+    present after the fold (fsync durability), load() never raises (a
+    torn unacknowledged tail is dropped), and the next boot's
+    reset_stale closes the dead process's half-open rows."""
+    import os
+    import signal
+    import subprocess
+    import sys
+
+    path = str(tmp_path / "instances.jsonl")
+    child_src = """
+import sys
+from datetime import datetime, timedelta
+from etl_service_spark.plans.instance_store import InstanceStore
+from etl_service_spark.plans.scheduler_loop import ScheduleInstance
+
+store = InstanceStore(sys.argv[1])
+t0 = datetime(2026, 3, 2, 9, 0)
+i = 0
+while True:
+    inst = ScheduleInstance(
+        "w%d" % i, Anforderungszeitpunkt=t0 + timedelta(minutes=i),
+        Startzeitpunkt=t0 + timedelta(minutes=i),
+    )
+    store.record(inst, "chaos_child", t0 + timedelta(minutes=i))
+    print(i, flush=True)  # ACK: the fsync for row i returned
+    i += 1
+"""
+    proc = subprocess.Popen(
+        [sys.executable, "-c", child_src, path],
+        stdout=subprocess.PIPE,
+        cwd=os.path.join(os.path.dirname(__file__), ".."),
+        text=True,
+    )
+    acked = []
+    for line in proc.stdout:
+        acked.append(int(line))
+        if len(acked) >= 20:
+            proc.send_signal(signal.SIGKILL)  # mid-stream, no cleanup
+            break
+    proc.wait()
+    assert proc.returncode == -signal.SIGKILL
+    assert acked == list(range(20))
+
+    from etl_service_spark.plans.instance_store import InstanceStore
+    from etl_service_spark.plans.scheduler_loop import SchedulerLoop
+
+    # the dead child's flock must NOT wedge the successor
+    store = InstanceStore(path)
+    rows = store.load()  # never raises: torn tail (if any) is dropped
+    got = {r.workflow for r in rows}
+    assert {f"w{i}" for i in acked} <= got  # every ACKed write survived
+    assert all(not r.Ausgefuehrt for r in rows)  # all died half-open
+    loop = SchedulerLoop(instance_store=store)  # boot reset
+    assert loop.recovered_stale == len(rows)
+    assert all(r.Ausgefuehrt and r.Erfolgreich is False for r in store.load())
+    store.close()
+
+
+def test_instance_store_autocompacts_on_load(tmp_path):
+    """A long-lived service's journal grows one line per state change;
+    past autocompact_lines, load() folds it back to one line per
+    instance without losing a row (the compact() machinery, now
+    self-triggering)."""
+    from etl_service_spark.plans.instance_store import InstanceStore
+    from etl_service_spark.plans.scheduler_loop import ScheduleInstance
+
+    path = tmp_path / "instances.jsonl"
+    store = InstanceStore(str(path), autocompact_lines=50)
+    t0 = datetime(2026, 3, 2, 9, 0)
+    for i in range(120):  # 120 state changes over 3 instances
+        inst = ScheduleInstance(
+            "w%d" % (i % 3), Anforderungszeitpunkt=t0,
+            Startzeitpunkt=t0, Ausgefuehrt=(i % 2 == 0),
+        )
+        store.record(inst, "u", t0)
+    n_lines_before = sum(1 for x in open(path) if x.strip())
+    assert n_lines_before == 120
+    rows = store.load()  # crosses the threshold -> auto-compact
+    assert len(rows) == 3
+    n_lines_after = sum(1 for x in open(path) if x.strip())
+    assert n_lines_after == 3
+    assert store.load() == rows  # stable after the rewrite
+    # an OBSERVER never rewrites the file it watches
+    for i in range(60):
+        store.record(rows[0].to_instance(), "u", t0)
+    store.close()
+    obs = InstanceStore(str(path), exclusive=False, autocompact_lines=10)
+    obs.load()
+    assert sum(1 for x in open(path) if x.strip()) == 63
