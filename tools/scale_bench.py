@@ -1,19 +1,29 @@
 #!/usr/bin/env python
-"""One-order-of-magnitude scale spot-bench of the dedup/ANN spine.
+"""Order-of-magnitude scale spot-bench of the dedup/ANN/text spine.
 
-VERDICT r3 stretch item: validate the bounded-posting-list claims an
-order of magnitude above the bench scale. TESTDATA.md stops at sf0.1
-(5k docs / 2k vectors), so this tool GENERATES a deterministic
-sf1.0-shaped twin (10x docs and vectors, same vocabulary, length
-distribution, near-dup/exact-dup structure, cluster count — seeded,
-no global RNG) under /tmp, symlinks the unscaled TPC-H tables from
-sf0.1, runs the spine queries at both scales, and reports wall-clock
-plus the intermediate-relation row counts the scale argument rests on
-(LSH postings + candidate pairs from the cost-audit relation, PPJoin
-output pairs). A bounded design shows ~linear growth (10x data ->
-~10x rows/wall); a quadratic blowup shows ~100x.
+VERDICT r3 stretch item (two-point), extended r8 to THREE points
+(VERDICT r7 #6): validate the bounded-posting-list claims one and two
+orders of magnitude above the bench scale and pin each member's
+empirical exponent. TESTDATA.md stops at sf0.1 (5k docs / 2k
+vectors), so this tool GENERATES deterministic scaled twins (10x and
+100x docs/vectors, same vocabulary, length distribution,
+near-dup/exact-dup structure, cluster count — seeded, no global RNG)
+under /tmp, symlinks the unscaled TPC-H tables from sf0.1, runs the
+spine queries at every scale, and reports wall-clock plus the
+intermediate-relation row counts the scale argument rests on (LSH
+postings + candidate pairs from the cost-audit relation, PPJoin
+output pairs). A bounded design shows ~linear growth per decade
+(exponent ~1); a quadratic blowup shows exponent ~2.
 
-Run: python tools/scale_bench.py [--keep]
+Quadratic-BY-DESIGN ground truths (emb_cosine_neardup, the sampled
+exact Hamming graph, PQ/ADC over the full corpus) are skipped at the
+100x point with a printed reason — their escape hatches (LSH/IVF/the
+hot-cell-guarded graph) ARE in the 100x set; that substitution is the
+scale story, not a silent cap. The guarded graph is benched with
+cell_cap ~ sqrt(cell size) per point (its deployment guidance), which
+is what turns the per-cell cost from n²/cap into ~n^1.5.
+
+Run: python tools/scale_bench.py [--keep] [--three]
 Prints a JSON summary line; paste the table into BASELINE_LOCAL.md.
 """
 
@@ -40,17 +50,20 @@ VOCAB = (
     "agg key query a scan batch"
 ).split()
 LANGS = ["en", "en", "en", "de", "fr", "es", "zh"]  # en-heavy like testdata
-N_DOCS, N_VECS, DIM, N_LABELS = 50_000, 20_000, 64, 10
+# sf0.1-sized BASE counts; twins are N * mult (mult=10 -> the sf1.0
+# twin, 50k docs / 20k vecs; mult=100 -> the sf10 twin, 500k / 200k)
+N_DOCS, N_VECS, DIM, N_LABELS = 5_000, 2_000, 64, 10
 
 
-def _gen_documents(path: str) -> None:
+def _gen_documents(path: str, mult: int = 1) -> None:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    rng = np.random.RandomState(1_000_003)
+    rng = np.random.RandomState(1_000_003 + mult)
+    n_docs = N_DOCS * mult
     texts: list[str] = []
     langs, sources, n_chars = [], [], []
-    for doc_id in range(N_DOCS):
+    for doc_id in range(n_docs):
         r = rng.rand()
         if doc_id > 100 and r < 0.002:  # exact dup of an earlier doc
             t = texts[int(rng.randint(0, doc_id))]
@@ -70,7 +83,7 @@ def _gen_documents(path: str) -> None:
     pq.write_table(
         pa.table(
             {
-                "doc_id": pa.array(range(N_DOCS), pa.int64()),
+                "doc_id": pa.array(range(n_docs), pa.int64()),
                 "text": pa.array(texts, pa.string()),
                 "lang": pa.array(langs, pa.string()),
                 "source": pa.array(sources, pa.string()),
@@ -81,21 +94,22 @@ def _gen_documents(path: str) -> None:
     )
 
 
-def _gen_embeddings(path: str) -> None:
+def _gen_embeddings(path: str, mult: int = 1) -> None:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     # sf0.1 embeddings are ~unit-normalized gaussians with NEGLIGIBLE
     # label structure (measured: centroid norm 0.06 vs residual 1.0) —
     # mirror that, or the neardup/ANN candidate masses are incomparable
-    rng = np.random.RandomState(2_000_003)
-    labels = rng.randint(0, N_LABELS, N_VECS)
-    vecs = rng.randn(N_VECS, DIM).astype(np.float32)
+    rng = np.random.RandomState(2_000_003 + mult)
+    n_vecs = N_VECS * mult
+    labels = rng.randint(0, N_LABELS, n_vecs)
+    vecs = rng.randn(n_vecs, DIM).astype(np.float32)
     vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
     pq.write_table(
         pa.table(
             {
-                "vec_id": pa.array(range(N_VECS), pa.int64()),
+                "vec_id": pa.array(range(n_vecs), pa.int64()),
                 "embedding": pa.array(list(vecs), pa.list_(pa.float32())),
                 "label": pa.array(labels.astype(np.int32), pa.int32()),
             }
@@ -104,18 +118,18 @@ def _gen_embeddings(path: str) -> None:
     )
 
 
-def build_scale_dir() -> str:
-    if os.path.isdir(SCALE_DIR):
-        shutil.rmtree(SCALE_DIR)
-    os.makedirs(SCALE_DIR)
+def build_scale_dir(mult: int = 10, scale_dir: str = SCALE_DIR) -> str:
+    if os.path.isdir(scale_dir):
+        shutil.rmtree(scale_dir)
+    os.makedirs(scale_dir)
     for t in (
         "region nation customer supplier part orders lineitem events".split()
     ):
         os.symlink(os.path.join(SF01, f"{t}.parquet"),
-                   os.path.join(SCALE_DIR, f"{t}.parquet"))
-    _gen_documents(os.path.join(SCALE_DIR, "documents.parquet"))
-    _gen_embeddings(os.path.join(SCALE_DIR, "embeddings.parquet"))
-    return SCALE_DIR
+                   os.path.join(scale_dir, f"{t}.parquet"))
+    _gen_documents(os.path.join(scale_dir, "documents.parquet"), mult)
+    _gen_embeddings(os.path.join(scale_dir, "embeddings.parquet"), mult)
+    return scale_dir
 
 
 SPINE = [
@@ -124,10 +138,43 @@ SPINE = [
     "dedup_containment",
     "dedup_winnowing_pairs",
     "dedup_lsh_cost_audit",
+    "dedup_lsh_band_tuning",
     "ann_pq_adc_topk",
     "ann_ivf_topk",
     "emb_cosine_neardup",
+    "emb_hamming_knn_graph",
+    "text_sentence_split",
+    "text_token_stats",
 ]
+
+# Quadratic-BY-DESIGN members excluded from the 100x point, each with
+# its escape hatch (which IS in the 100x set). Printed, not silent.
+SKIP_100X = {
+    "emb_cosine_neardup": "exact all-pairs ground truth; escape hatch: "
+                          "LSH/IVF + the hot-cell-guarded graph (benched)",
+    "emb_hamming_knn_graph": "sampled-exact per-label all-pairs ground "
+                             "truth; escape hatch: emb_knn_guarded "
+                             "(benched at every point)",
+    "ann_pq_adc_topk": "ADC rerank relation is Q x N over the full "
+                       "corpus; escape hatch: ann_ivf_topk (benched)",
+}
+
+
+def _guarded_case(mult: int):
+    """The hot-cell-guarded kNN graph with the deployment cap rule
+    cell_cap ~ sqrt(cell size): cells are ~200*mult vectors, so cap =
+    40*sqrt(mult) keeps assignment (n * n/cap) and pair (n * cap)
+    masses balanced at ~n^1.5 per decade."""
+    cap = int(40 * mult ** 0.5)
+
+    def run(spark, sf_dir):
+        from etl_service_spark.operators import similarity
+        from etl_service_spark.plans.queries import views
+
+        views(spark, sf_dir)
+        return similarity.hamming_knn_guarded_staged(spark, cell_cap=cap)
+
+    return run, cap
 
 
 def main() -> int:
@@ -135,16 +182,29 @@ def main() -> int:
     from etl_service_spark.plans.queries import registry, views
     from etl_service_spark.session import get_spark
 
-    scale_dir = build_scale_dir()
+    three = "--three" in sys.argv
+    points: list[tuple[str, str, int]] = [("sf0.1", SF01, 1)]
+    points.append(("sf1.0~", build_scale_dir(10, SCALE_DIR), 10))
+    if three:
+        points.append(("sf10~", build_scale_dir(100, SCALE_DIR + "0"), 100))
     spark = get_spark("scale_bench")
     P.warm_udfs(spark)
     cases = registry()
     out: dict[str, dict] = {}
-    for sf_name, sf_dir in (("sf0.1", SF01), ("sf1.0~", scale_dir)):
+    for sf_name, sf_dir, mult in points:
         views(spark, sf_dir)
-        for name in SPINE:
+        guarded_run, guarded_cap = _guarded_case(mult)
+        todo = [(n, cases[n].spark) for n in SPINE] + [
+            (f"emb_knn_guarded(cap={guarded_cap})", guarded_run)
+        ]
+        for name, fn in todo:
+            base = name.split("(")[0]
+            if mult == 100 and base in SKIP_100X:
+                print(f"{sf_name} {name}: SKIPPED — {SKIP_100X[base]}",
+                      flush=True)
+                continue
             t0 = time.monotonic()
-            df = cases[name].spark(spark, sf_dir)
+            df = fn(spark, sf_dir)
             rows = df.count()
             wall = round(time.monotonic() - t0, 2)
             agg = {}
@@ -154,17 +214,27 @@ def main() -> int:
                     "sum(n_postings) p", "sum(cand_pairs) c"
                 ).collect()[0]
                 agg = {"n_postings": r.p, "cand_pairs": r.c}
-            out.setdefault(name, {})[sf_name] = {
+            key = "emb_knn_guarded" if name.startswith("emb_knn_guarded") else name
+            out.setdefault(key, {})[sf_name] = {
                 "wall_s": wall, "rows": rows, **agg,
             }
             print(f"{sf_name} {name}: {wall}s, {rows} rows {agg}", flush=True)
+    # per-decade empirical exponents: wall ~ n^e  =>  e = log10(ratio)
+    import math
+
+    order = [p[0] for p in points]
     for name, rec in out.items():
-        a, b = rec["sf0.1"], rec["sf1.0~"]
-        rec["wall_ratio_10x"] = round(b["wall_s"] / max(a["wall_s"], 0.01), 1)
-        rec["rows_ratio_10x"] = round(b["rows"] / max(a["rows"], 1), 1)
+        for lo, hi in zip(order, order[1:]):
+            if lo in rec and hi in rec:
+                ratio = rec[hi]["wall_s"] / max(rec[lo]["wall_s"], 0.01)
+                rec[f"wall_ratio_{lo}->{hi}"] = round(ratio, 1)
+                rec[f"exponent_{lo}->{hi}"] = round(math.log10(max(ratio, 0.1)), 2)
+                rratio = rec[hi]["rows"] / max(rec[lo]["rows"], 1)
+                rec[f"rows_ratio_{lo}->{hi}"] = round(rratio, 1)
     print(json.dumps(out))
     if "--keep" not in sys.argv:
         shutil.rmtree(SCALE_DIR, ignore_errors=True)
+        shutil.rmtree(SCALE_DIR + "0", ignore_errors=True)
     return 0
 
 
