@@ -220,6 +220,9 @@ HEADLINERS = [
     "dedup_url_canonical",
     "emb_knn_guarded_graph",
     "emb_knn_cell_guard_report",
+    "emb_guard_cap_sweep",
+    "tpch_q17_small_quantity",
+    "corpus_dedup_cascade",
 ]
 
 # Registry entries NOT in the standing headline set, each with its

@@ -658,6 +658,123 @@ HAVING COUNT(*) > 1
     return template.format(inner=sim_s.strip()), template.format(inner=sim_d.strip())
 
 
+# --------------------------------------------- staged dedup cascade
+def _simhash_exprs(bits: int) -> tuple[str, str]:
+    """(votes-select-list, fingerprint-expr) shared by the simhash
+    builders — per-bit majority votes over token hashes `h`, assembled
+    as Σ bit_j·2^j."""
+    votes = ",\n         ".join(
+        f"SUM(2 * {P.bit_probe('h', j)} - 1) AS v{j}" for j in range(bits)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN v{j} > 0 THEN {2 ** j} ELSE 0 END)" for j in range(bits)
+    )
+    return votes, fp
+
+
+def _cascade_tail(view: str) -> str:
+    """Per-source funnel tail over `surv` (exact survivors) and `nk`
+    (near-dup keepers): doc counts after each stage, removed counts
+    SURFACED per stage, and integer-ppm retention."""
+    return f"""base AS (SELECT source, COUNT(*) AS n_docs FROM {view} GROUP BY source),
+s1 AS (SELECT source, COUNT(*) AS n FROM surv GROUP BY source),
+s2 AS (
+  SELECT d.source, COUNT(*) AS n
+  FROM nk JOIN {view} d ON d.doc_id = nk.doc_id
+  GROUP BY d.source
+)
+SELECT b.source,
+       CAST(b.n_docs AS BIGINT) AS n_docs,
+       CAST(COALESCE(s1.n, 0) AS BIGINT) AS after_exact,
+       CAST(COALESCE(s2.n, 0) AS BIGINT) AS after_near,
+       CAST(b.n_docs - COALESCE(s1.n, 0) AS BIGINT) AS removed_exact,
+       CAST(COALESCE(s1.n, 0) - COALESCE(s2.n, 0) AS BIGINT) AS removed_near,
+       CAST(COALESCE(s2.n, 0) * 1000000 {{idiv}} b.n_docs AS BIGINT)
+         AS retention_ppm
+FROM base b
+LEFT JOIN s1 ON s1.source = b.source
+LEFT JOIN s2 ON s2.source = b.source
+ORDER BY b.source"""
+
+
+def dedup_cascade_sql(bits: int = 30, view: str = "documents") -> tuple[str, str]:
+    """Per-source dedup FUNNEL — the curation cascade a training-data
+    pipeline actually runs (CCNet/RefinedWeb order): exact full-text
+    dedup first (cheapest, biggest mass), then simhash near-dup over
+    the exact SURVIVORS, with the removed mass surfaced per stage per
+    source. Keeper election is MIN(doc_id) at both stages, so the
+    funnel is deterministic end-to-end. Scale shape: two word-count
+    aggregations (text hash, token-hash votes), two keeper group-bys,
+    and O(sources) tails — nothing pairwise anywhere; the near stage
+    reads only exact survivors, which is the point of running the
+    stages in this order."""
+    votes, fp = _simhash_exprs(bits)
+    template = f"""
+WITH h AS (
+  SELECT doc_id, {{text_hash}} AS th FROM {view}
+),
+ek AS (SELECT MIN(doc_id) AS doc_id FROM h GROUP BY th),
+surv AS (
+  SELECT d.doc_id, d.source, d.text
+  FROM {view} d JOIN ek ON ek.doc_id = d.doc_id
+),
+tok AS (SELECT doc_id, {{explode}}({{tokens}}) AS t FROM surv),
+hashed AS (SELECT doc_id, {{tok_hash}} AS h FROM tok),
+votes AS (
+  SELECT doc_id,
+         {votes}
+  FROM hashed
+  GROUP BY doc_id
+),
+fp AS (SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM votes),
+nk AS (SELECT MIN(doc_id) AS doc_id FROM fp GROUP BY simhash),
+{_cascade_tail(view)}
+"""
+    return P.bi_sql(
+        template,
+        text_hash=TEXT_HASH,
+        explode=EXPLODE,
+        tokens=TOKENS,
+        tok_hash=(P.spark_poly_hash("t"), P.duck_poly_hash("t")),
+        idiv=IDIV,
+    )
+
+
+def dedup_cascade_staged(
+    spark: SparkSession, bits: int = 30, view: str = "documents"
+) -> DataFrame:
+    """Execution path for :func:`dedup_cascade_sql` over the SHARED
+    staged relations: the exact stage rides exact_dedup_staged's
+    Arrow-kernel text hash, the near stage rides
+    textops.materialize_tokens' hashed token relation (both already
+    paid for by the other dedup/text consumers in a real run) — the
+    cascade itself adds only hash aggregations and O(sources) tails."""
+    ek = exact_dedup_staged(spark, view).select("keeper_id")
+    ek_view = f"__cascade_ek_{id(ek)}"
+    ek.createOrReplaceTempView(ek_view)
+    from . import textops
+
+    tok_rel = textops.materialize_tokens(spark, view)
+    votes, fp = _simhash_exprs(bits)
+    return spark.sql(
+        f"""
+WITH surv AS (
+  SELECT d.doc_id, d.source
+  FROM {view} d JOIN {ek_view} k ON k.keeper_id = d.doc_id
+),
+votes AS (
+  SELECT t.doc_id,
+         {votes}
+  FROM {tok_rel} t JOIN surv s ON s.doc_id = t.doc_id
+  GROUP BY t.doc_id
+),
+fp AS (SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM votes),
+nk AS (SELECT MIN(doc_id) AS doc_id FROM fp GROUP BY simhash),
+{_cascade_tail(view).replace("{idiv}", "DIV")}
+"""
+    )
+
+
 def contamination_sql(
     k_shared: int = 5, bench_max_id: int = 50, view: str = "documents"
 ) -> tuple[str, str]:

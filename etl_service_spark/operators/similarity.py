@@ -1740,28 +1740,36 @@ SELECT label, src, dst, dist, rk FROM ranked WHERE rk <= {k}
 # terms balance at ~2·n^1.5, or recurse one more level.
 
 
-def _knn_guard_chain(cell_cap: int, src_modulus: int) -> str:
+def _knn_guard_chain(
+    cell_cap: int, src_modulus: int, sfx: str = "", emit_base: bool = True
+) -> str:
     """CTE chain from a ``sig`` relation (vec_id, label, lo, hi) to the
-    guarded pair top-k ``granked``; {{idiv}}/{{xor_*}} placeholders are
-    rendered per engine by bi_sql."""
+    guarded pair top-k ``granked{sfx}``; {{idiv}}/{{xor_*}} placeholders
+    are rendered per engine by bi_sql. ``sfx`` suffixes every
+    cap-dependent CTE name so several caps can coexist in one statement
+    (the cap sweep); the cap-INDEPENDENT bases (cnt_g, seeds_g) are
+    shared across caps — pass ``emit_base=False`` after the first."""
     if cell_cap < 2:
         raise ValueError(f"cell_cap must be >= 2: {cell_cap}")
     src_where = f" AND a.vec_id % {src_modulus} = 0" if src_modulus > 1 else ""
-    return f"""cnt AS (SELECT label, COUNT(*) AS n FROM sig GROUP BY label),
-nsub AS (
-  SELECT label, (n + {cell_cap - 1}) {{idiv}} {cell_cap} AS n_sub FROM cnt
-),
-seeds AS (
+    base = ""
+    if emit_base:
+        base = """cnt_g AS (SELECT label, COUNT(*) AS n FROM sig GROUP BY label),
+seeds_g AS (
   SELECT label, vec_id AS seed_id, lo AS s_lo, hi AS s_hi,
          ROW_NUMBER() OVER (PARTITION BY label ORDER BY vec_id) AS seed_rk
   FROM sig
 ),
-useed AS (
+"""
+    return f"""{base}nsub{sfx} AS (
+  SELECT label, (n + {cell_cap - 1}) {{idiv}} {cell_cap} AS n_sub FROM cnt_g
+),
+useed{sfx} AS (
   SELECT se.label, se.seed_id, se.s_lo, se.s_hi
-  FROM seeds se JOIN nsub ns
+  FROM seeds_g se JOIN nsub{sfx} ns
     ON ns.label = se.label AND se.seed_rk <= ns.n_sub
 ),
-assign AS (
+assign{sfx} AS (
   SELECT label, vec_id, lo, hi, sub_cell FROM (
     SELECT v.label, v.vec_id, v.lo, v.hi, u.seed_id AS sub_cell,
            ROW_NUMBER() OVER (
@@ -1769,20 +1777,20 @@ assign AS (
              ORDER BY bit_count({{xor_va_lo}}) + bit_count({{xor_va_hi}}) ASC,
                       u.seed_id ASC
            ) AS rk
-    FROM sig v JOIN useed u ON u.label = v.label
+    FROM sig v JOIN useed{sfx} u ON u.label = v.label
   ) r WHERE rk = 1
 ),
-gpairs AS (
+gpairs{sfx} AS (
   SELECT a.label AS label, a.vec_id AS src, b.vec_id AS dst,
          CAST(bit_count({{xor_ab_lo}}) + bit_count({{xor_ab_hi}}) AS BIGINT) AS dist
-  FROM assign a JOIN assign b
+  FROM assign{sfx} a JOIN assign{sfx} b
     ON a.label = b.label AND a.sub_cell = b.sub_cell
        AND a.vec_id <> b.vec_id{src_where}
 ),
-granked AS (
+granked{sfx} AS (
   SELECT label, src, dst, dist,
          ROW_NUMBER() OVER (PARTITION BY src ORDER BY dist ASC, dst ASC) AS rk
-  FROM gpairs
+  FROM gpairs{sfx}
 )"""
 
 
@@ -1944,6 +1952,112 @@ def knn_cell_guard_report_staged(
 WITH sig AS (SELECT vec_id, label, lo, hi FROM {rel}),
 {chain},
 {tail}
+"""
+    frags = {n: s for n, (s, _) in _GUARD_FRAGS.items()}
+    return spark.sql(template.format(**frags))
+
+
+def _knn_guard_cap_sweep_body(caps: tuple[int, ...], k: int, src_modulus: int) -> str:
+    """Sweep body after the ``sig`` CTE: one guard chain per cap (the
+    cap-independent cnt_g/seeds_g bases shared), ONE sampled exact
+    truth, and a one-row-per-cap corpus summary — the recall-vs-mass
+    tuning curve for choosing cell_cap, exactly the
+    dedup_lsh_band_tuning discipline applied to the guard. All the
+    per-cap aggregates are single rows, so the final joins are
+    broadcast 1-row combines."""
+    if len(set(caps)) != len(caps) or len(caps) < 2:
+        raise ValueError(f"caps must be >= 2 distinct values: {caps}")
+    esrc_where = f" AND a.vec_id % {src_modulus} = 0" if src_modulus > 1 else ""
+    parts = [
+        _knn_guard_chain(cap, src_modulus, sfx=f"_c{cap}", emit_base=(i == 0))
+        for i, cap in enumerate(caps)
+    ]
+    parts.append(f"""epairs AS (
+  SELECT a.label AS label, a.vec_id AS src, b.vec_id AS dst,
+         CAST(bit_count({{xor_ae_lo}}) + bit_count({{xor_ae_hi}}) AS BIGINT) AS dist
+  FROM sig a JOIN sig b
+    ON a.label = b.label AND a.vec_id <> b.vec_id{esrc_where}
+),
+etopk AS (
+  SELECT label, src, dst FROM (
+    SELECT label, src, dst,
+           ROW_NUMBER() OVER (PARTITION BY src ORDER BY dist ASC, dst ASC) AS rk
+    FROM epairs
+  ) r WHERE rk <= {k}
+)""")
+    selects = []
+    for cap in caps:
+        s = f"_c{cap}"
+        parts.append(f"""cell{s} AS (
+  SELECT label, sub_cell, COUNT(*) AS c FROM assign{s} GROUP BY label, sub_cell
+),
+mass{s} AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_sub_cells,
+         CAST(MAX(c) AS BIGINT) AS max_cell_n,
+         CAST(SUM(c * (c - 1)) AS BIGINT) AS guarded_pair_mass
+  FROM cell{s}
+),
+rec{s} AS (
+  SELECT COUNT(*) AS n_true,
+         SUM(CASE WHEN g.dst IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+  FROM etopk e LEFT JOIN (
+    SELECT src, dst FROM granked{s} WHERE rk <= {k}
+  ) g ON g.src = e.src AND g.dst = e.dst
+)""")
+        selects.append(f"""SELECT {cap} AS cell_cap, m.n_sub_cells, m.max_cell_n,
+       m.guarded_pair_mass,
+       CAST(r.n_true AS BIGINT) AS n_true, CAST(r.n_hit AS BIGINT) AS n_hit,
+       CAST(CASE WHEN r.n_true = 0 THEN 1000000
+            ELSE r.n_hit * 1000000 {{idiv}} r.n_true END AS BIGINT) AS recall_ppm
+FROM mass{s} m CROSS JOIN rec{s} r""")
+    return (
+        ",\n".join(parts)
+        + "\n"
+        + "\nUNION ALL\n".join(selects)
+        + "\nORDER BY cell_cap"
+    )
+
+
+def knn_guard_cap_sweep_sql(
+    caps: tuple[int, ...] = (20, 40, 80),
+    k: int = 3,
+    view: str = "embeddings",
+    src_modulus: int = 8,
+) -> tuple[str, str]:
+    """Single-statement (spark, duckdb) cap tuning curve: one row per
+    candidate cell_cap with total guarded pair mass, largest sub-cell,
+    and measured recall vs the sampled exact graph — pick the smallest
+    cap whose recall clears the corpus's bar ("measure, don't
+    guess")."""
+    body = _knn_guard_cap_sweep_body(caps, k, src_modulus)
+    template = f"""
+WITH sig AS (
+  SELECT vec_id, label, {{sig_lo}} AS lo, {{sig_hi}} AS hi FROM {view}
+),
+{body}
+"""
+    return P.bi_sql(
+        template,
+        sig_lo=(_sign_word_sql(0, one_based=False), _sign_word_sql(0, one_based=True)),
+        sig_hi=(_sign_word_sql(1, one_based=False), _sign_word_sql(1, one_based=True)),
+        **_GUARD_FRAGS,
+    )
+
+
+def knn_guard_cap_sweep_staged(
+    spark: SparkSession,
+    caps: tuple[int, ...] = (20, 40, 80),
+    k: int = 3,
+    view: str = "embeddings",
+    src_modulus: int = 8,
+) -> DataFrame:
+    """Execution path for :func:`knn_guard_cap_sweep_sql` over the
+    shared staged signature relation."""
+    rel = _hamsig_labeled_rel(spark, view)
+    body = _knn_guard_cap_sweep_body(caps, k, src_modulus)
+    template = f"""
+WITH sig AS (SELECT vec_id, label, lo, hi FROM {rel}),
+{body}
 """
     frags = {n: s for n, (s, _) in _GUARD_FRAGS.items()}
     return spark.sql(template.format(**frags))

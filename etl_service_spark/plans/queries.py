@@ -896,6 +896,29 @@ WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
 GROUP BY o.o_orderpriority
 """
 
+# Q17 shape (adapted: the trimmed part schema has p_brand/p_size but
+# no p_container): correlated SCALAR subquery — per-part average
+# quantity as the "small order" threshold. Catalyst de-correlates it
+# into an aggregate-then-join (one grouped pass over lineitem keyed on
+# l_partkey, never a per-row subquery), and the brand/size filter
+# prunes the part side before the join. Determinism: l_quantity is
+# integer-valued, so its SUM (and thus AVG = one IEEE division) is
+# exact in both engines; the revenue sum is DECIMAL(12,2).
+TPCH_Q17_TEMPLATE = """
+SELECT CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)))
+            AS DOUBLE) / 7.0 AS DOUBLE) AS avg_yearly,
+       COUNT(*) AS n_small_orders
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#4'
+  AND p.p_size <= 15
+  AND l.l_quantity < (
+    SELECT 0.2 * AVG(l2.l_quantity)
+    FROM lineitem l2
+    WHERE l2.l_partkey = p.p_partkey
+  )
+"""
+
 # Q6 shape: the pure-pushdown scan — every predicate reaches the
 # parquet reader (PushedFilters on shipdate/discount/quantity), no
 # join, one partial+final agg. The plan to eyeball for "filters reach
@@ -1911,6 +1934,8 @@ _FAMILY_PREFIXES: tuple[tuple[str, ...], ...] = (
 _PRIORITY_PENDING = (
     # new in round 8
     "emb_knn_guarded_graph", "emb_knn_cell_guard_report",
+    "emb_guard_cap_sweep", "tpch_q17_small_quantity",
+    "corpus_dedup_cascade",
     # re-verify: plan changed since last (r7) driver-green row — the
     # round-8 edge-case fix (anchored www. strip, wildcard-free
     # tracking-param test)
@@ -2120,6 +2145,7 @@ def registry() -> dict[str, Case]:
     )
     cases["tpch_q5_local_supplier"] = _bi_case(TPCH_Q5_TEMPLATE)
     cases["tpch_q13_custdist"] = _bi_case(TPCH_Q13_TEMPLATE)
+    cases["tpch_q17_small_quantity"] = _bi_case(TPCH_Q17_TEMPLATE)
     cases["tpch_q18_bulk_customers"] = _bi_case(TPCH_Q18_TEMPLATE)
     cases["tpch_q4_late_priority"] = _bi_case(TPCH_Q4_TEMPLATE)
     cases["tpch_q6_forecast_revenue"] = _bi_case(TPCH_Q6_TEMPLATE)
@@ -3967,6 +3993,33 @@ GROUP BY {daydiff}
     cases["emb_knn_cell_guard_report"] = Case(
         _knn_guard_report,
         similarity.knn_cell_guard_report_sql(cell_cap=40, src_modulus=8)[1],
+    )
+
+    # --- cap tuning curve for the guard (the dedup_lsh_band_tuning
+    # discipline applied to cell_cap): one row per candidate cap with
+    # total guarded pair mass, largest sub-cell and measured recall vs
+    # the sampled exact graph — pick the smallest cap whose recall
+    # clears the corpus's bar. The cap-independent seed/count bases are
+    # shared across the swept chains; per-cap summaries are 1-row
+    # relations, so the final combines are broadcast-trivial.
+    def _guard_cap_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+        views(spark, sf_dir)
+        return similarity.knn_guard_cap_sweep_staged(spark, src_modulus=8)
+
+    cases["emb_guard_cap_sweep"] = Case(
+        _guard_cap_sweep, similarity.knn_guard_cap_sweep_sql(src_modulus=8)[1]
+    )
+
+    # --- per-source dedup FUNNEL (exact -> simhash near-dup over the
+    # exact survivors, CCNet/RefinedWeb stage order) with the removed
+    # mass surfaced per stage. Rides the shared staged text-hash and
+    # hashed-token relations; adds only hash aggs + O(sources) tails.
+    def _dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+        views(spark, sf_dir)
+        return dedup.dedup_cascade_staged(spark)
+
+    cases["corpus_dedup_cascade"] = Case(
+        _dedup_cascade, dedup.dedup_cascade_sql()[1]
     )
 
     # --- trailing-baseline burst detection over hourly counts
