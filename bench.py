@@ -223,6 +223,10 @@ HEADLINERS = [
     "emb_guard_cap_sweep",
     "tpch_q17_small_quantity",
     "corpus_dedup_cascade",
+    "dedup_sentence_boilerplate",
+    "dq_benford_first_digit",
+    "profile_fd_violations",
+    "events_ohlc_windows",
 ]
 
 # Registry entries NOT in the standing headline set, each with its

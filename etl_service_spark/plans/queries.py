@@ -13,6 +13,8 @@ Conventions that make the gate exact (see functions/portable.py):
 
 from __future__ import annotations
 
+import math
+
 from collections.abc import Callable
 from typing import NamedTuple
 
@@ -1935,7 +1937,9 @@ _PRIORITY_PENDING = (
     # new in round 8
     "emb_knn_guarded_graph", "emb_knn_cell_guard_report",
     "emb_guard_cap_sweep", "tpch_q17_small_quantity",
-    "corpus_dedup_cascade",
+    "corpus_dedup_cascade", "dedup_sentence_boilerplate",
+    "dq_benford_first_digit", "profile_fd_violations",
+    "events_ohlc_windows",
     # re-verify: plan changed since last (r7) driver-green row — the
     # round-8 edge-case fix (anchored www. strip, wildcard-free
     # tracking-param test)
@@ -4741,5 +4745,151 @@ GROUP BY source
     # integer-exact count/sum/sumsq on the 1e-4 grid, wide-decimal
     # variance numerator, deterministic variance rank
     cases["emb_whitening_stats"] = _pair_case(similarity.whitening_stats_sql())
+
+    # --- CCNet-style sentence-level boilerplate report (Wenzek et al.
+    # 2020 dedupe repeated paragraphs corpus-wide before LM filtering):
+    # explode on the shared sentence boundary (functions/udtf.py
+    # SENTENCE_PATTERN), count distinct docs per sentence, tag
+    # occurrences whose sentence recurs in >= 2 docs, report removed
+    # character mass per source. Plan: generate -> two hash aggregates
+    # + one shuffle join keyed on sentence text — the same hash-
+    # partition-by-content shape CCNet runs per shard at corpus scale;
+    # no relation is ever wider than the sentence-occurrence mass.
+    _BOILER_TEMPLATE = """
+WITH s AS (
+  SELECT doc_id, source, sentence
+  FROM (
+    SELECT doc_id, source, {unnest_split} AS sentence
+    FROM documents
+  ) raw
+  WHERE sentence <> ''
+),
+freq AS (
+  SELECT sentence, COUNT(DISTINCT doc_id) AS n_docs_with
+  FROM s GROUP BY sentence
+),
+tagged AS (
+  SELECT s.doc_id, s.source, length(s.sentence) AS n_chars,
+         CASE WHEN f.n_docs_with >= 2 THEN 1 ELSE 0 END AS is_boiler
+  FROM s JOIN freq f ON s.sentence = f.sentence
+)
+SELECT source,
+       COUNT(*) AS n_sentences,
+       CAST(SUM(is_boiler) AS BIGINT) AS n_boiler_sentences,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(is_boiler * n_chars) AS BIGINT) AS boiler_chars,
+       CAST(SUM(is_boiler * n_chars) * 1000000 {idiv} SUM(n_chars) AS BIGINT)
+         AS removed_ppm
+FROM tagged
+GROUP BY source
+"""
+    cases["dedup_sentence_boilerplate"] = _bi_case(
+        _BOILER_TEMPLATE,
+        idiv=("DIV", "//"),
+        unnest_split=(
+            f"explode(split(text, '{udtf_fns.SENTENCE_PATTERN}'))",
+            f"unnest(regexp_split_to_array(text, '{udtf_fns.SENTENCE_PATTERN}'))",
+        ),
+    )
+
+    # --- Benford first-significant-digit audit on order totals
+    # (Nigrini's forensic-accounting screen): first digit taken from
+    # the INTEGER cents string (identical int->text rendering on both
+    # engines; no float formatting crosses the parity boundary),
+    # expected Benford mass log10(1+1/d) embedded as Python-computed
+    # micro-unit literals shared by both dialects, chi-square
+    # contribution in pure integer arithmetic. One pruned scan of
+    # orders -> 9-row aggregate; the window total is over 9 rows.
+    _benford_case_expr = "CASE first_digit " + " ".join(
+        f"WHEN '{d}' THEN {int(math.log10(1 + 1.0 / d) * 1_000_000)}"
+        for d in range(1, 10)
+    ) + " END"
+    _BENFORD_TEMPLATE = """
+WITH cents AS (
+  SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c
+  FROM orders WHERE o_totalprice > 0
+),
+digits AS (
+  SELECT substring(CAST(c AS {str_t}), 1, 1) AS first_digit, COUNT(*) AS n
+  FROM cents GROUP BY substring(CAST(c AS {str_t}), 1, 1)
+),
+scored AS (
+  SELECT first_digit, n,
+         CAST(n * 1000000 {idiv} SUM(n) OVER () AS BIGINT) AS observed_ppm,
+         CAST({benford_case} AS BIGINT) AS expected_ppm
+  FROM digits
+)
+SELECT first_digit, n, observed_ppm, expected_ppm,
+       CAST((observed_ppm - expected_ppm) * (observed_ppm - expected_ppm)
+            {idiv} expected_ppm AS BIGINT) AS chi2_micro
+FROM scored
+"""
+    cases["dq_benford_first_digit"] = _bi_case(
+        _BENFORD_TEMPLATE,
+        idiv=("DIV", "//"),
+        str_t=("STRING", "VARCHAR"),
+        benford_case=_benford_case_expr,
+    )
+
+    # --- approximate functional-dependency audit (the TANE/Metanome
+    # profiling primitive): for each candidate determinant->dependent
+    # pair, count determinant keys carrying >1 distinct dependent
+    # value. Each branch is one map-side-combinable grouped aggregate
+    # over a two-column pruned scan; candidates include one exact FD
+    # (o_orderkey is the table key) so the zero row is a live check.
+    _fd_branch = """
+SELECT '{det}->{dep}' AS fd, COUNT(*) AS n_keys,
+       CAST(SUM(CASE WHEN n_vals > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS violating_keys,
+       CAST(SUM(CASE WHEN n_vals > 1 THEN 1 ELSE 0 END) * 1000000
+            {{idiv}} COUNT(*) AS BIGINT) AS violation_ppm
+FROM (SELECT {det} AS k, COUNT(DISTINCT {dep}) AS n_vals
+      FROM {tbl} GROUP BY {det}) g
+"""
+    _FD_TEMPLATE = "\nUNION ALL\n".join(
+        _fd_branch.format(tbl=t, det=a, dep=b)
+        for t, a, b in (
+            ("orders", "o_orderkey", "o_orderstatus"),
+            ("orders", "o_custkey", "o_orderstatus"),
+            ("orders", "o_custkey", "o_orderpriority"),
+            ("orders", "o_orderdate", "o_orderpriority"),
+            ("customer", "c_nationkey", "c_mktsegment"),
+            ("lineitem", "l_orderkey", "l_linestatus"),
+            ("lineitem", "l_partkey", "l_returnflag"),
+        )
+    )
+    cases["profile_fd_violations"] = _bi_case(_FD_TEMPLATE, idiv=("DIV", "//"))
+
+    # --- OHLC hourly rollup (the market-data resample shape): open/
+    # close picked by min_by/max_by over a zero-padded (ts_us,
+    # event_id) packed string key — total order even under equal
+    # timestamps, no int64 overflow at any sf, and the whole query is
+    # ONE hash aggregate with map-side partials (no sort window).
+    _OHLC_TEMPLATE = """
+WITH e AS (
+  SELECT {trunc_hour} AS hour_start,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents,
+         concat(lpad(CAST({ts_us} AS {str_t}), 20, '0'),
+                lpad(CAST(event_id AS {str_t}), 12, '0')) AS ord_key
+  FROM events
+)
+SELECT hour_start, COUNT(*) AS n_events,
+       {min_by}(cents, ord_key) AS open_cents,
+       MAX(cents) AS high_cents,
+       MIN(cents) AS low_cents,
+       {max_by}(cents, ord_key) AS close_cents
+FROM e GROUP BY hour_start
+"""
+    cases["events_ohlc_windows"] = _bi_case(
+        _OHLC_TEMPLATE,
+        ts_us=TS_US,
+        str_t=("STRING", "VARCHAR"),
+        trunc_hour=(
+            "CAST(date_trunc('hour', ts) AS TIMESTAMP_NTZ)",
+            "date_trunc('hour', ts)",
+        ),
+        min_by=("min_by", "arg_min"),
+        max_by=("max_by", "arg_max"),
+    )
 
     return _driver_order(cases)
