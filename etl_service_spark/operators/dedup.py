@@ -213,11 +213,19 @@ def _tau_frac(tau: float, tau_frac: tuple[int, int] | None) -> tuple[int, int]:
 def ngram_jaccard_sql(
     tau: float = 0.8, view: str = "documents",
     tau_frac: tuple[int, int] | None = None,
+    src_modulus: int = 1,
 ) -> tuple[str, str]:
     """Single-statement form (the oracle; DuckDB materializes reused
-    CTEs itself). The Spark execution path is :func:`ngram_jaccard_staged`."""
+    CTEs itself). The Spark execution path is :func:`ngram_jaccard_staged`.
+
+    ``src_modulus`` > 1 keeps only pairs whose SMALLER doc_id is ≡ 0
+    (mod m) — the sampled-exact protocol (see emb_hamming_knn_graph):
+    every emitted pair is still the TRUE full-corpus Jaccard pair for
+    its sampled source. The oracle filters the full result (DuckDB can
+    afford it); the staged Spark path pushes the same predicate into
+    the candidate join so the candidate mass itself divides by ~m."""
     num, den = _tau_frac(tau, tau_frac)
-    return P.bi_sql(
+    s, d = P.bi_sql(
         _HASHSET_PROLOGUE + ",\n" + JACCARD_BODY,
         hs_rel="hs",
         tau=str(tau),
@@ -226,6 +234,13 @@ def ngram_jaccard_sql(
         tau_den_m1=str(den - 1),
         **_hashset_frags(view),
     )
+    if src_modulus > 1:
+        wrap = (
+            "SELECT doc_a, doc_b, jaccard FROM ({inner}\n) smp "
+            f"WHERE doc_a % {src_modulus} = 0"
+        )
+        s, d = wrap.format(inner=s), wrap.format(inner=d)
+    return s, d
 
 
 def materialize_hashsets(spark: SparkSession, view: str = "documents") -> str:
@@ -318,10 +333,19 @@ def ngram_jaccard_staged(
     tau: float = 0.8,
     view: str = "documents",
     tau_frac: tuple[int, int] | None = None,
+    src_modulus: int = 1,
 ) -> DataFrame:
     hs_rel = materialize_hashsets(spark, view)
     num, den = _tau_frac(tau, tau_frac)
     pexp = materialize_prefix_postings(spark, view, (num, den))
+    # sampled-exact: pairs are oriented doc_a < doc_b, so filtering the
+    # a-side of the prefix join keeps EXACTLY the pairs whose smaller
+    # id is sampled — the prefix/length filters stay lossless per pair
+    # (they never depend on which other docs exist on a side), and the
+    # candidate mass divides by ~m instead of being post-filtered.
+    src_filter = (
+        f"\n   AND a.doc_id % {src_modulus} = 0" if src_modulus > 1 else ""
+    )
     return spark.sql(
         f"""
 WITH cand AS (
@@ -329,7 +353,7 @@ WITH cand AS (
   FROM {pexp} a JOIN {pexp} b
     ON a.h = b.h AND a.doc_id < b.doc_id
    AND b.n * {den} >= a.n * {num}
-   AND a.n * {den} >= b.n * {num}
+   AND a.n * {den} >= b.n * {num}{src_filter}
 ),
 verified AS (
   SELECT c.doc_a, c.doc_b,
@@ -1348,6 +1372,7 @@ def lsh_band_tuning_sql(
     tau: float = 0.8,
     view: str = "documents",
     cap_rows: int = 32,
+    src_modulus: int = 1,
 ) -> tuple[str, str]:
     """Banding-parameter sweep for the minhash-LSH join: for each
     (bands b x rows r = k/b) configuration over the SAME k-minhash
@@ -1370,7 +1395,7 @@ def lsh_band_tuning_sql(
     verify per full-outer scan).
     """
     tail, band_arrs = _band_tuning_tail(k, band_configs, cap_rows)
-    exact = ngram_jaccard_sql(tau, view)
+    exact = ngram_jaccard_sql(tau, view, src_modulus=src_modulus)
     return P.bi_sql(
         _HASHSET_PROLOGUE + ",\nsig AS (\n" + _band_sig_sql(k) + "\n),\n" + tail,
         hs_rel="hs",
@@ -1407,6 +1432,7 @@ def lsh_band_tuning_staged(
     tau: float = 0.8,
     view: str = "documents",
     cap_rows: int = 32,
+    src_modulus: int = 1,
 ) -> DataFrame:
     """Spark path: the signature aggregate and the exact truth pairs
     are STAGED once per (session, params, hashset lineage) — Spark
@@ -1423,8 +1449,10 @@ def lsh_band_tuning_staged(
         ),
     )
     exact_rel = _stage_band_rel(
-        spark, "band_exact", (tau, view), hs_rel,
-        lambda: ngram_jaccard_staged(spark, tau, view).select("doc_a", "doc_b"),
+        spark, "band_exact", (tau, view, src_modulus), hs_rel,
+        lambda: ngram_jaccard_staged(
+            spark, tau, view, src_modulus=src_modulus
+        ).select("doc_a", "doc_b"),
     )
     tail, band_arrs = _band_tuning_tail(k, band_configs, cap_rows)
     body = P.bi_sql(

@@ -1942,8 +1942,9 @@ _PRIORITY_PENDING = (
     "events_ohlc_windows",
     # re-verify: plan changed since last (r7) driver-green row — the
     # round-8 edge-case fix (anchored www. strip, wildcard-free
-    # tracking-param test)
-    "dedup_url_canonical",
+    # tracking-param test) and the sampled-exact truth side
+    # (src_modulus=8) on the band-tuning report
+    "dedup_url_canonical", "dedup_lsh_band_tuning",
 )
 
 
@@ -4075,13 +4076,20 @@ GROUP BY {daydiff}
     # candidate mass + measured recall/precision vs the exact PPJoin
     # truth pairs per (bands x rows) config — the S-curve replaced by
     # the corpus's own numbers (see dedup.lsh_band_tuning_sql). Spark
-    # path shares the staged hashsets + staged exact pairs.
+    # path shares the staged hashsets + staged exact pairs. The truth
+    # side rides the sampled-exact protocol (src_modulus=8, the
+    # emb_hamming_knn_graph precedent): recall is scored on the
+    # deterministic 1-in-8 source sample against FULL truth for that
+    # sample, so the report stays sample-bound at any corpus size
+    # (the r8 three-point bench measured the full-truth form at
+    # exponent 1.5 per decade — truth-side PPJoin mass, not the
+    # report itself); the mass/dropped columns stay closed-form exact.
     def _band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
         views(spark, sf_dir)
-        return dedup.lsh_band_tuning_staged(spark)
+        return dedup.lsh_band_tuning_staged(spark, src_modulus=8)
 
     cases["dedup_lsh_band_tuning"] = Case(
-        _band_tuning, dedup.lsh_band_tuning_sql()[1]
+        _band_tuning, dedup.lsh_band_tuning_sql(src_modulus=8)[1]
     )
 
     # --- duplicate-mass-vs-threshold curve: PPJoin once at a LOW tau

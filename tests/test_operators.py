@@ -1580,3 +1580,50 @@ def test_knn_hot_cell_guard_planted_skew(spark):
     ge = guarded[guarded.label > 0].sort_values(["src", "rk"]).reset_index(drop=True)
     ee = exact[exact.label > 0].sort_values(["src", "rk"]).reset_index(drop=True)
     assert ge.equals(ee)
+
+
+def test_band_tuning_sampled_truth_matches_full_restriction(spark, sf_dir):
+    """The sampled-exact protocol on the band-tuning truth side
+    (src_modulus=m) must be a RESTRICTION, not an approximation:
+    (a) the sampled PPJoin pair set == the full pair set filtered to
+    doc_a % m == 0 (the pushed-down candidate filter loses nothing,
+    because the prefix/length filters are per-pair); (b) in the tuning
+    report, the cost axes (cand_mass, dropped_postings) are untouched
+    by sampling — only the truth-driven columns shrink; (c) n_true in
+    the sampled report equals the restricted full truth count; and
+    (d) the Spark report still value-matches the DuckDB oracle at the
+    same modulus."""
+    from etl_service_spark.operators import dedup
+    from etl_service_spark.plans.queries import views
+
+    from .harness import compare, duck_connect
+
+    views(spark, sf_dir)
+    m = 4
+    full = dedup.ngram_jaccard_staged(spark, tau=0.8).toPandas()
+    sampled = dedup.ngram_jaccard_staged(spark, tau=0.8, src_modulus=m).toPandas()
+    want = set(
+        zip(full[full.doc_a % m == 0].doc_a, full[full.doc_a % m == 0].doc_b)
+    )
+    got = set(zip(sampled.doc_a, sampled.doc_b))
+    assert got == want and len(sampled) == len(want)
+
+    rep_full = (
+        dedup.lsh_band_tuning_staged(spark)
+        .toPandas().set_index("bands").sort_index()
+    )
+    rep_smp = (
+        dedup.lsh_band_tuning_staged(spark, src_modulus=m)
+        .toPandas().set_index("bands").sort_index()
+    )
+    assert (rep_full.cand_mass == rep_smp.cand_mass).all()
+    assert (rep_full.dropped_postings == rep_smp.dropped_postings).all()
+    assert (rep_smp.n_true == len(want)).all()
+    assert (rep_smp.n_true <= rep_full.n_true).all()
+
+    con = duck_connect(sf_dir)
+    du = con.execute(
+        dedup.lsh_band_tuning_sql(src_modulus=m)[1]
+    ).fetchdf()
+    con.close()
+    assert not compare(rep_smp.reset_index(), du), "sampled report vs oracle"
