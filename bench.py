@@ -227,6 +227,8 @@ HEADLINERS = [
     "dq_benford_first_digit",
     "profile_fd_violations",
     "events_ohlc_windows",
+    "layout_zorder_skipping",
+    "snap_cdc_compaction",
 ]
 
 # Registry entries NOT in the standing headline set, each with its

@@ -1939,7 +1939,8 @@ _PRIORITY_PENDING = (
     "emb_guard_cap_sweep", "tpch_q17_small_quantity",
     "corpus_dedup_cascade", "dedup_sentence_boilerplate",
     "dq_benford_first_digit", "profile_fd_violations",
-    "events_ohlc_windows",
+    "events_ohlc_windows", "layout_zorder_skipping",
+    "snap_cdc_compaction",
     # re-verify: plan changed since last (r7) driver-green row — the
     # round-8 edge-case fix (anchored www. strip, wildcard-free
     # tracking-param test) and the sampled-exact truth side
@@ -4898,6 +4899,144 @@ FROM e GROUP BY hour_start
         ),
         min_by=("min_by", "arg_min"),
         max_by=("max_by", "arg_max"),
+    )
+
+    # --- Z-order layout data-skipping scorer (the Delta/Iceberg
+    # OPTIMIZE ZORDER planning question answered with the table's own
+    # numbers): quantize (o_custkey, o_orderdate) to 8 bits each,
+    # interleave into a Morton code, split rows into 64 equal "files"
+    # under (a) the Z-order and (b) a linear date sort, keep per-file
+    # min/max zone maps, and probe a 16-query workload (8 selective
+    # slices per dimension) for the fraction of files a min/max-pruned
+    # scan must read. At sf0.01: date-sorted files answer custkey
+    # queries by reading 100% of files; Z-order reads ~19% for custkey
+    # at ~27% for date — the measured trade OPTIMIZE ZORDER buys.
+    # All-integer (quantized grid + ppm); NTILE is total-ordered by
+    # (key, o_orderkey). Scale shape: one sort per candidate layout
+    # (exactly the cost of the layout job being planned) + a
+    # 128-zone-map x 16-probe relation — bounded by file count, never
+    # data mass.
+    _Z_TERMS = " + ".join(
+        f"((qc {{idiv}} {2 ** j}) % 2) * {2 ** (2 * j + 1)}"
+        f" + ((qd {{idiv}} {2 ** j}) % 2) * {2 ** (2 * j)}"
+        for j in range(8)
+    )
+    _ZORDER_TEMPLATE = """
+WITH base AS (
+  SELECT o_orderkey, o_custkey, {daynum} AS dnum
+  FROM orders
+),
+bounds AS (
+  SELECT MIN(o_custkey) AS cmin, MAX(o_custkey) AS cmax,
+         MIN(dnum) AS dmin, MAX(dnum) AS dmax
+  FROM base
+),
+quant AS (
+  SELECT b.o_orderkey,
+         CAST((b.o_custkey - x.cmin) * 256 {idiv} (x.cmax - x.cmin + 1)
+              AS BIGINT) AS qc,
+         CAST((b.dnum - x.dmin) * 256 {idiv} (x.dmax - x.dmin + 1)
+              AS BIGINT) AS qd
+  FROM base b CROSS JOIN bounds x
+),
+z AS (
+  SELECT o_orderkey, qc, qd, CAST(""" + _Z_TERMS + """ AS BIGINT) AS zval
+  FROM quant
+),
+files AS (
+  SELECT 'zorder' AS layout,
+         NTILE(64) OVER (ORDER BY zval, o_orderkey) AS f, qc, qd
+  FROM z
+  UNION ALL
+  SELECT 'linear_date' AS layout,
+         NTILE(64) OVER (ORDER BY qd, o_orderkey) AS f, qc, qd
+  FROM z
+),
+stats AS (
+  SELECT layout, f,
+         MIN(qc) AS c_lo, MAX(qc) AS c_hi,
+         MIN(qd) AS d_lo, MAX(qd) AS d_hi
+  FROM files GROUP BY layout, f
+),
+slices AS (
+  SELECT {unnest_8} AS g
+),
+workload AS (
+  SELECT 'custkey' AS dim, g * 32 AS lo, g * 32 + 31 AS hi FROM slices
+  UNION ALL
+  SELECT 'orderdate' AS dim, g * 32 AS lo, g * 32 + 31 AS hi FROM slices
+),
+probe AS (
+  SELECT s.layout, w.dim, w.lo,
+         CASE WHEN (w.dim = 'custkey' AND s.c_hi >= w.lo AND s.c_lo <= w.hi)
+                OR (w.dim = 'orderdate' AND s.d_hi >= w.lo AND s.d_lo <= w.hi)
+              THEN 1 ELSE 0 END AS hit
+  FROM stats s CROSS JOIN workload w
+)
+SELECT layout, dim,
+       CAST(COUNT(*) AS BIGINT) AS n_file_probes,
+       CAST(SUM(hit) AS BIGINT) AS files_scanned,
+       CAST(SUM(hit) * 1000000 {idiv} COUNT(*) AS BIGINT)
+         AS scan_fraction_ppm
+FROM probe
+GROUP BY layout, dim
+"""
+    cases["layout_zorder_skipping"] = _bi_case(
+        _ZORDER_TEMPLATE,
+        idiv=("DIV", "//"),
+        daynum=(
+            "datediff(CAST(o_orderdate AS DATE), DATE '1995-01-01')",
+            "date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))",
+        ),
+        unnest_8=(
+            "explode(sequence(0, 7))",
+            "unnest(generate_series(0, 7))",
+        ),
+    )
+
+    # --- CDC log compaction (the Debezium→lakehouse materialization):
+    # a deterministic change log synthesized from orders (every key
+    # INSERTs; keys ≡0 mod 3 UPDATE; keys ≡0 mod 7 DELETE — seq is
+    # key-derived and unique per key), compacted by latest-op-wins
+    # (max_by/arg_max on seq), deletes dropped from the live set.
+    # ONE hash aggregate keyed on the record key with map-side
+    # partials — the shape a 100 TB CDC materialization shuffles,
+    # no window sort. Summary per status keeps the output bounded.
+    _CDC_TEMPLATE = """
+WITH log AS (
+  SELECT o_orderkey AS k, o_orderkey * 3 AS seq, 'I' AS op,
+         o_orderstatus AS status,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents
+  FROM orders
+  UNION ALL
+  SELECT o_orderkey, o_orderkey * 3 + 1, 'U', o_orderstatus,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) + 1000
+  FROM orders WHERE o_orderkey % 3 = 0
+  UNION ALL
+  SELECT o_orderkey, o_orderkey * 3 + 2, 'D', o_orderstatus,
+         CAST(0 AS BIGINT)
+  FROM orders WHERE o_orderkey % 7 = 0
+),
+latest AS (
+  SELECT k,
+         {max_by}(op, seq) AS op,
+         {max_by}(status, seq) AS status,
+         {max_by}(price_cents, seq) AS price_cents,
+         COUNT(*) AS n_ops
+  FROM log GROUP BY k
+)
+SELECT status,
+       CAST(SUM(CASE WHEN op <> 'D' THEN 1 ELSE 0 END) AS BIGINT) AS n_live,
+       CAST(SUM(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted,
+       CAST(SUM(CASE WHEN op = 'U' THEN 1 ELSE 0 END) AS BIGINT) AS n_updated_live,
+       CAST(SUM(CASE WHEN op <> 'D' THEN price_cents ELSE 0 END) AS BIGINT)
+         AS live_price_cents,
+       CAST(SUM(n_ops) AS BIGINT) AS n_log_rows
+FROM latest
+GROUP BY status
+"""
+    cases["snap_cdc_compaction"] = _bi_case(
+        _CDC_TEMPLATE, max_by=("max_by", "arg_max")
     )
 
     return _driver_order(cases)
