@@ -4756,17 +4756,20 @@ GROUP BY source
     cases["emb_whitening_stats"] = _pair_case(similarity.whitening_stats_sql())
 
     # --- CCNet-style sentence-level boilerplate report (Wenzek et al.
-    # 2020 dedupe repeated paragraphs corpus-wide before LM filtering):
-    # explode on the shared sentence boundary (functions/udtf.py
-    # SENTENCE_PATTERN), count distinct docs per sentence, tag
-    # occurrences whose sentence recurs in >= 2 docs, report removed
-    # character mass per source. Plan: generate -> two hash aggregates
-    # + one shuffle join keyed on sentence text — the same hash-
-    # partition-by-content shape CCNet runs per shard at corpus scale;
-    # no relation is ever wider than the sentence-occurrence mass.
+    # 2020 dedupe repeated paragraphs corpus-wide before LM filtering;
+    # CCNet itself keys on a paragraph hash): explode on the shared
+    # sentence boundary (functions/udtf.py SENTENCE_PATTERN), count
+    # distinct docs per sentence HASH, tag occurrences recurring in
+    # >= 2 docs, report removed character mass per source. Plan:
+    # generate -> two hash aggregates + one shuffle join keyed on the
+    # portable poly-hash — shuffling (hash, id, len) rows, never
+    # sentence text (the exact_dedup_staged discipline). Same
+    # collision trade as the exact-dedup family: both engines fold the
+    # identical mod-1e9+7 hash, so parity is exact; a production run
+    # widens the modulus, it does not change the shape.
     _BOILER_TEMPLATE = """
 WITH s AS (
-  SELECT doc_id, source, sentence
+  SELECT doc_id, source, {sent_hash} AS sh, length(sentence) AS n_chars
   FROM (
     SELECT doc_id, source, {unnest_split} AS sentence
     FROM documents
@@ -4774,13 +4777,13 @@ WITH s AS (
   WHERE sentence <> ''
 ),
 freq AS (
-  SELECT sentence, COUNT(DISTINCT doc_id) AS n_docs_with
-  FROM s GROUP BY sentence
+  SELECT sh, COUNT(DISTINCT doc_id) AS n_docs_with
+  FROM s GROUP BY sh
 ),
 tagged AS (
-  SELECT s.doc_id, s.source, length(s.sentence) AS n_chars,
+  SELECT s.doc_id, s.source, s.n_chars,
          CASE WHEN f.n_docs_with >= 2 THEN 1 ELSE 0 END AS is_boiler
-  FROM s JOIN freq f ON s.sentence = f.sentence
+  FROM s JOIN freq f ON s.sh = f.sh
 )
 SELECT source,
        COUNT(*) AS n_sentences,
@@ -4799,6 +4802,7 @@ GROUP BY source
             f"explode(split(text, '{udtf_fns.SENTENCE_PATTERN}'))",
             f"unnest(regexp_split_to_array(text, '{udtf_fns.SENTENCE_PATTERN}'))",
         ),
+        sent_hash=(P.spark_poly_hash("sentence"), P.duck_poly_hash("sentence")),
     )
 
     # --- Benford first-significant-digit audit on order totals
