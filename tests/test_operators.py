@@ -1627,3 +1627,48 @@ def test_band_tuning_sampled_truth_matches_full_restriction(spark, sf_dir):
     ).fetchdf()
     con.close()
     assert not compare(rep_smp.reset_index(), du), "sampled report vs oracle"
+
+
+def test_ohlc_packed_key_total_order(spark):
+    """The OHLC open/close picks ride min_by/max_by over a zero-padded
+    packed (ts_us, event_id) string key (DETERMINISM.md #32). Planted
+    ties prove the composite order: two events share the SAME
+    timestamp — the key must fall back to event_id, and lexicographic
+    compare on the padded string must equal numeric order even when
+    ts_us magnitudes differ by many digits."""
+    rows = [
+        # (ts_us, event_id, cents) — one hour bucket, planted ts tie
+        (1_700_000_000_000_000, 7, 500),   # tie on ts: higher event_id
+        (1_700_000_000_000_000, 3, 900),   # tie on ts: LOWER event_id -> open
+        (1_700_000_001_000_000, 1, 100),   # latest ts -> close
+        (5, 2, 777),                       # tiny ts_us: padding must rank it first
+    ]
+    df = spark.createDataFrame(rows, "ts_us long, event_id long, cents long")
+    got = (
+        df.selectExpr(
+            "cents",
+            "concat(lpad(CAST(ts_us AS STRING), 20, '0'),"
+            " lpad(CAST(event_id AS STRING), 12, '0')) AS ord_key",
+        )
+        .groupBy()
+        .agg(
+            F.expr("min_by(cents, ord_key)").alias("open_cents"),
+            F.expr("max_by(cents, ord_key)").alias("close_cents"),
+        )
+        .collect()[0]
+    )
+    assert got.open_cents == 777   # ts_us=5 sorts first despite 1 digit
+    assert got.close_cents == 100  # strictly latest ts
+    # drop the tiny-ts row: the tie pair now leads — event_id breaks it
+    got2 = (
+        df.filter("ts_us > 1000")
+        .selectExpr(
+            "cents",
+            "concat(lpad(CAST(ts_us AS STRING), 20, '0'),"
+            " lpad(CAST(event_id AS STRING), 12, '0')) AS ord_key",
+        )
+        .groupBy()
+        .agg(F.expr("min_by(cents, ord_key)").alias("open_cents"))
+        .collect()[0]
+    )
+    assert got2.open_cents == 900  # event_id 3 < 7 at the tied ts
