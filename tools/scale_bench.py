@@ -183,6 +183,18 @@ def main() -> int:
     from etl_service_spark.session import get_spark
 
     three = "--three" in sys.argv
+    if three and os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g") == "8g":
+        # Measured r8: the 100x point OOMs the default 8g local-mode
+        # heap (32 executor threads share ONE JVM; per-task array
+        # scratch no longer fits). A cluster sizes per-core executor
+        # memory independently — this is a local-mode artifact, so
+        # fail fast with the fix instead of dying 20 minutes in.
+        print(
+            "--three needs a larger local heap: rerun with "
+            "SPARK_GRAFT_DRIVER_MEM=32g (or more; box has 128 GiB)",
+            file=sys.stderr,
+        )
+        return 2
     points: list[tuple[str, str, int]] = [("sf0.1", SF01, 1)]
     points.append(("sf1.0~", build_scale_dir(10, SCALE_DIR), 10))
     if three:
