@@ -229,6 +229,8 @@ HEADLINERS = [
     "events_ohlc_windows",
     "layout_zorder_skipping",
     "snap_cdc_compaction",
+    "privacy_t_closeness",
+    "dq_referential_integrity",
 ]
 
 # Registry entries NOT in the standing headline set, each with its

@@ -1940,7 +1940,8 @@ _PRIORITY_PENDING = (
     "corpus_dedup_cascade", "dedup_sentence_boilerplate",
     "dq_benford_first_digit", "profile_fd_violations",
     "events_ohlc_windows", "layout_zorder_skipping",
-    "snap_cdc_compaction",
+    "snap_cdc_compaction", "privacy_t_closeness",
+    "dq_referential_integrity",
     # re-verify: plan changed since last (r7) driver-green row — the
     # round-8 edge-case fix (anchored www. strip, wildcard-free
     # tracking-param test) and the sampled-exact truth side
@@ -5041,6 +5042,106 @@ GROUP BY status
 """
     cases["snap_cdc_compaction"] = _bi_case(
         _CDC_TEMPLATE, max_by=("max_by", "arg_max")
+    )
+
+    # --- t-closeness audit (Li et al., ICDE'07): completes the
+    # k-anonymity / l-diversity trio on the SAME QI convention
+    # (nation, acctbal band; sensitive = market segment). For a
+    # categorical sensitive attribute under the uniform ground
+    # distance, EMD = total variation distance, computed EXACTLY in
+    # integers: the per-group numerator is
+    #   Σ_present |cnt_gs·N − g_cnt_s·n_g|  +  n_g·(N − Σ_present g_cnt_s)
+    # — the second term is the CLOSED FORM of every segment absent
+    # from the group (its |0 − q_s| mass), so no dense group x segment
+    # spine and no unbounded cross join is ever built; the only cross
+    # join is against the 1-row corpus total. Equi-joins on segment
+    # (5-row broadcast) and on the QI key; everything is
+    # QI-domain-sized past the first aggregate. above_t flags t > 0.2
+    # via the exact cross-multiplied compare (no division in the
+    # predicate).
+    _TCLOSE_TEMPLATE = """
+WITH gseg AS (
+  SELECT c_mktsegment AS seg, COUNT(*) AS g_cnt
+  FROM customer GROUP BY c_mktsegment
+),
+tot AS (
+  SELECT CAST(SUM(g_cnt) AS BIGINT) AS n_all FROM gseg
+),
+cells AS (
+  SELECT c_nationkey,
+         CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS acct_band,
+         c_mktsegment AS seg,
+         COUNT(*) AS cnt
+  FROM customer
+  GROUP BY c_nationkey, CAST(FLOOR(c_acctbal / 1000) AS BIGINT), c_mktsegment
+),
+grp AS (
+  SELECT c_nationkey, acct_band, CAST(SUM(cnt) AS BIGINT) AS grp_n
+  FROM cells GROUP BY c_nationkey, acct_band
+),
+dev AS (
+  SELECT c.c_nationkey, c.acct_band,
+         CAST(MAX(g.grp_n) AS BIGINT) AS grp_n,
+         CAST(MAX(t.n_all) AS BIGINT) AS n_all,
+         CAST(SUM(ABS(c.cnt * t.n_all - s.g_cnt * g.grp_n)) AS BIGINT)
+           AS present_num,
+         CAST(SUM(s.g_cnt) AS BIGINT) AS present_gmass
+  FROM cells c
+  JOIN gseg s ON s.seg = c.seg
+  JOIN grp g ON g.c_nationkey = c.c_nationkey AND g.acct_band = c.acct_band
+  CROSS JOIN tot t
+  GROUP BY c.c_nationkey, c.acct_band
+)
+SELECT c_nationkey, acct_band, grp_n,
+       CAST((present_num + grp_n * (n_all - present_gmass)) * 1000000
+            {idiv} (2 * grp_n * n_all) AS BIGINT) AS t_tvd_ppm,
+       CASE WHEN (present_num + grp_n * (n_all - present_gmass)) * 5
+                 > 2 * grp_n * n_all
+            THEN 1 ELSE 0 END AS above_t
+FROM dev
+"""
+    cases["privacy_t_closeness"] = _bi_case(
+        _TCLOSE_TEMPLATE, idiv=("DIV", "//")
+    )
+
+    # --- referential-integrity audit: orphan-FK rate for every edge
+    # of the star schema (plus events→customer), each branch one
+    # LEFT JOIN against a broadcastable parent key set with the
+    # orphan/null split counted map-side. The last edge
+    # (events.user_id → supplier.s_suppkey) is a deliberately
+    # mismatched CONTROL: it must fire (~1/3 orphans at every sf), so
+    # an all-zero report can never silently mean "the detector is
+    # broken" — the same no-silent-pass discipline as
+    # dq_expectation_report.
+    _ri_branch = """
+SELECT '{child}.{ck} -> {parent}.{pk}' AS fk_edge,
+       COUNT(*) AS n_child_rows,
+       CAST(SUM(CASE WHEN c.{ck} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS null_fk_rows,
+       CAST(SUM(CASE WHEN c.{ck} IS NOT NULL AND p.{pk} IS NULL
+                THEN 1 ELSE 0 END) AS BIGINT) AS orphan_rows,
+       CAST(SUM(CASE WHEN c.{ck} IS NOT NULL AND p.{pk} IS NULL
+                THEN 1 ELSE 0 END) * 1000000 {{idiv}} COUNT(*) AS BIGINT)
+         AS orphan_ppm
+FROM {child} c LEFT JOIN {parent} p ON c.{ck} = p.{pk}
+"""
+    _RI_TEMPLATE = "\nUNION ALL\n".join(
+        _ri_branch.format(child=c, ck=ck, parent=p, pk=pk)
+        for c, ck, p, pk in (
+            ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+            ("lineitem", "l_partkey", "part", "p_partkey"),
+            ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+            ("orders", "o_custkey", "customer", "c_custkey"),
+            ("customer", "c_nationkey", "nation", "n_nationkey"),
+            ("supplier", "s_nationkey", "nation", "n_nationkey"),
+            ("nation", "n_regionkey", "region", "r_regionkey"),
+            ("events", "user_id", "customer", "c_custkey"),
+            # control edge — must fire
+            ("events", "user_id", "supplier", "s_suppkey"),
+        )
+    )
+    cases["dq_referential_integrity"] = _bi_case(
+        _RI_TEMPLATE, idiv=("DIV", "//")
     )
 
     return _driver_order(cases)
