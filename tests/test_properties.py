@@ -469,6 +469,76 @@ def test_global_ranked_cumsum_matches_single_window(spark, values, n_parts):
     assert got == want
 
 
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(st.integers(0, 80), min_size=1, max_size=60, unique=True),
+    st.integers(1, 6),
+)
+def test_islands_matches_textbook_form(spark, ids, n_parts):
+    """scan.islands (per-range difference trick + seam merge) returns
+    exactly the islands of the global id - ROW_NUMBER form, for ANY
+    partition count — chains that cross several range seams (including
+    the everything-contiguous single island) must reassemble."""
+    from etl_service_spark.operators.scan import islands
+
+    df = spark.createDataFrame([(i,) for i in ids], ["id"])
+    got = {
+        (r.island_start, r.island_end, r.island_len)
+        for r in islands(df, "id", n_parts=n_parts).collect()
+    }
+    want = set()
+    run: list[int] = []
+    for i in sorted(ids):
+        if run and i != run[-1] + 1:
+            want.add((run[0], run[-1], len(run)))
+            run = []
+        run.append(i)
+    want.add((run[0], run[-1], len(run)))
+    assert got == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.integers(1, 150), st.sampled_from([1, 2, 5, 10, 32, 64]))
+def test_ntile_case_sql_matches_builtin_ntile(spark, n, buckets):
+    """scan.ntile_case_sql (closed-form remainder rule over a global
+    rank) assigns every rank 1..n the same bucket as Spark's own NTILE
+    — including n < buckets, where the ELSE branch would divide by
+    zero if it were ever reached."""
+    from etl_service_spark.operators.scan import ntile_case_sql
+
+    df = spark.range(1, n + 1).selectExpr(
+        "id AS rk", f"CAST({n} AS BIGINT) AS n"
+    )
+    got = {
+        (r.rk, r.b)
+        for r in df.selectExpr(
+            "rk", f"({ntile_case_sql('rk', 'n', buckets)}) AS b"
+        ).collect()
+    }
+    want = {
+        (r.id, r.nt)
+        for r in spark.range(1, n + 1)
+        .selectExpr("id", f"NTILE({buckets}) OVER (ORDER BY id) AS nt")
+        .collect()
+    }
+    assert got == want
+
+
+def test_islands_chain_through_empty_and_seamed_partitions(spark):
+    """Deterministic seam stress: one long contiguous block spanning
+    every range partition plus isolated singletons — the merged chain
+    must come back as ONE island with the exact length."""
+    from etl_service_spark.operators.scan import islands
+
+    ids = list(range(100, 400)) + [7, 9, 500]
+    df = spark.createDataFrame([(i,) for i in ids], ["id"])
+    got = {
+        (r.island_start, r.island_end, r.island_len)
+        for r in islands(df, "id", n_parts=8).collect()
+    }
+    assert got == {(7, 7, 1), (9, 9, 1), (100, 399, 300), (500, 500, 1)}
+
+
 # ------------------------------------------------------ bloom prefilter
 @settings(max_examples=6, deadline=None)
 @given(
