@@ -54,6 +54,7 @@ HEADLINERS = [
     "dedup_cluster_components",
     "dedup_cluster_twophase",
     "graph_pagerank",
+    "graph_bfs_layers",
     "sketch_kmv_distinct",
     "sketch_cms_heavy_hitters",
     "sketch_histogram_quantiles",
@@ -160,6 +161,8 @@ HEADLINERS = [
     "emb_hamming_knn_graph",
     "events_burst_windows",
     "graph_kcore",
+    "privacy_k_map",
+    "text_source_unigram_tvd",
     "text_boilerplate_prefixes",
     "text_pmi_collocations",
     "events_changepoint_scan",

@@ -1286,7 +1286,8 @@ def _band_sig_sql(k: int) -> str:
 
 
 def _band_tuning_tail(
-    k: int, band_configs: tuple[int, ...], cap_rows: int = 32
+    k: int, band_configs: tuple[int, ...], cap_rows: int = 32,
+    src_modulus: int = 1,
 ) -> tuple[str, dict]:
     """CTE tail from a signature relation {sig_rel} + exact-pair
     relation {exact_rel} to the per-banding recall/cost table.
@@ -1357,7 +1358,8 @@ def _band_tuning_tail(
         f"""SELECT {b} AS bands, {k // b} AS rows_per_band,
        cand_mass, n_true, n_hits,
        CAST(n_hits * 1000000 {{idiv}} NULLIF(n_true, 0) AS BIGINT) AS recall_ppm,
-       CAST(n_hits * 1000000 {{idiv}} NULLIF(cand_mass, 0) AS BIGINT) AS hits_per_mass_ppm,
+       CAST(n_hits * {src_modulus} * 1000000 {{idiv}} NULLIF(cand_mass, 0)
+            AS BIGINT) AS hits_per_mass_ppm,
        dropped_postings
 FROM mass_{b} CROSS JOIN hits_{b} CROSS JOIN truth"""
         for b in band_configs
@@ -1394,7 +1396,7 @@ def lsh_band_tuning_sql(
     would re-run the signature aggregate per config and the PPJoin
     verify per full-outer scan).
     """
-    tail, band_arrs = _band_tuning_tail(k, band_configs, cap_rows)
+    tail, band_arrs = _band_tuning_tail(k, band_configs, cap_rows, src_modulus)
     exact = ngram_jaccard_sql(tau, view, src_modulus=src_modulus)
     return P.bi_sql(
         _HASHSET_PROLOGUE + ",\nsig AS (\n" + _band_sig_sql(k) + "\n),\n" + tail,
@@ -1454,7 +1456,7 @@ def lsh_band_tuning_staged(
             spark, tau, view, src_modulus=src_modulus
         ).select("doc_a", "doc_b"),
     )
-    tail, band_arrs = _band_tuning_tail(k, band_configs, cap_rows)
+    tail, band_arrs = _band_tuning_tail(k, band_configs, cap_rows, src_modulus)
     body = P.bi_sql(
         "WITH " + tail,
         sig_rel=sig_rel,

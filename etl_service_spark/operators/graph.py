@@ -564,6 +564,85 @@ def degree_distribution_sql() -> tuple[str, str]:
     )
 
 
+BFS_SEED_MOD = 97  # deterministic seed set: node % 97 == 0
+
+
+def bfs_layers(spark: SparkSession, k: int = 4) -> DataFrame:
+    """k-bounded multi-source BFS over the customer–supplier
+    interaction graph (PR_PAIRS_SQL): every node's hop distance from
+    the deterministic seed set (node % BFS_SEED_MOD == 0), reported
+    as the (dist, n_nodes) layer histogram — the reachability profile
+    that sizes a k-hop neighborhood query (fraud rings, supply-chain
+    blast radius) before it runs.
+
+    Spark shape: the frontier-expansion loop — per round ONE join of
+    the current distance vector against the co-partitioned symmetric
+    edge list + ONE min-aggregate (same discipline as
+    connected_components: the persisted edge relation advertises its
+    partitioning, so only the distance vector moves per round), each
+    round localCheckpoint'ed to cut lineage. k is a constant (4), so
+    the loop is bounded by construction. The DuckDB oracle is an
+    independent formulation: unrolled layer-by-layer EXCEPT algebra.
+    """
+    pairs = spark.sql(PR_PAIRS_SQL)
+    sym = pairs.union(
+        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).repartition("b").persist()
+    try:
+        nodes = sym.select(F.col("a").alias("node")).distinct()
+        dist = nodes.filter(F.col("node") % BFS_SEED_MOD == 0).withColumn(
+            "d", F.lit(0)
+        ).localCheckpoint()
+        for i in range(1, k + 1):
+            frontier = (
+                dist.filter(F.col("d") == i - 1)
+                .join(sym, dist["node"] == sym["b"])
+                .select(F.col("a").alias("node"), F.lit(i).alias("d"))
+            )
+            dist = (
+                dist.unionByName(frontier)
+                .groupBy("node")
+                .agg(F.min("d").alias("d"))
+                .localCheckpoint()
+            )
+        return (
+            dist.groupBy("d")
+            .agg(F.count("*").alias("n_nodes"))
+            .select(F.col("d").cast("long").alias("dist"), "n_nodes")
+        )
+    finally:
+        sym.unpersist()
+
+
+def bfs_layers_oracle_sql(k: int = 4) -> str:
+    """Layer-by-layer EXCEPT unrolling: l0 = seeds; l_i = neighbors of
+    l_{i-1} not seen in any earlier layer. Set algebra on DISTINCT
+    node sets is exactly min-hop semantics."""
+    layers = ["l0 AS (SELECT node FROM nodes WHERE node % 97 = 0)"]
+    seen = "SELECT node FROM l0"
+    for i in range(1, k + 1):
+        # the seen-set union is parenthesized as a derived table:
+        # UNION and EXCEPT share precedence left-to-right, so a bare
+        # "EXCEPT a UNION b" would re-add earlier layers
+        layers.append(
+            f"l{i} AS (SELECT DISTINCT e.a AS node FROM e "
+            f"JOIN l{i-1} s ON e.b = s.node "
+            f"EXCEPT SELECT node FROM ({seen}) seen{i})"
+        )
+        seen += f" UNION SELECT node FROM l{i}"
+    unions = "\nUNION ALL\n".join(
+        f"SELECT {i} AS dist, CAST(COUNT(*) AS BIGINT) AS n_nodes FROM l{i}"
+        for i in range(k + 1)
+    )
+    return f"""
+WITH pairs AS ({PR_PAIRS_SQL}),
+e AS (SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs),
+nodes AS (SELECT DISTINCT a AS node FROM e),
+{",".join(layers)}
+SELECT dist, n_nodes FROM ({unions}) x WHERE n_nodes > 0
+"""
+
+
 def kcore_peel(
     edges: DataFrame, k: int = 2, rounds: int = 4,
     a: str = "doc_a", b: str = "doc_b",

@@ -106,9 +106,12 @@ def key_skew_report_sql(
 
     Exact percentiles by rank selection over the per-key count
     relation (cnt ASC, key ASC is a total order → deterministic), all
-    integer arithmetic. Scale shape: one map-side-combined aggregate
-    to |keys| rows, then one window over that (already reduced)
-    relation; output is a single row.
+    integer arithmetic. The per-key relation is |keys| rows — reduced,
+    but NOT bounded (billions of keys at 100 TB), so the unpartitioned
+    rank window here plans as Exchange SinglePartition: this form is
+    the DuckDB ORACLE only, and the Spark side runs key_skew_staged
+    (scan.global_rank two-phase rank — round-9 audit finding, the
+    same class as the round-8 verdict's six).
     """
     template = f"""
 WITH c AS (
@@ -142,6 +145,50 @@ FROM o
     # multiplies in HUGEINT instead.
     return P.bi_sql(
         template, idiv=("DIV", "//"), big_t=("DECIMAL(38,0)", "HUGEINT")
+    )
+
+
+def key_skew_staged(
+    spark: SparkSession,
+    key: str = "user_id",
+    top_n: int = 10,
+    view: str = "events",
+) -> DataFrame:
+    """The Spark execution path of key_skew_report_sql: identical
+    output (same rank-selection percentiles under (cnt ASC, key ASC)),
+    but the global rank comes from scan.global_rank — range-partitioned
+    two-phase scan over the per-key count relation — instead of an
+    unpartitioned window, so no single task ever sorts |keys| rows.
+    The corpus totals ride a broadcast 1-row aggregate."""
+    from . import scan
+
+    per_key = (
+        spark.table(view)
+        .select(F.col(key).alias("k"))
+        .groupBy("k")
+        .agg(F.count("*").alias("cnt"))
+    )
+    ranked = scan.global_rank(per_key, [("cnt", True), ("k", True)], out="rk")
+    tot = per_key.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("cnt").cast("long").alias("n_rows"),
+    )
+    o = ranked.crossJoin(F.broadcast(tot))
+    return o.agg(
+        F.expr("MAX(n_keys) AS n_keys"),
+        F.expr("CAST(MAX(n_rows) AS BIGINT) AS n_rows"),
+        F.expr("MAX(cnt) AS max_cnt"),
+        F.expr("MAX(CASE WHEN rk = (n_keys * 50 + 99) DIV 100 THEN cnt END) AS p50_cnt"),
+        F.expr("MAX(CASE WHEN rk = (n_keys * 90 + 99) DIV 100 THEN cnt END) AS p90_cnt"),
+        F.expr("MAX(CASE WHEN rk = (n_keys * 99 + 99) DIV 100 THEN cnt END) AS p99_cnt"),
+        F.expr(
+            f"CAST(SUM(CASE WHEN rk > n_keys - {top_n} THEN cnt ELSE 0 END) * 1000000"
+            f" DIV MAX(n_rows) AS BIGINT) AS top{top_n}_share_ppm"
+        ),
+        F.expr(
+            "CAST(CAST(MAX(cnt) AS DECIMAL(38,0)) * MAX(n_keys) * 1000000"
+            " DIV MAX(n_rows) AS BIGINT) AS max_over_mean_ppm"
+        ),
     )
 
 

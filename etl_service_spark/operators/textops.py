@@ -2049,12 +2049,14 @@ scored AS (
 agg AS (
   SELECT phrase, MAX(score_ppm) AS score_ppm, COUNT(*) AS n_occurrences
   FROM scored GROUP BY phrase
+),
+top AS (
+  SELECT phrase, score_ppm, n_occurrences
+  FROM agg ORDER BY score_ppm DESC, phrase ASC LIMIT {topk}
 )
 SELECT phrase, score_ppm, n_occurrences,
        ROW_NUMBER() OVER (ORDER BY score_ppm DESC, phrase ASC) AS rk
-FROM agg
-ORDER BY score_ppm DESC, phrase ASC
-LIMIT {topk}
+FROM top
 """
 
 
@@ -2073,7 +2075,10 @@ def rake_keywords_sql(
     Scale shape: one window pass for segmentation (doc-partitioned),
     two vocabulary-bounded aggregates (word stats, phrase scores —
     both map-side combinable; the word-stats relation broadcasts
-    back), and a WindowGroupLimit top-k. Phrases longer than
+    back), and a TakeOrderedAndProject top-k (ORDER BY … LIMIT =
+    per-partition heaps of k rows; the rk column is then a window
+    over only the k survivors, never the vocabulary-grain relation —
+    that form planned as Exchange SinglePartition). Phrases longer than
     ``max_phrase`` words are excluded from scoring entirely (standard
     RAKE practice — unbounded runs in stopword-poor text otherwise
     dominate degree mass).

@@ -1894,14 +1894,41 @@ _VERIFIED_R7 = (
         "tpch_q8_market_share", "tpch_q9_product_profit",
 )
 
+_VERIFIED_R8 = (
+        # round 8 (CORRECTNESS_r08.json, 50 green rows)
+        "ana_report_rows", "ann_range_search", "corpus_contamination",
+        "corpus_dedup_cascade", "corpus_dup_rate_by_source",
+        "corpus_quality_curriculum", "corpus_temperature_mixture",
+        "corpus_token_budget", "dedup_cluster_twophase", "dedup_containment",
+        "dedup_fuzzy_names", "dedup_lsh_band_tuning",
+        "dedup_sentence_boilerplate", "dedup_strategy_sweep",
+        "dedup_url_canonical", "dim_scd2_pit_lookup",
+        "dq_benford_first_digit", "dq_referential_integrity",
+        "emb_guard_cap_sweep", "emb_knn_cell_guard_report",
+        "emb_knn_guarded_graph", "events_dau_wau_stickiness",
+        "events_funnel_windowed", "events_gapfill_hourly",
+        "events_gaps_islands", "events_interarrival_stats",
+        "events_json_extract", "events_ohlc_windows",
+        "layout_zorder_skipping", "privacy_pseudonymize",
+        "privacy_t_closeness", "profile_fd_violations",
+        "profile_orders_columns", "q17_small_qty_revenue",
+        "semi_join_urgent_customers", "sketch_bloom_membership",
+        "sketch_cms_heavy_hitters", "sketch_histogram_quantiles",
+        "sketch_hll_distinct", "sketch_kmv_audience_overlap",
+        "sketch_kmv_distinct", "snap_cdc_compaction", "text_fingerprint",
+        "text_lang_id", "text_normalize", "text_quality_score",
+        "text_tfidf_top_terms", "text_token_stats", "top_parts_by_revenue",
+        "tpch_q17_small_quantity",
+)
+
 # Stalest driver row first: the oldest-round tier leads the verified
 # tail; a name verified in several rounds keeps only its FRESHEST
 # (latest-round) position.
 _seen: set[str] = set()
 _stale_tiers: list[tuple[str, ...]] = []
 for _tier in (
-    _VERIFIED_R7, _VERIFIED_R6, _VERIFIED_R5, _VERIFIED_R4, _VERIFIED_R3,
-    _VERIFIED_R2, _VERIFIED_R1,
+    _VERIFIED_R8, _VERIFIED_R7, _VERIFIED_R6, _VERIFIED_R5, _VERIFIED_R4,
+    _VERIFIED_R3, _VERIFIED_R2, _VERIFIED_R1,
 ):
     _stale_tiers.append(tuple(n for n in _tier if n not in _seen))
     _seen.update(_tier)
@@ -1927,26 +1954,25 @@ _FAMILY_PREFIXES: tuple[tuple[str, ...], ...] = (
 )
 
 
-# Round 8 priority tier (VERDICT.md round 7, "Next round" #4): the new
-# round-8 registry entries (never driver-sampled), then RE-VERIFY rows
-# whose implementation changed AFTER their last (r7) driver-green row.
-# The verified tail behind this tier starts with the r2 (17 rows) and
-# r3 (44 rows) staleness tiers, so the driver's 50-sample drains all
-# of r2 and most of r3 this round.
+# Round 9 priority tier (VERDICT.md round 8, "Next round" #5): every
+# query whose PLAN or VALUES changed this round — the six
+# single-partition-window eliminations, the two further members the
+# extended plan_audit window rule found (key_skew, rake), and the
+# three ADVICE-driven value/filter changes — must be driver-RE-verified
+# before anything else. The verified tail behind this tier leads with
+# the r3 (26 rows) and r4 staleness tiers, so the driver's 50-sample
+# retires r3 entirely and most of r4.
 _PRIORITY_PENDING = (
-    # new in round 8
-    "emb_knn_guarded_graph", "emb_knn_cell_guard_report",
-    "emb_guard_cap_sweep", "tpch_q17_small_quantity",
-    "corpus_dedup_cascade", "dedup_sentence_boilerplate",
-    "dq_benford_first_digit", "profile_fd_violations",
-    "events_ohlc_windows", "layout_zorder_skipping",
-    "snap_cdc_compaction", "privacy_t_closeness",
-    "dq_referential_integrity",
-    # re-verify: plan changed since last (r7) driver-green row — the
-    # round-8 edge-case fix (anchored www. strip, wildcard-free
-    # tracking-param test) and the sampled-exact truth side
-    # (src_modulus=8) on the band-tuning report
-    "dedup_url_canonical", "dedup_lsh_band_tuning",
+    # round-8 verdict "What's wrong" #1-#6: single-partition windows
+    # replaced by bounded-domain / two-phase-scan / TakeOrdered forms
+    "layout_zorder_skipping", "orders_rfm_segments",
+    "corpus_quality_curriculum", "profile_range_boundaries",
+    "events_gaps_islands", "events_seasonal_residuals",
+    # same class, found by the NEW plan_audit window rule this round
+    "profile_key_skew", "text_rake_keywords",
+    # ADVICE r8: decimal-safe ppm scaling; NULL-defensive OHLC frame;
+    # modulus-corrected hits_per_mass_ppm
+    "privacy_t_closeness", "events_ohlc_windows", "dedup_lsh_band_tuning",
 )
 
 
@@ -4125,7 +4151,11 @@ GROUP BY {daydiff}
     cases["events_seasonal_residuals"] = _pair_case(sketch.seasonal_residuals_sql())
 
     # --- shuffle-key skew report (the salting pre-flight gauge)
-    cases["profile_key_skew"] = _pair_case(profile.key_skew_report_sql())
+    def _key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+        views(spark, sf_dir)
+        return profile.key_skew_staged(spark)
+
+    cases["profile_key_skew"] = Case(_key_skew, profile.key_skew_report_sql()[1])
 
     # --- minhash-LSH band-bucket cost audit (shares the staged
     # hashset relation with the whole dedup family)
@@ -4946,6 +4976,13 @@ FROM (SELECT {det} AS k, COUNT(DISTINCT {dep}) AS n_vals
     # event_id) packed string key — total order even under equal
     # timestamps, no int64 overflow at any sf, and the whole query is
     # ONE hash aggregate with map-side partials (no sort window).
+    # NULL ts/event_id/value rows are filtered explicitly (round-8
+    # ADVICE): Spark's concat returns NULL if ANY argument is NULL
+    # while DuckDB's skips NULL arguments, so an unfiltered NULL would
+    # silently diverge open/close between engine and oracle. The
+    # 12-char event_id pad assumes ids < 1e12 — lpad TRUNCATES beyond
+    # that, breaking the packed order (ids here are dense ordinals;
+    # re-pad if a source ever emits wider ids).
     _OHLC_TEMPLATE = """
 WITH e AS (
   SELECT {trunc_hour} AS hour_start,
@@ -4953,6 +4990,7 @@ WITH e AS (
          concat(lpad(CAST({ts_us} AS {str_t}), 20, '0'),
                 lpad(CAST(event_id AS {str_t}), 12, '0')) AS ord_key
   FROM events
+  WHERE ts IS NOT NULL AND event_id IS NOT NULL AND value IS NOT NULL
 )
 SELECT hour_start, COUNT(*) AS n_events,
        {min_by}(cents, ord_key) AS open_cents,
@@ -5234,8 +5272,8 @@ dev AS (
   SELECT c.c_nationkey, c.acct_band,
          CAST(MAX(g.grp_n) AS BIGINT) AS grp_n,
          CAST(MAX(t.n_all) AS BIGINT) AS n_all,
-         CAST(SUM(ABS(c.cnt * t.n_all - s.g_cnt * g.grp_n)) AS BIGINT)
-           AS present_num,
+         SUM(ABS(CAST(c.cnt AS {big_t}) * t.n_all
+                 - CAST(s.g_cnt AS {big_t}) * g.grp_n)) AS present_num,
          CAST(SUM(s.g_cnt) AS BIGINT) AS present_gmass
   FROM cells c
   JOIN gseg s ON s.seg = c.seg
@@ -5244,16 +5282,133 @@ dev AS (
   GROUP BY c.c_nationkey, c.acct_band
 )
 SELECT c_nationkey, acct_band, grp_n,
-       CAST((present_num + grp_n * (n_all - present_gmass)) * 1000000
-            {idiv} (2 * grp_n * n_all) AS BIGINT) AS t_tvd_ppm,
-       CASE WHEN (present_num + grp_n * (n_all - present_gmass)) * 5
-                 > 2 * grp_n * n_all
+       CAST((present_num + CAST(grp_n AS {big_t}) * (n_all - present_gmass))
+              * 1000000
+            {idiv} (CAST(2 AS {big_t}) * grp_n * n_all) AS BIGINT)
+         AS t_tvd_ppm,
+       CASE WHEN (present_num + CAST(grp_n AS {big_t}) * (n_all - present_gmass))
+                   * 5
+                 > CAST(2 AS {big_t}) * grp_n * n_all
             THEN 1 ELSE 0 END AS above_t
 FROM dev
 """
+    # The numerator is bounded by 2·grp_n·n_all — quadratic in corpus
+    # size — so the ×1e6 ppm scaling (and the ×5 threshold compare)
+    # can pass 2^63 around sf1000: Spark would wrap silently under
+    # non-ANSI paths while DuckDB raises. Accumulate and scale in
+    # DECIMAL(38,0)/HUGEINT (the max_over_mean_ppm precedent,
+    # operators/profile.py) and cast only the ≤1e6 quotient down.
     cases["privacy_t_closeness"] = _bi_case(
-        _TCLOSE_TEMPLATE, idiv=("DIV", "//")
+        _TCLOSE_TEMPLATE, idiv=("DIV", "//"), big_t=("DECIMAL(38,0)", "HUGEINT")
     )
+
+    # --- k-map audit (Sweeney/El Emam): the fourth classic privacy
+    # metric, completing k-anonymity / l-diversity / t-closeness on
+    # the SAME QI convention. k-anonymity judges group sizes inside
+    # the released dataset; k-map judges them against the POPULATION
+    # the attacker actually matches on — a released group of 2 is
+    # fine if 10,000 population members share its QI, fatal if 3 do.
+    # Dataset = customers with at least one URGENT order (an EXISTS
+    # semi-join, pushed down); population = all customers. Per-nation
+    # rollup keeps the output bounded; all-integer.
+    _KMAP_TEMPLATE = """
+WITH pop AS (
+  SELECT c_nationkey,
+         CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS acct_band,
+         COUNT(*) AS pop_n
+  FROM customer
+  GROUP BY c_nationkey, CAST(FLOOR(c_acctbal / 1000) AS BIGINT)
+),
+ds AS (
+  SELECT c.c_nationkey,
+         CAST(FLOOR(c.c_acctbal / 1000) AS BIGINT) AS acct_band,
+         COUNT(*) AS ds_n
+  FROM customer c
+  WHERE EXISTS (SELECT 1 FROM orders o
+                WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderpriority = '1-URGENT')
+  GROUP BY c.c_nationkey, CAST(FLOOR(c.c_acctbal / 1000) AS BIGINT)
+)
+SELECT d.c_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(CASE WHEN p.pop_n < 10 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_groups_below_k,
+       CAST(SUM(CASE WHEN p.pop_n < 10 THEN d.ds_n ELSE 0 END) AS BIGINT)
+         AS rows_at_risk,
+       CAST(SUM(d.ds_n) AS BIGINT) AS ds_rows,
+       CAST(MIN(p.pop_n) AS BIGINT) AS min_pop_n
+FROM ds d
+JOIN pop p ON p.c_nationkey = d.c_nationkey AND p.acct_band = d.acct_band
+GROUP BY d.c_nationkey
+"""
+    cases["privacy_k_map"] = _bi_case(_KMAP_TEMPLATE)
+
+    # --- per-source unigram drift (the training-mix distribution-shift
+    # monitor): exact total-variation distance between each source's
+    # token distribution and the whole corpus's, in ppm — the number
+    # that says a source's text went off-distribution BEFORE it
+    # poisons a training mix. Same closed-form absent-mass trick as
+    # privacy_t_closeness (Σ_present |st·N − ct·s_n| + s_n·(N − Σ_present ct)),
+    # so no dense source × vocabulary spine is ever built; products
+    # ride DECIMAL(38,0)/HUGEINT (token counts × corpus totals pass
+    # 2^63 long before 100 TB). Aggregates are (source × token)- then
+    # source-grain — map-side combinable; output is |sources| rows.
+    _SRC_TVD_TEMPLATE = """
+WITH tok AS (
+  SELECT source, {unnest_tokens} AS tok
+  FROM documents
+),
+st AS (
+  SELECT source, tok, COUNT(*) AS st_n
+  FROM tok WHERE tok <> '' GROUP BY source, tok
+),
+ct AS (
+  SELECT tok, CAST(SUM(st_n) AS BIGINT) AS ct_n FROM st GROUP BY tok
+),
+totals AS (
+  SELECT CAST(SUM(st_n) AS BIGINT) AS n_all FROM st
+),
+dev AS (
+  SELECT s.source,
+         CAST(MAX(t.n_all) AS BIGINT) AS n_all,
+         CAST(SUM(s.st_n) AS BIGINT) AS s_n,
+         COUNT(*) AS n_distinct_tokens,
+         SUM(ABS(CAST(s.st_n AS {big_t}) * t.n_all
+                 - CAST(c.ct_n AS {big_t}) * sg.s_n)) AS present_num,
+         CAST(SUM(c.ct_n) AS BIGINT) AS present_cmass
+  FROM st s
+  JOIN ct c ON c.tok = s.tok
+  JOIN (SELECT source, CAST(SUM(st_n) AS BIGINT) AS s_n
+        FROM st GROUP BY source) sg ON sg.source = s.source
+  CROSS JOIN totals t
+  GROUP BY s.source
+)
+SELECT source, s_n AS n_tokens, n_distinct_tokens,
+       CAST((present_num + CAST(s_n AS {big_t}) * (n_all - present_cmass))
+              * 1000000
+            {idiv} (CAST(2 AS {big_t}) * s_n * n_all) AS BIGINT)
+         AS tvd_ppm
+FROM dev
+"""
+    cases["text_source_unigram_tvd"] = _bi_case(
+        _SRC_TVD_TEMPLATE,
+        idiv=("DIV", "//"),
+        big_t=("DECIMAL(38,0)", "HUGEINT"),
+        unnest_tokens=(
+            "explode(split(lower(text), '[^a-z0-9]+'))",
+            "unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+'))",
+        ),
+    )
+
+    # --- k-hop reachability layers (graph.bfs_layers): iterative
+    # frontier expansion on Spark vs unrolled EXCEPT algebra in the
+    # oracle — two independent BFS formulations must agree on every
+    # layer census.
+    def _bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+        views(spark, sf_dir)
+        return graph.bfs_layers(spark)
+
+    cases["graph_bfs_layers"] = Case(_bfs, graph.bfs_layers_oracle_sql())
 
     # --- referential-integrity audit: orphan-FK rate for every edge
     # of the star schema (plus events→customer), each branch one

@@ -62,3 +62,40 @@ def test_bench_partition_covers_registry():
         "phantom": sorted((headliners | excluded) - names),
     }
     assert all(reason.strip() for reason in bench.EXCLUDED.values())
+
+
+def test_plan_audit_flags_single_partition_windows(spark, sf_dir):
+    """The round-9 audit rule end-to-end: an unpartitioned NTILE over
+    a fact table (the pre-fix layout_zorder_skipping / RFM shape)
+    MUST be flagged as Window-over-Exchange-SinglePartition, while the
+    sanctioned bounded forms — the two-phase scan's n_parts offsets
+    window and a window over a bounded-domain aggregate — must pass.
+    Guards the audit itself: it machine-checked 198 plans in round 8
+    and caught none of the six, because the class was not in its
+    pattern list."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from plan_audit import window_violations
+
+    from etl_service_spark.plans.queries import views
+
+    views(spark, sf_dir)
+    prefix = spark.sql(
+        "SELECT NTILE(64) OVER (ORDER BY o_custkey, o_orderkey) AS f FROM orders"
+    )
+    plan = prefix._jdf.queryExecution().executedPlan().toString()
+    assert window_violations("prefix_ntile", plan), "pre-fix shape not flagged"
+
+    from etl_service_spark.operators.scan import global_ranked_cumsum
+
+    fixed = global_ranked_cumsum(
+        spark.table("orders").selectExpr(
+            "o_custkey", "CAST(o_orderkey AS BIGINT) AS w"
+        ),
+        "w",
+        "o_custkey",
+    )
+    plan = fixed._jdf.queryExecution().executedPlan().toString()
+    assert window_violations("two_phase", plan) == [], "offsets pass wrongly flagged"

@@ -524,6 +524,20 @@ def test_ntile_case_sql_matches_builtin_ntile(spark, n, buckets):
     assert got == want
 
 
+@settings(max_examples=200, deadline=None)
+@given(st.integers(-10**12, 10**12), st.integers(0, 10**12), st.integers(0, 10**12))
+def test_zorder_quantized_domains(lo, span, off):
+    """The bound tools/plan_audit.py's BOUNDED_WINDOW_KEYS cites for
+    zval/qd: the 8-bit quantization (v - lo) * 256 DIV (hi - lo + 1)
+    lands in [0, 256) for every v in [lo, hi], so the Morton
+    interleave of two such codes lands in [0, 65536). Pure arithmetic
+    — no Spark session needed."""
+    hi = lo + span
+    v = lo + (off % (span + 1))
+    q = (v - lo) * 256 // (hi - lo + 1)
+    assert 0 <= q < 256
+
+
 def test_islands_chain_through_empty_and_seamed_partitions(spark):
     """Deterministic seam stress: one long contiguous block spanning
     every range partition plus isolated singletons — the merged chain

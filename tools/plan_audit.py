@@ -105,6 +105,150 @@ def _bounded(subtree: str) -> bool:
     return not any(w in above for w in ("Join", "Generate", "Expand", "Union"))
 
 
+# Grouping keys whose value domain is BOUNDED BY CONSTRUCTION — an
+# aggregate keyed on (a subset of) these yields a constant-size
+# relation no matter the data mass, so a single-partition window over
+# it is the sanctioned offsets/cumsum shape (operators/scan.py module
+# docstring), not a scale-killer:
+#   _pid        — spark_partition_id() of an explicit repartition:
+#                 <= n_parts rows (the two-phase scan offsets pass);
+#   zval        — 16-bit Morton code of two 8-bit quantized dims:
+#                 <= 65,536 (layout_zorder_skipping; domain pinned by
+#                 tests/test_properties.py::test_zorder_quantized_domains);
+#   qd          — one 8-bit quantized dim of the same scorer: <= 256;
+#   first_digit — one character of a positive integer's rendering:
+#                 <= 9 values (Benford audit);
+#   source/lang — corpus catalog vocabularies (data-source labels,
+#                 language codes): grow with the CATALOG, not the
+#                 corpus mass (mixture/budget reports are per-source
+#                 by definition);
+#   arm         — A/B experiment arm: 2 values.
+BOUNDED_WINDOW_KEYS = frozenset(
+    {"_pid", "zval", "qd", "first_digit", "source", "lang", "arm"}
+)
+
+# Ambiguously-named keys sanctioned for SPECIFIC queries only (the
+# name is generic enough that a global entry could mask a real
+# violation elsewhere):
+#   dedup_threshold_curve.bucket — similarity-threshold decile:
+#     <= 10 values by the FLOOR(sim*10) construction;
+#   emb_whitening_stats.i — embedding dimension index: bounded by the
+#     (fixed) vector length.
+SANCTIONED_WINDOW_KEYS: dict[str, frozenset] = {
+    "dedup_threshold_curve": frozenset({"bucket"}),
+    "emb_whitening_stats": frozenset({"i"}),
+}
+
+# SortAggregate prints "key=[...]" (singular); the hash variants
+# "keys=[...]". output=[...] can be absent on truncated lines.
+_AGG_RE = re.compile(
+    r"(?:Hash|Sort|ObjectHash)Aggregate\(keys?=\[([^\]]*)\](?:.*?output=\[([^\]]*)\])?"
+)
+_KEYNAME_RE = re.compile(r"([A-Za-z_][A-Za-z0-9_]*)#\d+")
+
+
+def _toplevel_split(s: str) -> list[str]:
+    """Split an expression list on commas outside parentheses."""
+    out, depth, cur = [], 0, []
+    for ch in s:
+        if ch == "," and depth == 0:
+            out.append("".join(cur).strip())
+            cur = []
+        else:
+            depth += ch in "([" or -(ch in ")]")
+            cur.append(ch)
+    if cur:
+        out.append("".join(cur).strip())
+    return [p for p in out if p]
+
+
+def _agg_key_names(keys_str: str, output_str: str) -> set[str]:
+    """Base column names of an aggregate's grouping keys. Expression
+    keys are planned as an opaque ``_groupingexpression`` alias — for
+    those, use the aggregate's output columns instead: the grouping
+    outputs lead the output list positionally, under their SQL-visible
+    aliases (e.g. keys=[_groupingexpression] output=[qd, c] -> qd)."""
+    keys = _toplevel_split(keys_str)
+    names = set()
+    outs = _toplevel_split(output_str or "")
+    for i, k in enumerate(keys):
+        base = _KEYNAME_RE.findall(k)
+        if any(n.startswith("_groupingexpression") for n in base) and i < len(outs):
+            base = _KEYNAME_RE.findall(outs[i])
+        names.update(base)
+    return names
+
+
+def window_violations(name: str, plan: str) -> list[str]:
+    """Round-8 verdict #2: flag every Window whose input arrives
+    through an Exchange SinglePartition over a relation that is not
+    provably bounded — the one anti-pattern class the round-8 audit
+    missed in all six of the verdict's 'weak' plans. A window's input
+    chain is walked downward through pass-through nodes; hitting any
+    partitioned Exchange / Join first means the window is distributed
+    (fine). A SinglePartition input is sanctioned only if, below the
+    exchange and before any Join, the first aggregate is keyed
+    entirely by BOUNDED_WINDOW_KEYS (or is a global keys=[] aggregate),
+    or the subtree scans no table at all (literal relations)."""
+    lines = plan.splitlines()
+    bad = []
+    passthrough = ("Window", "WindowGroupLimit", "Sort ", "Project", "Filter", "Coalesce")
+    for i, line in enumerate(lines):
+        if not re.search(r"(^|[:+]- )Window(GroupLimit)? \[", line):
+            continue
+        col = _marker_col(line)
+        col = -1 if col is None else col
+        # walk the input chain until the node that decides partitioning
+        exch_idx = exch_col = None
+        for j in range(i + 1, len(lines)):
+            cj = _marker_col(lines[j])
+            if cj is None or cj <= col:
+                break
+            node = lines[j]
+            if "Exchange SinglePartition" in node:
+                exch_idx, exch_col = j, cj
+                break
+            if re.search(r"(^|[:+]- )Exchange ", node) or "BroadcastExchange" in node:
+                break  # partitioned input — distributed window
+            if any(w in node for w in ("Join", "Aggregate", "Scan", "Union")):
+                break  # partitioning decided elsewhere; no sort exchange
+            if not any(w in node for w in passthrough):
+                break  # unknown node: don't guess past it
+        if exch_idx is None:
+            continue
+        # bounding check below the single-partition exchange
+        sub = []
+        for j in range(exch_idx + 1, len(lines)):
+            cj = _marker_col(lines[j])
+            if cj is None or cj <= exch_col:
+                break
+            sub.append(lines[j])
+        subtree = "\n".join(sub)
+        if not any(w in subtree for w in ("Scan parquet", "FileScan", "ExistingRDD")):
+            continue  # literal/local relation — bounded
+        allowed = BOUNDED_WINDOW_KEYS | SANCTIONED_WINDOW_KEYS.get(name, frozenset())
+        bounded = False
+        for ln in sub:
+            if "TakeOrderedAndProject" in ln or "GlobalLimit" in ln:
+                bounded = True  # row count capped by an explicit limit
+                break
+            if "Join" in ln:
+                break  # branches merge before any aggregate — unbounded
+            m = _AGG_RE.search(ln)
+            if m:
+                keys = _agg_key_names(m.group(1), m.group(2))
+                bounded = not m.group(1).strip() or (
+                    bool(keys) and keys <= allowed
+                )
+                break
+        if not bounded:
+            bad.append(
+                f"{name}: Window over Exchange SinglePartition on an unbounded "
+                f"relation ({line.strip()[:70]}...)"
+            )
+    return bad
+
+
 BASELINE_PATH = os.path.join(REPO, "tools", "plan_baseline.json")
 
 
@@ -155,6 +299,7 @@ def audit_one(name: str, plan: str) -> list[str]:
             )
     if "BatchEvalPython" in plan:
         bad.append(f"{name}: row-at-a-time BatchEvalPython (non-Arrow UDF)")
+    bad.extend(window_violations(name, plan))
     for fact in FACTS:
         for m in re.finditer(
             rf"FileScan parquet \[([^\]]*)\][^\n]*{fact}\.parquet", plan

@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import sys
 import time
@@ -94,16 +95,20 @@ def _gen_documents(path: str, mult: int = 1) -> None:
     )
 
 
-def _gen_embeddings(path: str, mult: int = 1) -> None:
+def _gen_embeddings(path: str, mult: int = 1, hot_frac: float = 0.0) -> None:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     # sf0.1 embeddings are ~unit-normalized gaussians with NEGLIGIBLE
     # label structure (measured: centroid norm 0.06 vs residual 1.0) —
-    # mirror that, or the neardup/ANN candidate masses are incomparable
+    # mirror that, or the neardup/ANN candidate masses are incomparable.
+    # hot_frac > 0 plants a pathological hot label (label 0 holds that
+    # share of all vectors) for the --skew wall-bound point.
     rng = np.random.RandomState(2_000_003 + mult)
     n_vecs = N_VECS * mult
     labels = rng.randint(0, N_LABELS, n_vecs)
+    if hot_frac > 0:
+        labels = np.where(rng.rand(n_vecs) < hot_frac, 0, labels)
     vecs = rng.randn(n_vecs, DIM).astype(np.float32)
     vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
     pq.write_table(
@@ -118,7 +123,9 @@ def _gen_embeddings(path: str, mult: int = 1) -> None:
     )
 
 
-def build_scale_dir(mult: int = 10, scale_dir: str = SCALE_DIR) -> str:
+def build_scale_dir(
+    mult: int = 10, scale_dir: str = SCALE_DIR, hot_frac: float = 0.0
+) -> str:
     if os.path.isdir(scale_dir):
         shutil.rmtree(scale_dir)
     os.makedirs(scale_dir)
@@ -128,8 +135,62 @@ def build_scale_dir(mult: int = 10, scale_dir: str = SCALE_DIR) -> str:
         os.symlink(os.path.join(SF01, f"{t}.parquet"),
                    os.path.join(scale_dir, f"{t}.parquet"))
     _gen_documents(os.path.join(scale_dir, "documents.parquet"), mult)
-    _gen_embeddings(os.path.join(scale_dir, "embeddings.parquet"), mult)
+    _gen_embeddings(os.path.join(scale_dir, "embeddings.parquet"), mult, hot_frac)
     return scale_dir
+
+
+def skew_main() -> int:
+    """--skew: the guard's WALL bound under planted label skew (the
+    round-8 verdict's stretch pair to the planted-skew correctness
+    pytest). Builds two 10x embedding twins — distribution-matched
+    (labels ~uniform) and skewed (label 0 holds 50% of vectors) — and
+    runs the hot-cell-guarded kNN graph with the SAME deployment cap
+    rule on both. The guard caps per-cell pair mass at n*cap, so the
+    skewed wall must track the uniform wall (pair mass within ~2x),
+    not the n^2 of the hot cell; both walls, the gauge columns of the
+    guard report (split/dropped mass), and the ratio are printed as
+    one JSON line for BASELINE_LOCAL.md."""
+    from etl_service_spark.functions import portable as P
+    from etl_service_spark.plans.queries import views
+    from etl_service_spark.operators import similarity
+    from etl_service_spark.session import get_spark
+
+    mult = 10
+    spark = get_spark("scale_bench_skew")
+    P.warm_udfs(spark)
+    out: dict[str, dict] = {}
+    for name, hot in (("uniform", 0.0), ("skew50", 0.5)):
+        sf_dir = build_scale_dir(mult, SCALE_DIR + "_" + name, hot_frac=hot)
+        views(spark, sf_dir)
+        run, cap = _guarded_case(mult)
+        wall, rows = float("inf"), 0
+        for _ in range(2):  # min-of-2: first uniform point pays JVM warm-up
+            t0 = time.monotonic()
+            rows = run(spark, sf_dir).count()
+            wall = min(wall, round(time.monotonic() - t0, 2))
+        gauge = similarity.knn_cell_guard_report_staged(spark, cell_cap=cap)
+        g = gauge.selectExpr(
+            "sum(guarded_pair_mass) pairs",
+            "sum(exact_pair_mass) exact_pairs",
+            "sum(n_sub_cells) sub_cells",
+            "max(max_cell_n) max_cell",
+        ).collect()[0]
+        out[name] = {
+            "wall_s": wall, "rows": rows, "cap": cap,
+            "guarded_pair_mass": g.pairs, "exact_pair_mass": g.exact_pairs,
+            "n_sub_cells": g.sub_cells, "max_cell_n": g.max_cell,
+        }
+        print(f"{name}: {wall}s, {rows} rows, guarded_pairs={g.pairs} "
+              f"(exact would be {g.exact_pairs}), sub_cells={g.sub_cells}, "
+              f"max_cell={g.max_cell}", flush=True)
+    out["wall_ratio_skew_over_uniform"] = round(
+        out["skew50"]["wall_s"] / max(out["uniform"]["wall_s"], 0.01), 2
+    )
+    print(json.dumps(out))
+    if "--keep" not in sys.argv:
+        for name in ("uniform", "skew50"):
+            shutil.rmtree(SCALE_DIR + "_" + name, ignore_errors=True)
+    return 0
 
 
 SPINE = [
@@ -177,18 +238,34 @@ def _guarded_case(mult: int):
     return run, cap
 
 
+def _heap_mb(raw: str | None) -> float:
+    """JVM -Xmx-style size string → MiB; unset/unparsable → the 8 GiB
+    session default, so the guard judges the heap that would actually
+    be used rather than the literal spelling of the env var."""
+    if not raw:
+        return 8 * 1024
+    m = re.fullmatch(r"\s*(\d+(?:\.\d+)?)\s*([kmgt]?)b?\s*", raw.lower())
+    if not m:
+        return 8 * 1024
+    scale = {"k": 1 / 1024, "": 1 / (1024 * 1024), "m": 1, "g": 1024, "t": 1024 * 1024}
+    return float(m.group(1)) * scale[m.group(2)]
+
+
 def main() -> int:
     from etl_service_spark.functions import portable as P
     from etl_service_spark.plans.queries import registry, views
     from etl_service_spark.session import get_spark
 
     three = "--three" in sys.argv
-    if three and os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g") == "8g":
+    if three and _heap_mb(os.environ.get("SPARK_GRAFT_DRIVER_MEM")) < 16 * 1024:
         # Measured r8: the 100x point OOMs the default 8g local-mode
         # heap (32 executor threads share ONE JVM; per-task array
         # scratch no longer fits). A cluster sizes per-core executor
         # memory independently — this is a local-mode artifact, so
         # fail fast with the fix instead of dying 20 minutes in.
+        # The guard PARSES the size (round-8 ADVICE: a raw string
+        # compare against '8g' let '8192m'/'8G' through to the same
+        # OOM while refusing nothing else).
         print(
             "--three needs a larger local heap: rerun with "
             "SPARK_GRAFT_DRIVER_MEM=32g (or more; box has 128 GiB)",
@@ -250,5 +327,9 @@ def main() -> int:
     return 0
 
 
+def _dispatch() -> int:
+    return skew_main() if "--skew" in sys.argv else main()
+
+
 if __name__ == "__main__":
-    raise SystemExit(main())
+    raise SystemExit(_dispatch())
