@@ -162,6 +162,10 @@ HEADLINERS = [
     "events_burst_windows",
     "graph_kcore",
     "privacy_k_map",
+    "events_rollup_consistency",
+    "ann_ivfpq_topk",
+    "ann_ivfpq_recall",
+    "events_peak_concurrency",
     "text_source_unigram_tvd",
     "text_boilerplate_prefixes",
     "text_pmi_collocations",

@@ -1468,6 +1468,216 @@ SELECT q_id, n_id, CAST(adc_dist AS BIGINT) AS adc_dist, rnk FROM (
     return body(0), body(1)
 
 
+def _ivfpq_res_arr(off: int, arr_open: str, arr_close: str, x: str, xc: str) -> str:
+    """The 64-entry integer-grid residual F(x_i) − F(xc_i), F(t) =
+    FLOOR(64·t), materialized ONCE per (vector, centroid) pair as an
+    array — every downstream subspace distance then reads two array
+    slots instead of re-evaluating four FLOOR chains per codebook
+    entry (measured 8x expression-mass reduction: the codebook cross
+    join would otherwise recompute the vector's residual ncent
+    times)."""
+    return arr_open + ", ".join(
+        f"FLOOR(CAST({x}[{i + off}] AS DOUBLE) * 64)"
+        f" - FLOOR(CAST({xc}[{i + off}] AS DOUBLE) * 64)"
+        for i in range(DIM)
+    ) + arr_close
+
+
+def _ivfpq_res_dist_case(m: int, off: int, x: str, y: str) -> str:
+    """Per-subspace squared distance between two PRE-BUILT residual
+    arrays: Σ_i (x[i] − y[i])². One builder feeds both dialects, so
+    the Spark and oracle texts cannot drift."""
+    dsub = DIM // m
+
+    def terms(s: int) -> str:
+        return " + ".join(
+            f"({x}[{s * dsub + i + off}] - {y}[{s * dsub + i + off}])"
+            f" * ({x}[{s * dsub + i + off}] - {y}[{s * dsub + i + off}])"
+            for i in range(dsub)
+        )
+
+    return " ".join(f"WHEN {s} THEN ({terms(s)})" for s in range(m))
+
+
+def ivfpq_adc_topk_sql(
+    n_cells: int = 16,
+    ncent: int = 8,
+    m: int = 4,
+    nprobe: int = 4,
+    k: int = 10,
+    n_queries: int = 5,
+    view: str = "embeddings",
+) -> tuple[str, str]:
+    """IVF-PQ — the composed index every production-scale vector store
+    actually deploys (faiss IndexIVFPQ; Jégou TPAMI'11 §V): an IVF
+    coarse quantizer prunes the search to ``nprobe`` inverted lists,
+    and within them distances come from PQ codes of the RESIDUAL
+    (vector − its coarse centroid) via an ADC lookup table built per
+    (query, probed cell). Residual coding is what makes the
+    combination work: residuals concentrate near zero, so the same
+    codebook budget quantizes them far more finely than raw vectors.
+
+    Determinism contract (the IVF + PQ recipes composed): coarse
+    centroids = first ``n_cells`` vectors (cosine assignment, ties →
+    lower cell id), codebook = the residuals of the first ``ncent``
+    vectors w.r.t. THEIR home cells, every residual taken on the
+    integer grid FLOOR(64·t) so all distances are exact integer sums;
+    argmins are ROW_NUMBER with id tie-breaks. Fully oracle-checkable
+    — no RNG, no float accumulation ambiguity.
+
+    Scale shape: codebook and coarse-centroid relations are constant-
+    size (broadcast); code assignment is one map-side pass of
+    N×ncent×m rows collapsed by a (vec_id, s)-PARTITIONED window; the
+    ADC table is queries×nprobe×ncent×m rows (tiny, broadcast); the
+    only data-sized work is the probed-list candidate join + one hash
+    aggregate — candidate cost O(probed lists), never O(N) per query,
+    and the stored representation scanned per candidate is m codes,
+    not 64 floats."""
+
+    head = f"""
+WITH nv AS (
+  SELECT vec_id, embedding, ({{norm}}) AS nrm FROM {view}
+),
+c AS (
+  SELECT vec_id AS c_id, embedding AS cv, nrm AS cnrm FROM nv WHERE vec_id < {n_cells}
+),
+assign AS (
+  SELECT v.vec_id, c.c_id, v.embedding, c.cv,
+         ROW_NUMBER() OVER (
+           PARTITION BY v.vec_id
+           ORDER BY ({{adot}}) / (v.nrm * c.cnrm) DESC, c.c_id
+         ) AS rn
+  FROM nv v JOIN c ON 1 = 1
+),
+"""
+
+    def body(off: int) -> str:
+        one_based = off == 1
+        return (
+            head.format(
+                norm=_norm("embedding", one_based=one_based),
+                adot=_dot("v.embedding", "c.cv", one_based=one_based),
+            )
+            + _ivfpq_tail(off, ncent, m, nprobe, k, n_queries)
+        )
+
+    return body(0), body(1)
+
+
+def _ivfpq_tail(
+    off: int, ncent: int, m: int, nprobe: int, k: int, n_queries: int
+) -> str:
+    """Everything downstream of the coarse ``assign`` relation —
+    shared verbatim by the full SQL (both dialects) and the staged
+    Spark path, which substitutes the memoized Arrow-kernel
+    assignment for the CTE. ``assign`` must provide (vec_id, c_id,
+    rn) on every row and carry the vector (embedding) and its ranked
+    centroid (cv) so residuals need no further joins."""
+    arr_open, arr_close = ("array(", ")") if off == 0 else ("[", "]")
+    subs = " UNION ALL ".join(f"SELECT {s} AS s" for s in range(m))
+    dcase = _ivfpq_res_dist_case(m, off, "l.rv", "r.rv")
+    res_arr = _ivfpq_res_arr(off, arr_open, arr_close, "a.embedding", "a.cv")
+    return f"""home AS (
+  SELECT vec_id, c_id FROM assign WHERE rn = 1
+),
+res AS (
+  SELECT a.vec_id, a.c_id, {res_arr} AS rv
+  FROM assign a WHERE a.rn = 1
+),
+cbres AS (
+  SELECT vec_id AS b_id, rv FROM res WHERE vec_id < {ncent}
+),
+sub AS ({subs}),
+vdist AS (
+  SELECT /*+ BROADCAST(r), BROADCAST(sub) */ l.vec_id, sub.s, r.b_id,
+         CAST(CASE sub.s {dcase} END AS BIGINT) AS dist
+  FROM res l
+  CROSS JOIN cbres r
+  CROSS JOIN sub
+),
+codes AS (
+  SELECT vec_id, s, b_id FROM (
+    SELECT vec_id, s, b_id,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY dist, b_id) AS rk
+    FROM vdist
+  ) r WHERE rk = 1
+),
+qres AS (
+  SELECT a.vec_id AS q_id, a.c_id, {res_arr} AS rv
+  FROM assign a WHERE a.vec_id < {n_queries} AND a.rn <= {nprobe}
+),
+adc AS (
+  SELECT /*+ BROADCAST(r), BROADCAST(sub) */ l.q_id, l.c_id, sub.s, r.b_id,
+         CAST(CASE sub.s {dcase} END AS BIGINT) AS d
+  FROM qres l
+  CROSS JOIN cbres r
+  CROSS JOIN sub
+),
+cand AS (
+  SELECT qp.q_id, h.vec_id AS n_id, qp.c_id
+  FROM (SELECT q_id, c_id FROM qres) qp
+  JOIN home h ON h.c_id = qp.c_id AND h.vec_id <> qp.q_id
+),
+scored AS (
+  SELECT cand.q_id, cand.n_id, CAST(SUM(a.d) AS BIGINT) AS adc_dist
+  FROM cand
+  JOIN codes co ON co.vec_id = cand.n_id
+  JOIN adc a ON a.q_id = cand.q_id AND a.c_id = cand.c_id
+            AND a.s = co.s AND a.b_id = co.b_id
+  GROUP BY cand.q_id, cand.n_id
+)
+SELECT q_id, n_id, adc_dist, rnk FROM (
+  SELECT q_id, n_id, adc_dist,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc_dist, n_id) AS rnk
+  FROM scored
+) r WHERE rnk <= {k}
+"""
+
+
+def ivfpq_topk_staged(
+    spark: SparkSession,
+    n_cells: int = 16,
+    ncent: int = 8,
+    m: int = 4,
+    nprobe: int = 4,
+    k: int = 10,
+    n_queries: int = 5,
+    view: str = "embeddings",
+) -> DataFrame:
+    """The IVF-PQ top-k relation behind a memoized stage, with the
+    coarse assignment coming from ivf_assignment_rel — the SAME staged
+    Arrow-kernel relation ann_ivf_topk / ann_ivf_nprobe_sweep already
+    share, so the expensive N×n_cells centroid ranking runs once per
+    session across the whole ANN family. The PQ tail is the identical
+    _ivfpq_tail text the oracle runs; only the assignment's provenance
+    differs (kernel vs SQL — equality is the assignment relation's own
+    oracle-checked property). The centroid vector (cv) is re-joined
+    from the view because the kernel stage carries embeddings only on
+    rn = 1 rows."""
+    params = (n_cells, ncent, m, nprobe, k, n_queries)
+
+    def build():
+        arel = ivf_assignment_rel(spark, n_cells, view)
+        sql = f"""
+WITH cview AS (
+  SELECT vec_id AS c_id, embedding AS cv FROM {view} WHERE vec_id < {n_cells}
+),
+emb AS (
+  SELECT vec_id, embedding FROM {arel} WHERE rn = 1
+),
+assign AS (
+  SELECT a.vec_id, a.c_id, e.embedding, cv.cv, a.rn
+  FROM {arel} a
+  JOIN emb e ON e.vec_id = a.vec_id
+  JOIN cview cv ON cv.c_id = a.c_id
+),
+""" + _ivfpq_tail(0, ncent, m, nprobe, k, n_queries)
+        return spark.sql(sql)
+
+    rel = _stage_view(spark, build, "ivfpq_topk", view, params)
+    return spark.table(rel)
+
+
 _PQ_DIST_CACHE: dict[tuple, str] = {}
 
 

@@ -3349,6 +3349,15 @@ FROM d GROUP BY decile
     cases["emb_pq_codes"] = Case(_pq_codes_staged, similarity.pq_codes_sql()[1])
     cases["ann_pq_adc_topk"] = Case(_pq_adc_staged, similarity.pq_adc_topk_sql()[1])
 
+    # IVF-PQ: the composed coarse-prune + residual-code index (see
+    # similarity.ivfpq_adc_topk_sql) — both dialects from the shared
+    # builder, so the Spark text and the oracle cannot drift.
+    def _ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+        views(spark, sf_dir)
+        return similarity.ivfpq_topk_staged(spark)
+
+    cases["ann_ivfpq_topk"] = Case(_ivfpq_topk, similarity.ivfpq_adc_topk_sql()[1])
+
     # ---- ANN self-evaluation: recall@k of the IVF path against the
     # exact top-k ground truth ("measure, don't guess" — the number
     # that justifies nprobe/n_cells before anyone trusts the ANN
@@ -3386,6 +3395,43 @@ SELECT q_id, COUNT(*) AS k, CAST(SUM(hit) AS BIGINT) AS n_hits,
 FROM j GROUP BY q_id
 """
     cases["ann_recall_report"] = Case(_ann_recall, _ann_recall_oracle)
+
+    # Recall of the composed IVF-PQ index against the same exact
+    # ground truth — read NEXT TO ann_recall_report (IVF alone): the
+    # delta is the price of scanning m-byte codes instead of 64-float
+    # vectors inside the probed cells, the storage-vs-recall trade an
+    # IVF-PQ deployment actually tunes. Same query-grain join shape.
+    def _ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+        views(spark, sf_dir)
+        exact = similarity.cosine_topk_staged(spark).select("q_id", "n_id")
+        approx = similarity.ivfpq_topk_staged(spark).select("q_id", "n_id")
+        return (
+            exact.join(approx.withColumn("hit", F.lit(1)), ["q_id", "n_id"], "left")
+            .groupBy("q_id")
+            .agg(
+                F.count("*").alias("k"),
+                F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hits"),
+            )
+            .select(
+                "q_id",
+                "k",
+                "n_hits",
+                F.expr("CAST(n_hits * 1000000 DIV k AS BIGINT)").alias("recall_ppm"),
+            )
+        )
+
+    _ivfpq_recall_oracle = f"""
+WITH j AS (
+  SELECT e.q_id, CASE WHEN a.n_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+  FROM ({similarity.cosine_topk_sql()[1].strip()}) e
+  LEFT JOIN ({similarity.ivfpq_adc_topk_sql()[1].strip()}) a
+    ON a.q_id = e.q_id AND a.n_id = e.n_id
+)
+SELECT q_id, COUNT(*) AS k, CAST(SUM(hit) AS BIGINT) AS n_hits,
+       CAST(SUM(hit) * 1000000 // COUNT(*) AS BIGINT) AS recall_ppm
+FROM j GROUP BY q_id
+"""
+    cases["ann_ivfpq_recall"] = Case(_ivfpq_recall, _ivfpq_recall_oracle)
 
     # ---- nprobe sweep over the SAME staged IVF assignment relation:
     # recall-vs-candidate-mass per probe budget (see
@@ -5009,6 +5055,138 @@ FROM e GROUP BY hour_start
         ),
         min_by=("min_by", "arg_min"),
         max_by=("max_by", "arg_max"),
+    )
+
+    # --- rollup-consistency audit (the materialized-view / lambda-
+    # architecture invariant): hourly OHLC REAGGREGATED from the
+    # minute-grain rollup must equal the hourly rollup computed
+    # directly from raw events — open composes as "open of the first
+    # active minute" (min_by on the minute key), close as max_by,
+    # high/low/count as max/min/sum. This two-level partial
+    # reaggregation is exactly how a 100 TB pipeline serves multiple
+    # resolutions from ONE pass over raw data; the audit proves the
+    # composition rule exact rather than assuming it. Output: one row —
+    # hour count, multi-minute hour count (evidence the check is
+    # non-trivial: single-minute hours are trivially consistent), and
+    # the four mismatch counters, all expected 0.
+    _ROLLUP_TEMPLATE = """
+WITH e AS (
+  SELECT {trunc_hour} AS hour_start,
+         {trunc_minute} AS minute_start,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents,
+         concat(lpad(CAST({ts_us} AS {str_t}), 20, '0'),
+                lpad(CAST(event_id AS {str_t}), 12, '0')) AS ord_key
+  FROM events
+  WHERE ts IS NOT NULL AND event_id IS NOT NULL AND value IS NOT NULL
+),
+minute AS (
+  SELECT hour_start, minute_start, COUNT(*) AS n_events,
+         {min_by}(cents, ord_key) AS open_cents,
+         MAX(cents) AS high_cents,
+         MIN(cents) AS low_cents,
+         {max_by}(cents, ord_key) AS close_cents
+  FROM e GROUP BY hour_start, minute_start
+),
+rolled AS (
+  SELECT hour_start, CAST(SUM(n_events) AS BIGINT) AS n_events,
+         {min_by}(open_cents, minute_start) AS open_cents,
+         MAX(high_cents) AS high_cents,
+         MIN(low_cents) AS low_cents,
+         {max_by}(close_cents, minute_start) AS close_cents,
+         COUNT(*) AS n_minutes
+  FROM minute GROUP BY hour_start
+),
+direct AS (
+  SELECT hour_start, COUNT(*) AS n_events,
+         {min_by}(cents, ord_key) AS open_cents,
+         MAX(cents) AS high_cents,
+         MIN(cents) AS low_cents,
+         {max_by}(cents, ord_key) AS close_cents
+  FROM e GROUP BY hour_start
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_hours,
+       CAST(SUM(CASE WHEN r.n_minutes > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_multi_minute_hours,
+       CAST(SUM(CASE WHEN r.n_events <> d.n_events THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_count_mismatch,
+       CAST(SUM(CASE WHEN r.open_cents <> d.open_cents THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_open_mismatch,
+       CAST(SUM(CASE WHEN r.high_cents <> d.high_cents
+                      OR r.low_cents <> d.low_cents THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_range_mismatch,
+       CAST(SUM(CASE WHEN r.close_cents <> d.close_cents THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_close_mismatch
+FROM rolled r JOIN direct d ON d.hour_start = r.hour_start
+"""
+    cases["events_rollup_consistency"] = _bi_case(
+        _ROLLUP_TEMPLATE,
+        ts_us=TS_US,
+        str_t=("STRING", "VARCHAR"),
+        trunc_hour=(
+            "CAST(date_trunc('hour', ts) AS TIMESTAMP_NTZ)",
+            "date_trunc('hour', ts)",
+        ),
+        trunc_minute=(
+            "CAST(date_trunc('minute', ts) AS TIMESTAMP_NTZ)",
+            "date_trunc('minute', ts)",
+        ),
+        min_by=("min_by", "arg_min"),
+        max_by=("max_by", "arg_max"),
+    )
+
+    # --- peak concurrency (the classic interval sweep line): treat
+    # each event as a 30-minute session [ts, ts+30m); the number of
+    # concurrent sessions is the running sum of +1/-1 endpoint deltas
+    # under the total order (t, delta, event_id) — delta ASC makes an
+    # end at time t close BEFORE a start at t opens (half-open
+    # intervals). The Spark side runs the running sum through
+    # scan.global_ordered_cumsum (range-partitioned two-phase scan —
+    # the same machinery as pareto/RFM, never a single-task sort over
+    # 2x event grain); the oracle keeps the textbook window form.
+    # Output: one row — the peak, the first time it is reached, and
+    # the endpoint count.
+    _SWEEP_ENDPOINTS = """
+SELECT {ts_us} AS t, 1 AS delta, event_id FROM events
+UNION ALL
+SELECT {ts_us} + 1800000000 AS t, -1 AS delta, event_id FROM events
+"""
+    _SWEEP_ORACLE = """
+WITH ep AS (
+""" + _SWEEP_ENDPOINTS + """
+),
+r AS (
+  SELECT t, SUM(delta) OVER (ORDER BY t ASC, delta ASC, event_id ASC
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS cum
+  FROM ep
+)
+SELECT CAST(MAX(cum) AS BIGINT) AS peak_concurrency,
+       CAST(MIN(CASE WHEN cum = (SELECT MAX(cum) FROM r) THEN t END)
+            AS BIGINT) AS first_peak_t_us,
+       CAST(COUNT(*) AS BIGINT) AS n_endpoints
+FROM r
+"""
+
+    def _peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+        views(spark, sf_dir)
+        ep = spark.sql(P.bi_sql(_SWEEP_ENDPOINTS, ts_us=TS_US)[0])
+        r = scan.global_ordered_cumsum(
+            ep, [("t", True), ("delta", True), ("event_id", True)], "delta"
+        )
+        peak = r.agg(F.max("cum").cast("long").alias("_peak"))
+        return (
+            r.crossJoin(F.broadcast(peak))
+            .agg(
+                F.max("_peak").alias("peak_concurrency"),
+                F.min(F.when(F.col("cum") == F.col("_peak"), F.col("t")))
+                .cast("long")
+                .alias("first_peak_t_us"),
+                F.count("*").cast("long").alias("n_endpoints"),
+            )
+        )
+
+    cases["events_peak_concurrency"] = Case(
+        _peak_concurrency, P.bi_sql(_SWEEP_ORACLE, ts_us=TS_US)[1]
     )
 
     # --- Z-order layout data-skipping scorer (the Delta/Iceberg

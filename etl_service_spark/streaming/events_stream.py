@@ -160,6 +160,52 @@ def run_available_now_to_parquet(result: DataFrame, checkpoint_dir: str, out_dir
     q.awaitTermination()
 
 
+def windowed_ohlc(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming twin of the events_ohlc_windows registry query:
+    open/high/low/close per tumbling event-time window, with open and
+    close picked by min_by/max_by over the same zero-padded
+    (epoch-micros, event_id) packed key as the batch form — a total
+    order even under equal timestamps, and (crucially for streaming)
+    a MERGEABLE aggregate: min_by/max_by partials combine across
+    micro-batches, so the result is arrival-order-independent. The
+    watermark bounds state to open windows, same as
+    windowed_event_counts. NULL ts/event_id/value rows are filtered
+    as in the batch form (concat would NULL the key).
+    """
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    return (
+        events.filter(
+            F.col("ts").isNotNull()
+            & F.col("event_id").isNotNull()
+            & F.col("value").isNotNull()
+        )
+        .withColumn("_ord", F.concat(
+            F.lpad(F.unix_micros(F.col("ts").cast("timestamp")).cast("string"), 20, "0"),
+            F.lpad(F.col("event_id").cast("string"), 12, "0"),
+        ))
+        .withColumn("_cents", cents)
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min_by("_cents", "_ord").alias("open_cents"),
+            F.max("_cents").alias("high_cents"),
+            F.min("_cents").alias("low_cents"),
+            F.max_by("_cents", "_ord").alias("close_cents"),
+        )
+        .select(
+            F.col("w.start").alias("hour_start"),
+            "n_events",
+            "open_cents",
+            "high_cents",
+            "low_cents",
+            "close_cents",
+        )
+    )
+
+
 def dedup_event_stream(events: DataFrame, watermark: str = "1 day") -> DataFrame:
     """Streaming exact dedup: emit each event_id once, with state
     bounded by the watermark.

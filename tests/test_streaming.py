@@ -42,6 +42,49 @@ def test_stream_matches_batch(spark, sf_dir, tmp_path):
         assert e[k] == v
     assert len(g) >= len(e) - 4
 
+def test_streaming_ohlc_matches_batch(spark, sf_dir, tmp_path):
+    """The OHLC rollup's streaming twin: open/close via min_by/max_by
+    on the packed (micros, event_id) key must be identical whether the
+    events arrive as one batch relation or as two out-of-order file
+    drops merged across micro-batches — the mergeable-aggregate
+    property the batch query's design bought. Drop 2 carries the even
+    ids, drop 1 the odd, so almost every window's open/close partials
+    must merge across batches to land on the right rows."""
+    from etl_service_spark.streaming.events_stream import windowed_ohlc
+
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    events = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    events.filter(F.col("event_id") % 2 == 1).write.mode("append").parquet(landing)
+    events.filter(F.col("event_id") % 2 == 0).write.mode("append").parquet(landing)
+
+    stream = read_event_stream(spark, landing)
+    result = windowed_ohlc(stream)
+    run_available_now(result, str(tmp_path / "ckpt"), "ohlc_stream_out")
+
+    got = {
+        r["hour_start"]: (
+            r["n_events"], r["open_cents"], r["high_cents"],
+            r["low_cents"], r["close_cents"],
+        )
+        for r in spark.table("ohlc_stream_out").collect()
+    }
+    expect = {
+        r["hour_start"]: (
+            r["n_events"], r["open_cents"], r["high_cents"],
+            r["low_cents"], r["close_cents"],
+        )
+        for r in windowed_ohlc(with_event_time(events)).collect()
+    }
+    assert got, "stream produced no output"
+    for k, v in got.items():
+        assert expect[k] == v
+    # append mode may hold back windows newer than the watermark
+    assert len(got) >= len(expect) - 4
+
+
 def test_hopping_stream_matches_batch(spark, sf_dir, tmp_path):
     """Sliding (hopping) windows through the SAME plan batch and
     stream: every emitted (window, type) group must equal the batch

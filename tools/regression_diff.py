@@ -22,6 +22,29 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+# Intended slowdowns: plan-shape trades where the bench-scale wall
+# GREW because a single-task scale-killer was replaced by a
+# distributed form with more (parallel) stages. Each entry names the
+# trade; an entry whose query no longer trips the threshold is
+# reported as stale so the ledger self-cleans. This mirrors
+# bench.EXCLUDED's no-silent-caps discipline: a regression is either
+# flagged or explained, never suppressed silently.
+_TRADE = (
+    "round-9 plan trade: Exchange-SinglePartition window (one task "
+    "sorts the whole relation — the 100 TB failure) replaced by a "
+    "range-partitioned two-phase scan; +{n} parallel stages at bench "
+    "scale, wall now bounded by the largest PARTITION, not the table"
+)
+INTENDED: dict[str, str] = {
+    "orders_rfm_segments": _TRADE.format(n="3x6"),
+    "corpus_quality_curriculum": _TRADE.format(n=6),
+    "profile_range_boundaries": _TRADE.format(n=6),
+    "profile_key_skew": _TRADE.format(n=6),
+    "events_gaps_islands": _TRADE.format(n=4),
+    "layout_zorder_skipping": _TRADE.format(n=4),
+}
+
+
 def baseline_table() -> dict[str, float]:
     out: dict[str, float] = {}
     with open(os.path.join(REPO, "BASELINE_LOCAL.md")) as fh:
@@ -38,12 +61,27 @@ def main() -> int:
     base = baseline_table()
 
     regressed: list[tuple[str, float, float]] = []
+    intended_hit: set[str] = set()
     for name, now in sorted(bench.items()):
         was = base.get(name)
         if was is None:
             print(f"  new      {name}: {now:.3f}s (no baseline)")
         elif now >= 2 * was and now - was >= 0.3:
-            regressed.append((name, was, now))
+            if name in INTENDED:
+                intended_hit.add(name)
+                print(
+                    f"  intended {name}: {was:.3f}s -> {now:.3f}s — "
+                    f"{INTENDED[name]}"
+                )
+            else:
+                regressed.append((name, was, now))
+    for name in sorted(set(INTENDED) - intended_hit):
+        if name in bench and name in base:
+            print(
+                f"  stale-ledger {name}: no longer regresses "
+                f"({base[name]:.3f}s -> {bench[name]:.3f}s) — drop its "
+                "INTENDED entry"
+            )
     for name in sorted(set(base) - set(bench)):
         print(f"  removed  {name} (baseline {base[name]:.3f}s)")
 
