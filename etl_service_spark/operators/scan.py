@@ -22,6 +22,19 @@ The only single-partition work is the offsets window over
 ``n_parts`` rows. No driver collect anywhere; results are a pure
 function of the sort key (ties must be broken by a unique column),
 independent of where the sampled range boundaries land.
+
+One hazard makes a materialization NON-optional: the partitioned
+relation feeds TWO consumers (per-partition totals and per-partition
+local ranks), and Spark may plan the range exchange separately for
+each — AQE coalescing can defeat ReusedExchange, and the range
+sampler is then free to pick DIFFERENT boundaries per instance. The
+offsets would describe one partitioning while the local ranks live in
+another: ranks stop being a permutation (observed at sf0.1 on
+low-cardinality sort keys: 14,746 distinct ranks over 14,999 rows).
+Every two-phase function here therefore pins the partitioned relation
+with ``localCheckpoint`` before fanning out — at cluster scale this
+is the staging write a two-pass job does anyway, and correctness of
+``_pid`` agreement is not negotiable.
 """
 
 from __future__ import annotations
@@ -53,8 +66,12 @@ def global_rank(
     with one range shuffle each and no joins between them.
     """
     cols = _order_cols(order)
-    part = df.repartitionByRange(n_parts, *cols).withColumn(
-        "_pid", F.spark_partition_id()
+    # pinned: see module docstring — offsets and local ranks MUST read
+    # the same partitioning
+    part = (
+        df.repartitionByRange(n_parts, *cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
     )
     totals = part.groupBy("_pid").agg(F.count("*").alias("_cnt"))
     off_w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
@@ -151,6 +168,9 @@ def islands(df: DataFrame, key: str, n_parts: int = 32) -> DataFrame:
         "_pid", F.spark_partition_id()
     )
     local_w = Window.partitionBy("_pid").orderBy(key)
+    # pinned: interior and boundary branches both consume loc — without
+    # the checkpoint each would re-run the range exchange and could see
+    # different _pid labelings (module docstring)
     loc = (
         part.withColumn("_g", F.col(key) - F.row_number().over(local_w))
         .groupBy("_pid", "_g")
@@ -159,6 +179,7 @@ def islands(df: DataFrame, key: str, n_parts: int = 32) -> DataFrame:
             F.max(key).alias("island_end"),
             F.count("*").alias("island_len"),
         )
+        .localCheckpoint()
     )
     pid_w = Window.partitionBy("_pid")
     marked = loc.withColumn("_mn", F.min("island_start").over(pid_w)).withColumn(
@@ -207,8 +228,12 @@ def islands(df: DataFrame, key: str, n_parts: int = 32) -> DataFrame:
 def _two_phase_cumsum(
     df: DataFrame, order: list[Column], value: str, n_parts: int
 ) -> DataFrame:
-    part = df.repartitionByRange(n_parts, *order).withColumn(
-        "_pid", F.spark_partition_id()
+    # pinned: see module docstring — offsets and local ranks MUST read
+    # the same partitioning
+    part = (
+        df.repartitionByRange(n_parts, *order)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
     )
     totals = part.groupBy("_pid").agg(
         F.count("*").alias("_cnt"), F.sum(value).alias("_sum")

@@ -497,6 +497,37 @@ def test_islands_matches_textbook_form(spark, ids, n_parts):
     assert got == want
 
 
+def test_chained_global_ranks_are_permutations(spark):
+    """Regression for the round-9 sf0.1 finding: the two-phase scan's
+    offsets and local-rank branches each re-planned the range exchange,
+    and AQE let the sampler pick different boundaries per instance —
+    ranks stopped being a permutation (14,746 distinct over 14,999
+    rows). scan.py now pins the partitioned relation with
+    localCheckpoint; this chains three ranks over low-cardinality sort
+    keys (the trigger shape: many ties, boundary placement decided by
+    the tiebreak) and asserts every rank column is exactly 1..n."""
+    from pyspark.sql import functions as F
+
+    from etl_service_spark.operators.scan import global_rank
+
+    n = 5000
+    df = spark.range(n).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 7).alias("a"),
+        (F.col("id") % 13).alias("b"),
+        ((F.col("id") * 31) % 11).alias("c"),
+    )
+    ranked = df
+    for metric, out in (("a", "ra"), ("b", "rb"), ("c", "rc")):
+        ranked = global_rank(ranked, [(metric, True), ("k", True)], out=out)
+    row = ranked.agg(
+        *[F.countDistinct(c).alias(f"d_{c}") for c in ("ra", "rb", "rc")],
+        *[F.max(c).alias(f"m_{c}") for c in ("ra", "rb", "rc")],
+    ).collect()[0]
+    assert (row.d_ra, row.d_rb, row.d_rc) == (n, n, n)
+    assert (row.m_ra, row.m_rb, row.m_rc) == (n, n, n)
+
+
 @settings(max_examples=6, deadline=None)
 @given(st.integers(1, 150), st.sampled_from([1, 2, 5, 10, 32, 64]))
 def test_ntile_case_sql_matches_builtin_ntile(spark, n, buckets):
