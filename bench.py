@@ -18,6 +18,7 @@ driver collect overhead) after one warm-up of the session.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -366,6 +367,16 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
+        # periodic session hygiene: lingering Python references
+        # (DataFrames over localCheckpoint RDDs, staged relations) keep
+        # JVM-side state alive until the ContextCleaner sees the refs
+        # drop. Collected every 25 queries, not every query: a full
+        # gc.collect() over the py4j proxy graph costs tens of ms and
+        # schedules JVM cleaner work into the NEXT timed query, so
+        # per-query collection added a measurable uniform tax.
+        df = None
+        if len(timings) % 25 == 0:
+            gc.collect()
 
     total = round(sum(timings.values()), 3)
     env["load_1m_end"] = round(os.getloadavg()[0], 2)

@@ -617,15 +617,25 @@ def bfs_layers(spark: SparkSession, k: int = 4) -> DataFrame:
 def bfs_layers_oracle_sql(k: int = 4) -> str:
     """Layer-by-layer EXCEPT unrolling: l0 = seeds; l_i = neighbors of
     l_{i-1} not seen in any earlier layer. Set algebra on DISTINCT
-    node sets is exactly min-hop semantics."""
-    layers = ["l0 AS (SELECT node FROM nodes WHERE node % 97 = 0)"]
+    node sets is exactly min-hop semantics.
+
+    Every CTE here is referenced several times (each layer's seen-set
+    union names all earlier layers, and the census reads each layer
+    again), so they are AS MATERIALIZED — DuckDB would otherwise
+    inline and re-derive the whole edge pipeline per reference and
+    blow the harness memory budget at the sf1.0 twin (DETERMINISM.md
+    #31; observed: OOM at 3.7 GiB). Oracle-only text: the Spark side
+    is the iterative bfs_layers loop, never this statement."""
+    layers = [
+        "l0 AS MATERIALIZED (SELECT node FROM nodes WHERE node % 97 = 0)"
+    ]
     seen = "SELECT node FROM l0"
     for i in range(1, k + 1):
         # the seen-set union is parenthesized as a derived table:
         # UNION and EXCEPT share precedence left-to-right, so a bare
         # "EXCEPT a UNION b" would re-add earlier layers
         layers.append(
-            f"l{i} AS (SELECT DISTINCT e.a AS node FROM e "
+            f"l{i} AS MATERIALIZED (SELECT DISTINCT e.a AS node FROM e "
             f"JOIN l{i-1} s ON e.b = s.node "
             f"EXCEPT SELECT node FROM ({seen}) seen{i})"
         )
@@ -635,9 +645,9 @@ def bfs_layers_oracle_sql(k: int = 4) -> str:
         for i in range(k + 1)
     )
     return f"""
-WITH pairs AS ({PR_PAIRS_SQL}),
-e AS (SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs),
-nodes AS (SELECT DISTINCT a AS node FROM e),
+WITH pairs AS MATERIALIZED ({PR_PAIRS_SQL}),
+e AS MATERIALIZED (SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs),
+nodes AS MATERIALIZED (SELECT DISTINCT a AS node FROM e),
 {",".join(layers)}
 SELECT dist, n_nodes FROM ({unions}) x WHERE n_nodes > 0
 """
