@@ -1141,8 +1141,11 @@ def test_twophase_cc_matches_propagation_on_chain(spark):
 
 def test_driver_order_invariants():
     """The registry reordering is pure and total: same key set, the
-    never-sampled priority tier leads in its declared order, every
-    other pending entry precedes every driver-verified one."""
+    priority tier leads in its declared order, and BEHIND it every
+    pending (never-driver-verified) entry precedes every verified one.
+    The priority tier itself is exempt from the pending-first rule —
+    since round 9 it holds RE-verify rows (plan changed after their
+    last green row), which are by definition already verified."""
     from etl_service_spark.plans.queries import (
         _DRIVER_VERIFIED,
         _PRIORITY_PENDING,
@@ -1153,10 +1156,11 @@ def test_driver_order_invariants():
     assert len(names) == len(set(names))
     prio = [n for n in _PRIORITY_PENDING if n in names]
     assert names[: len(prio)] == prio
+    tail = names[len(prio):]
     first_verified = min(
-        (names.index(n) for n in names if n in _DRIVER_VERIFIED), default=len(names)
+        (tail.index(n) for n in tail if n in _DRIVER_VERIFIED), default=len(tail)
     )
-    for n in names[first_verified:]:
+    for n in tail[first_verified:]:
         assert n in _DRIVER_VERIFIED, f"pending {n} sorted after a verified entry"
 
 
