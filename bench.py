@@ -168,6 +168,7 @@ HEADLINERS = [
     "ann_ivfpq_recall",
     "events_peak_concurrency",
     "text_source_unigram_tvd",
+    "text_source_overlap_jaccard",
     "text_boilerplate_prefixes",
     "text_pmi_collocations",
     "events_changepoint_scan",

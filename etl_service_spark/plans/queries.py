@@ -5578,6 +5578,53 @@ FROM dev
         ),
     )
 
+    # --- pairwise source-overlap matrix (the redundancy gauge a
+    # mixture design reads NEXT TO text_source_unigram_tvd's drift
+    # column): weighted Jaccard between every pair of sources' unigram
+    # count profiles — Σ_t min(a_t, b_t) / Σ_t max(a_t, b_t), exact in
+    # integers because Σ max = Σa + Σb − Σ min (so only the
+    # BOTH-present tokens are ever joined; no dense source×vocab×source
+    # spine). High overlap between two sources means their token mass
+    # is substitutable — deduplicate or down-weight one; output is the
+    # bounded |sources|²/2 upper triangle.
+    _SRC_OVERLAP_TEMPLATE = """
+WITH tok AS (
+  SELECT source, {unnest_tokens} AS tok
+  FROM documents
+),
+st AS (
+  SELECT source, tok, COUNT(*) AS c
+  FROM tok WHERE tok <> '' GROUP BY source, tok
+),
+totals AS (
+  SELECT source, CAST(SUM(c) AS BIGINT) AS s_n FROM st GROUP BY source
+),
+inter AS (
+  SELECT a.source AS src_a, b.source AS src_b,
+         CAST(SUM(CASE WHEN a.c < b.c THEN a.c ELSE b.c END) AS BIGINT)
+           AS sum_min
+  FROM st a
+  JOIN st b ON b.tok = a.tok AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT i.src_a, i.src_b,
+       ta.s_n AS tokens_a, tb.s_n AS tokens_b, i.sum_min,
+       CAST(i.sum_min * 1000000
+            {idiv} (ta.s_n + tb.s_n - i.sum_min) AS BIGINT)
+         AS weighted_jaccard_ppm
+FROM inter i
+JOIN totals ta ON ta.source = i.src_a
+JOIN totals tb ON tb.source = i.src_b
+"""
+    cases["text_source_overlap_jaccard"] = _bi_case(
+        _SRC_OVERLAP_TEMPLATE,
+        idiv=("DIV", "//"),
+        unnest_tokens=(
+            "explode(split(lower(text), '[^a-z0-9]+'))",
+            "unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+'))",
+        ),
+    )
+
     # --- k-hop reachability layers (graph.bfs_layers): iterative
     # frontier expansion on Spark vs unrolled EXCEPT algebra in the
     # oracle — two independent BFS formulations must agree on every
