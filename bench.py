@@ -169,6 +169,7 @@ HEADLINERS = [
     "events_peak_concurrency",
     "text_source_unigram_tvd",
     "text_source_overlap_jaccard",
+    "basket_association_rules",
     "text_boilerplate_prefixes",
     "text_pmi_collocations",
     "events_changepoint_scan",

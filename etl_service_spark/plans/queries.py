@@ -2363,9 +2363,9 @@ GROUP BY a.p_brand, b.p_brand
     # Spark path stages the (order, brand) relation once — the CTE is
     # consumed by both sides of the self-join and inlining would run
     # the lineitem⋈part join twice (plan showed 2 scans of each);
-    # oracle stays the single-statement form.
-    def _basket_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
-        views(spark, sf_dir)
+    # oracle stays the single-statement form. The stage is SHARED with
+    # basket_association_rules below (same content-addressed key).
+    def _basket_ob_rel(spark: SparkSession) -> str:
         # standard staging memo: once per (session, input files,
         # staging backend), content-addressed name — repeats reuse the
         # staged relation instead of re-running the lineitem⋈part join
@@ -2388,6 +2388,11 @@ FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
                 name,
             ).createOrReplaceTempView(name)
             _JSONL_STAGE[key] = name
+        return name
+
+    def _basket_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
+        views(spark, sf_dir)
+        name = _basket_ob_rel(spark)
         return spark.sql(
             f"""
 SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
@@ -2399,6 +2404,61 @@ GROUP BY a.p_brand, b.p_brand
         )
 
     cases["basket_brand_pairs"] = Case(_basket_staged, _BASKET_SQL)
+
+    # --- association rules over the same basket relation: every
+    # directed rule antecedent→consequent with support / confidence /
+    # lift in exact integer ppm (lift's n_ab·N product rides
+    # DECIMAL(38,0)/HUGEINT — at 100 TB basket counts the int64
+    # product overflows around N ~ 3e9). min-support floor of 5
+    # co-baskets keeps the noise rules out; output stays bounded by
+    # |brands|² either way. The pair mass is per-BASKET (never
+    # corpus-quadratic) and the (order, brand) staging is shared with
+    # basket_brand_pairs.
+    _ASSOC_TAIL = """
+n AS (
+  SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM ob
+),
+bc AS (
+  SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_b FROM ob GROUP BY p_brand
+),
+pr AS (
+  SELECT a.p_brand AS brand_a, b.p_brand AS brand_b, COUNT(*) AS n_ab
+  FROM ob a JOIN ob b
+    ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+  GROUP BY a.p_brand, b.p_brand
+),
+dir AS (
+  SELECT brand_a AS antecedent, brand_b AS consequent, n_ab FROM pr
+  UNION ALL
+  SELECT brand_b AS antecedent, brand_a AS consequent, n_ab FROM pr
+)
+SELECT d.antecedent, d.consequent, CAST(d.n_ab AS BIGINT) AS n_together,
+       CAST(d.n_ab * 1000000 {idiv} t.n_orders AS BIGINT) AS support_ppm,
+       CAST(d.n_ab * 1000000 {idiv} ca.n_b AS BIGINT) AS confidence_ppm,
+       CAST(CAST(d.n_ab AS {big_t}) * t.n_orders * 1000000
+            {idiv} (CAST(ca.n_b AS {big_t}) * cb.n_b) AS BIGINT) AS lift_ppm
+FROM dir d
+JOIN bc ca ON ca.p_brand = d.antecedent
+JOIN bc cb ON cb.p_brand = d.consequent
+CROSS JOIN n t
+WHERE d.n_ab >= 5
+"""
+    _ASSOC_OB = """
+SELECT DISTINCT l.l_orderkey, p.p_brand
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+"""
+    _assoc_frags = dict(idiv=("DIV", "//"), big_t=("DECIMAL(38,0)", "HUGEINT"))
+
+    def _assoc_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
+        views(spark, sf_dir)
+        name = _basket_ob_rel(spark)
+        tail, _ = P.bi_sql("WITH ob AS (SELECT * FROM " + name + "),\n" + _ASSOC_TAIL, **_assoc_frags)
+        return spark.sql(tail)
+
+    _, _assoc_duck = P.bi_sql(
+        "WITH ob AS (" + _ASSOC_OB + "),\n" + _ASSOC_TAIL, **_assoc_frags
+    )
+    cases["basket_association_rules"] = Case(_assoc_staged, _assoc_duck)
 
     # engagement stickiness: per calendar week, distinct weekly actives
     # and the peak daily actives inside the week — the DAU/WAU ratio in
