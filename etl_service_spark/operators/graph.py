@@ -627,7 +627,11 @@ def bfs_layers_oracle_sql(k: int = 4) -> str:
     #31; observed: OOM at 3.7 GiB). Oracle-only text: the Spark side
     is the iterative bfs_layers loop, never this statement."""
     layers = [
-        "l0 AS MATERIALIZED (SELECT node FROM nodes WHERE node % 97 = 0)"
+        # seed predicate interpolated from BFS_SEED_MOD — the engine
+        # and oracle must share ONE seed-set definition (ADVICE r9: a
+        # hardcoded 97 here would silently desynchronize them if the
+        # constant ever changes)
+        f"l0 AS MATERIALIZED (SELECT node FROM nodes WHERE node % {BFS_SEED_MOD} = 0)"
     ]
     seen = "SELECT node FROM l0"
     for i in range(1, k + 1):

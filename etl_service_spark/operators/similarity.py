@@ -1299,7 +1299,8 @@ def semantic_dedup_staged(
 # ------------------------------------------------------ cosine range search
 RANGE_SEARCH_TEMPLATE = """
 WITH q AS (
-  SELECT vec_id AS q_id, embedding AS qv FROM {view} WHERE vec_id < {n_queries}
+  SELECT vec_id AS q_id, embedding AS qv FROM {view}
+  WHERE vec_id < {n_queries} LIMIT {n_queries}
 )
 SELECT q.q_id, e.vec_id AS n_id,
        ({dot}) / (({qnorm}) * ({enorm})) AS cosine

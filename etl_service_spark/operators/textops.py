@@ -687,27 +687,37 @@ def vocab_growth_staged(spark, n_buckets: int = 10, view: str = "documents") -> 
     yields distinct-vocabulary-so-far at every corpus decile. The naive
     form (distinct count per prefix) is n_buckets full scans; this is
     one. Buckets come from integer math over the doc_id domain, so the
-    curve is deterministic and engine-identical."""
+    curve is deterministic and engine-identical.
+
+    The token-mass and new-vocab contributions ride ONE bucket
+    aggregate over a tagged UNION ALL instead of a join of two
+    aggregates (round-10 full plan audit: the join sat below the
+    cumulative window's single-partition sort, which the window rule
+    cannot prove bounded across a join — and the union form is one
+    shuffle cheaper anyway). Every first_seen doc_id is a token
+    doc_id, so the union's bucket set equals the old LEFT JOIN's."""
     tok = materialize_tokens(spark, view)
     return spark.sql(
         f"""
 WITH m AS (SELECT MAX(doc_id) + 1 AS n FROM {view}),
 fs AS (SELECT tok, MIN(doc_id) AS first_seen FROM {tok} GROUP BY tok),
-vocab_b AS (
-  SELECT CAST(({n_buckets} * first_seen) DIV (SELECT n FROM m) AS BIGINT) AS bucket,
-         COUNT(*) AS new_vocab
-  FROM fs GROUP BY 1
-),
-mass_b AS (
+u AS (
   SELECT CAST(({n_buckets} * doc_id) DIV (SELECT n FROM m) AS BIGINT) AS bucket,
-         COUNT(*) AS toks
-  FROM {tok} GROUP BY 1
+         1 AS is_tok, 0 AS is_vocab
+  FROM {tok}
+  UNION ALL
+  SELECT CAST(({n_buckets} * first_seen) DIV (SELECT n FROM m) AS BIGINT) AS bucket,
+         0 AS is_tok, 1 AS is_vocab
+  FROM fs
+),
+b AS (
+  SELECT bucket, SUM(is_tok) AS toks, SUM(is_vocab) AS new_vocab
+  FROM u GROUP BY bucket
 )
-SELECT b.bucket,
-       CAST(SUM(b.toks) OVER (ORDER BY b.bucket) AS BIGINT) AS tokens_cum,
-       CAST(SUM(coalesce(v.new_vocab, 0))
-            OVER (ORDER BY b.bucket) AS BIGINT) AS vocab_cum
-FROM mass_b b LEFT JOIN vocab_b v ON v.bucket = b.bucket
+SELECT bucket,
+       CAST(SUM(toks) OVER (ORDER BY bucket) AS BIGINT) AS tokens_cum,
+       CAST(SUM(new_vocab) OVER (ORDER BY bucket) AS BIGINT) AS vocab_cum
+FROM b
 """
     )
 

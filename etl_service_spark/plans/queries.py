@@ -5205,10 +5205,18 @@ FROM rolled r JOIN direct d ON d.hour_start = r.hour_start
     # 2x event grain); the oracle keeps the textbook window form.
     # Output: one row — the peak, the first time it is reached, and
     # the endpoint count.
+    # NULL-defensive endpoint filter (ADVICE r9): a NULL ts would sort
+    # NULLS FIRST in Spark but NULLS LAST in DuckDB under the same
+    # ORDER BY, silently diverging first_peak_t_us — same defensive
+    # convention as the sibling OHLC/rollup queries. Current data is
+    # NULL-free, so values are unchanged; the filter closes the latent
+    # divergence.
     _SWEEP_ENDPOINTS = """
 SELECT {ts_us} AS t, 1 AS delta, event_id FROM events
+WHERE ts IS NOT NULL AND event_id IS NOT NULL
 UNION ALL
 SELECT {ts_us} + 1800000000 AS t, -1 AS delta, event_id FROM events
+WHERE ts IS NOT NULL AND event_id IS NOT NULL
 """
     _SWEEP_ORACLE = """
 WITH ep AS (

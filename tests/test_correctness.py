@@ -99,3 +99,83 @@ def test_plan_audit_flags_single_partition_windows(spark, sf_dir):
     )
     plan = fixed._jdf.queryExecution().executedPlan().toString()
     assert window_violations("two_phase", plan) == [], "offsets pass wrongly flagged"
+
+
+def test_window_rule_source_key_is_per_query(spark, sf_dir):
+    """Round-9 verdict hygiene #2: `source`/`lang` moved from the
+    global BOUNDED_WINDOW_KEYS to per-query sanctions — a window over
+    an UNBOUNDED column that merely happens to be named `source` must
+    FAIL the rule for any query without its own sanction entry, and
+    pass only under a sanctioned name."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from plan_audit import SANCTIONED_WINDOW_KEYS, window_violations
+
+    from etl_service_spark.plans.queries import views
+
+    views(spark, sf_dir)
+    # per-user_id aggregate masquerading under the name `source`:
+    # |keys| rows — unbounded in data mass, whatever the column is called
+    df = spark.sql(
+        """
+        SELECT source, n, SUM(n) OVER () AS tot FROM (
+          SELECT source, COUNT(*) AS n FROM (
+            SELECT CONCAT('u', user_id) AS source FROM events
+          ) GROUP BY source
+        )
+        """
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert window_violations("some_new_query", plan), (
+        "unbounded window keyed by a column named `source` passed for an "
+        "unsanctioned query — the per-query sanction policy regressed"
+    )
+    assert "source" in SANCTIONED_WINDOW_KEYS["corpus_resample_plan"]
+    assert window_violations("corpus_resample_plan", plan) == []
+
+
+def test_window_rule_walk_fails_closed():
+    """ADVICE r9: an unrecognized node between a Window and its
+    partitioning decision must be FLAGGED for manual review, not
+    silently passed (the walk used to fail open — any plan shape
+    outside the pass-through list disabled the rule)."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from plan_audit import window_violations
+
+    plan = "\n".join(
+        [
+            "Window [sum(x#1L) windowspecdefinition(...)]",
+            "+- SomeFutureNode mystery",
+            "   +- Exchange SinglePartition, ENSURE_REQUIREMENTS",
+            "      +- FileScan parquet [x#1L] ... events.parquet",
+        ]
+    )
+    flags = window_violations("q", plan)
+    assert flags and "fail-closed" in flags[0], flags
+
+
+def test_full_plan_audit_record_covers_registry():
+    """Round-9 verdict #1: the committed full-registry audit record
+    (PLAN_AUDIT_FULL.json, written by `plan_audit.py --full`) must be
+    violation-free and cover EXACTLY the current registry — a new
+    registry entry without a full-audit re-run fails here, the same
+    no-silent-caps discipline as the bench partition test."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "..", "PLAN_AUDIT_FULL.json")
+    assert os.path.exists(path), "run `python tools/plan_audit.py --full`"
+    with open(path) as fh:
+        rec = json.load(fh)
+    assert rec["violations"] == [], rec["violations"]
+    audited = set(rec["exchange_counts"])
+    names = set(registry())
+    assert audited == names, {
+        "unaudited": sorted(names - audited),
+        "stale": sorted(audited - names),
+    }

