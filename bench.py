@@ -14,6 +14,23 @@ BENCH_r01.json ended up with "parsed": null because only a tail of the
 
 Each query is forced end-to-end with a noop sink (full computation, no
 driver collect overhead) after one warm-up of the session.
+
+Measurement protocol (round-9 verdict #2 — code, not folklore): the
+round-9 record lost hours to a ~1.25x COLD-PAGE-CACHE multiplier (the
+same commit measured 94.97 s at 08:40 and 116-132 s later that day;
+kernel reclaim had pinned the page cache at ~1 GiB, so every parquet
+scan paid cold reads). The protocol that makes records reproducible:
+
+1. WARM the file cache: read every parquet byte in sf_dir once before
+   any timing.
+2. Run the suite TWICE back-to-back and record the SECOND pass
+   (payload carries `warm: true, run: "2of2"`, plus the first pass's
+   total for reference) — total executions per query are unchanged vs
+   the old per-query min-of-2, so driver wall cost is the same.
+3. Emit a drift check against the previously-committed record (read
+   before overwrite, same sf only): the median per-query ratio tells
+   UNIFORM drift (environment — rerecord on a quiet box) apart from
+   CONCENTRATED regressions (code — fix before rerecording).
 """
 
 from __future__ import annotations
@@ -333,42 +350,25 @@ def _env_stanza() -> dict:
     }
 
 
-def main() -> None:
-    full = "--full" in sys.argv[1:]
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    env = _env_stanza()
-    spark = get_spark("etl_service_spark_bench")
-    cases = registry()
-    if full:
-        # whole registry, and fail loudly if the partition drifted
-        missing = set(cases) - set(HEADLINERS) - set(EXCLUDED)
-        if missing:
-            raise SystemExit(f"registry entries in neither list: {sorted(missing)}")
-    names = list(cases) if full else HEADLINERS
-    views(spark, sf_dir)  # pay view registration once, like a real session
+def _warm_cache(sf_dir: str) -> None:
+    """Pull every parquet byte of the benched scale factor through the
+    page cache before any timing — round 9's ~1.25x 'box drift' was
+    kernel reclaim evicting these files, making every scan a cold read."""
+    for fn in sorted(os.listdir(sf_dir)):
+        if fn.endswith(".parquet"):
+            with open(os.path.join(sf_dir, fn), "rb") as fh:
+                while fh.read(1 << 24):
+                    pass
 
-    # JVM/codegen warm-up + Python/Arrow worker spawn on unrelated
-    # trivial jobs (worker startup is session init, not query cost)
-    spark.range(1_000_000).selectExpr("sum(id)").collect()
-    from etl_service_spark.functions import portable as P
 
-    P.warm_udfs(spark)
-
-    # Each query is timed twice and the MIN is reported: single-JVM
-    # local mode has 2-3x run-to-run noise from one-time codegen/JIT
-    # and host contention, and min-of-N is the standard way to measure
-    # the steady-state cost (what a long-running cluster session pays).
+def _run_pass(cases, names, spark, sf_dir) -> dict[str, float]:
+    """One timed pass over the suite: each query end-to-end once."""
     timings: dict[str, float] = {}
     for name in names:
-        case = cases[name]
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            df = case.spark(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+        t0 = time.perf_counter()
+        df = cases[name].spark(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
         # periodic session hygiene: lingering Python references
         # (DataFrames over localCheckpoint RDDs, staged relations) keep
         # JVM-side state alive until the ContextCleaner sees the refs
@@ -379,6 +379,76 @@ def main() -> None:
         df = None
         if len(timings) % 25 == 0:
             gc.collect()
+    return timings
+
+
+def _drift_check(prev: dict, timings: dict[str, float], sf: float) -> dict | None:
+    """Uniform-vs-concentrated delta vs the previously-committed record
+    (same sf only). Median per-query ratio ~= the environment
+    multiplier; 'concentrated' rows (>2x AND +0.3s — the
+    regression_diff thresholds) point at code, not the box."""
+    if not prev or prev.get("sf") != sf:
+        return None
+    common = [
+        (n, timings[n], prev["queries"][n])
+        for n in timings
+        if n in prev.get("queries", {}) and prev["queries"][n] > 0
+    ]
+    if len(common) < 10:
+        return None
+    ratios = sorted(t / p for _, t, p in common)
+    concentrated = sorted(
+        n for n, t, p in common if t > 2 * p and t - p > 0.3
+    )
+    return {
+        "n_common": len(common),
+        "median_ratio": round(ratios[len(ratios) // 2], 3),
+        "concentrated_regressions": concentrated,
+    }
+
+
+def main() -> None:
+    full = "--full" in sys.argv[1:]
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    env = _env_stanza()
+    out_file = "BENCH_FULL.json" if full else "BENCH_LOCAL.json"
+    out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), out_file)
+    # previous committed record, read BEFORE it is overwritten — the
+    # drift check's baseline
+    prev: dict = {}
+    if os.path.exists(out_path):
+        try:
+            with open(out_path) as fh:
+                prev = json.load(fh)
+        except ValueError:
+            prev = {}
+    spark = get_spark("etl_service_spark_bench")
+    cases = registry()
+    if full:
+        # whole registry, and fail loudly if the partition drifted
+        missing = set(cases) - set(HEADLINERS) - set(EXCLUDED)
+        if missing:
+            raise SystemExit(f"registry entries in neither list: {sorted(missing)}")
+    names = list(cases) if full else HEADLINERS
+    views(spark, sf_dir)  # pay view registration once, like a real session
+
+    _warm_cache(sf_dir)
+    # JVM/codegen warm-up + Python/Arrow worker spawn on unrelated
+    # trivial jobs (worker startup is session init, not query cost)
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    from etl_service_spark.functions import portable as P
+
+    P.warm_udfs(spark)
+
+    # Two suite passes; the SECOND is the record (steady-state cost —
+    # what a long-running cluster session pays; pass 1 absorbs codegen
+    # JIT and any residual cold I/O). Same total executions per query
+    # as the old per-query min-of-2, and pass-2-of-2 measures the same
+    # steady state the min used to select.
+    pass1 = _run_pass(cases, names, spark, sf_dir)
+    gc.collect()
+    timings = _run_pass(cases, names, spark, sf_dir)
 
     total = round(sum(timings.values()), 3)
     env["load_1m_end"] = round(os.getloadavg()[0], 2)
@@ -391,9 +461,12 @@ def main() -> None:
         "sf": float(sf),
         "n_queries": len(timings),
         "env": env,
+        "warm": True,
+        "run": "2of2",
+        "pass1_total": round(sum(pass1.values()), 3),
+        "drift_vs_prev": _drift_check(prev, timings, float(sf)),
     }
-    out_file = "BENCH_FULL.json" if full else "BENCH_LOCAL.json"
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), out_file), "w") as fh:
+    with open(out_path, "w") as fh:
         json.dump(payload, fh, indent=1, sort_keys=True)
         fh.write("\n")
     # Printed line stays well under common capture limits (~1 KB): the
@@ -414,6 +487,9 @@ def main() -> None:
                 "sf": float(sf),
                 "n_queries": len(timings),
                 "env": env,
+                "warm": True,
+                "run": "2of2",
+                "drift_vs_prev": payload["drift_vs_prev"],
                 "queries": slowest,
                 "full_results": out_file,
             },
