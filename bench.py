@@ -301,6 +301,8 @@ EXCLUDED = {
     "text_token_estimate_bpe": _R["sibling"],     # text_bpe_encode
     "text_vocab_growth": _R["sibling"],           # text_ngram_coverage
     "ann_ivf_incremental": _R["fixture"],         # snapshot-store fixture
+    "dedup_incremental_exact": _R["fixture"],     # tempdir fingerprint store
+    "dedup_incremental_neardup": _R["fixture"],   # tempdir band-key store
     "basket_brand_pairs": _R["sibling"],          # dedup_ngram_jaccard shape
     "etl_placeholder_window": _R["config"],
     "etl_sql_target_dialect": _R["config"],

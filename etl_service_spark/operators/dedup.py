@@ -1109,6 +1109,101 @@ def neardup_gate(
     return survivors, bk
 
 
+# The lexicographic (batch, doc_id) encoding both fold oracles rank
+# by: earlier batches beat smaller ids — the property that makes an
+# incremental fold DIFFERENT from its one-shot twin (where the global
+# min doc_id wins a duplicate group regardless of arrival order).
+_FOLD_BIG = 10**12  # doc_id << _FOLD_BIG at every scale factor
+
+
+# Planted-duplicate shift for the exact-fold twin: the documents table
+# has no byte-identical text at bench scale factors, so the fold runs
+# over the corpus UNION a doc_id-shifted copy. The shift is ≡ 1 mod 3:
+# every copy lands in the batch AFTER its original's, so the fold
+# keeps the earlier-batch COPY and drops the smaller-id ORIGINAL —
+# the exact outcome a one-shot dedup (global min id wins) would never
+# produce, which is what makes the oracle discriminating.
+EXACT_FOLD_SHIFT = 1_000_000
+
+
+def incremental_exact_oracle_sql(n_batches: int = 3, view: str = "documents") -> str:
+    """DuckDB oracle of the incremental_dedup FOLD over ``n_batches``
+    doc_id%n batches processed in batch order: state after batch i
+    holds every text-hash seen in batches <= i, so the winner of each
+    hash group is its lexicographic (batch, doc_id) minimum. Output:
+    per-batch admission stats (n_in, n_kept, id_checksum) — the shape
+    an ingest monitor reads. Oracle-only text; the Spark side is the
+    real stateful fold through the parquet fingerprint store."""
+    return f"""
+WITH u AS (
+  SELECT doc_id, text FROM {view}
+  UNION ALL
+  SELECT doc_id + {EXACT_FOLD_SHIFT} AS doc_id, text FROM {view}
+),
+h AS (
+  SELECT doc_id, doc_id % {n_batches} AS batch,
+         {P.duck_poly_hash('lower(text)')} AS th
+  FROM u
+),
+win AS (SELECT th, MIN(batch * {_FOLD_BIG} + doc_id) AS w FROM h GROUP BY th),
+kept AS (
+  SELECT h.batch, h.doc_id
+  FROM h JOIN win x ON h.th = x.th AND h.batch * {_FOLD_BIG} + h.doc_id = x.w
+),
+sz AS (SELECT doc_id % {n_batches} AS batch, COUNT(*) AS n_in FROM u GROUP BY 1)
+SELECT CAST(s.batch AS BIGINT) AS batch,
+       CAST(s.n_in AS BIGINT) AS n_in,
+       CAST(COUNT(k.doc_id) AS BIGINT) AS n_kept,
+       CAST(COALESCE(SUM(k.doc_id), 0) AS BIGINT) AS id_checksum
+FROM sz s LEFT JOIN kept k ON k.batch = s.batch
+GROUP BY s.batch, s.n_in
+"""
+
+
+def incremental_neardup_oracle_sql(
+    n_batches: int = 3, k: int = 16, bands: int = 8, view: str = "documents"
+) -> str:
+    """DuckDB oracle of the incremental_neardup FOLD: a doc is
+    suppressed iff one of its band keys is held by a lexicographically
+    (batch, doc_id)-smaller doc — earlier-batch collisions model the
+    persisted band-key state (ALL batch docs' keys are appended, kept
+    or not), same-batch collisions model the min-id peer rule. Docs
+    with no shingles produce no band keys and always survive (both
+    engines filter empty shingle sets). Candidate-level semantics —
+    no pairwise verify — exactly the gate's contract."""
+    band_arr = _band_arr(k, bands)[1]
+    tail = f""",
+sig AS (
+{_band_sig_sql(k)}
+),
+bands AS (SELECT doc_id, {{explode}}({band_arr}) AS band_key FROM sig),
+b2 AS (SELECT doc_id, doc_id % {n_batches} AS batch, band_key FROM bands),
+win AS (SELECT band_key, MIN(batch * {_FOLD_BIG} + doc_id) AS w
+        FROM b2 GROUP BY band_key),
+dropped AS (
+  SELECT DISTINCT b.doc_id
+  FROM b2 b JOIN win x ON b.band_key = x.band_key
+  WHERE b.batch * {_FOLD_BIG} + b.doc_id > x.w
+),
+kept AS (
+  SELECT d.doc_id % {n_batches} AS batch, d.doc_id
+  FROM {view} d LEFT JOIN dropped dr ON d.doc_id = dr.doc_id
+  WHERE dr.doc_id IS NULL
+),
+sz AS (SELECT doc_id % {n_batches} AS batch, COUNT(*) AS n_in
+       FROM {view} GROUP BY 1)
+SELECT CAST(s.batch AS BIGINT) AS batch,
+       CAST(s.n_in AS BIGINT) AS n_in,
+       CAST(COUNT(k.doc_id) AS BIGINT) AS n_kept,
+       CAST(COALESCE(SUM(k.doc_id), 0) AS BIGINT) AS id_checksum
+FROM sz s LEFT JOIN kept k ON k.batch = s.batch
+GROUP BY s.batch, s.n_in
+"""
+    return P.bi_sql(
+        _HASHSET_PROLOGUE + tail, hs_rel="hs", **_hashset_frags(view)
+    )[1]
+
+
 # ------------------------------------------------------- LSH cost audit
 def _lsh_audit_body(k: int, bands: int) -> str:
     """Band-bucket cost profile over the same ex/sig/bands CTEs the

@@ -5743,4 +5743,89 @@ FROM {child} c LEFT JOIN {parent} p ON c.{ck} = p.{pk}
         _RI_TEMPLATE, idiv=("DIV", "//")
     )
 
+    # --- incremental-ingest gate batch twins (round-9 verdict #7):
+    # fold the corpus through the REAL stateful gates — three
+    # doc_id%3 batches in batch order, parquet state store on disk —
+    # and report per-batch admissions. The DuckDB oracles are
+    # closed-form statements of the fold semantics (winner of every
+    # hash / band-key group = lexicographic (batch, doc_id) minimum:
+    # earlier batches beat smaller ids, which is exactly what makes
+    # the incremental result differ from the one-shot twin). This
+    # gives the 100 TB continuous-ingest path the same oracle status
+    # as the one-shot dedup family; per-tick latency stays pinned by
+    # tests/test_operators.py's incremental gates tests.
+    def _fold_stats(
+        spark: SparkSession, kept: list[DataFrame], docs: DataFrame
+    ) -> DataFrame:
+        k = kept[0]
+        for part in kept[1:]:
+            k = k.unionByName(part)
+        n_in = (
+            docs.select((F.col("doc_id") % 3).cast("long").alias("batch"))
+            .groupBy("batch")
+            .agg(F.count("*").cast("long").alias("n_in"))
+        )
+        agg = k.groupBy("batch").agg(
+            F.count("*").cast("long").alias("n_kept"),
+            F.sum("doc_id").cast("long").alias("id_checksum"),
+        )
+        return n_in.join(agg, "batch", "left").select(
+            "batch",
+            "n_in",
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce("id_checksum", F.lit(0)).cast("long").alias("id_checksum"),
+        )
+
+    def _incr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import os
+        import tempfile
+
+        views(spark, sf_dir)
+        state = os.path.join(tempfile.mkdtemp(prefix="etl_incr_exact_"), "fp")
+        base = spark.table("documents").select("doc_id", "text")
+        # planted duplicates (dedup.EXACT_FOLD_SHIFT docstring): the
+        # shifted copy lands one batch later, so the fold must keep
+        # the earlier-batch copy and drop the smaller-id original
+        docs = base.unionByName(
+            base.select(
+                (F.col("doc_id") + dedup.EXACT_FOLD_SHIFT).alias("doc_id"), "text"
+            )
+        )
+        kept = []
+        for b in range(3):
+            batch = docs.filter(F.col("doc_id") % 3 == b)
+            # incremental_dedup checkpoints its result eagerly, so the
+            # per-batch outcome is pinned BEFORE later batches mutate
+            # the fingerprint store
+            fresh = dedup.incremental_dedup(spark, batch, state)
+            kept.append(fresh.select(F.lit(b).cast("long").alias("batch"), "doc_id"))
+        return _fold_stats(spark, kept, docs)
+
+    cases["dedup_incremental_exact"] = Case(
+        _incr_exact, dedup.incremental_exact_oracle_sql()
+    )
+
+    def _incr_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import os
+        import tempfile
+
+        views(spark, sf_dir)
+        state = os.path.join(tempfile.mkdtemp(prefix="etl_incr_near_"), "state")
+        docs = spark.table("documents")
+        kept = []
+        for b in range(3):
+            batch = docs.filter(F.col("doc_id") % 3 == b).select("doc_id", "text")
+            surv = dedup.incremental_neardup(spark, batch, state)
+            # survivors are NOT checkpointed by the gate (only its band
+            # keys are) — pin them before the next batch appends state
+            kept.append(
+                surv.select(F.lit(b).cast("long").alias("batch"), "doc_id")
+                .localCheckpoint(eager=True)
+            )
+        return _fold_stats(spark, kept, docs)
+
+    cases["dedup_incremental_neardup"] = Case(
+        _incr_neardup, dedup.incremental_neardup_oracle_sql()
+    )
+
     return _driver_order(cases)
