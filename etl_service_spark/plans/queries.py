@@ -1921,14 +1921,42 @@ _VERIFIED_R8 = (
         "tpch_q17_small_quantity",
 )
 
+_VERIFIED_R9 = (
+        # round 9 (CORRECTNESS_r09.json, 50 green rows)
+        'ann_ivf_nprobe_sweep', 'ann_ivfpq_recall', 'ann_ivfpq_topk',
+        'ann_matryoshka_recall', 'ann_pq_adc_topk',
+        'ann_pq_recall_report', 'basket_association_rules',
+        'corpus_quality_curriculum', 'dedup_lsh_band_tuning',
+        'events_gaps_islands', 'events_moving_average',
+        'events_multires_rollup', 'events_ohlc_windows',
+        'events_peak_concurrency', 'events_pivot_by_user',
+        'events_rollup_consistency', 'events_salted_agg',
+        'events_salted_join', 'events_seasonal_residuals',
+        'events_value_quantiles', 'events_zscore_outliers',
+        'graph_bfs_layers', 'graph_degree_distribution',
+        'graph_pagerank_salted', 'graph_triangle_count',
+        'join_bloom_prefilter_revenue', 'layout_zorder_skipping',
+        'lineitem_unpivot_stats', 'media_audio_meta_sniff',
+        'media_feature_extract', 'media_image_dims_sniff',
+        'orders_rfm_segments', 'privacy_k_map', 'privacy_l_diversity',
+        'privacy_scrub_pii', 'privacy_t_closeness', 'profile_key_skew',
+        'profile_range_boundaries', 'sketch_hll_sliding_distinct',
+        'sketch_hll_weekly_rollup', 'src_binaryfile_ingest',
+        'src_jsonl_roundtrip', 'src_orc_roundtrip',
+        'text_rake_keywords', 'text_repetition_quality',
+        'text_sentence_split', 'text_source_overlap_jaccard',
+        'text_source_unigram_tvd', 'text_top_terms_per_language',
+        'text_vocab_by_source',
+)
+
 # Stalest driver row first: the oldest-round tier leads the verified
 # tail; a name verified in several rounds keeps only its FRESHEST
 # (latest-round) position.
 _seen: set[str] = set()
 _stale_tiers: list[tuple[str, ...]] = []
 for _tier in (
-    _VERIFIED_R8, _VERIFIED_R7, _VERIFIED_R6, _VERIFIED_R5, _VERIFIED_R4,
-    _VERIFIED_R3, _VERIFIED_R2, _VERIFIED_R1,
+    _VERIFIED_R9, _VERIFIED_R8, _VERIFIED_R7, _VERIFIED_R6, _VERIFIED_R5,
+    _VERIFIED_R4, _VERIFIED_R3, _VERIFIED_R2, _VERIFIED_R1,
 ):
     _stale_tiers.append(tuple(n for n in _tier if n not in _seen))
     _seen.update(_tier)
@@ -1954,25 +1982,23 @@ _FAMILY_PREFIXES: tuple[tuple[str, ...], ...] = (
 )
 
 
-# Round 9 priority tier (VERDICT.md round 8, "Next round" #5): every
-# query whose PLAN or VALUES changed this round — the six
-# single-partition-window eliminations, the two further members the
-# extended plan_audit window rule found (key_skew, rake), and the
-# three ADVICE-driven value/filter changes — must be driver-RE-verified
-# before anything else. The verified tail behind this tier leads with
-# the r3 (26 rows) and r4 staleness tiers, so the driver's 50-sample
-# retires r3 entirely and most of r4.
+# Round 10 priority tier (VERDICT.md round 9, "Next round" #5): every
+# query whose PLAN or VALUES changed this round — the ADVICE NULL
+# filter, the full-audit findings' rewrites, and the BFS staging/
+# early-exit — must be driver-RE-verified before anything else. The
+# two NEW registry entries (dedup_incremental_*) float right behind as
+# driver-unverified; the verified tail then leads with the r4 (23
+# rows) and r5 staleness tiers, so the driver's 50-sample retires r4
+# entirely and bites into r5.
 _PRIORITY_PENDING = (
-    # round-8 verdict "What's wrong" #1-#6: single-partition windows
-    # replaced by bounded-domain / two-phase-scan / TakeOrdered forms
-    "layout_zorder_skipping", "orders_rfm_segments",
-    "corpus_quality_curriculum", "profile_range_boundaries",
-    "events_gaps_islands", "events_seasonal_residuals",
-    # same class, found by the NEW plan_audit window rule this round
-    "profile_key_skew", "text_rake_keywords",
-    # ADVICE r8: decimal-safe ppm scaling; NULL-defensive OHLC frame;
-    # modulus-corrected hits_per_mass_ppm
-    "privacy_t_closeness", "events_ohlc_windows", "dedup_lsh_band_tuning",
+    # ADVICE r9: NULL-defensive sweep endpoints (latent sort-order
+    # divergence closed; values unchanged on NULL-free data)
+    "events_peak_concurrency",
+    # round-10 full-registry plan audit findings: structural LIMIT on
+    # the broadcast query set; join-free bucket aggregate
+    "ann_range_search", "text_vocab_growth",
+    # round-9 verdict #6: memoized edge staging + convergence early-exit
+    "graph_bfs_layers",
 )
 
 
