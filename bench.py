@@ -363,14 +363,26 @@ def _warm_cache(sf_dir: str) -> None:
                     pass
 
 
-def _run_pass(cases, names, spark, sf_dir) -> dict[str, float]:
-    """One timed pass over the suite: each query end-to-end once."""
+def _run_pass(cases, names, spark, sf_dir, repeats: int = 1) -> dict[str, float]:
+    """One timed pass over the suite: each query end-to-end ``repeats``
+    times back-to-back, keeping the MIN. The record pass uses
+    repeats=2 — per-query min-of-2 with the query's own staged
+    relations cache-warm, the SAME per-query semantics every committed
+    baseline was recorded under. (A single-execution record pass was
+    tried first and concentrated ~2x regressions appeared on exactly
+    the staged-relation-heavy queries: a full suite pass between a
+    query's two executions evicts its pinned staging, so the pass-2
+    single run re-derived it — measuring cache pressure, not the
+    plan.)"""
     timings: dict[str, float] = {}
     for name in names:
-        t0 = time.perf_counter()
-        df = cases[name].spark(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            df = cases[name].spark(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
         # periodic session hygiene: lingering Python references
         # (DataFrames over localCheckpoint RDDs, staged relations) keep
         # JVM-side state alive until the ContextCleaner sees the refs
@@ -445,12 +457,12 @@ def main() -> None:
 
     # Two suite passes; the SECOND is the record (steady-state cost —
     # what a long-running cluster session pays; pass 1 absorbs codegen
-    # JIT and any residual cold I/O). Same total executions per query
-    # as the old per-query min-of-2, and pass-2-of-2 measures the same
-    # steady state the min used to select.
+    # JIT, staging builds, and any residual cold I/O). The record pass
+    # keeps the per-query min-of-2 semantics of every committed
+    # baseline (see _run_pass docstring).
     pass1 = _run_pass(cases, names, spark, sf_dir)
     gc.collect()
-    timings = _run_pass(cases, names, spark, sf_dir)
+    timings = _run_pass(cases, names, spark, sf_dir, repeats=2)
 
     total = round(sum(timings.values()), 3)
     env["load_1m_end"] = round(os.getloadavg()[0], 2)
