@@ -32,8 +32,12 @@ from etl_service_spark.plans.queries import registry, views  # noqa: E402
 from etl_service_spark.session import get_spark  # noqa: E402
 
 # fact tables whose full-width scan is never right; widths are read
-# from the live schema so the audit tracks the testdata layout
-FACTS = ("lineitem", "orders", "events")
+# from the live schema so the audit tracks the testdata layout.
+# documents/embeddings added round 10 (probed clean across all 264
+# plans first): their wide columns (text, embedding) are the most
+# expensive bytes in the corpus — a scan reading them for a
+# metadata-only projection is the 100 TB mistake this rule exists for.
+FACTS = ("lineitem", "orders", "events", "documents", "embeddings")
 FULL_WIDTH: dict[str, int] = {}
 
 def _marker_col(line: str) -> int | None:
