@@ -1309,6 +1309,59 @@ WHERE ({dot}) / (({qnorm}) * ({enorm})) >= {tau}
 """
 
 
+def range_search_staged(
+    spark: SparkSession, tau: float = 0.4, n_queries: int = 5,
+    view: str = "embeddings",
+) -> DataFrame:
+    """Spark path for range search: the same broadcast+Arrow kernel as
+    cosine_topk_staged (f32→f64 widening, left-associated 64-term
+    accumulation, dot/(qn·en) — bit-identical to the SQL chain), with
+    a similarity-floor filter instead of per-partition top-k tracking.
+
+    Why not the SQL twin on the Spark side: it inlines three 64-term
+    chains TWICE (select + filter), which overflows Janino's 64 KB
+    generated-method limit — the whole stage silently drops to
+    interpreted mode ('ERROR CodeGenerator: failed to compile',
+    round-10 bisect) and ran 2.2x the top-k sibling at sf0.1. The
+    kernel also never shuffles: scan → mapInPandas, Q·N scores never
+    leave their corpus partition. NaN cosines (zero-norm embeddings)
+    PASS the filter, matching both engines' 'NaN is greatest'
+    comparison semantics."""
+    import numpy as np
+    import pandas as pd
+
+    emb = spark.table(view).select("vec_id", "embedding")
+    qrows = sorted(
+        ((r.vec_id, r.embedding) for r in emb.filter(f"vec_id < {n_queries}").collect()),
+        key=lambda t: t[0],
+    )
+    q_ids = np.array([t[0] for t in qrows], dtype=np.int64)
+    q_m = np.array([t[1] for t in qrows], dtype=np.float64)
+    q_nrm = np_norms(q_m)
+    bc = spark.sparkContext.broadcast((q_ids, q_m, q_nrm))
+
+    def kernel(batches):
+        ids_q, m_q, nrm_q = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.array(list(pdf["embedding"]), dtype=np.float64)
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            nrm = np_norms(m)
+            acc = np.multiply.outer(m_q[:, 0], m[:, 0])
+            for i in range(1, DIM):
+                acc += np.multiply.outer(m_q[:, i], m[:, i])
+            cos = acc / np.multiply.outer(nrm_q, nrm)
+            hit = (cos >= tau) | np.isnan(cos)
+            hit &= ids[None, :] != ids_q[:, None]  # e.vec_id <> q_id
+            qi, ni = np.nonzero(hit)
+            yield pd.DataFrame(
+                {"q_id": ids_q[qi], "n_id": ids[ni], "cosine": cos[qi, ni]}
+            )
+
+    return emb.mapInPandas(kernel, "q_id long, n_id long, cosine double")
+
+
 def range_search_sql(
     tau: float = 0.4, n_queries: int = 5, view: str = "embeddings"
 ) -> tuple[str, str]:
@@ -1317,7 +1370,9 @@ def range_search_sql(
     count-bounded — what dedup-against-index and contamination checks
     want). Exact O(Q·N) scan with the bit-exact dot chain; Q stays
     small, and the same LSH/IVF stages remain the linear-scale path
-    when it grows."""
+    when it grows. Since round 10 the [1] (DuckDB) side is the oracle
+    for range_search_staged; the [0] side remains for the SQL-twin
+    tests."""
     return P.bi_sql(
         RANGE_SEARCH_TEMPLATE,
         dot=(_dot("qv", "e.embedding", one_based=False), _dot("qv", "e.embedding", one_based=True)),

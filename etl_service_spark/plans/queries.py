@@ -3419,7 +3419,18 @@ FROM d GROUP BY decile
         return similarity.ivf_ann_staged(spark)
 
     cases["ann_ivf_topk"] = Case(_ivf_staged, similarity.ivf_ann_sql()[1])
-    cases["ann_range_search"] = _pair_case(similarity.range_search_sql())
+
+    # Spark side: the cosine_topk_staged Arrow kernel with a threshold
+    # filter (the SQL twin's doubly-inlined 64-term chains overflow the
+    # Janino codegen method limit — see range_search_staged docstring);
+    # oracle stays the explicit-chain SQL.
+    def _range_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
+        views(spark, sf_dir)
+        return similarity.range_search_staged(spark)
+
+    cases["ann_range_search"] = Case(
+        _range_staged, similarity.range_search_sql()[1]
+    )
     # PQ paths run over the SHARED staged distance relation (code
     # assignment and the ADC LUT both consume it; CTE inlining would
     # evaluate the 64-term distance chain twice) — oracles stay the
