@@ -258,6 +258,9 @@ HEADLINERS = [
     "snap_cdc_compaction",
     "privacy_t_closeness",
     "dq_referential_integrity",
+    "text_source_diversity_gini",
+    "ann_int8_recall",
+    "dim_scd2_invariants",
 ]
 
 # Registry entries NOT in the standing headline set, each with its

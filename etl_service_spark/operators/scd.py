@@ -137,6 +137,95 @@ WHERE u.custkey % 7 = 0 OR u.custkey >= 90000000
 """
 
 
+# --------------------------------------------------- invariant audit
+CORRUPT_TS = "2025-03-01"  # control row's valid_from (strictly inside [V0, V1))
+
+# The audit body over one SCD2 relation, CTE-free so two instances
+# compose under UNION ALL (Spark and DuckDB both restrict WITH inside
+# set-operation branches). Per key, rows ordered by (valid_from, open
+# rows last via the 9999 sentinel); LAG carries the previous row's
+# close timestamp, with the sentinel marking "previous row was open" —
+# any successor of an open row overlaps by definition.
+SCD2_AUDIT_BODY = """
+SELECT '{label}' AS relation,
+       CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN n_open > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_multi_open_keys,
+       CAST(SUM(CASE WHEN n_open = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_closed_out_keys,
+       CAST(SUM(n_overlap) AS BIGINT) AS n_overlap_pairs,
+       CAST(SUM(n_gap) AS BIGINT) AS n_gap_pairs,
+       CAST(SUM(n_inverted) AS BIGINT) AS n_inverted_rows
+FROM (
+  SELECT custkey,
+         COUNT(*) AS n_rows,
+         SUM(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END) AS n_open,
+         SUM(CASE WHEN valid_to IS NOT NULL AND valid_to <= valid_from
+                  THEN 1 ELSE 0 END) AS n_inverted,
+         SUM(CASE WHEN prev_to IS NOT NULL AND prev_to > valid_from
+                  THEN 1 ELSE 0 END) AS n_overlap,
+         SUM(CASE WHEN prev_to IS NOT NULL AND prev_to < valid_from
+                  THEN 1 ELSE 0 END) AS n_gap
+  FROM (
+    SELECT custkey, valid_from, valid_to,
+           LAG(COALESCE(valid_to, '9999-12-31')) OVER (
+             PARTITION BY custkey
+             ORDER BY valid_from, COALESCE(valid_to, '9999-12-31')
+           ) AS prev_to
+    FROM {rel}
+  ) o
+  GROUP BY custkey
+) pk
+"""
+
+
+def scd2_invariants(spark, sf_dir: str) -> DataFrame:
+    """SCD2 history-consistency audit — the data-quality contract a
+    versioned dimension must keep for point-in-time lookups to be
+    well-defined: exactly one open version per key, no overlapping
+    [valid_from, valid_to) windows, no gaps between consecutive
+    versions, no inverted windows. Audited on the REAL merge output
+    AND on a deliberately corrupted control twin (every %13 key gets a
+    second open row dated inside the first window), so a nonzero
+    overlap/multi-open count on 'control' proves the detector fires —
+    the dq_referential_integrity control-edge discipline.
+
+    Scale shape: the per-key window is hash-partitioned on the
+    business key (versions-per-key is bounded by change frequency),
+    then two key-grain aggregates — no single-partition stage."""
+    merged = scd2_customers(spark, sf_dir)
+    merged.createOrReplaceTempView("__scd2_audit_m")
+    corrupt = (
+        merged.filter((F.col("custkey") % 13 == 0) & F.col("valid_to").isNull())
+        .withColumn("valid_from", F.lit(CORRUPT_TS))
+    )
+    merged.unionByName(corrupt).createOrReplaceTempView("__scd2_audit_c")
+    return spark.sql(
+        SCD2_AUDIT_BODY.format(rel="__scd2_audit_m", label="merged")
+        + "\nUNION ALL\n"
+        + SCD2_AUDIT_BODY.format(rel="__scd2_audit_c", label="control")
+    )
+
+
+def scd2_invariants_oracle_sql() -> str:
+    """DuckDB twin: merge oracle + the same control corruption, each
+    run through the shared audit body."""
+    return f"""
+WITH merged AS ({scd2_oracle_sql()}),
+control AS (
+  SELECT * FROM merged
+  UNION ALL
+  SELECT custkey, acctbal_cents, '{CORRUPT_TS}' AS valid_from,
+         NULL AS valid_to
+  FROM merged WHERE custkey % 13 = 0 AND valid_to IS NULL
+)
+{SCD2_AUDIT_BODY.format(rel="merged", label="merged")}
+UNION ALL
+{SCD2_AUDIT_BODY.format(rel="control", label="control")}
+"""
+
+
 def scd2_pit_lookup(spark, sf_dir: str) -> DataFrame:
     """Point-in-time dimension lookup — the query SCD2 history exists
     FOR: join each fact row to the dimension version in effect at its

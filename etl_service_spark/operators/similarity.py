@@ -1309,6 +1309,74 @@ WHERE ({dot}) / (({qnorm}) * ({enorm})) >= {tau}
 """
 
 
+def int8_topk_sql(
+    k: int = 10, n_queries: int = 5, view: str = "embeddings"
+) -> tuple[str, str]:
+    """Top-k retrieval over the int8-QUANTIZED vectors — the search
+    half of quantize_int8_sql's storage story (the recall against
+    exact f64 cosine is what ann_int8_recall measures; PQ and
+    matryoshka already have theirs, this completes the quantization
+    family). Same per-vector symmetric rule (q_i = FLOOR(v_i·127/mx),
+    every step correctly-rounded IEEE hence cross-engine exact); dot
+    products and squared norms are then SMALL-INTEGER sums
+    (|q_i| ≤ 127, 64 dims ⇒ |dot| ≤ 64·127² < 2^21 — BIGINT-exact),
+    and the ranking key cos8 = dot/(√nq·√nn) is three correctly-
+    rounded ops over exact integers — bit-identical in both engines.
+    Ties break on n_id; zero-norm vectors are excluded (scale
+    undefined), mirroring quantize_int8_sql.
+
+    Scale shape (relational MIPS): the query subvectors are a
+    Q×64-row relation — broadcast at any corpus size — so the dot
+    join is map-side; the per-(query, neighbor) aggregate is
+    map-side-combinable (Q·N rows out of Q·N·64 in); the final
+    top-k is a per-query window over hash-partitioned q_id."""
+    spark_dims = "SELECT CAST(id AS INT) AS i FROM range(64)"
+    duck_dims = "SELECT range AS i FROM range(64)"
+    spark_elem = "element_at(embedding, i + 1)"
+    duck_elem = "embedding[i + 1]"
+
+    def body(elem: str, dims: str) -> str:
+        return f"""
+WITH dims AS ({dims}),
+e AS (
+  SELECT vec_id, i, CAST({elem} AS DOUBLE) AS v
+  FROM {view} CROSS JOIN dims
+),
+m AS (SELECT vec_id, MAX(ABS(v)) AS mx FROM e GROUP BY vec_id),
+qv AS (
+  SELECT e.vec_id, e.i,
+         CAST(FLOOR(e.v * (127.0 / m.mx)) AS BIGINT) AS q
+  FROM e JOIN m ON m.vec_id = e.vec_id
+  WHERE m.mx > 0
+),
+nrm AS (SELECT vec_id, SUM(q * q) AS n2 FROM qv GROUP BY vec_id),
+qq AS (SELECT vec_id, i, q FROM qv WHERE vec_id < {n_queries}),
+dot AS (
+  SELECT qq.vec_id AS q_id, c.vec_id AS n_id,
+         CAST(SUM(qq.q * c.q) AS BIGINT) AS d
+  FROM qq JOIN qv c ON c.i = qq.i AND c.vec_id <> qq.vec_id
+  GROUP BY qq.vec_id, c.vec_id
+),
+scored AS (
+  SELECT d.q_id, d.n_id,
+         CAST(d.d AS DOUBLE)
+           / (SQRT(CAST(a.n2 AS DOUBLE)) * SQRT(CAST(b.n2 AS DOUBLE))) AS cos8
+  FROM dot d
+  JOIN nrm a ON a.vec_id = d.q_id
+  JOIN nrm b ON b.vec_id = d.n_id
+),
+ranked AS (
+  SELECT q_id, n_id,
+         ROW_NUMBER() OVER (PARTITION BY q_id
+                            ORDER BY cos8 DESC, n_id) AS rk
+  FROM scored
+)
+SELECT q_id, n_id FROM ranked WHERE rk <= {k}
+"""
+
+    return body(spark_elem, spark_dims), body(duck_elem, duck_dims)
+
+
 def range_search_staged(
     spark: SparkSession, tau: float = 0.4, n_queries: int = 5,
     view: str = "embeddings",

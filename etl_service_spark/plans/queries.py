@@ -2243,6 +2243,16 @@ def registry() -> dict[str, Case]:
 
     cases["dim_scd2_merge"] = Case(_q_scd2, _scd.scd2_oracle_sql())
 
+    def _q_scd2_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from ..operators import scd
+
+        views(spark, sf_dir)
+        return scd.scd2_invariants(spark, sf_dir)
+
+    cases["dim_scd2_invariants"] = Case(
+        _q_scd2_invariants, _scd.scd2_invariants_oracle_sql()
+    )
+
     def _q_scd2_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
         from ..operators import scd
 
@@ -3492,6 +3502,43 @@ SELECT q_id, COUNT(*) AS k, CAST(SUM(hit) AS BIGINT) AS n_hits,
 FROM j GROUP BY q_id
 """
     cases["ann_recall_report"] = Case(_ann_recall, _ann_recall_oracle)
+
+    # Recall of int8-quantized retrieval against the same exact ground
+    # truth — completes the quantization family's self-evaluation (PQ
+    # and matryoshka have theirs): the number that says whether 4x
+    # smaller vectors still retrieve the right neighbors. Same
+    # query-grain join shape as ann_recall_report.
+    def _int8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+        views(spark, sf_dir)
+        exact = similarity.cosine_topk_staged(spark).select("q_id", "n_id")
+        approx = spark.sql(similarity.int8_topk_sql()[0]).select("q_id", "n_id")
+        return (
+            exact.join(approx.withColumn("hit", F.lit(1)), ["q_id", "n_id"], "left")
+            .groupBy("q_id")
+            .agg(
+                F.count("*").alias("k"),
+                F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hits"),
+            )
+            .select(
+                "q_id",
+                "k",
+                "n_hits",
+                F.expr("CAST(n_hits * 1000000 DIV k AS BIGINT)").alias("recall_ppm"),
+            )
+        )
+
+    _int8_recall_oracle = f"""
+WITH j AS (
+  SELECT e.q_id, CASE WHEN a.n_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+  FROM ({similarity.cosine_topk_sql()[1].strip()}) e
+  LEFT JOIN ({similarity.int8_topk_sql()[1].strip()}) a
+    ON a.q_id = e.q_id AND a.n_id = e.n_id
+)
+SELECT q_id, COUNT(*) AS k, CAST(SUM(hit) AS BIGINT) AS n_hits,
+       CAST(SUM(hit) * 1000000 // COUNT(*) AS BIGINT) AS recall_ppm
+FROM j GROUP BY q_id
+"""
+    cases["ann_int8_recall"] = Case(_int8_recall, _int8_recall_oracle)
 
     # Recall of the composed IVF-PQ index against the same exact
     # ground truth — read NEXT TO ann_recall_report (IVF alone): the
@@ -5724,6 +5771,53 @@ JOIN totals tb ON tb.source = i.src_b
     cases["text_source_overlap_jaccard"] = _bi_case(
         _SRC_OVERLAP_TEMPLATE,
         idiv=("DIV", "//"),
+        unnest_tokens=(
+            "explode(split(lower(text), '[^a-z0-9]+'))",
+            "unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+'))",
+        ),
+    )
+
+    # --- per-source lexical diversity (Gini–Simpson, exact integer
+    # ppm): 1 − Σ pᵢ² over each source's unigram distribution — the
+    # probability two tokens drawn from the source DIFFER. The third
+    # leg of the mixture-design triad next to drift (TVD) and
+    # redundancy (pairwise Jaccard): a source can be on-distribution
+    # and non-overlapping yet internally DEGENERATE (template spam —
+    # few distinct tokens dominating), which only a concentration
+    # metric sees. Entropy needs log (libm-dependent, not oracle-safe
+    # — the log2-free discipline of the degree histogram);
+    # Gini–Simpson is pure rational arithmetic: Σcᵢ² and N² ride
+    # DECIMAL(38,0)/HUGEINT (cᵢ ≤ N and N² passes 2^63 long before
+    # 100 TB — the t-closeness overflow precedent) and only the ≤1e6
+    # quotient casts down. One (source, token) aggregate then one
+    # source-grain aggregate — map-side combinable, |sources| rows out.
+    _SRC_GINI_TEMPLATE = """
+WITH tok AS (
+  SELECT source, {unnest_tokens} AS tok FROM documents
+),
+st AS (
+  SELECT source, tok, COUNT(*) AS c
+  FROM tok WHERE tok <> '' GROUP BY source, tok
+),
+agg AS (
+  SELECT source,
+         SUM(CAST(c AS {big_t}) * c) AS sum_sq,
+         CAST(SUM(c) AS BIGINT) AS n_tokens,
+         COUNT(*) AS n_vocab
+  FROM st GROUP BY source
+)
+SELECT source,
+       n_tokens,
+       CAST(n_vocab AS BIGINT) AS n_vocab,
+       CAST(1000000 - (sum_sq * 1000000)
+            {idiv} (CAST(n_tokens AS {big_t}) * n_tokens) AS BIGINT)
+         AS gini_simpson_ppm
+FROM agg
+"""
+    cases["text_source_diversity_gini"] = _bi_case(
+        _SRC_GINI_TEMPLATE,
+        idiv=("DIV", "//"),
+        big_t=("DECIMAL(38,0)", "HUGEINT"),
         unnest_tokens=(
             "explode(split(lower(text), '[^a-z0-9]+'))",
             "unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+'))",
