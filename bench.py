@@ -261,6 +261,7 @@ HEADLINERS = [
     "text_source_diversity_gini",
     "ann_int8_recall",
     "dim_scd2_invariants",
+    "dq_order_totals_recon",
 ]
 
 # Registry entries NOT in the standing headline set, each with its
