@@ -1676,3 +1676,57 @@ def test_ohlc_packed_key_total_order(spark):
         .collect()[0]
     )
     assert got2.open_cents == 900  # event_id 3 < 7 at the tied ts
+
+
+def test_incremental_dedup_single_batch_equals_oneshot(spark, tmp_path):
+    """Fold degeneracy: with ONE batch the incremental gate must equal
+    one-shot exact dedup (min doc_id per lowercased-text hash wins),
+    and a full redelivery of the same batch must be suppressed
+    entirely by the fingerprint state."""
+    from etl_service_spark.operators import dedup
+
+    rows = [(1, "a b c"), (2, "a b c"), (3, "unique text"), (4, "A B C")]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    fp = str(tmp_path / "fp")
+    fresh = dedup.incremental_dedup(spark, docs, fp)
+    assert sorted(r.doc_id for r in fresh.collect()) == [1, 3]
+    assert dedup.incremental_dedup(spark, docs, fp).count() == 0
+
+
+def test_incremental_neardup_fold_order_beats_doc_id(spark, tmp_path):
+    """The fold-order property the registry oracles rank by: a doc in
+    an EARLIER batch wins its near-dup group even against a smaller
+    doc_id arriving later — the outcome a one-shot dedup (global min
+    id) would never produce."""
+    from etl_service_spark.operators import dedup
+
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    state = str(tmp_path / "state")
+    first = spark.createDataFrame([(5, text)], "doc_id bigint, text string")
+    assert [r.doc_id for r in dedup.incremental_neardup(spark, first, state).collect()] == [5]
+    later = spark.createDataFrame([(2, text)], "doc_id bigint, text string")
+    assert dedup.incremental_neardup(spark, later, state).count() == 0
+
+
+def test_scd2_audit_detects_gaps_and_inversions(spark):
+    """The registry control twin fires multi-open/overlap; the GAP and
+    INVERTED-window counters need their own probe so every invariant
+    class has a proven-firing detector."""
+    from etl_service_spark.operators import scd
+
+    rows = [
+        (1, 100, "2025-01-01", "2025-02-01"),
+        (1, 200, "2025-03-01", None),          # gap: 02-01 .. 03-01
+        (2, 100, "2025-05-01", "2025-04-01"),  # inverted window
+        (2, 150, "2025-05-01", None),          # follows an 04-01 close -> gap
+    ]
+    spark.createDataFrame(
+        rows, "custkey bigint, acctbal_cents bigint, valid_from string, valid_to string"
+    ).createOrReplaceTempView("__scd2_probe")
+    got = spark.sql(
+        scd.SCD2_AUDIT_BODY.format(rel="__scd2_probe", label="probe")
+    ).collect()[0]
+    assert got.n_gap_pairs == 2
+    assert got.n_inverted_rows == 1
+    assert got.n_overlap_pairs == 0
+    assert got.n_multi_open_keys == 0
