@@ -25,8 +25,9 @@ scan paid cold reads). The protocol that makes records reproducible:
    any timing.
 2. Run the suite TWICE back-to-back and record the SECOND pass
    (payload carries `warm: true, run: "2of2"`, plus the first pass's
-   total for reference) — total executions per query are unchanged vs
-   the old per-query min-of-2, so driver wall cost is the same.
+   total for reference). Cost: 3 executions per query — one pass-1
+   warm-up plus the record pass's per-query min-of-2 — one more than
+   the old bare min-of-2, the price of a steady-state record.
 3. Emit a drift check against the previously-committed record (read
    before overwrite, same sf only): the median per-query ratio tells
    UNIFORM drift (environment — rerecord on a quiet box) apart from
@@ -361,8 +362,20 @@ def _warm_cache(sf_dir: str) -> None:
     page cache before any timing — round 9's ~1.25x 'box drift' was
     kernel reclaim evicting these files, making every scan a cold read."""
     for fn in sorted(os.listdir(sf_dir)):
-        if fn.endswith(".parquet"):
-            with open(os.path.join(sf_dir, fn), "rb") as fh:
+        if not fn.endswith(".parquet"):
+            continue
+        path = os.path.join(sf_dir, fn)
+        # a Spark-written dataset is a <name>.parquet/ DIRECTORY of
+        # part files; read those, don't open() the directory itself
+        files = (
+            [os.path.join(path, p) for p in sorted(os.listdir(path))]
+            if os.path.isdir(path)
+            else [path]
+        )
+        for f in files:
+            if not os.path.isfile(f):
+                continue
+            with open(f, "rb") as fh:
                 while fh.read(1 << 24):
                     pass
 

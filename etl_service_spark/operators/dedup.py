@@ -1118,11 +1118,14 @@ _FOLD_BIG = 10**12  # doc_id << _FOLD_BIG at every scale factor
 
 # Planted-duplicate shift for the exact-fold twin: the documents table
 # has no byte-identical text at bench scale factors, so the fold runs
-# over the corpus UNION a doc_id-shifted copy. The shift is ≡ 1 mod 3:
-# every copy lands in the batch AFTER its original's, so the fold
-# keeps the earlier-batch COPY and drops the smaller-id ORIGINAL —
-# the exact outcome a one-shot dedup (global min id wins) would never
-# produce, which is what makes the oracle discriminating.
+# over the corpus UNION a doc_id-shifted copy. The shift is ≡ 1 mod 3,
+# so each copy's batch is (original's batch + 1) mod 3: for originals
+# in batches 0/1 the copy lands in a LATER batch and the original wins
+# (same as one-shot), but originals in the LAST batch wrap — their
+# copy lands in batch 0, the fold keeps the earlier-batch COPY and
+# drops the smaller-id ORIGINAL. Those wrapped groups (1/3 of all
+# duplicate groups) are the discriminating cases a one-shot dedup
+# (global min id wins) would get wrong.
 EXACT_FOLD_SHIFT = 1_000_000
 
 

@@ -298,6 +298,20 @@ FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
 _PR_EDGE_CACHE: dict[tuple, tuple] = {}
 
 
+def _evict_stale(cache: dict, key: tuple) -> None:
+    """Unpersist + drop every cache entry sharing ``key``'s session
+    token but holding a DIFFERENT lineage: a session that re-points its
+    views at new data (a new sf_dir) will never ask for the old edge
+    copy again, and without eviction each lineage switch pins another
+    full edge relation in executor memory for the session's lifetime
+    (round-10 ADVICE). Entries of OTHER live sessions are untouched."""
+    token = key[0]
+    for old in [k for k in cache if k[0] == token and k != key]:
+        for item in cache.pop(old):
+            if hasattr(item, "unpersist"):
+                item.unpersist()
+
+
 def _pagerank_edges(spark: SparkSession) -> tuple:
     from ..functions import portable as P
 
@@ -306,6 +320,7 @@ def _pagerank_edges(spark: SparkSession) -> tuple:
     hit = _PR_EDGE_CACHE.get(key)
     if hit is not None:
         return hit
+    _evict_stale(_PR_EDGE_CACHE, key)
     # customer and (offset) supplier ids live in disjoint ranges, so the
     # symmetric union of an already-DISTINCT pair set cannot contain
     # duplicates — no second distinct (saves a full shuffle+dedup over
@@ -583,6 +598,7 @@ def _bfs_stage(spark: SparkSession) -> tuple:
     hit = _BFS_STAGE_CACHE.get(key)
     if hit is not None:
         return hit
+    _evict_stale(_BFS_STAGE_CACHE, key)
     sym = pairs.union(
         pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).repartition("b").persist()

@@ -1730,3 +1730,29 @@ def test_scd2_audit_detects_gaps_and_inversions(spark):
     assert got.n_inverted_rows == 1
     assert got.n_overlap_pairs == 0
     assert got.n_multi_open_keys == 0
+
+
+def test_graph_stage_caches_evict_stale_lineage(spark):
+    """Round-10 ADVICE: a session that re-points its views at new data
+    must not keep the OLD lineage's persisted edge relation pinned —
+    the memo evicts (and unpersists) same-session entries whose
+    lineage key differs, while a same-lineage re-call still hits."""
+    from etl_service_spark.functions import portable as P
+    from etl_service_spark.operators import graph
+    from etl_service_spark.plans.queries import views
+
+    tok = P.session_token(spark)
+    views(spark, "/root/testdata/sf0.001")
+    sym1 = graph._bfs_stage(spark)[0]
+    assert graph._bfs_stage(spark)[0] is sym1  # same lineage: cache hit
+    views(spark, "/root/testdata/sf0.01")
+    sym2 = graph._bfs_stage(spark)[0]
+    assert sym2 is not sym1
+    keys = [k for k in graph._BFS_STAGE_CACHE if k[0] == tok]
+    assert len(keys) == 1  # stale entry gone
+    assert not sym1.storageLevel.useMemory  # and unpersisted
+    assert sym2.storageLevel.useMemory or sym2.storageLevel.useDisk
+    # restore the suite's standard views for later tests
+    from .conftest import SF_DIR
+
+    views(spark, SF_DIR)
