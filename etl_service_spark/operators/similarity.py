@@ -1689,25 +1689,58 @@ assign AS (
 
 
 def _ivfpq_tail(
-    off: int, ncent: int, m: int, nprobe: int, k: int, n_queries: int
+    off: int,
+    ncent: int,
+    m: int,
+    nprobe: int,
+    k: int,
+    n_queries: int,
+    res_src: str | None = None,
 ) -> str:
     """Everything downstream of the coarse ``assign`` relation —
     shared verbatim by the full SQL (both dialects) and the staged
     Spark path, which substitutes the memoized Arrow-kernel
     assignment for the CTE. ``assign`` must provide (vec_id, c_id,
-    rn) on every row and carry the vector (embedding) and its ranked
-    centroid (cv) so residuals need no further joins."""
+    rn) on every row; with ``res_src`` unset it must also carry the
+    vector (embedding) and its ranked centroid (cv) so residuals need
+    no further joins.
+
+    ``res_src`` (staged Spark path only): name of a MATERIALIZED
+    (vec_id, c_id, rn, rv) residual relation — see _ivfpq_res_rel.
+    Without it, Catalyst's extract-value simplification rewrites every
+    rv[i] read in the vdist/adc distance CASEs back into the inline
+    FLOOR-chain element expression, and the resulting projections
+    overflow Janino's 64 KB method limit — the stage silently drops to
+    interpreted mode (round-10 ledger; same disease ann_range_search
+    had). A materialized rv is a real array column, so the CASEs
+    compile to array reads. The downstream text (vdist/codes/adc/cand/
+    scored/ranking) is IDENTICAL either way — integer-grid math over
+    the same residual values, so oracle parity is unaffected."""
     arr_open, arr_close = ("array(", ")") if off == 0 else ("[", "]")
     subs = " UNION ALL ".join(f"SELECT {s} AS s" for s in range(m))
     dcase = _ivfpq_res_dist_case(m, off, "l.rv", "r.rv")
-    res_arr = _ivfpq_res_arr(off, arr_open, arr_close, "a.embedding", "a.cv")
-    return f"""home AS (
-  SELECT vec_id, c_id FROM assign WHERE rn = 1
-),
-res AS (
+    if res_src is None:
+        res_arr = _ivfpq_res_arr(off, arr_open, arr_close, "a.embedding", "a.cv")
+        res_def = f"""res AS (
   SELECT a.vec_id, a.c_id, {res_arr} AS rv
   FROM assign a WHERE a.rn = 1
 ),
+qres AS (
+  SELECT a.vec_id AS q_id, a.c_id, {res_arr} AS rv
+  FROM assign a WHERE a.vec_id < {n_queries} AND a.rn <= {nprobe}
+),"""
+    else:
+        res_def = f"""res AS (
+  SELECT vec_id, c_id, rv FROM {res_src} WHERE rn = 1
+),
+qres AS (
+  SELECT vec_id AS q_id, c_id, rv FROM {res_src}
+  WHERE vec_id < {n_queries} AND rn <= {nprobe}
+),"""
+    return f"""home AS (
+  SELECT vec_id, c_id FROM assign WHERE rn = 1
+),
+{res_def}
 cbres AS (
   SELECT vec_id AS b_id, rv FROM res WHERE vec_id < {ncent}
 ),
@@ -1725,10 +1758,6 @@ codes AS (
            ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY dist, b_id) AS rk
     FROM vdist
   ) r WHERE rk = 1
-),
-qres AS (
-  SELECT a.vec_id AS q_id, a.c_id, {res_arr} AS rv
-  FROM assign a WHERE a.vec_id < {n_queries} AND a.rn <= {nprobe}
 ),
 adc AS (
   SELECT /*+ BROADCAST(r), BROADCAST(sub) */ l.q_id, l.c_id, sub.s, r.b_id,
@@ -1758,6 +1787,47 @@ SELECT q_id, n_id, adc_dist, rnk FROM (
 """
 
 
+def _ivfpq_res_rel(
+    spark: SparkSession,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    n_queries: int = 5,
+    view: str = "embeddings",
+) -> str:
+    """Stage the MATERIALIZED integer-grid residual relation
+    (vec_id, c_id, rn, rv: array<bigint>) for every (vector, ranked
+    centroid) pair the IVF-PQ tail reads: the rn = 1 home rows (codes
+    + codebook) and the query rows' top-``nprobe`` probes (ADC LUT).
+    The 64-entry FLOOR-chain residual is evaluated EXACTLY ONCE per
+    pair here; downstream subspace distances then read two physical
+    array slots. Without this materialization Catalyst folds the
+    array constructor back into every rv[i] reference and the
+    vdist/adc projections overflow Janino's 64 KB method limit (the
+    stage silently ran interpreted, round-10 ledger)."""
+    params = (n_cells, nprobe, n_queries)
+
+    def build():
+        arel = ivf_assignment_rel(spark, n_cells, view)
+        res_arr = _ivfpq_res_arr(0, "array(", ")", "e.embedding", "cv.cv")
+        # embedding rides the assignment stage only on rn = 1 rows;
+        # centroid vectors come from the view (they are the first
+        # n_cells vectors — a broadcast-sized relation)
+        return spark.sql(
+            f"""
+SELECT a.vec_id, a.c_id, a.rn, {res_arr} AS rv
+FROM {arel} a
+JOIN (SELECT vec_id, embedding FROM {arel} WHERE rn = 1) e
+  ON e.vec_id = a.vec_id
+JOIN (SELECT vec_id AS c_id, embedding AS cv FROM {view}
+      WHERE vec_id < {n_cells}) cv
+  ON cv.c_id = a.c_id
+WHERE a.rn = 1 OR (a.vec_id < {n_queries} AND a.rn <= {nprobe})
+"""
+        )
+
+    return _stage_view(spark, build, "ivfpq_res", view, params)
+
+
 def ivfpq_topk_staged(
     spark: SparkSession,
     n_cells: int = 16,
@@ -1772,30 +1842,22 @@ def ivfpq_topk_staged(
     coarse assignment coming from ivf_assignment_rel — the SAME staged
     Arrow-kernel relation ann_ivf_topk / ann_ivf_nprobe_sweep already
     share, so the expensive N×n_cells centroid ranking runs once per
-    session across the whole ANN family. The PQ tail is the identical
-    _ivfpq_tail text the oracle runs; only the assignment's provenance
-    differs (kernel vs SQL — equality is the assignment relation's own
-    oracle-checked property). The centroid vector (cv) is re-joined
-    from the view because the kernel stage carries embeddings only on
-    rn = 1 rows."""
+    session across the whole ANN family — and the residual arrays
+    coming MATERIALIZED from _ivfpq_res_rel (the Janino-overflow fix;
+    see its docstring). The PQ tail is the identical _ivfpq_tail text
+    the oracle runs — only the res/qres CTE *sources* differ (staged
+    residual column vs inline constructor of the same integer values);
+    every distance expression downstream is shared verbatim."""
     params = (n_cells, ncent, m, nprobe, k, n_queries)
 
     def build():
         arel = ivf_assignment_rel(spark, n_cells, view)
+        rres = _ivfpq_res_rel(spark, n_cells, nprobe, n_queries, view)
         sql = f"""
-WITH cview AS (
-  SELECT vec_id AS c_id, embedding AS cv FROM {view} WHERE vec_id < {n_cells}
+WITH assign AS (
+  SELECT vec_id, c_id, rn FROM {arel}
 ),
-emb AS (
-  SELECT vec_id, embedding FROM {arel} WHERE rn = 1
-),
-assign AS (
-  SELECT a.vec_id, a.c_id, e.embedding, cv.cv, a.rn
-  FROM {arel} a
-  JOIN emb e ON e.vec_id = a.vec_id
-  JOIN cview cv ON cv.c_id = a.c_id
-),
-""" + _ivfpq_tail(0, ncent, m, nprobe, k, n_queries)
+""" + _ivfpq_tail(0, ncent, m, nprobe, k, n_queries, res_src=rres)
         return spark.sql(sql)
 
     rel = _stage_view(spark, build, "ivfpq_topk", view, params)

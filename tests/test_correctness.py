@@ -179,3 +179,31 @@ def test_full_plan_audit_record_covers_registry():
         "unaudited": sorted(names - audited),
         "stale": sorted(audited - names),
     }
+
+
+def test_codegen_sweep_record_covers_registry():
+    """Round-10 verdict #1: the committed codegen-fallback sweep record
+    (CODEGEN_SWEEP.json, written by `tools/codegen_sweep.py`) must show
+    zero unexpected `ERROR CodeGenerator` fallbacks, every allowlist
+    entry must still be firing (a cured query must leave the
+    allowlist), and the sweep must cover EXACTLY the current registry —
+    a new registry entry without a sweep re-run fails here. This pins
+    the discipline that caught ann_range_search (r10) and
+    ann_ivfpq_recall (r11) silently running interpreted: the next 64 KB
+    Janino overflow cannot land without tripping CI."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "..", "CODEGEN_SWEEP.json")
+    assert os.path.exists(path), "run `python tools/codegen_sweep.py`"
+    with open(path) as fh:
+        rec = json.load(fh)
+    assert rec["clean"] and rec["unexpected"] == {}, rec["unexpected"]
+    stale_allow = set(rec["allowlist"]) - set(rec["allowlisted_hits"])
+    assert not stale_allow, f"allowlist entries no longer firing: {sorted(stale_allow)}"
+    audited = set(rec["audited"])
+    names = set(registry())
+    assert audited == names, {
+        "unswept": sorted(names - audited),
+        "stale": sorted(audited - names),
+    }
