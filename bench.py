@@ -317,6 +317,14 @@ EXCLUDED = {
     "ana_drilldown_levels": _R["config"],
     "ana_duration_datediff": _R["config"],
     "ana_hierarchy_tree": _R["config"],
+    # native WITH RECURSIVE twin of ana_hierarchy_tree — engine-
+    # capability proof, value-pinned to the closed form. KEEP/TRADE
+    # (round-11): for a depth-FIXED hierarchy the closed form wins
+    # (one scan per table; the UnionLoop re-scans the edge union every
+    # iteration — 0.19 s vs 1.32 s at sf0.1), so the closed form stays
+    # the production entry; recursion is the right tool only when the
+    # depth is unbounded/unknown at plan time.
+    "ana_hierarchy_tree_recursive": _R["config"],
     "ana_running_filter": _R["config"],
     "ana_runstructure_real": _R["config"],
     "ana_timeline_union": _R["config"],

@@ -388,6 +388,40 @@ SELECT concat('O', o_orderkey), concat('C', o_custkey),
 FROM orders WHERE o_orderkey % 20 = 0
 """
 
+# Native recursive twin of ANA_TREE_TEMPLATE (round-10 verdict #5):
+# Spark 4.1 ships WITH RECURSIVE (UnionLoop execution), so the
+# 4-level drill-down runs as a genuine recursive walk over a unified
+# (node, parent, name) edge relation — levels come out of the
+# recursion depth, not hand-assigned constants. The ORACLE is the
+# closed-form ANA_TREE_TEMPLATE itself: the recursion must reproduce
+# the hand-leveled union bit-for-bit (reachability + level arithmetic
+# + no duplicate expansion), which checks the engine's recursive
+# execution against a recursion-free ground truth. Spark-only text —
+# DuckDB runs the closed form.
+ANA_TREE_RECURSIVE_SQL = """
+WITH RECURSIVE edges AS (
+  SELECT concat('R', r_regionkey) AS node, 'ROOT' AS parent,
+         r_name AS name
+  FROM region
+  UNION ALL
+  SELECT concat('N', n_nationkey), concat('R', n_regionkey), n_name
+  FROM nation
+  UNION ALL
+  SELECT concat('C', c_custkey), concat('N', c_nationkey), c_name
+  FROM customer
+  UNION ALL
+  SELECT concat('O', o_orderkey), concat('C', o_custkey), o_orderstatus
+  FROM orders WHERE o_orderkey % 20 = 0
+),
+walk AS (
+  SELECT node, parent, name, 1 AS lvl FROM edges WHERE parent = 'ROOT'
+  UNION ALL
+  SELECT e.node, e.parent, e.name, w.lvl + 1
+  FROM edges e JOIN walk w ON e.parent = w.node
+)
+SELECT node, parent, name, lvl FROM walk
+"""
+
 ANA_TIMELINE_TEMPLATE = """
 SELECT 'order' AS item_type, o_orderkey AS item_id,
        {fmt_order} AS start_day
@@ -2171,6 +2205,9 @@ def registry() -> dict[str, Case]:
     cases["ana_duration_datediff"] = _bi_case(ANA_DURATION_TEMPLATE, ts_us=TS_US)
     cases["ana_argmax_last_run"] = _bi_case(ANA_ARGMAX_TEMPLATE, ts_us=TS_US)
     cases["ana_hierarchy_tree"] = _bi_case(ANA_TREE_TEMPLATE)
+    cases["ana_hierarchy_tree_recursive"] = _sql_case(
+        ANA_TREE_RECURSIVE_SQL, ANA_TREE_TEMPLATE
+    )
     cases["ana_timeline_union"] = _bi_case(
         ANA_TIMELINE_TEMPLATE,
         fmt_order=("date_format(o_orderdate, 'yyyy-MM-dd')", "strftime(o_orderdate, '%Y-%m-%d')"),

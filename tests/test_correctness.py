@@ -159,6 +159,36 @@ def test_window_rule_walk_fails_closed():
     assert flags and "fail-closed" in flags[0], flags
 
 
+def test_unionloop_rule_fails_closed():
+    """Round-10 verdict #5: a recursive-CTE (UnionLoop) plan's loop
+    body is re-planned per iteration and invisible to the static
+    audit, so an UNSANCTIONED UnionLoop must be flagged, a sanctioned
+    one passes, and a condition-less Join inside the body (hidden
+    cartesian) is flagged even for sanctioned queries."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from plan_audit import RECURSIVE_SANCTIONED, unionloop_violations
+
+    plan = "\n".join(
+        [
+            "UnionLoop 1, [node#1, lvl#2]",
+            "   :- Project [...]",
+            "   +- Join Inner, (parent#3 = node#4)",
+            "      +- UnionLoopRef 1, [node#4], false",
+        ]
+    )
+    assert unionloop_violations("some_new_recursive_query", plan), (
+        "unsanctioned UnionLoop passed the audit — the fail-closed rule regressed"
+    )
+    assert "ana_hierarchy_tree_recursive" in RECURSIVE_SANCTIONED
+    assert unionloop_violations("ana_hierarchy_tree_recursive", plan) == []
+    cartesian = plan.replace("Join Inner, (parent#3 = node#4)", "Join Inner")
+    flags = unionloop_violations("ana_hierarchy_tree_recursive", cartesian)
+    assert flags and "condition-less" in flags[0], flags
+
+
 def test_full_plan_audit_record_covers_registry():
     """Round-9 verdict #1: the committed full-registry audit record
     (PLAN_AUDIT_FULL.json, written by `plan_audit.py --full`) must be

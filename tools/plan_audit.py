@@ -393,10 +393,49 @@ def check_exchanges(
     return bad
 
 
+# Queries ALLOWED to carry a UnionLoop (recursive CTE, Spark 4.1+).
+# Fail-closed sanction list, same policy as SANCTIONED_WINDOW_KEYS: a
+# UnionLoop's body is a LOGICAL subtree re-planned at runtime each
+# iteration, so the static physical rules (join strategy, scan width,
+# exchange counts) cannot see it — every recursive query needs a
+# human-reviewed entry stating why its loop body is safe.
+RECURSIVE_SANCTIONED: dict[str, str] = {
+    "ana_hierarchy_tree_recursive": (
+        "bounded 4-level walk over config-scale dims; loop body is one "
+        "equi-join of the edge union against the frontier (reviewed "
+        "round 11); value-pinned to the closed-form oracle"
+    ),
+}
+
+
+def unionloop_violations(name: str, plan: str) -> list[str]:
+    """Fail-closed audit of recursive-CTE (UnionLoop) plans."""
+    if "UnionLoop" not in plan:
+        return []
+    bad = []
+    # a condition-less logical Join in the loop body is a hidden
+    # cartesian — flag it even for sanctioned queries
+    for m in re.finditer(r"\bJoin\s+(\w+)(.*)", plan):
+        if "(" not in m.group(2):
+            bad.append(
+                f"{name}: condition-less Join inside a UnionLoop body "
+                "(hidden cartesian — the loop re-plans it every iteration)"
+            )
+    if name not in RECURSIVE_SANCTIONED:
+        bad.append(
+            f"{name}: UnionLoop (recursive CTE) without a sanction — the "
+            "loop body is re-planned per iteration and invisible to the "
+            "static audit; review it and add a RECURSIVE_SANCTIONED entry "
+            "(fail-closed)"
+        )
+    return bad
+
+
 def audit_one(name: str, plan: str) -> list[str]:
     bad = []
     if "CartesianProduct" in plan:
         bad.append(f"{name}: CartesianProduct in executed plan")
+    bad.extend(unionloop_violations(name, plan))
     for sub in _broadcast_build_subtrees(plan):
         if not _bounded(sub):
             bad.append(
