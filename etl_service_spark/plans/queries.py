@@ -1983,12 +1983,41 @@ _VERIFIED_R9 = (
         'text_vocab_by_source',
 )
 
+_VERIFIED_R10 = (
+        # round 10 (CORRECTNESS_r10.json, 50 green rows)
+        'ann_int8_recall', 'ann_ivf_incremental', 'ann_range_search',
+        'ann_recall_report', 'basket_brand_pairs',
+        'corpus_cross_source_overlap', 'corpus_dedup_survivorship',
+        'corpus_domain_quota', 'corpus_domain_quota_salted',
+        'corpus_dsir_quota', 'corpus_dsir_weights',
+        'corpus_filter_waterfall', 'corpus_length_histogram',
+        'corpus_resample_plan', 'corpus_shard_plan',
+        'corpus_split_leakage', 'corpus_token_budget_bpe',
+        'corpus_weighted_sample', 'dedup_best_keeper',
+        'dedup_chunk_exact', 'dedup_incremental_exact',
+        'dedup_incremental_neardup', 'dedup_lsh_cost_audit',
+        'dedup_lsh_recall_report', 'dedup_minhash_estimate_audit',
+        'dedup_semantic', 'dedup_winnowing_pairs',
+        'dim_scd2_invariants', 'dq_order_totals_recon',
+        'emb_centroid_outliers', 'emb_pq_codes', 'etl_copy_align_audit',
+        'etl_copy_timesliced', 'events_anomaly_mad',
+        'events_burst_windows', 'events_distribution_drift',
+        'events_late_data_audit', 'events_peak_concurrency',
+        'events_variant_extract', 'graph_bfs_layers',
+        'media_video_meta_sniff', 'orders_ltv_cohort',
+        'profile_join_size_estimate', 'src_python_datasource',
+        'src_schema_evolution', 'text_langid_confusion',
+        'text_ngram_novelty', 'text_source_diversity_gini',
+        'text_token_estimate_bpe', 'text_vocab_growth',
+)
+
 # Stalest driver row first: the oldest-round tier leads the verified
 # tail; a name verified in several rounds keeps only its FRESHEST
 # (latest-round) position.
 _seen: set[str] = set()
 _stale_tiers: list[tuple[str, ...]] = []
 for _tier in (
+    _VERIFIED_R10,
     _VERIFIED_R9, _VERIFIED_R8, _VERIFIED_R7, _VERIFIED_R6, _VERIFIED_R5,
     _VERIFIED_R4, _VERIFIED_R3, _VERIFIED_R2, _VERIFIED_R1,
 ):
@@ -2016,23 +2045,20 @@ _FAMILY_PREFIXES: tuple[tuple[str, ...], ...] = (
 )
 
 
-# Round 10 priority tier (VERDICT.md round 9, "Next round" #5): every
-# query whose PLAN or VALUES changed this round — the ADVICE NULL
-# filter, the full-audit findings' rewrites, and the BFS staging/
-# early-exit — must be driver-RE-verified before anything else. The
-# two NEW registry entries (dedup_incremental_*) float right behind as
-# driver-unverified; the verified tail then leads with the r4 (23
-# rows) and r5 staleness tiers, so the driver's 50-sample retires r4
-# entirely and bites into r5.
+# Round 11 priority tier (VERDICT.md round 10, "Next round" #3): every
+# query whose PLAN changed since its last driver-green row — the
+# IVF-PQ Janino-overflow fix rebuilt both consumers' plans around the
+# materialized residual relation (_ivfpq_res_rel), so both must be
+# driver-RE-verified before anything else. The one NEW registry entry
+# (ana_hierarchy_tree_recursive) floats right behind as
+# driver-unverified; the verified tail then leads with the r5
+# staleness tier, so the driver's 50-sample retires r5 entirely and
+# bites into r6.
 _PRIORITY_PENDING = (
-    # ADVICE r9: NULL-defensive sweep endpoints (latent sort-order
-    # divergence closed; values unchanged on NULL-free data)
-    "events_peak_concurrency",
-    # round-10 full-registry plan audit findings: structural LIMIT on
-    # the broadcast query set; join-free bucket aggregate
-    "ann_range_search", "text_vocab_growth",
-    # round-9 verdict #6: memoized edge staging + convergence early-exit
-    "graph_bfs_layers",
+    # round-10 verdict #2: residual relation materialized once per
+    # session; downstream ADC/exact distance CASEs compile again
+    # (allowlist now empty). Values oracle-identical, plan changed.
+    "ann_ivfpq_recall", "ann_ivfpq_topk",
 )
 
 
