@@ -897,9 +897,17 @@ def incremental_dedup(
         .select("doc_id", F.lower(F.col("text")).alias("lt"), "text")
         .select("doc_id", "text", P.pd_poly_hash_udf()("lt").alias("text_hash"))
     )
-    # in-batch dedup: keep min doc_id per hash
-    w_min = hashed.groupBy("text_hash").agg(F.min("doc_id").alias("doc_id"))
-    batch_unique = hashed.join(w_min, ["text_hash", "doc_id"])
+    # in-batch dedup: keep min doc_id per hash as ONE hash aggregate —
+    # the struct-min carries (doc_id, text) through the shuffle and
+    # doc_id leads the struct (ids unique ⇒ lexicographic min == min
+    # doc_id). The groupBy+self-join shape this replaces fed ``hashed``
+    # to both exchange sides, running the Arrow hash kernel twice per
+    # batch (measured ~2x batch compute at sf0.1).
+    batch_unique = (
+        hashed.groupBy("text_hash")
+        .agg(F.min(F.struct("doc_id", "text")).alias("w"))
+        .select("text_hash", F.col("w.doc_id").alias("doc_id"), F.col("w.text").alias("text"))
+    )
 
     import os
 

@@ -2059,6 +2059,11 @@ _PRIORITY_PENDING = (
     # session; downstream ADC/exact distance CASEs compile again
     # (allowlist now empty). Values oracle-identical, plan changed.
     "ann_ivfpq_recall", "ann_ivfpq_topk",
+    # round-10 verdict #4: in-batch winner is one struct-min hash
+    # aggregate (the old groupBy+self-join ran the Arrow hash kernel
+    # on both exchange sides — ~1.8x fold wall at sf0.1). Values
+    # oracle-identical, plan changed.
+    "dedup_incremental_exact",
 )
 
 
