@@ -94,10 +94,26 @@ def main() -> int:
         shutil.copy(os.path.join(SF01, f"{t}.parquet"), os.path.join(OUT, f"{t}.parquet"))
     for t in KEYED:
         _scale_table(t)
-        n = pq.ParquetFile(os.path.join(OUT, f"{t}.parquet")).metadata.num_rows
-        print(f"{t}: {n} rows", flush=True)
-    _gen_documents(os.path.join(OUT, "documents.parquet"))
-    _gen_embeddings(os.path.join(OUT, "embeddings.parquet"))
+    # COPIES x the sf0.1-sized base (5k docs / 2k vecs). Round 8
+    # re-based scale_bench's generators from 10x-baked-in constants to
+    # (base, mult) WITHOUT updating these calls — the default mult=1
+    # silently shrank the twin's documents/embeddings back to sf0.1
+    # size, so every BENCH_SF1 record from round 8 through round 10
+    # measured the documents/embeddings families on UNSCALED data
+    # (caught round 11: sentence_split read 2.1x where the true 10x
+    # twin had measured 8x; ngram_jaccard read 0.9x).
+    _gen_documents(os.path.join(OUT, "documents.parquet"), COPIES)
+    _gen_embeddings(os.path.join(OUT, "embeddings.parquet"), COPIES)
+    # fail loudly if any scaled table is not COPIES x its sf0.1 row
+    # count — the check that would have caught the round-8 shrink
+    for t in list(KEYED) + ["documents", "embeddings"]:
+        n_src = pq.ParquetFile(os.path.join(SF01, f"{t}.parquet")).metadata.num_rows
+        n_out = pq.ParquetFile(os.path.join(OUT, f"{t}.parquet")).metadata.num_rows
+        if n_out != COPIES * n_src:
+            raise SystemExit(
+                f"{t}: twin has {n_out} rows, expected {COPIES} x {n_src}"
+            )
+        print(f"{t}: {n_out} rows ({COPIES}x)", flush=True)
     print(f"sf1.0 twin ready at {OUT}")
     return 0
 
