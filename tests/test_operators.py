@@ -1139,6 +1139,31 @@ def test_twophase_cc_matches_propagation_on_chain(spark):
     assert p2 == s2 == {(7, 7), (8, 8), (9, 8)}
 
 
+def test_scale_twin_generator_scales_every_table(tmp_path):
+    """gen_sf1's twin must hold copies x the sf0.1 rows in EVERY scaled
+    table — including documents/embeddings. Round 8 re-based the
+    scale_bench generators to (base, mult) parameters without updating
+    gen_sf1's calls, and the default mult=1 silently shrank the twin's
+    documents/embeddings back to sf0.1 size: rounds 8-10 recorded
+    BENCH_SF1 '10x' ratios for the text/dedup/ANN families on UNSCALED
+    data. build_twin now self-checks row counts; this pins that check
+    (and the generator plumbing) at copies=2 so the next re-base can't
+    land silently."""
+    import pyarrow.parquet as pq
+
+    from tools.gen_sf1 import KEYED, SF01, build_twin
+
+    out = build_twin(str(tmp_path / "twin"), copies=2)
+    for t in list(KEYED) + ["documents", "embeddings"]:
+        n_src = pq.ParquetFile(os.path.join(SF01, f"{t}.parquet")).metadata.num_rows
+        n_out = pq.ParquetFile(os.path.join(out, f"{t}.parquet")).metadata.num_rows
+        assert n_out == 2 * n_src, t
+    # the copies are key-disjoint: join cardinality stays linear
+    orders = pq.read_table(os.path.join(out, "orders.parquet"), columns=["o_orderkey"])
+    keys = orders.column("o_orderkey").to_pylist()
+    assert len(keys) == len(set(keys))
+
+
 def test_driver_order_invariants():
     """The registry reordering is pure and total: same key set, the
     priority tier leads in its declared order, and BEHIND it every

@@ -37,6 +37,9 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 SF01 = "/root/testdata/sf0.1"
+# Defaults build the sf1.0 twin; `--copies N --out DIR` builds any
+# decade from the same sf0.1 base (e.g. --copies 100 --out
+# /tmp/etl_sf10 for the 100x TPC-H twin the exponent table needs).
 OUT = "/tmp/etl_sf1.0"
 COPIES = 10
 OFF = 1_000_000  # > every sf0.1 key space; one offset for all key kinds
@@ -65,35 +68,36 @@ DERIVED = {
 }
 
 
-def _scale_table(name: str) -> None:
+def _scale_table(name: str, out: str = OUT, copies: int = COPIES) -> None:
     src = pq.read_table(os.path.join(SF01, f"{name}.parquet"))
     cols = {c: src.column(c) for c in src.column_names}
-    chunks = []
-    for c in range(COPIES):
-        shifted = dict(cols)
-        for k in KEYED[name]:
-            arr = cols[k].to_numpy(zero_copy_only=False)
-            shifted[k] = pa.array(arr + c * OFF, type=src.schema.field(k).type)
-        for col, fmt, key in DERIVED.get(name, []):
-            keys = shifted[key].to_numpy(zero_copy_only=False)
-            shifted[col] = pa.array(
-                [fmt.format(k) for k in keys],
-                type=src.schema.field(col).type,
-            )
-        chunks.append(pa.table(shifted, schema=src.schema))
-    pq.write_table(pa.concat_tables(chunks), os.path.join(OUT, f"{name}.parquet"))
+    # stream copy-by-copy: at --copies 100 the concat-then-write shape
+    # holds ~100x lineitem in memory at once
+    with pq.ParquetWriter(os.path.join(out, f"{name}.parquet"), src.schema) as w:
+        for c in range(copies):
+            shifted = dict(cols)
+            for k in KEYED[name]:
+                arr = cols[k].to_numpy(zero_copy_only=False)
+                shifted[k] = pa.array(arr + c * OFF, type=src.schema.field(k).type)
+            for col, fmt, key in DERIVED.get(name, []):
+                keys = shifted[key].to_numpy(zero_copy_only=False)
+                shifted[col] = pa.array(
+                    [fmt.format(k) for k in keys],
+                    type=src.schema.field(col).type,
+                )
+            w.write_table(pa.table(shifted, schema=src.schema))
 
 
-def main() -> int:
+def build_twin(out: str = OUT, copies: int = COPIES) -> str:
     from tools.scale_bench import _gen_documents, _gen_embeddings
 
-    if os.path.isdir(OUT):
-        shutil.rmtree(OUT)
-    os.makedirs(OUT)
+    if os.path.isdir(out):
+        shutil.rmtree(out)
+    os.makedirs(out)
     for t in UNSCALED:
-        shutil.copy(os.path.join(SF01, f"{t}.parquet"), os.path.join(OUT, f"{t}.parquet"))
+        shutil.copy(os.path.join(SF01, f"{t}.parquet"), os.path.join(out, f"{t}.parquet"))
     for t in KEYED:
-        _scale_table(t)
+        _scale_table(t, out, copies)
     # COPIES x the sf0.1-sized base (5k docs / 2k vecs). Round 8
     # re-based scale_bench's generators from 10x-baked-in constants to
     # (base, mult) WITHOUT updating these calls — the default mult=1
@@ -102,19 +106,27 @@ def main() -> int:
     # measured the documents/embeddings families on UNSCALED data
     # (caught round 11: sentence_split read 2.1x where the true 10x
     # twin had measured 8x; ngram_jaccard read 0.9x).
-    _gen_documents(os.path.join(OUT, "documents.parquet"), COPIES)
-    _gen_embeddings(os.path.join(OUT, "embeddings.parquet"), COPIES)
+    _gen_documents(os.path.join(out, "documents.parquet"), copies)
+    _gen_embeddings(os.path.join(out, "embeddings.parquet"), copies)
     # fail loudly if any scaled table is not COPIES x its sf0.1 row
     # count — the check that would have caught the round-8 shrink
     for t in list(KEYED) + ["documents", "embeddings"]:
         n_src = pq.ParquetFile(os.path.join(SF01, f"{t}.parquet")).metadata.num_rows
-        n_out = pq.ParquetFile(os.path.join(OUT, f"{t}.parquet")).metadata.num_rows
-        if n_out != COPIES * n_src:
+        n_out = pq.ParquetFile(os.path.join(out, f"{t}.parquet")).metadata.num_rows
+        if n_out != copies * n_src:
             raise SystemExit(
-                f"{t}: twin has {n_out} rows, expected {COPIES} x {n_src}"
+                f"{t}: twin has {n_out} rows, expected {copies} x {n_src}"
             )
-        print(f"{t}: {n_out} rows ({COPIES}x)", flush=True)
-    print(f"sf1.0 twin ready at {OUT}")
+        print(f"{t}: {n_out} rows ({copies}x)", flush=True)
+    print(f"{copies}x twin ready at {out}")
+    return out
+
+
+def main() -> int:
+    args = sys.argv[1:]
+    copies = int(args[args.index("--copies") + 1]) if "--copies" in args else COPIES
+    out = args[args.index("--out") + 1] if "--out" in args else OUT
+    build_twin(out, copies)
     return 0
 
 
