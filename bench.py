@@ -451,7 +451,14 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     env = _env_stanza()
-    out_file = "BENCH_FULL.json" if full else "BENCH_LOCAL.json"
+    # SPARK_GRAFT_BENCH_OUT names the record file so twin-scale records
+    # (BENCH_SF1.json) drift-check against their OWN previous record
+    # instead of being renamed out of the chain (the drift check is
+    # same-sf only, so an sf1 run landing in BENCH_LOCAL.json would
+    # silently skip the check AND break the sf0.1 chain's baseline).
+    out_file = os.environ.get("SPARK_GRAFT_BENCH_OUT") or (
+        "BENCH_FULL.json" if full else "BENCH_LOCAL.json"
+    )
     out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), out_file)
     # previous committed record, read BEFORE it is overwritten — the
     # drift check's baseline

@@ -34,7 +34,7 @@ library — bit-identical in Spark and DuckDB.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from ..functions import portable as P
 
@@ -1065,7 +1065,8 @@ def incremental_neardup(
     production trade (Dolma/RefinedWeb-style MinHash dedup): banding
     FPs drop a rare non-dup, banding FNs admit a rare near-dup, both
     controlled by (k, bands). The gate's cost per batch: one Arrow
-    shingle pass + one hash agg + two band-keyed joins against state —
+    shingle pass + one hash agg + ONE band_key-partitioned window pass
+    over (batch bands ∪ state bands) that decides both drop kinds —
     state grows with corpus bands, so bucket it by band_key at scale.
 
     ALL batch docs' band keys are appended (seen, not kept — same
@@ -1099,20 +1100,31 @@ def neardup_gate(
 
     import os
 
+    # ONE band_key-partitioned pass decides both drop kinds (the old
+    # shape exchanged bk three times: state semi-join, bucket-min
+    # groupBy, join-back — same disease the exact gate had, VERDICT r10
+    # #4). History keys enter the union tagged doc_id = -1: they
+    # under-min every real id, so a history collision drops the whole
+    # bucket (== the semi-join), while a fresh bucket keeps exactly its
+    # min doc_id (== the peer rule). At scale both the union sides and
+    # the state parquet hash on band_key — bucketing the state by
+    # band_key makes this exchange one-sided.
     if os.path.isdir(state_dir):  # same existence-gate rule as incremental_dedup
-        hist = spark.read.parquet(state_dir).select("band_key")
-        hist_hits = bk.join(hist, "band_key", "left_semi").select("doc_id").distinct()
+        hist = (
+            spark.read.parquet(state_dir)
+            .select("band_key")
+            .withColumn("doc_id", F.lit(-1).cast("long"))
+        )
+        comb = bk.unionByName(hist)
     else:  # first batch: no state yet
-        hist_hits = bk.select("doc_id").limit(0)
-
-    bucket_min = bk.groupBy("band_key").agg(F.min("doc_id").alias("min_id"))
-    peer_hits = (
-        bk.join(bucket_min, "band_key")
-        .filter(F.col("doc_id") > F.col("min_id"))
+        comb = bk
+    w = Window.partitionBy("band_key")
+    dropped = (
+        comb.withColumn("min_id", F.min("doc_id").over(w))
+        .filter((F.col("doc_id") > F.col("min_id")) & (F.col("doc_id") >= 0))
         .select("doc_id")
         .distinct()
     )
-    dropped = hist_hits.union(peer_hits).distinct()
     survivors = batch_docs.join(dropped, "doc_id", "left_anti")
     return survivors, bk
 

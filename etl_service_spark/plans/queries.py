@@ -2064,6 +2064,12 @@ _PRIORITY_PENDING = (
     # on both exchange sides — ~1.8x fold wall at sf0.1). Values
     # oracle-identical, plan changed.
     "dedup_incremental_exact",
+    # same rewrite applied to the near-dup gate: one band_key window
+    # pass over (batch bands ∪ state bands tagged doc_id=-1) replaces
+    # the state semi-join + bucket-min groupBy + join-back (bk was
+    # exchanged three times per batch). Values oracle-identical, plan
+    # changed.
+    "dedup_incremental_neardup",
 )
 
 
