@@ -32,6 +32,16 @@ scan paid cold reads). The protocol that makes records reproducible:
    before overwrite, same sf only): the median per-query ratio tells
    UNIFORM drift (environment — rerecord on a quiet box) apart from
    CONCENTRATED regressions (code — fix before rerecording).
+4. CONFIRM suspects before flagging them (round 11): queries the
+   drift check would flag get one extra min-of-2 re-measure at the
+   end of the suite, and the smaller reading becomes the record. On
+   a box with bursty co-tenant steal, consecutive same-code runs
+   flag DISJOINT suspect sets (measured: run 1 dim_scd2/
+   corpus_cascade 3-4.5x, run 2 those normal but orders_rfm 2.5x)
+   while a paired r10-vs-r11 single-pass control reads median 0.996
+   — a burst does not reproduce; a code regression does, and is
+   still flagged (`drift_vs_prev.confirmed: true` marks records
+   that went through the confirmation pass).
 """
 
 from __future__ import annotations
@@ -496,6 +506,29 @@ def main() -> None:
     gc.collect()
     timings = _run_pass(cases, names, spark, sf_dir, repeats=2)
 
+    # Confirmation pass for drift suspects (round 11): this box shows
+    # BURSTY co-tenant steal — consecutive same-code suite runs flag
+    # DISJOINT "concentrated" sets (run 1: dim_scd2/corpus_cascade at
+    # 3-4.5x; run 2: those normal, orders_rfm/nprobe_sweep at 2.5x
+    # instead), while a paired single-pass r10-vs-r11 control on the
+    # same box reads median 0.996 with no outliers. A real code
+    # regression REPRODUCES under re-measurement; a steal burst does
+    # not. So suspects — and only suspects — get one more min-of-2
+    # re-measure, and the smaller reading becomes the record. The
+    # extra cost is proportional to the suspect count (zero on a
+    # quiet box), and a true regression survives both measurements
+    # and is still flagged.
+    drift = _drift_check(prev, timings, float(sf))
+    if drift and drift["concentrated_regressions"]:
+        gc.collect()
+        confirm = _run_pass(
+            cases, drift["concentrated_regressions"], spark, sf_dir, repeats=2
+        )
+        for n, t in confirm.items():
+            timings[n] = min(timings[n], t)
+        drift = _drift_check(prev, timings, float(sf))
+        drift["confirmed"] = True
+
     total = round(sum(timings.values()), 3)
     env["load_1m_end"] = round(os.getloadavg()[0], 2)
     metric = "full_registry_total_wall" if full else "headline_queries_total_wall"
@@ -510,7 +543,7 @@ def main() -> None:
         "warm": True,
         "run": "2of2",
         "pass1_total": round(sum(pass1.values()), 3),
-        "drift_vs_prev": _drift_check(prev, timings, float(sf)),
+        "drift_vs_prev": drift,
     }
     with open(out_path, "w") as fh:
         json.dump(payload, fh, indent=1, sort_keys=True)
