@@ -127,14 +127,16 @@ GROUP BY source
 
 
 def dup_rate_by_source_staged(spark: SparkSession, view: str = "documents") -> DataFrame:
-    """Spark path: the full-text poly-hash runs in the Arrow kernel
-    (SQL formulation is an interpreted per-character lambda — see
-    dedup.exact_dedup_staged), then one groupBy with a distinct
+    """Spark path: the full-text poly-hash comes from the SHARED
+    staged fingerprint relation (dedup.materialize_texthash — one
+    Arrow pass per session; the SQL formulation is an interpreted
+    per-character lambda), then one groupBy with a distinct
     aggregate. Shuffles (source, hash) pairs only, never text."""
+    from . import dedup
+
     return (
-        P.fan_out(spark.table(view))
-        .select("source", F.lower(F.col("text")).alias("lt"))
-        .select("source", P.pd_poly_hash_udf()("lt").alias("h"))
+        spark.table(dedup.materialize_texthash(spark, view))
+        .select("source", "h")
         .groupBy("source")
         .agg(
             F.count("*").alias("n_docs"),
@@ -414,14 +416,18 @@ GROUP BY a.source, b.source
 
 
 def cross_source_overlap_staged(spark: SparkSession, view: str = "documents") -> DataFrame:
-    """Spark path for the overlap matrix: poly-hash in the Arrow kernel
-    (the SQL lambda is interpreted per character), distinct on the
+    """Spark path for the overlap matrix: poly-hash from the SHARED
+    staged fingerprint relation (dedup.materialize_texthash — the SQL
+    lambda is interpreted per character, and a self-join over a lazy
+    hashed subtree re-runs the kernel once per side, plus once more
+    per side for the pushed isnotnull(h) filter), distinct on the
     8-byte (source, h) pairs, then a self-join keyed on h whose posting
     lists are bounded by |sources|. Only hashes ever shuffle."""
+    from . import dedup
+
     h = (
-        P.fan_out(spark.table(view))
-        .select("source", F.lower(F.col("text")).alias("lt"))
-        .select("source", P.pd_poly_hash_udf()("lt").alias("h"))
+        spark.table(dedup.materialize_texthash(spark, view))
+        .select("source", "h")
         .distinct()
     )
     a, b = h.alias("a"), h.alias("b")
@@ -465,15 +471,16 @@ GROUP BY source
 
 
 def dedup_survivorship_staged(spark: SparkSession, view: str = "documents") -> DataFrame:
-    """Spark path: Arrow-kernel poly-hash, keeper via a min window over
+    """Spark path: poly-hash from the SHARED staged fingerprint
+    relation (dedup.materialize_texthash), keeper via a min window over
     h (one shuffle on h — no join back needed: the window carries the
     keeper to every row of its class), then the per-source rollup."""
     from pyspark.sql import Window
 
-    h = (
-        P.fan_out(spark.table(view))
-        .select("doc_id", "source", F.lower(F.col("text")).alias("lt"))
-        .select("doc_id", "source", P.pd_poly_hash_udf()("lt").alias("h"))
+    from . import dedup
+
+    h = spark.table(dedup.materialize_texthash(spark, view)).select(
+        "doc_id", "source", "h"
     )
     w = Window.partitionBy("h")
     kept = h.withColumn("keeper", F.min("doc_id").over(w))

@@ -117,18 +117,57 @@ def exact_dedup(spark: SparkSession) -> DataFrame:
     return spark.sql(exact_dedup_sql()[0])
 
 
+_TEXTHASH_CACHE: dict[tuple, str] = {}
+
+
+def materialize_texthash(spark: SparkSession, view: str = "documents") -> str:
+    """Stage the full-text fingerprint relation (doc_id, source, h) —
+    ONE Arrow poly-hash pass over the corpus, memoized per (session,
+    input lineage, staging backend) exactly like
+    textops.materialize_tokens. Five consumers (exact dedup, the
+    cascade, survivorship, cross-source overlap, dup-rate) previously
+    re-ran the kernel per query — and worse, per *plan consumer*: a
+    self-join or a funnel tail that references the hashed subtree
+    twice re-evaluates the Python boundary once per reference, and
+    Catalyst pushes the join's inferred isnotnull(h) below the fan_out
+    exchange, so the duplicate runs on the UNSPLIT parquet scan
+    (observed: 4 ArrowEvalPython nodes, two serialized on one core, in
+    corpus_cross_source_overlap). Staging truncates lineage: every
+    consumer reads ~24-byte rows and the text column never leaves the
+    kernel pass. At 100 TB this is the corpus fingerprint table —
+    written once per snapshot (parquet staging backend, bucketable by
+    h), read by every dedup report."""
+    from pyspark.sql import functions as F
+
+    src = spark.table(view)
+    key = (P.session_token(spark), view, P.lineage_key(src), P.staging_dir(spark))
+    cached = _TEXTHASH_CACHE.get(key)
+    if cached is not None:
+        return cached
+    rel = (
+        P.fan_out(src, light=True)
+        .select("doc_id", "source", F.lower(F.col("text")).alias("lt"))
+        .select("doc_id", "source", P.pd_poly_hash_udf()("lt").alias("h"))
+    )
+    name = P.stage_name(f"texthash_{view}", key[1:])
+    P.stage_df(rel, name).createOrReplaceTempView(name)
+    _TEXTHASH_CACHE[key] = name
+    return name
+
+
 def exact_dedup_staged(spark: SparkSession, view: str = "documents") -> DataFrame:
-    """Spark path for exact dedup: the full-text poly-hash runs in the
-    Arrow kernel (exact integer replay of the SQL fold, which Spark
+    """Spark path for exact dedup: the full-text poly-hash comes from
+    the SHARED staged fingerprint relation (one Arrow pass per
+    session, exact integer replay of the SQL fold, which Spark
     evaluates as an interpreted per-character lambda), then ONE hash
     aggregation — map-side partial combine, shuffling only (hash, id)
     pairs, never text."""
     from pyspark.sql import functions as F
 
+    rel = materialize_texthash(spark, view)
     return (
-        P.fan_out(spark.table(view))
-        .select("doc_id", F.lower(F.col("text")).alias("lt"))
-        .select("doc_id", P.pd_poly_hash_udf()("lt").alias("text_hash"))
+        spark.table(rel)
+        .select("doc_id", F.col("h").alias("text_hash"))
         .groupBy("text_hash")
         .agg(F.min("doc_id").alias("keeper_id"), F.count("*").alias("n_copies"))
     )
