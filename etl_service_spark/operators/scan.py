@@ -64,13 +64,31 @@ def global_rank(
     Composable: only the ``out`` column is added, so chained calls
     build several independent rankings (e.g. the R/F/M quintiles)
     with one range shuffle each and no joins between them.
+
+    The local rank is FUSED into the checkpoint materialization:
+    ``sortWithinPartitions`` (narrow, no exchange) makes partition row
+    order the rank order, and ``monotonically_increasing_id``'s low 33
+    bits are the per-partition ordinal under that order — so the rank
+    is a projection, not a window, and the post-checkpoint
+    hash-exchange + sort that ``ROW_NUMBER() OVER (PARTITION BY _pid
+    ORDER BY ...)`` would plan (Spark cannot see that a checkpointed
+    RDD is already clustered by ``_pid``) never exists. The ordinal is
+    assigned AFTER the sort by contract: ``monotonically_increasing_id``
+    is nondeterministic, so Catalyst may not push the projection below
+    the Sort. Ordinals are per-partition sequential from 0 (valid
+    below 2^33 ≈ 8.5e9 rows per range slice — a partition count that
+    low at that mass is already a sizing bug). Ranks are identical to
+    the window form whenever ``order`` is total, which the contract
+    above requires anyway.
     """
     cols = _order_cols(order)
     # pinned: see module docstring — offsets and local ranks MUST read
-    # the same partitioning
+    # the same partitioning (and the same fused ordinals)
     part = (
         df.repartitionByRange(n_parts, *cols)
+        .sortWithinPartitions(*cols)
         .withColumn("_pid", F.spark_partition_id())
+        .withColumn("_lrk", (F.monotonically_increasing_id() % F.lit(8589934592)) + 1)
         .localCheckpoint()
     )
     totals = part.groupBy("_pid").agg(F.count("*").alias("_cnt"))
@@ -79,11 +97,8 @@ def global_rank(
         "_pid",
         F.coalesce(F.sum("_cnt").over(off_w), F.lit(0).cast("long")).alias("_rk_off"),
     )
-    local = part.withColumn(
-        "_lrk", F.row_number().over(Window.partitionBy("_pid").orderBy(*cols))
-    )
     return (
-        local.join(F.broadcast(offsets), "_pid")
+        part.join(F.broadcast(offsets), "_pid")
         .withColumn(out, F.col("_lrk").cast("long") + F.col("_rk_off"))
         .drop("_pid", "_lrk", "_rk_off")
     )
@@ -164,15 +179,21 @@ def islands(df: DataFrame, key: str, n_parts: int = 32) -> DataFrame:
        ordered window runs over the bounded boundary relation), then
        union with the interior islands.
     """
-    part = df.repartitionByRange(n_parts, F.col(key).asc()).withColumn(
-        "_pid", F.spark_partition_id()
+    # local ordinal fused into the materialization (same construction
+    # as global_rank: narrow sortWithinPartitions + the low 33 bits of
+    # monotonically_increasing_id — no post-exchange window needed for
+    # the difference trick)
+    part = (
+        df.repartitionByRange(n_parts, F.col(key).asc())
+        .sortWithinPartitions(F.col(key).asc())
+        .withColumn("_pid", F.spark_partition_id())
+        .withColumn("_lrk", (F.monotonically_increasing_id() % F.lit(8589934592)) + 1)
     )
-    local_w = Window.partitionBy("_pid").orderBy(key)
     # pinned: interior and boundary branches both consume loc — without
     # the checkpoint each would re-run the range exchange and could see
     # different _pid labelings (module docstring)
     loc = (
-        part.withColumn("_g", F.col(key) - F.row_number().over(local_w))
+        part.withColumn("_g", F.col(key) - F.col("_lrk"))
         .groupBy("_pid", "_g")
         .agg(
             F.min(key).alias("island_start"),
