@@ -154,14 +154,42 @@ def pd_shingle_hash_sets_udf():
     return _UDF_CACHE["shingle_sets"]
 
 
-def fan_out(df, parts: int | None = None):
+# Partition sizing for ``fan_out(light=True)`` kernels: one task per
+# this many bytes of the optimizer's size estimate. 256 KiB keeps a
+# kilobyte-scale relation on 1-4 workers (each Python task is a worker
+# round trip with Arrow (de)serialization — measured ~2x wall on the
+# sf0.1 embedding kernels when a 0.7 MB relation fans to 32 tasks)
+# while any relation past ~8 MB/core is back at full width, so the
+# knob is scale-adaptive, not a local-mode constant.
+LIGHT_BYTES_PER_TASK = 256 * 1024
+
+
+def fan_out(df, parts: int | None = None, light: bool = False):
     """Round-robin repartition before an expensive Arrow kernel when the
     scan has fewer partitions than cores. A single small parquet file is
     one Spark partition, which would serialize the kernel on one worker
     (measured 3.5x on the shingle UDF at sf0.1); on a real cluster the
     input arrives pre-split and this is a no-op. Row-wise kernels are
-    partition-invariant, so results are unchanged."""
+    partition-invariant, so results are unchanged.
+
+    ``light=True`` marks a VECTORIZED closed-form kernel (numpy/Arrow
+    batch math — poly-hash, embedding algebra) whose per-byte CPU cost
+    is small: the fan-out width is then derived from the optimizer's
+    size estimate instead of pinned at the core count, so tiny
+    relations stop paying per-task Python round trips (an explicit
+    repartition(N) is exempt from AQE coalescing, so this is the only
+    place the width can adapt). Per-character/token Python-loop
+    kernels (shingles, tokenization, sentence splits) stay full-width:
+    their CPU mass per stats-byte is orders of magnitude higher. A
+    missing/absurd estimate degrades to full width unchanged."""
     target = parts or df.sparkSession.sparkContext.defaultParallelism
+    if light and parts is None:
+        try:
+            size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        except Exception:  # stats unavailable -> keep full width
+            size = None
+        if size is not None and size > 0:
+            target = max(1, min(target, -(-size // LIGHT_BYTES_PER_TASK)))
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)

@@ -205,7 +205,7 @@ def cosine_topk_staged(
             }
         )
 
-    scored = P.fan_out(emb).mapInPandas(
+    scored = P.fan_out(emb, light=True).mapInPandas(
         kernel, schema="q_id bigint, n_id bigint, cosine double"
     )
     # unique view name: steps share one session under the orchestrator's
@@ -530,7 +530,7 @@ def ivf_assignment_rel(
                     }
                 )
 
-        return P.fan_out(emb).mapInPandas(
+        return P.fan_out(emb, light=True).mapInPandas(
             kernel,
             schema="vec_id bigint, c_id bigint, rn int, embedding array<float>, nrm double",
         )
@@ -946,7 +946,7 @@ def lsh_ann_staged(
 
     name = _stage_view(
         spark,
-        lambda: P.fan_out(spark.table(view).select("vec_id", "embedding")).mapInPandas(
+        lambda: P.fan_out(spark.table(view).select("vec_id", "embedding"), light=True).mapInPandas(
             kernel,
             schema="vec_id bigint, embedding array<float>, bucket bigint, nrm double",
         ),
@@ -1375,6 +1375,110 @@ SELECT q_id, n_id FROM ranked WHERE rk <= {k}
 """
 
     return body(spark_elem, spark_dims), body(duck_elem, duck_dims)
+
+
+def int8_topk_staged(
+    spark: SparkSession, k: int = 10, n_queries: int = 5, view: str = "embeddings"
+) -> DataFrame:
+    """Spark path for int8-quantized top-k: the cosine_topk_staged
+    broadcast+Arrow shape applied to the quantized ranking.
+
+    Why not the SQL twin on the Spark side: its CTE chain references
+    the exploded (vec_id, i, v) relation and the quantized relation
+    qv from multiple consumers (m, nrm, qq, dot), and Spark's CTE
+    inlining re-runs the 64-way explode + max-abs aggregate + join
+    once per reference — the quantization pipeline executes ~4x per
+    query run. This kernel quantizes each vector ONCE per scan
+    partition and emits only that partition's top-k per query.
+
+    Values are bit-identical to the SQL/oracle chain: f32→f64
+    widening (exact), mx = max|v| (comparison only), the quantizer
+    replays FLOOR(v * (127.0 / mx)) with each step correctly rounded
+    per IEEE 754, dots and norms are exact BIGINT sums (|q_i| ≤ 127,
+    64 dims ⇒ no overflow), and cos8 = d / (√n2_q · √n2_n) is the
+    same three correctly-rounded double ops. Zero-scale vectors
+    (mx ≤ 0) are excluded on both sides, as in the SQL; cos8 is never
+    NaN (mx > 0 forces the max-|v| element to |q| ≥ 126, so n2 > 0).
+    Any global top-k row is necessarily in its partition's local
+    top-k under the total order (cos8 DESC, n_id ASC), so the final
+    window ranks k·Q·partitions candidates, never Q·N scores."""
+    import numpy as np
+    import pandas as pd
+
+    def _quant(m):
+        # replays the SQL chain: scale = 127.0 / mx (one correctly-
+        # rounded divide), q_i = FLOOR(v_i * scale) — NOT v*127/mx,
+        # which rounds differently
+        mx = np.max(np.abs(m), axis=1)
+        ok = mx > 0
+        scale = np.zeros_like(mx)
+        scale[ok] = 127.0 / mx[ok]
+        q = np.floor(m * scale[:, None]).astype(np.int64)
+        n2 = np.sum(q * q, axis=1)
+        return q, n2, ok
+
+    emb = spark.table(view).select("vec_id", "embedding")
+    qrows = sorted(
+        ((r.vec_id, r.embedding) for r in emb.filter(f"vec_id < {n_queries}").collect()),
+        key=lambda t: t[0],
+    )
+    if qrows:
+        q_ids = np.array([t[0] for t in qrows], dtype=np.int64)
+        q_q, q_n2, q_ok = _quant(np.array([t[1] for t in qrows], dtype=np.float64))
+        q_ids, q_q, q_n2 = q_ids[q_ok], q_q[q_ok], q_n2[q_ok]
+    else:
+        q_ids = np.empty(0, dtype=np.int64)
+        q_q = np.empty((0, DIM), dtype=np.int64)
+        q_n2 = np.empty(0, dtype=np.int64)
+    bc = spark.sparkContext.broadcast((q_ids, q_q, np.sqrt(q_n2.astype(np.float64))))
+
+    def kernel(batches):
+        ids_q, m_q, sqn_q = bc.value
+        nq = len(ids_q)
+        cand_ids = [np.empty(0, dtype=np.int64) for _ in range(nq)]
+        cand_cos = [np.empty(0, dtype=np.float64) for _ in range(nq)]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.array(list(pdf["embedding"]), dtype=np.float64)
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            q, n2, ok = _quant(m)
+            ids, q, n2 = ids[ok], q[ok], n2[ok]
+            if not len(ids):
+                continue
+            d = m_q @ q.T  # exact: BIGINT dot, |d| ≤ 64·127² < 2^21
+            cos = d.astype(np.float64) / np.multiply.outer(
+                sqn_q, np.sqrt(n2.astype(np.float64))
+            )
+            for qi in range(nq):
+                keep = ids != ids_q[qi]  # c.vec_id <> qq.vec_id, like the SQL join
+                all_ids = np.concatenate([cand_ids[qi], ids[keep]])
+                all_cos = np.concatenate([cand_cos[qi], cos[qi][keep]])
+                order = np.lexsort((all_ids, -all_cos))[:k]
+                cand_ids[qi], cand_cos[qi] = all_ids[order], all_cos[order]
+        out_q = np.repeat(ids_q, [len(c) for c in cand_ids])
+        yield pd.DataFrame(
+            {
+                "q_id": out_q,
+                "n_id": np.concatenate(cand_ids) if nq else np.empty(0, dtype=np.int64),
+                "cos8": np.concatenate(cand_cos) if nq else np.empty(0),
+            }
+        )
+
+    scored = P.fan_out(emb, light=True).mapInPandas(
+        kernel, schema="q_id bigint, n_id bigint, cos8 double"
+    )
+    view_name = f"__int8_cand_{id(scored)}"
+    scored.createOrReplaceTempView(view_name)
+    return spark.sql(
+        f"""
+SELECT q_id, n_id FROM (
+  SELECT q_id, n_id,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos8 DESC, n_id) AS rk
+  FROM {view_name}
+) WHERE rk <= {k}
+"""
+    )
 
 
 def range_search_staged(
@@ -1882,7 +1986,7 @@ def _pq_dist_staged(
         # same builder as the SQL statements — no text scraping
         c_sel, d_sel = _pq_cd_selects(m, ncent, view, 0)
         P.stage_df(
-            P.fan_out(spark.sql(f"WITH c AS ({c_sel}) {d_sel}")), name
+            P.fan_out(spark.sql(f"WITH c AS ({c_sel}) {d_sel}"), light=True), name
         ).createOrReplaceTempView(name)
         _PQ_DIST_CACHE[key] = name
     return name

@@ -3585,7 +3585,7 @@ FROM j GROUP BY q_id
     def _int8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         views(spark, sf_dir)
         exact = similarity.cosine_topk_staged(spark).select("q_id", "n_id")
-        approx = spark.sql(similarity.int8_topk_sql()[0]).select("q_id", "n_id")
+        approx = similarity.int8_topk_staged(spark).select("q_id", "n_id")
         return (
             exact.join(approx.withColumn("hit", F.lit(1)), ["q_id", "n_id"], "left")
             .groupBy("q_id")
@@ -5157,7 +5157,58 @@ SELECT source,
 FROM tagged
 GROUP BY source
 """
-    cases["dedup_sentence_boilerplate"] = _bi_case(
+    # Spark side: ONE explode pass, vectorized hash. The template's
+    # `s` CTE feeds both `freq` and the join-back, and Spark's CTE
+    # inlining re-runs the full text-mass explode+hash subtree for
+    # each reference — with the hash an interpreted per-character SQL
+    # lambda, twice. Equivalent one-pass shape: hash each sentence
+    # once in the Arrow-batched poly-hash kernel (same values by
+    # construction — pd_poly_hash_series IS the SQL fold), aggregate
+    # to (sh, doc_id, source) grain — doc_id determines source, so
+    # COUNT(*) OVER (PARTITION BY sh) at that grain IS the template's
+    # COUNT(DISTINCT doc_id) per sentence hash — then roll up per
+    # source. All sums are occurrence-mass preserving, so collisions
+    # and per-group arithmetic land identically; the DuckDB oracle
+    # keeps the two-reference textbook form.
+    def _boiler_1pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql import Window
+
+        views(spark, sf_dir)
+        raw = spark.sql(
+            "SELECT doc_id, source, "
+            f"explode(split(text, '{udtf_fns.SENTENCE_PATTERN}')) AS sentence "
+            "FROM documents"
+        ).filter("sentence <> ''")
+        s = P.fan_out(raw, light=True).select(
+            "doc_id",
+            "source",
+            P.pd_poly_hash_udf()(F.col("sentence")).alias("sh"),
+            F.length("sentence").alias("n_chars"),
+        )
+        g = s.groupBy("sh", "doc_id", "source").agg(
+            F.count("*").alias("n_sent"), F.sum("n_chars").alias("chars")
+        )
+        t = g.withColumn(
+            "is_boiler",
+            F.when(
+                F.count("*").over(Window.partitionBy("sh")) >= 2, F.lit(1)
+            ).otherwise(F.lit(0)),
+        )
+        return t.groupBy("source").agg(
+            F.sum("n_sent").cast("bigint").alias("n_sentences"),
+            F.sum(F.col("is_boiler") * F.col("n_sent"))
+            .cast("bigint")
+            .alias("n_boiler_sentences"),
+            F.sum("chars").cast("bigint").alias("total_chars"),
+            F.sum(F.col("is_boiler") * F.col("chars"))
+            .cast("bigint")
+            .alias("boiler_chars"),
+            F.expr(
+                "CAST(SUM(is_boiler * chars) * 1000000 DIV SUM(chars) AS BIGINT)"
+            ).alias("removed_ppm"),
+        )
+
+    _, _boiler_duck = P.bi_sql(
         _BOILER_TEMPLATE,
         idiv=("DIV", "//"),
         unnest_split=(
@@ -5166,6 +5217,7 @@ GROUP BY source
         ),
         sent_hash=(P.spark_poly_hash("sentence"), P.duck_poly_hash("sentence")),
     )
+    cases["dedup_sentence_boilerplate"] = Case(_boiler_1pass, _boiler_duck)
 
     # --- Benford first-significant-digit audit on order totals
     # (Nigrini's forensic-accounting screen): first digit taken from
