@@ -1444,7 +1444,7 @@ def _band_sig_sql(k: int) -> str:
 
 def _band_tuning_tail(
     k: int, band_configs: tuple[int, ...], cap_rows: int = 32,
-    src_modulus: int = 1,
+    src_modulus: int = 1, bands_of: dict[int, str] | None = None,
 ) -> tuple[str, dict]:
     """CTE tail from a signature relation {sig_rel} + exact-pair
     relation {exact_rel} to the per-banding recall/cost table.
@@ -1475,14 +1475,22 @@ def _band_tuning_tail(
     limit would see."""
     parts = []
     for b in band_configs:
-        parts.append(
-            f"""bands_{b} AS (
+        # the banded posting relation is referenced THREE times per
+        # config (bucket-size mass + both sides of the truth-pair
+        # collision join); CTE inlining re-runs the explode + bucket
+        # window per reference, so the staged Spark path passes
+        # ``bands_of`` with a pre-staged relation name per config and
+        # the CTE is not emitted at all
+        b_rel = bands_of[b] if bands_of else f"bands_{b}"
+        if not bands_of:
+            parts.append(
+                f"""bands_{b} AS (
   SELECT doc_id, band_key,
          ROW_NUMBER() OVER (PARTITION BY band_key ORDER BY doc_id) AS rn
   FROM (SELECT doc_id, {{explode}}({{band_arr_{b}}}) AS band_key
         FROM {{sig_rel}}) e
 )"""
-        )
+            )
         parts.append(
             f"""mass_{b} AS (
   SELECT
@@ -1491,7 +1499,7 @@ def _band_tuning_tail(
   FROM (
     SELECT COUNT(*) AS sz,
            SUM(CASE WHEN rn <= {cap_rows} THEN 1 ELSE 0 END) AS kept
-    FROM bands_{b} GROUP BY band_key
+    FROM {b_rel} GROUP BY band_key
   ) s
 )"""
         )
@@ -1501,8 +1509,8 @@ def _band_tuning_tail(
   FROM (
     SELECT e.doc_a, e.doc_b
     FROM {{exact_rel}} e
-    JOIN bands_{b} x ON x.doc_id = e.doc_a AND x.rn <= {cap_rows}
-    JOIN bands_{b} y ON y.doc_id = e.doc_b AND y.rn <= {cap_rows}
+    JOIN {b_rel} x ON x.doc_id = e.doc_a AND x.rn <= {cap_rows}
+    JOIN {b_rel} y ON y.doc_id = e.doc_b AND y.rn <= {cap_rows}
                     AND y.band_key = x.band_key
     GROUP BY e.doc_a, e.doc_b
   ) h
@@ -1613,12 +1621,28 @@ def lsh_band_tuning_staged(
             spark, tau, view, src_modulus=src_modulus
         ).select("doc_a", "doc_b"),
     )
-    tail, band_arrs = _band_tuning_tail(k, band_configs, cap_rows, src_modulus)
+    # the banded posting relation per config is staged too: the tail
+    # references it 3x (mass + both hits sides) and CTE inlining would
+    # re-run the explode + per-bucket window per reference
+    bands_of = {}
+    for b in band_configs:
+        arr = _band_arr(k, b)[0]
+        bands_of[b] = _stage_band_rel(
+            spark, "band_bands", (k, b, view), hs_rel,
+            lambda arr=arr: spark.sql(
+                "SELECT doc_id, band_key, "
+                "ROW_NUMBER() OVER (PARTITION BY band_key ORDER BY doc_id) AS rn "
+                f"FROM (SELECT doc_id, explode({arr}) AS band_key "
+                f"FROM {sig_rel}) e"
+            ),
+        )
+    tail, _ = _band_tuning_tail(
+        k, band_configs, cap_rows, src_modulus, bands_of=bands_of
+    )
     body = P.bi_sql(
         "WITH " + tail,
         sig_rel=sig_rel,
         exact_rel=exact_rel,
-        **band_arrs,
         **_hashset_frags(view),
     )[0]
     return spark.sql(body)

@@ -2304,6 +2304,83 @@ _GUARD_FRAGS = dict(
     xor_ae_hi=("(a.hi ^ b.hi)", "xor(a.hi, b.hi)"),
 )
 
+# Spark-side renderings of the shared fragments, for the staged paths
+# that format a chain/tail template directly.
+_GUARD_SPARK_FRAGS = {n: s for n, (s, _) in _GUARD_FRAGS.items()}
+
+
+def _guard_assign_rel(
+    spark: SparkSession, cell_cap: int, view: str = "embeddings"
+) -> str:
+    """Stage the guarded sub-cell ASSIGNMENT (label, vec_id, lo, hi,
+    sub_cell) once per (session, cap, sig lineage). The report and the
+    cap sweep reference the assignment from several consumers (cell
+    stats, both sides of the guarded pair join) and Spark's CTE
+    inlining re-executed the seed-election + Hamming-nearest-seed
+    window once per reference — the cap-sweep before-plan carries 54
+    Exchanges with zero reuse. The relation is O(N) rows of five
+    fixed-width columns, cap-keyed (assignment is independent of the
+    src sampling modulus and of k), so one staging serves every
+    consumer of that cap in the session — including ACROSS the report
+    and the sweep when their caps coincide."""
+    rel = _hamsig_labeled_rel(spark, view)
+    chain = _knn_guard_chain(cell_cap, 1)
+    sql = (
+        f"WITH sig AS (SELECT vec_id, label, lo, hi FROM {rel}),\n{chain}\n"
+        "SELECT label, vec_id, lo, hi, sub_cell FROM assign"
+    ).format(**_GUARD_SPARK_FRAGS)
+    return _stage_view(
+        spark, lambda: spark.sql(sql), "guard_assign", view, (cell_cap,)
+    )
+
+
+def _guard_etopk_rel(
+    spark: SparkSession, k: int, src_modulus: int, view: str = "embeddings"
+) -> str:
+    """Stage the sampled EXACT top-k truth relation (label, src, dst)
+    once per (session, k, src_modulus, sig lineage): the quadratic
+    exact pair join is the most expensive subtree in the guard
+    reports, and the cap sweep referenced it once per cap (3x). Same
+    values as the epairs/etopk CTE pair in the report tail: the window
+    ranks by the identical integer Hamming distance with the dst
+    tie-break."""
+    rel = _hamsig_labeled_rel(spark, view)
+    esrc_where = f" AND a.vec_id % {src_modulus} = 0" if src_modulus > 1 else ""
+    sql = f"""
+SELECT label, src, dst FROM (
+  SELECT a.label AS label, a.vec_id AS src, b.vec_id AS dst,
+         ROW_NUMBER() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY bit_count(a.lo ^ b.lo) + bit_count(a.hi ^ b.hi) ASC,
+                    b.vec_id ASC
+         ) AS rk
+  FROM {rel} a JOIN {rel} b
+    ON a.label = b.label AND a.vec_id <> b.vec_id{esrc_where}
+) r WHERE rk <= {k}"""
+    return _stage_view(
+        spark, lambda: spark.sql(sql), "guard_etopk", view, (k, src_modulus)
+    )
+
+
+def _guard_pair_ctes(src_modulus: int, assign_rel: str, sfx: str = "") -> str:
+    """gpairs/granked CTEs over a STAGED assignment relation — the
+    guarded pair join + rank window, identical expressions to the
+    `_knn_guard_chain` tail but reading the staged relation instead of
+    re-deriving the assignment per reference."""
+    src_where = f" AND a.vec_id % {src_modulus} = 0" if src_modulus > 1 else ""
+    return f"""gpairs{sfx} AS (
+  SELECT a.label AS label, a.vec_id AS src, b.vec_id AS dst,
+         CAST(bit_count(a.lo ^ b.lo) + bit_count(a.hi ^ b.hi) AS BIGINT) AS dist
+  FROM {assign_rel} a JOIN {assign_rel} b
+    ON a.label = b.label AND a.sub_cell = b.sub_cell
+       AND a.vec_id <> b.vec_id{src_where}
+),
+granked{sfx} AS (
+  SELECT label, src, dst, dist,
+         ROW_NUMBER() OVER (PARTITION BY src ORDER BY dist ASC, dst ASC) AS rk
+  FROM gpairs{sfx}
+)"""
+
 
 def hamming_knn_guarded_sql(
     k: int = 3,
@@ -2340,28 +2417,40 @@ def hamming_knn_guarded_staged(
     src_modulus: int = 1,
 ) -> DataFrame:
     """Execution path for :func:`hamming_knn_guarded_sql` over the
-    shared staged signature relation (same staging rationale as
-    hamming_knn_graph_staged; the exact graph, the guarded graph and
-    the guard report all read ONE O(N) stage)."""
-    rel = _hamsig_labeled_rel(spark, view)
-    chain = _knn_guard_chain(cell_cap, src_modulus)
-    template = f"""
-WITH sig AS (SELECT vec_id, label, lo, hi FROM {rel}),
-{chain}
+    STAGED assignment relation (same staging rationale as
+    hamming_knn_graph_staged; the exact graph, the guarded graph, the
+    guard report and the cap sweep all read the SAME O(N) staged
+    relations — the pair join references the assignment twice, so the
+    unstaged chain re-derived the seed election + nearest-seed window
+    per side)."""
+    assign_rel = _guard_assign_rel(spark, cell_cap, view)
+    pair = _guard_pair_ctes(src_modulus, assign_rel)
+    return spark.sql(
+        f"""
+WITH {pair}
 SELECT label, src, dst, dist, rk FROM granked WHERE rk <= {k}
 """
-    frags = {n: s for n, (s, _) in _GUARD_FRAGS.items()}
-    return spark.sql(template.format(**frags))
+    )
 
 
-def _knn_guard_report_tail(k: int, src_modulus: int) -> str:
+def _knn_guard_report_tail(
+    k: int,
+    src_modulus: int,
+    assign_rel: str = "assign",
+    etopk_rel: str | None = None,
+) -> str:
     """Gauge + recall tail appended after the guard chain: per-label
     cell statistics (the hot-cell GAUGE: sub-cell count, largest
     sub-cell, exact vs guarded pair mass, split-off mass) and measured
     edge recall of the guarded graph against the exact one on the same
-    sampled sources. Engine-shared except {{idiv}}."""
+    sampled sources. Engine-shared except {{idiv}}. The staged Spark
+    path passes ``assign_rel`` / ``etopk_rel`` relation names so the
+    assignment and the sampled exact truth are read from their staged
+    relations instead of re-derived per CTE reference (the SQL twins
+    keep the self-contained epairs/etopk form)."""
     esrc_where = f" AND a.vec_id % {src_modulus} = 0" if src_modulus > 1 else ""
-    return f"""epairs AS (
+    exact = (
+        f"""epairs AS (
   SELECT a.label AS label, a.vec_id AS src, b.vec_id AS dst,
          CAST(bit_count({{xor_ae_lo}}) + bit_count({{xor_ae_hi}}) AS BIGINT) AS dist
   FROM sig a JOIN sig b
@@ -2374,9 +2463,13 @@ etopk AS (
     FROM epairs
   ) r WHERE rk <= {k}
 ),
-gtopk AS (SELECT src, dst FROM granked WHERE rk <= {k}),
+"""
+        if etopk_rel is None
+        else ""
+    )
+    return f"""{exact}gtopk AS (SELECT src, dst FROM granked WHERE rk <= {k}),
 cellstats AS (
-  SELECT label, sub_cell, COUNT(*) AS c FROM assign GROUP BY label, sub_cell
+  SELECT label, sub_cell, COUNT(*) AS c FROM {assign_rel} GROUP BY label, sub_cell
 ),
 mass AS (
   SELECT label,
@@ -2389,7 +2482,7 @@ mass AS (
 recall AS (
   SELECT e.label, COUNT(*) AS n_true,
          SUM(CASE WHEN g.dst IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
-  FROM etopk e LEFT JOIN gtopk g ON g.src = e.src AND g.dst = e.dst
+  FROM {etopk_rel or 'etopk'} e LEFT JOIN gtopk g ON g.src = e.src AND g.dst = e.dst
   GROUP BY e.label
 )
 SELECT m.label, m.n_vectors, m.n_sub_cells, m.max_cell_n,
@@ -2443,21 +2536,31 @@ def knn_cell_guard_report_staged(
     view: str = "embeddings",
     src_modulus: int = 8,
 ) -> DataFrame:
-    """Execution path for :func:`knn_cell_guard_report_sql` over the
-    shared staged signature relation."""
-    rel = _hamsig_labeled_rel(spark, view)
-    chain = _knn_guard_chain(cell_cap, src_modulus)
-    tail = _knn_guard_report_tail(k, src_modulus)
+    """Execution path for :func:`knn_cell_guard_report_sql` over STAGED
+    assignment and exact-truth relations (see _guard_assign_rel /
+    _guard_etopk_rel — the single-statement form re-derived both once
+    per CTE reference); only the guarded pair join + rank and the
+    report aggregates remain in the statement."""
+    assign_rel = _guard_assign_rel(spark, cell_cap, view)
+    etopk_rel = _guard_etopk_rel(spark, k, src_modulus, view)
+    pair = _guard_pair_ctes(src_modulus, assign_rel)
+    tail = _knn_guard_report_tail(
+        k, src_modulus, assign_rel=assign_rel, etopk_rel=etopk_rel
+    )
     template = f"""
-WITH sig AS (SELECT vec_id, label, lo, hi FROM {rel}),
-{chain},
+WITH {pair},
 {tail}
 """
-    frags = {n: s for n, (s, _) in _GUARD_FRAGS.items()}
-    return spark.sql(template.format(**frags))
+    return spark.sql(template.format(**_GUARD_SPARK_FRAGS))
 
 
-def _knn_guard_cap_sweep_body(caps: tuple[int, ...], k: int, src_modulus: int) -> str:
+def _knn_guard_cap_sweep_body(
+    caps: tuple[int, ...],
+    k: int,
+    src_modulus: int,
+    assign_of: dict[int, str] | None = None,
+    etopk_rel: str | None = None,
+) -> str:
     """Sweep body after the ``sig`` CTE: one guard chain per cap (the
     cap-independent cnt_g/seeds_g bases shared), ONE sampled exact
     truth, and a one-row-per-cap corpus summary — the recall-vs-mass
@@ -2468,11 +2571,20 @@ def _knn_guard_cap_sweep_body(caps: tuple[int, ...], k: int, src_modulus: int) -
     if len(set(caps)) != len(caps) or len(caps) < 2:
         raise ValueError(f"caps must be >= 2 distinct values: {caps}")
     esrc_where = f" AND a.vec_id % {src_modulus} = 0" if src_modulus > 1 else ""
-    parts = [
-        _knn_guard_chain(cap, src_modulus, sfx=f"_c{cap}", emit_base=(i == 0))
-        for i, cap in enumerate(caps)
-    ]
-    parts.append(f"""epairs AS (
+    if assign_of is None:
+        parts = [
+            _knn_guard_chain(cap, src_modulus, sfx=f"_c{cap}", emit_base=(i == 0))
+            for i, cap in enumerate(caps)
+        ]
+    else:
+        # staged path: the assignment chain per cap is read from its
+        # staged relation; only the guarded pair join + rank stay CTEs
+        parts = [
+            _guard_pair_ctes(src_modulus, assign_of[cap], sfx=f"_c{cap}")
+            for cap in caps
+        ]
+    if etopk_rel is None:
+        parts.append(f"""epairs AS (
   SELECT a.label AS label, a.vec_id AS src, b.vec_id AS dst,
          CAST(bit_count({{xor_ae_lo}}) + bit_count({{xor_ae_hi}}) AS BIGINT) AS dist
   FROM sig a JOIN sig b
@@ -2488,8 +2600,9 @@ etopk AS (
     selects = []
     for cap in caps:
         s = f"_c{cap}"
+        a_rel = f"assign{s}" if assign_of is None else assign_of[cap]
         parts.append(f"""cell{s} AS (
-  SELECT label, sub_cell, COUNT(*) AS c FROM assign{s} GROUP BY label, sub_cell
+  SELECT label, sub_cell, COUNT(*) AS c FROM {a_rel} GROUP BY label, sub_cell
 ),
 mass{s} AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n_sub_cells,
@@ -2500,7 +2613,7 @@ mass{s} AS (
 rec{s} AS (
   SELECT COUNT(*) AS n_true,
          SUM(CASE WHEN g.dst IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
-  FROM etopk e LEFT JOIN (
+  FROM {etopk_rel or 'etopk'} e LEFT JOIN (
     SELECT src, dst FROM granked{s} WHERE rk <= {k}
   ) g ON g.src = e.src AND g.dst = e.dst
 )""")
@@ -2551,16 +2664,20 @@ def knn_guard_cap_sweep_staged(
     view: str = "embeddings",
     src_modulus: int = 8,
 ) -> DataFrame:
-    """Execution path for :func:`knn_guard_cap_sweep_sql` over the
-    shared staged signature relation."""
-    rel = _hamsig_labeled_rel(spark, view)
-    body = _knn_guard_cap_sweep_body(caps, k, src_modulus)
-    template = f"""
-WITH sig AS (SELECT vec_id, label, lo, hi FROM {rel}),
-{body}
-"""
-    frags = {n: s for n, (s, _) in _GUARD_FRAGS.items()}
-    return spark.sql(template.format(**frags))
+    """Execution path for :func:`knn_guard_cap_sweep_sql` over STAGED
+    per-cap assignment relations and ONE staged sampled-exact truth
+    (the single-statement form re-derived the assignment chain ~3x
+    per cap and the quadratic exact truth once per cap — 54 Exchanges,
+    zero reuse, in the before-plan). The staged relations are
+    content-addressed by (cap) / (k, src_modulus), so the cap-40
+    assignment and the truth relation are THE SAME staged rows
+    emb_knn_cell_guard_report reads."""
+    assign_of = {cap: _guard_assign_rel(spark, cap, view) for cap in caps}
+    etopk_rel = _guard_etopk_rel(spark, k, src_modulus, view)
+    body = _knn_guard_cap_sweep_body(
+        caps, k, src_modulus, assign_of=assign_of, etopk_rel=etopk_rel
+    )
+    return spark.sql(("WITH " + body).format(**_GUARD_SPARK_FRAGS))
 
 
 # ------------------------------------------- Matryoshka truncation report
@@ -2808,12 +2925,77 @@ def ivf_nprobe_sweep_staged(
         view,
         (k, n_queries),
     )
+    # Probe sets NEST: the lists nprobe=p admits are exactly the pairs
+    # whose smallest admitting probe rank is <= p. So candidates are
+    # generated ONCE at max(probes) grain carrying first_probe =
+    # MIN(a.rn), scored ONCE (the cosine expression is unchanged, so
+    # every per-probe cosine is the identical FP value), and the
+    # relation is STAGED — the unstaged tail re-ran the candidate join
+    # + score join once per probe config and once more for the count
+    # (the before-plan shows 21 Exchanges, 0 reused). Per probe, what
+    # remains is genuinely per-config work: a rank window over the
+    # first_probe <= p subset and the recall/count aggregates. At 100
+    # TB the candidate generation and the Q x cand scoring pass run
+    # once instead of |probes| + 1 times.
     nv_rel = f"(SELECT vec_id, embedding, nrm FROM {assign_rel} WHERE rn = 1)"
-    tail = _nprobe_tail(
-        probes, nv_rel, assign_rel, exact_name, k, n_queries,
-        one_based=False, idiv="DIV",
+    max_p = max(probes)
+    sdot = _dot("qv.embedding", "nv2.embedding", one_based=False)
+    scored_name = _stage_view(
+        spark,
+        lambda: spark.sql(
+            f"""
+SELECT c.q_id, c.n_id, c.first_probe,
+       ({sdot}) / (qv.nrm * nv2.nrm) AS cosine
+FROM (
+  SELECT a.vec_id AS q_id, m.vec_id AS n_id, MIN(a.rn) AS first_probe
+  FROM {assign_rel} a
+  JOIN (SELECT vec_id, c_id FROM {assign_rel} WHERE rn = 1) m
+    ON m.c_id = a.c_id AND m.vec_id <> a.vec_id
+  WHERE a.vec_id < {n_queries} AND a.rn <= {max_p}
+  GROUP BY a.vec_id, m.vec_id
+) c
+JOIN {nv_rel} qv ON qv.vec_id = c.q_id
+JOIN {nv_rel} nv2 ON nv2.vec_id = c.n_id"""
+        ),
+        "nprobe_scored",
+        view,
+        (tuple(probes), n_cells, k, n_queries),
     )
-    return spark.sql("WITH " + tail)
+    parts, rows = [], []
+    for p in probes:
+        parts.append(
+            f"""top_{p} AS (
+  SELECT q_id, n_id FROM (
+    SELECT q_id, n_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q_id ORDER BY cosine DESC, n_id
+           ) AS rnk
+    FROM {scored_name} WHERE first_probe <= {p}
+  ) r WHERE rnk <= {k}
+)"""
+        )
+        parts.append(
+            f"""cnt_{p} AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates
+  FROM {scored_name} WHERE first_probe <= {p}
+)"""
+        )
+        parts.append(
+            f"""hit_{p} AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_true,
+         CAST(SUM(CASE WHEN t.n_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+  FROM {exact_name} e LEFT JOIN top_{p} t
+    ON t.q_id = e.q_id AND t.n_id = e.n_id
+)"""
+        )
+        rows.append(
+            f"""SELECT {p} AS nprobe, n_candidates, n_true, n_hits,
+       CAST(n_hits * 1000000 DIV NULLIF(n_true, 0) AS BIGINT) AS recall_ppm
+FROM cnt_{p} CROSS JOIN hit_{p}"""
+        )
+    return spark.sql(
+        "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(rows)
+    )
 
 
 # ------------------------------------------------- whitening statistics

@@ -1524,7 +1524,16 @@ GROUP BY tok"""
 
     ngrams = P.spark_ngrams("split(seq, ' ')", 2)
     merges = []
-    name = cached
+    # Each round's vocabulary is the staged w0 with r LITERAL replaces
+    # chained on top — NOT re-staged per round: the elected pair is a
+    # constant, so the replace chain stays a constant-folded codegen
+    # projection over ONE small staged relation, and the per-round
+    # materialization barrier (a localCheckpoint/parquet write per
+    # round, 2 extra sequential jobs each) disappears. Only the FINAL
+    # vocabulary is staged (it is what the encoder joins against and
+    # what the session memo hands out); intermediate vocabularies have
+    # exactly one consumer — the next round's pair election — so
+    # staging them bought nothing.
     for r in range(1, rounds + 1):
         top = (
             w.selectExpr("cnt", f"explode({ngrams}) AS pr")
@@ -1537,10 +1546,12 @@ GROUP BY tok"""
         merges.append((r, top.pr.replace("|", ""), int(top.pcnt)))
         pat = top.pr
         rep = "|" + top.pr.replace("|", "").replace(" ", "") + "|"
-        merged = w.withColumn("seq", F.expr(f"replace(seq, '{pat}', '{rep}')"))
-        name = P.stage_name("bpe_w", key[1:] + (r, top.pr))
-        w = P.stage_df(merged, name)
-        w.createOrReplaceTempView(name)
+        w = w.withColumn("seq", F.expr(f"replace(seq, '{pat}', '{rep}')"))
+    if merges:
+        name = P.stage_name("bpe_w", key[1:] + (rounds, tuple(m[1] for m in merges)))
+        P.stage_df(w, name).createOrReplaceTempView(name)
+    else:  # rounds == 0: the vocabulary IS the staged w0
+        name = cached
     _TOKENS_CACHE[fkey] = (merges, name)
     return merges, name
 
