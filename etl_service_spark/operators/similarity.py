@@ -1138,6 +1138,153 @@ def _kmeans_chain(
     return cte, prev, f"a{iters}"
 
 
+def _kmeans_staged_rels(
+    spark: SparkSession,
+    k: int = 4,
+    iters: int = 2,
+    view: str = "embeddings",
+    big_t: str = _KM_SPARK_BIG,
+) -> tuple[str, list[str], list[str]]:
+    """Staged Lloyd iteration: the dim-exploded quantized element
+    relation ``e`` staged ONCE, then per iteration the assignment and
+    centroid relations staged as they are computed. The single-
+    statement chain re-executes every CTE once per reference and the
+    references CASCADE (d2 -> c1 -> a1 -> d1 -> c0 -> e), so the
+    emb_kmeans plan scanned and 64-way-exploded the corpus 5x per run
+    (and emb_centroid_outliers 8x); staged, the corpus is read and
+    exploded exactly once per session and each iteration is one join
+    of staged-e against a k x 64-row centroid relation. Expressions
+    are byte-identical to `_kmeans_chain`'s — only materialization
+    boundaries move, so values (and the oracle hash) are unchanged.
+
+    Returns (e_rel, cents, assigns): cents[i] is the relation after
+    iteration i (cents[0] = init), assigns[i] (1-based, assigns[0] is
+    None) the iteration-i assignment. The element relation's key is
+    big_t-independent, so consumers with different overflow gates
+    (emb_kmeans's row-count-gated BIGINT vs the DECIMAL default)
+    still share the one corpus pass."""
+    e_rel = _stage_view(
+        spark,
+        lambda: spark.sql(
+            f"WITH dims AS ({_KM_SPARK_DIMS}) "
+            f"SELECT vec_id, i AS dim, "
+            f"CAST(FLOOR(CAST({_KM_SPARK_ELEM} AS DOUBLE) * 10000) AS BIGINT) AS v "
+            f"FROM {view} CROSS JOIN dims"
+        ),
+        "km_e",
+        view,
+        (),
+    )
+    cents = [
+        _stage_view(
+            spark,
+            lambda: spark.sql(
+                f"SELECT vec_id AS j, dim, v AS s, CAST(1 AS BIGINT) AS n "
+                f"FROM {e_rel} WHERE vec_id < {k}"
+            ),
+            "km_c0",
+            view,
+            (k,),
+        )
+    ]
+    assigns: list[str | None] = [None]
+    for it in range(1, iters + 1):
+        a_body = f"""
+WITH d AS (
+  SELECT e.vec_id, c.j,
+         SUM(CAST((c.n * e.v - c.s) AS {big_t}) * (c.n * e.v - c.s)) AS dist_num,
+         MAX(c.n) AS n
+  FROM {e_rel} e JOIN {cents[-1]} c ON e.dim = c.dim
+  GROUP BY e.vec_id, c.j
+)
+SELECT vec_id, j FROM (
+  SELECT vec_id, j,
+         ROW_NUMBER() OVER (
+           PARTITION BY vec_id
+           ORDER BY CAST(dist_num AS DOUBLE) / CAST(n * n AS DOUBLE), j
+         ) AS rk
+  FROM d
+) r WHERE rk = 1"""
+        assigns.append(
+            _stage_view(
+                spark,
+                lambda b=a_body: spark.sql(b),
+                "km_a",
+                view,
+                (k, it, big_t),
+            )
+        )
+        cents.append(
+            _stage_view(
+                spark,
+                lambda a=assigns[-1]: spark.sql(
+                    f"SELECT a.j, e.dim, CAST(SUM(e.v) AS BIGINT) AS s, COUNT(*) AS n "
+                    f"FROM {a} a JOIN {e_rel} e ON e.vec_id = a.vec_id "
+                    f"GROUP BY a.j, e.dim"
+                ),
+                "km_c",
+                view,
+                (k, it, big_t),
+            )
+        )
+    return e_rel, cents, assigns
+
+
+def kmeans_staged(
+    spark: SparkSession,
+    n_rows: int,
+    k: int = 4,
+    iters: int = 2,
+    view: str = "embeddings",
+) -> DataFrame:
+    """Execution path for :func:`kmeans_spark_sql`'s semantics over the
+    staged Lloyd relations (same row-count overflow gate); the oracle
+    stays the single-statement HUGEINT SQL."""
+    big_t = "BIGINT" if n_rows < KM_BIGINT_SAFE_ROWS else _KM_SPARK_BIG
+    _e, cents, _a = _kmeans_staged_rels(spark, k, iters, view, big_t)
+    return spark.sql(
+        f"""
+SELECT j, MAX(n) AS n_members,
+       CAST(SUM(s) AS BIGINT) AS s_total,
+       CAST(SUM(CAST(s AS {big_t}) * s) AS BIGINT) AS s_sq_total
+FROM {cents[iters]}
+GROUP BY j"""
+    )
+
+
+def centroid_outliers_staged(
+    spark: SparkSession,
+    k: int = 4,
+    iters: int = 2,
+    topn: int = 10,
+    view: str = "embeddings",
+) -> DataFrame:
+    """Execution path for :func:`centroid_outliers_sql` over the staged
+    Lloyd relations: the last distance relation is derived ONCE from
+    staged-e x staged-centroids (the single-statement form re-derived
+    the whole cascade per reference), then the per-cluster top-n
+    window. Oracle stays the single-statement SQL."""
+    big_t = _KM_SPARK_BIG
+    e_rel, cents, assigns = _kmeans_staged_rels(spark, k, iters, view, big_t)
+    return spark.sql(
+        f"""
+WITH d AS (
+  SELECT e.vec_id, c.j,
+         SUM(CAST((c.n * e.v - c.s) AS {big_t}) * (c.n * e.v - c.s)) AS dist_num,
+         MAX(c.n) AS n
+  FROM {e_rel} e JOIN {cents[iters - 1]} c ON e.dim = c.dim
+  GROUP BY e.vec_id, c.j
+)
+SELECT j, rk, vec_id, CAST(dist_num AS BIGINT) AS dist_num, n_members FROM (
+  SELECT a.j, d.vec_id, d.dist_num, d.n AS n_members,
+         ROW_NUMBER() OVER (
+           PARTITION BY a.j ORDER BY d.dist_num DESC, d.vec_id ASC
+         ) AS rk
+  FROM {assigns[iters]} a JOIN d ON d.vec_id = a.vec_id AND d.j = a.j
+) r WHERE rk <= {topn}"""
+    )
+
+
 def semantic_dedup_sql(
     k: int = 4, iters: int = 2, tau: float = 0.4, view: str = "embeddings"
 ) -> tuple[str, str]:
@@ -1216,17 +1363,12 @@ def semantic_dedup_staged(
     import numpy as np
     import pandas as pd
 
-    def _assignment():
-        cte, _cent, assign = _kmeans_chain(
-            _KM_SPARK_ELEM, _KM_SPARK_DIMS, k, iters, view, _KM_SPARK_BIG
-        )
-        return spark.sql("WITH " + ",\n".join(cte) + f"\nSELECT vec_id, j FROM {assign}")
-
-    # standard memoized stage: the unrolled Lloyd chain runs once per
-    # (session, params, files); repeats and other consumers read the
-    # staged (vec_id, j) relation
-    assign_rel = _stage_view(spark, _assignment, "km_assign", view, (k, iters))
-    assign_df = spark.table(assign_rel)
+    # the staged Lloyd relations (shared with emb_kmeans /
+    # emb_centroid_outliers): the corpus is exploded once per session
+    # and the iteration-2 assignment is already a staged (vec_id, j)
+    # relation — no second staging pass needed here
+    _e, _cents, assigns = _kmeans_staged_rels(spark, k, iters, view)
+    assign_df = spark.table(assigns[iters])
 
     emb = spark.table(view).select("vec_id", "embedding")
     if n_blocks is None:

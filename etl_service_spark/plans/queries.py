@@ -3464,7 +3464,7 @@ FROM d GROUP BY decile
 
         views(spark, sf_dir)
         n = pq.ParquetFile(os.path.join(sf_dir, "embeddings.parquet")).metadata.num_rows
-        return spark.sql(similarity.kmeans_spark_sql(n))
+        return similarity.kmeans_staged(spark, n)
 
     cases["emb_kmeans"] = Case(_q_kmeans, similarity.kmeans_sql()[1])
     def _semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4824,7 +4824,16 @@ GROUP BY a.event_type
     # --- embedding-QA outliers: top-n furthest-from-centroid vectors
     # per k-means cluster, exact-integer distance ranking over the
     # same unrolled Lloyd chain as emb_kmeans
-    cases["emb_centroid_outliers"] = _pair_case(similarity.centroid_outliers_sql())
+    # Spark side: staged Lloyd relations (one corpus explode per
+    # session shared with emb_kmeans/dedup_semantic; the single-
+    # statement chain re-derived the cascade 8x); oracle unchanged.
+    def _q_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+        views(spark, sf_dir)
+        return similarity.centroid_outliers_staged(spark)
+
+    cases["emb_centroid_outliers"] = Case(
+        _q_centroid_outliers, similarity.centroid_outliers_sql()[1]
+    )
 
     # --- train/test leakage through near-duplicates: clusters from the
     # shared staged pair relation, split labels from the production
