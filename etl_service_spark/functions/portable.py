@@ -274,6 +274,31 @@ def stage_df(df, name: str):
     return df.localCheckpoint(eager=True)
 
 
+_STAGE_VIEW_CACHE: dict[tuple, str] = {}
+
+
+def stage_view(spark, df_fn, kind: str, view: str, params: tuple = ()) -> str:
+    """Generic memoized staged relation over a registered input view —
+    the shared staging discipline (one materialization per (session,
+    kind, params, input lineage, staging backend), content-addressed
+    temp-view name) exposed for the plans layer; operator modules keep
+    their local caches."""
+    key = (
+        session_token(spark),
+        kind,
+        tuple(params),
+        lineage_key(spark.table(view)),
+        staging_dir(spark),
+    )
+    cached = _STAGE_VIEW_CACHE.get(key)
+    if cached is not None:
+        return cached
+    name = stage_name(f"{kind}_{view}", key[1:])
+    stage_df(df_fn(), name).createOrReplaceTempView(name)
+    _STAGE_VIEW_CACHE[key] = name
+    return name
+
+
 def warm_udfs(spark) -> None:
     """Execute each singleton once on a tiny relation: spawns python
     workers, imports numpy/pandas there, and pays the per-instance

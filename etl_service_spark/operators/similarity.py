@@ -2910,6 +2910,70 @@ def matryoshka_recall(spark: SparkSession, **kw) -> DataFrame:
     return spark.sql(matryoshka_recall_sql(**kw)[0])
 
 
+def matryoshka_recall_staged(
+    spark: SparkSession,
+    dims: tuple[int, ...] = (16, 32),
+    k: int = 10,
+    n_queries: int = 5,
+    view: str = "embeddings",
+) -> DataFrame:
+    """Execution path for :func:`matryoshka_recall_sql` with each
+    prefix-dimension top-k STAGED: the single-statement form
+    re-executes the full-dimension scored relation (a Q x N corpus
+    pass) once per union branch — t{DIM} is the truth side of every
+    recall row — and each t_d's rank window per reference. Staged,
+    each Q x N scored pass runs exactly once (the staged relation is
+    k·Q rows) and the report is |dims| joins of 50-row relations.
+    Expressions are the SQL twin's own (built by the same dot-chain
+    generator), so values are bit-identical; oracle unchanged."""
+    if not all(0 < d <= DIM for d in dims):
+        raise ValueError(f"dims must be in (0, {DIM}]: {dims}")
+    dims = tuple(dict.fromkeys(d for d in dims if d != DIM))
+    if not dims:
+        raise ValueError(
+            f"dims must contain at least one PREFIX dimension < {DIM}: "
+            "comparing the full dimension against itself is vacuous"
+        )
+
+    def dot(a: str, b: str, d: int) -> str:
+        # Spark-side rendering: 0-based [] element access, the same
+        # chain matryoshka_recall_sql emits with one_based=False
+        return " + ".join(
+            f"CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE)"
+            for i in range(d)
+        )
+
+    def topk_rel(d: int) -> str:
+        body = f"""
+WITH q AS (SELECT vec_id AS q_id, embedding AS qv
+           FROM {view} WHERE vec_id < {n_queries} LIMIT {n_queries}),
+s AS (
+  SELECT q.q_id, e.vec_id AS n_id,
+         ({dot('qv', 'e.embedding', d)})
+           / (sqrt({dot('qv', 'qv', d)}) * sqrt({dot('e.embedding', 'e.embedding', d)})) AS c
+  FROM q JOIN {view} e ON e.vec_id <> q.q_id
+)
+SELECT q_id, n_id FROM (
+  SELECT q_id, n_id,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) AS rk
+  FROM s
+) r WHERE rk <= {k}"""
+        return _stage_view(
+            spark, lambda: spark.sql(body), "mat_topk", view, (d, k, n_queries)
+        )
+
+    rels = {d: topk_rel(d) for d in (*dims, DIM)}
+    unions = "\nUNION ALL\n".join(
+        f"""SELECT {d} AS dims, COUNT(*) AS n_true,
+       CAST(SUM(CASE WHEN a.n_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       CAST(SUM(CASE WHEN a.n_id IS NOT NULL THEN 1 ELSE 0 END) * 1000000
+            DIV COUNT(*) AS BIGINT) AS recall_ppm
+FROM {rels[DIM]} e LEFT JOIN {rels[d]} a ON a.q_id = e.q_id AND a.n_id = e.n_id"""
+        for d in dims
+    )
+    return spark.sql(unions)
+
+
 # ------------------------------------------------- IVF nprobe sweep
 def _nprobe_tail(
     probes: tuple[int, ...],

@@ -3668,7 +3668,16 @@ FROM j GROUP BY q_id
     # measured gate for prefix-truncated retrieval (d/D of the bytes
     # and FLOPs; see similarity.matryoshka_recall_sql for the 100 TB
     # argument). Both engines run the same explicit d-term chains.
-    cases["ann_matryoshka_recall"] = _sql_case(*similarity.matryoshka_recall_sql())
+    # Spark side: each prefix-dim top-k staged (the single statement
+    # re-ran the full-dim Q x N scored pass once per union branch);
+    # oracle stays the single-statement SQL.
+    def _q_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
+        views(spark, sf_dir)
+        return similarity.matryoshka_recall_staged(spark)
+
+    cases["ann_matryoshka_recall"] = Case(
+        _q_matryoshka, similarity.matryoshka_recall_sql()[1]
+    )
 
     # same measurement for the PQ/ADC path — coarse 8-centroid
     # codebooks trade recall for ~21× storage; this query is the
@@ -5563,16 +5572,29 @@ z AS (
         f"((zval {{idiv}} {4 ** j}) % 2) * {2 ** j}" for j in range(8)
     )
 
-    _Z_FILES_RANKED = f"""zcnt AS (
-  SELECT zval, COUNT(*) AS c FROM z GROUP BY zval
+    # ``z_rel``/``zcnt_rel`` parameterize the staged Spark path: the
+    # single-statement form re-executes zcnt (and through it z, and
+    # through THAT the orders scan + bounds aggregate) once per
+    # reference — 8 orders scans in the committed plan. Staged, orders
+    # is scanned twice total (bounds + quantize) and the ≤65,536-row
+    # zcnt once.
+    def _z_files_ranked(z_rel: str = "z", zcnt_rel: str | None = None) -> str:
+        zc = zcnt_rel or "zcnt"
+        head = (
+            ""
+            if zcnt_rel
+            else f"""zcnt AS (
+  SELECT zval, COUNT(*) AS c FROM {z_rel} GROUP BY zval
 ),
-zoff AS (
+"""
+        )
+        return head + f"""zoff AS (
   SELECT zval, COALESCE(SUM(c) OVER (ORDER BY zval
            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
-  FROM zcnt
+  FROM {zc}
 ),
 dcnt AS (
-  SELECT {_Z_QD_FROM_ZVAL} AS qd, SUM(c) AS c FROM zcnt
+  SELECT {_Z_QD_FROM_ZVAL} AS qd, SUM(c) AS c FROM {zc}
   GROUP BY {_Z_QD_FROM_ZVAL}
 ),
 doff AS (
@@ -5582,13 +5604,13 @@ doff AS (
 ),
 tot AS (
   SELECT SUM(c) AS n, SUM(c) {{idiv}} 64 AS q, SUM(c) % 64 AS rem
-  FROM zcnt
+  FROM {zc}
 ),
 ranked AS (
   SELECT o_orderkey, qc, qd, zval,
          ROW_NUMBER() OVER (PARTITION BY zval ORDER BY o_orderkey) AS lrz,
          ROW_NUMBER() OVER (PARTITION BY qd ORDER BY o_orderkey) AS lrd
-  FROM z
+  FROM {z_rel}
 ),
 g AS (
   SELECT r.qc, r.qd, zo.off + r.lrz AS rz, dd.off + r.lrd AS rd
@@ -5649,9 +5671,31 @@ GROUP BY layout, dim
             "unnest(generate_series(0, 7))",
         ),
     )
-    _z_spark, _ = P.bi_sql(_Z_PRE + _Z_FILES_RANKED + _Z_POST, **_Z_FRAGS)
     _, _z_duck = P.bi_sql(_Z_PRE + _Z_FILES_NTILE + _Z_POST, **_Z_FRAGS)
-    cases["layout_zorder_skipping"] = _sql_case(_z_spark, _z_duck)
+    _z_stage_sql = P.bi_sql(
+        _Z_PRE + "fin AS (SELECT 1 AS x)\nSELECT o_orderkey, qc, qd, zval FROM z",
+        **_Z_FRAGS,
+    )[0]
+
+    def _q_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+        views(spark, sf_dir)
+        z_rel = P.stage_view(
+            spark, lambda: spark.sql(_z_stage_sql), "zquant", "orders"
+        )
+        zcnt_rel = P.stage_view(
+            spark,
+            lambda: spark.sql(
+                f"SELECT zval, COUNT(*) AS c FROM {z_rel} GROUP BY zval"
+            ),
+            "zcnt",
+            "orders",
+        )
+        body = P.bi_sql(
+            "WITH " + _z_files_ranked(z_rel, zcnt_rel) + _Z_POST, **_Z_FRAGS
+        )[0]
+        return spark.sql(body)
+
+    cases["layout_zorder_skipping"] = Case(_q_zorder, _z_duck)
 
     # --- CDC log compaction (the Debezium→lakehouse materialization):
     # a deterministic change log synthesized from orders (every key
