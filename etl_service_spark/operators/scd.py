@@ -51,7 +51,15 @@ def scd2_merge(
         *[F.col(c).alias(f"__u_{c}") for c in tracked],
         F.lit(True).alias("__u_present"),
     )
-    j = open_rows.join(u, key, "full_outer")
+    # pinned: the full-outer join feeds THREE consumers (untouched /
+    # closed / opened) and Spark re-plans the join — and both input
+    # scans — once per reference (observed: 6 customer scans in the
+    # dim_scd2_merge plan, 16 in dim_scd2_invariants which consumes
+    # the merge three more times). One eager checkpoint runs the join
+    # exactly once; the three branches are then narrow filters over
+    # the materialized working set. Safe under foreachBatch: the
+    # streaming twin hands this function plain batch DataFrames.
+    j = open_rows.join(u, key, "full_outer").localCheckpoint()
 
     changed = None
     for c in tracked:
@@ -194,7 +202,10 @@ def scd2_invariants(spark, sf_dir: str) -> DataFrame:
     Scale shape: the per-key window is hash-partitioned on the
     business key (versions-per-key is bounded by change frequency),
     then two key-grain aggregates — no single-partition stage."""
-    merged = scd2_customers(spark, sf_dir)
+    # per-call checkpoint (not a cross-call memo): the merge output
+    # feeds three consumers here (merged audit, the corrupt filter,
+    # the control union) and would re-run once per reference
+    merged = scd2_customers(spark, sf_dir).localCheckpoint()
     merged.createOrReplaceTempView("__scd2_audit_m")
     corrupt = (
         merged.filter((F.col("custkey") % 13 == 0) & F.col("valid_to").isNull())

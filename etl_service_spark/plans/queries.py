@@ -6049,6 +6049,16 @@ FROM {child} c LEFT JOIN {parent} p ON c.{ck} = p.{pk}
             ("events", "user_id", "supplier", "s_suppkey"),
         )
     )
+    # Examined for the optimization round and deliberately KEPT as the
+    # per-branch UNION: a fused one-scan-per-child form (chained
+    # broadcast left-joins + one wide aggregate + inline() unpivot)
+    # was built and measured 2.5x SLOWER at sf0.1 (min-of-6 0.59 s ->
+    # 1.49 s) — with page-cached scans and 32-way branch overlap, the
+    # repeated fact scans are cheaper than serializing three hash
+    # probes into one task pipeline. The repeated-scan cost the fused
+    # form removes only matters when the fact scan is I/O-bound; at
+    # that scale, run the audit off a columnar cache or fold it into
+    # an existing fact pass. Ledger: OPTIMIZATION_r11.md.
     cases["dq_referential_integrity"] = _bi_case(
         _RI_TEMPLATE, idiv=("DIV", "//")
     )
