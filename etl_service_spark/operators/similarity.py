@@ -1138,6 +1138,32 @@ def _kmeans_chain(
     return cte, prev, f"a{iters}"
 
 
+def _km_assign_sql(e_rel: str, c_rel: str, big_t: str) -> str:
+    """One Lloyd assignment step over the staged element/centroid
+    relations — the exact per-iteration statement `_kmeans_staged_rels`
+    materializes. A named function so the plan-shape suite can pin the
+    join strategy of the statement the staging pass actually executes
+    (the centroid side is k x 64 rows and must broadcast; post-staging
+    consumer plans are join-free, so there is nothing to assert there).
+    """
+    return f"""
+WITH d AS (
+  SELECT e.vec_id, c.j,
+         SUM(CAST((c.n * e.v - c.s) AS {big_t}) * (c.n * e.v - c.s)) AS dist_num,
+         MAX(c.n) AS n
+  FROM {e_rel} e JOIN {c_rel} c ON e.dim = c.dim
+  GROUP BY e.vec_id, c.j
+)
+SELECT vec_id, j FROM (
+  SELECT vec_id, j,
+         ROW_NUMBER() OVER (
+           PARTITION BY vec_id
+           ORDER BY CAST(dist_num AS DOUBLE) / CAST(n * n AS DOUBLE), j
+         ) AS rk
+  FROM d
+) r WHERE rk = 1"""
+
+
 def _kmeans_staged_rels(
     spark: SparkSession,
     k: int = 4,
@@ -1189,22 +1215,7 @@ def _kmeans_staged_rels(
     ]
     assigns: list[str | None] = [None]
     for it in range(1, iters + 1):
-        a_body = f"""
-WITH d AS (
-  SELECT e.vec_id, c.j,
-         SUM(CAST((c.n * e.v - c.s) AS {big_t}) * (c.n * e.v - c.s)) AS dist_num,
-         MAX(c.n) AS n
-  FROM {e_rel} e JOIN {cents[-1]} c ON e.dim = c.dim
-  GROUP BY e.vec_id, c.j
-)
-SELECT vec_id, j FROM (
-  SELECT vec_id, j,
-         ROW_NUMBER() OVER (
-           PARTITION BY vec_id
-           ORDER BY CAST(dist_num AS DOUBLE) / CAST(n * n AS DOUBLE), j
-         ) AS rk
-  FROM d
-) r WHERE rk = 1"""
+        a_body = _km_assign_sql(e_rel, cents[-1], big_t)
         assigns.append(
             _stage_view(
                 spark,

@@ -207,13 +207,26 @@ def test_attribution_join_is_hash_not_nestedloop(spark, sf_dir):
 
 def test_kmeans_centroid_joins_broadcast(spark, sf_dir):
     """Every per-iteration centroid relation is k*64 rows; the distance
-    joins must end up broadcast (AQE converts them once runtime sizes
-    are known — assert on the FINAL adaptive plan) and nothing may
-    plan a cartesian product. The vec_id-keyed re-aggregation joins
-    legitimately stay sort-merge: both sides are data-sized."""
-    df = CASES["emb_kmeans"].spark(spark, sf_dir)
-    df.collect()  # finalize AQE
-    plan = _plan(df)
+    join must end up broadcast and nothing may plan a cartesian
+    product. Since the Lloyd iterations are STAGED (round 11: each
+    assignment/centroid relation materialized once and shared), the
+    consumer plan is join-free — so the pin runs the exact
+    per-iteration assignment statement the staging pass executes
+    (similarity._km_assign_sql over the staged element/centroid
+    relations) and asserts on ITS final adaptive plan. The vec_id-keyed
+    re-aggregation joins legitimately stay sort-merge: both sides are
+    data-sized."""
+    from etl_service_spark.operators import similarity as S
+
+    consumer = CASES["emb_kmeans"].spark(spark, sf_dir)
+    consumer.collect()  # materializes the staged Lloyd relations
+    assert "CartesianProduct" not in _plan(consumer), _plan(consumer)[:1500]
+    # big_t=BIGINT matches the consumer's row-count gate at test scale,
+    # so the memo returns the already-staged relations (no re-staging)
+    e_rel, cents, _assigns = S._kmeans_staged_rels(spark, big_t="BIGINT")
+    step = spark.sql(S._km_assign_sql(e_rel, cents[0], "BIGINT"))
+    step.collect()  # finalize AQE
+    plan = _plan(step)
     assert "CartesianProduct" not in plan, plan[:1500]
     assert "BroadcastHashJoin" in plan, plan[:1500]
 
