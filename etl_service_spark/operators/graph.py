@@ -379,10 +379,38 @@ def pagerank(
     ranks = nodes.select(F.col("a").alias("node")).withColumn(
         "rank", F.lit(PR_SCALE // n).cast("bigint")
     )
-    for _ in range(PR_ITERS):
-        contribs = contrib_src.join(ranks, contrib_src["a"] == ranks["node"]).select(
-            F.col("b"), F.expr("rank DIV outdeg").alias("c")
+    # Join strategy for the per-iteration edge-rank join, picked
+    # DELIBERATELY by edge size (guide §3.1) instead of letting the
+    # planner's estimate decide both regimes with one rule:
+    # - edges under the broadcast threshold (sf0.1: 35.8 MiB vs the
+    #   64 MiB local threshold): leave the planner's broadcast-edge
+    #   choice alone — an in-process broadcast of a persisted relation
+    #   is the fastest local shape (interleaved min-of-6: 1.60 s vs
+    #   2.06 s for the hinted shuffled-hash form);
+    # - edges past the threshold (any real scale): hint SHUFFLE_HASH on
+    #   the RANK side, because the default there is a sort-merge join
+    #   that re-sorts the edge mass every iteration. Built on ranks,
+    #   the join reuses the persisted edge partitioning (hash(a)) and
+    #   ranks arrives already hash(node)-partitioned from the previous
+    #   round's groupBy(b) — per-iteration data motion is exactly one
+    #   node-grain exchange, the documented "only the rank vector
+    #   moves" shape.
+    try:
+        edge_bytes = int(
+            contrib_src._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
         )
+    except Exception:
+        edge_bytes = None
+    try:
+        bcast_max = int(spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+    except Exception:
+        bcast_max = 10 * 1024 * 1024
+    edges_fit_broadcast = edge_bytes is not None and 0 < edge_bytes <= bcast_max
+    for _ in range(PR_ITERS):
+        rank_side = ranks if edges_fit_broadcast else ranks.hint("shuffle_hash")
+        contribs = contrib_src.join(
+            rank_side, contrib_src["a"] == rank_side["node"]
+        ).select(F.col("b"), F.expr("rank DIV outdeg").alias("c"))
         if salted:
             from .skew import salted_agg
 
@@ -464,20 +492,34 @@ def triangle_stats(edges: DataFrame, a: str = "doc_a", b: str = "doc_b") -> Data
 
     Shuffle shape: one distinct + one degree aggregate + two joins
     keyed on node ids; no global sort, no driver materialization.
+
+    The canonical edge list, the degree relation and the oriented edge
+    list are each STAGED (stage_df: one eager materialization, lineage
+    truncated) before fan-out: canon feeds four consumers (degrees,
+    the degree join, the wedge close-back, the edge count), deg three
+    and oriented two — left lazy, Spark re-executes each subtree once
+    per reference and the re-derivations CASCADE (the round-11 before
+    plan shows 62 Exchanges; staged, each relation is computed once —
+    the same discipline as the staged pairs view this census reads).
     """
+    from ..functions import portable as P
+
+    lk = P.lineage_key(edges)  # content-addresses the staging names
     raw = edges.select(F.col(a).alias("x"), F.col(b).alias("y"))
-    canon = (
+    canon = P.stage_df(
         raw.filter(F.col("x") != F.col("y"))
         .select(
             F.least("x", "y").alias("u"), F.greatest("x", "y").alias("v")
         )
-        .distinct()
+        .distinct(),
+        P.stage_name("tri_canon", lk),
     )
-    deg = (
+    deg = P.stage_df(
         canon.select(F.col("u").alias("node"))
         .unionAll(canon.select(F.col("v").alias("node")))
         .groupBy("node")
-        .agg(F.count("*").alias("d"))
+        .agg(F.count("*").alias("d")),
+        P.stage_name("tri_deg", lk),
     )
     du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
     dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
@@ -485,9 +527,12 @@ def triangle_stats(edges: DataFrame, a: str = "doc_a", b: str = "doc_b") -> Data
     lower_u = (F.col("du") < F.col("dv")) | (
         (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
     )
-    oriented = with_deg.select(
-        F.when(lower_u, F.col("u")).otherwise(F.col("v")).alias("x"),
-        F.when(lower_u, F.col("v")).otherwise(F.col("u")).alias("y"),
+    oriented = P.stage_df(
+        with_deg.select(
+            F.when(lower_u, F.col("u")).otherwise(F.col("v")).alias("x"),
+            F.when(lower_u, F.col("v")).otherwise(F.col("u")).alias("y"),
+        ),
+        P.stage_name("tri_oriented", lk),
     )
     p, q = oriented.alias("p"), oriented.alias("q")
     wedge = p.join(

@@ -2779,12 +2779,20 @@ GROUP BY w.week_idx, w.wau
     # no per-access string re-scan; shredding-ready at rest). Oracle is
     # DuckDB's JSON extraction — identical values, so this pins
     # VARIANT extraction semantics against an independent engine.
+    # The extraction is projected ONCE below the aggregate: with the
+    # parse inside each aggregate function, the partial HashAggregate
+    # evaluated parseJson(props) three times per row (sum/min/max each
+    # embed their own copy — visible in the before plan's partial_*
+    # expressions); parsing is the dominant per-row cost, so the
+    # subquery form is ~3x less parse work for bit-identical values
+    # (same expression, same rows, same aggregates).
     _VARIANT_SPARK = """
 SELECT event_type, COUNT(*) AS n_events,
-       CAST(SUM(variant_get(parse_json(props), '$.k', 'int')) AS BIGINT) AS sum_k,
-       MIN(variant_get(parse_json(props), '$.k', 'int')) AS min_k,
-       MAX(variant_get(parse_json(props), '$.k', 'int')) AS max_k
-FROM events WHERE props IS NOT NULL
+       CAST(SUM(k) AS BIGINT) AS sum_k,
+       MIN(k) AS min_k,
+       MAX(k) AS max_k
+FROM (SELECT event_type, variant_get(parse_json(props), '$.k', 'int') AS k
+      FROM events WHERE props IS NOT NULL) e
 GROUP BY event_type
 """
     _VARIANT_DUCK = """
