@@ -367,26 +367,38 @@ def materialize_prefix_postings(
     return name
 
 
-def ngram_jaccard_staged(
+def ngram_jaccard_staged_view(
     spark: SparkSession,
     tau: float = 0.8,
     view: str = "documents",
     tau_frac: tuple[int, int] | None = None,
     src_modulus: int = 1,
-) -> DataFrame:
+) -> str:
+    """Staged VERIFIED-PAIR relation for the PPJoin Jaccard path —
+    the pair table every consumer reads (the standalone query, the
+    recall report's exact side, clustering, the triangle census, the
+    strategy sweep). Round 11: previously only the hashset and posting
+    INPUTS were staged and each consumer re-ran the candidate join +
+    verify per call (and graph.staged_pairs_view checkpointed the same
+    output a second time for its own consumers); one memoized
+    materialization per (session, params, corpus, staging backend) is
+    the staging-table shape the pipeline writes once per snapshot."""
     hs_rel = materialize_hashsets(spark, view)
     num, den = _tau_frac(tau, tau_frac)
     pexp = materialize_prefix_postings(spark, view, (num, den))
-    # sampled-exact: pairs are oriented doc_a < doc_b, so filtering the
-    # a-side of the prefix join keeps EXACTLY the pairs whose smaller
-    # id is sampled — the prefix/length filters stay lossless per pair
-    # (they never depend on which other docs exist on a side), and the
-    # candidate mass divides by ~m instead of being post-filtered.
-    src_filter = (
-        f"\n   AND a.doc_id % {src_modulus} = 0" if src_modulus > 1 else ""
-    )
-    return spark.sql(
-        f"""
+
+    def build() -> DataFrame:
+        # sampled-exact: pairs are oriented doc_a < doc_b, so filtering
+        # the a-side of the prefix join keeps EXACTLY the pairs whose
+        # smaller id is sampled — the prefix/length filters stay
+        # lossless per pair (they never depend on which other docs
+        # exist on a side), and the candidate mass divides by ~m
+        # instead of being post-filtered.
+        src_filter = (
+            f"\n   AND a.doc_id % {src_modulus} = 0" if src_modulus > 1 else ""
+        )
+        return spark.sql(
+            f"""
 WITH cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM {pexp} a JOIN {pexp} b
@@ -406,6 +418,22 @@ SELECT doc_a, doc_b,
 FROM verified
 WHERE CAST(c2 AS DOUBLE) / (nx + ny - c2) >= {tau}
 """
+        )
+
+    return P.stage_view(
+        spark, build, "jacc_pairs", view, (str(tau), num, den, src_modulus)
+    )
+
+
+def ngram_jaccard_staged(
+    spark: SparkSession,
+    tau: float = 0.8,
+    view: str = "documents",
+    tau_frac: tuple[int, int] | None = None,
+    src_modulus: int = 1,
+) -> DataFrame:
+    return spark.table(
+        ngram_jaccard_staged_view(spark, tau, view, tau_frac, src_modulus)
     )
 
 
@@ -599,15 +627,26 @@ def minhash_lsh_staged(
     tau: float = 0.8,
     view: str = "documents",
 ) -> DataFrame:
+    # Round 11: the VERIFIED pair output is itself staged (memoized per
+    # (session, k/bands/tau, corpus)) — three registry consumers (the
+    # standalone query, the LSH recall report, the strategy sweep) each
+    # re-ran the band explode + collision join + Jaccard verify per
+    # call; the pair table is written once and read from there.
     hs_rel = materialize_hashsets(spark, view)
-    body = P.bi_sql(
-        "WITH " + _minhash_body(k, bands),
-        band_arr=_band_arr(k, bands),
-        hs_rel=hs_rel,
-        tau=str(tau),
-        **_hashset_frags(view),
-    )[0]
-    return spark.sql(body)
+
+    def build() -> DataFrame:
+        body = P.bi_sql(
+            "WITH " + _minhash_body(k, bands),
+            band_arr=_band_arr(k, bands),
+            hs_rel=hs_rel,
+            tau=str(tau),
+            **_hashset_frags(view),
+        )[0]
+        return spark.sql(body)
+
+    return spark.table(
+        P.stage_view(spark, build, "mh_pairs", view, (k, bands, str(tau)))
+    )
 
 
 def minhash_lsh_pairs(spark: SparkSession, k: int = 16, bands: int = 8, tau: float = 0.8) -> DataFrame:
@@ -665,16 +704,26 @@ def simhash_staged(spark: SparkSession, bits: int = 30, view: str = "documents")
     occurrence with an interpreted per-character fold; the stage pays
     that once in a vectorized Arrow kernel for all token-mass
     consumers, leaving simhash as one hash aggregation over (doc_id,
-    h) — the word-count shuffle profile, nothing interpreted."""
+    h) — the word-count shuffle profile, nothing interpreted.
+
+    Round 11: the doc-grain FINGERPRINT relation is staged too — the
+    30-bit vote aggregation runs over the full token-mass relation,
+    and its three consumers (the standalone query, the pair grouping,
+    the strategy sweep) re-ran it per call; one materialization per
+    (session, bits, corpus) leaves every consumer a |docs|-row scan."""
     from . import textops
 
     tok_rel = textops.materialize_tokens(spark, view)
-    votes = ",\n         ".join(
-        f"SUM(2 * {P.bit_probe('h', j)} - 1) AS v{j}" for j in range(bits)
-    )
-    fp = " + ".join(f"(CASE WHEN v{j} > 0 THEN {2 ** j} ELSE 0 END)" for j in range(bits))
-    return spark.sql(
-        f"""
+
+    def build() -> DataFrame:
+        votes = ",\n         ".join(
+            f"SUM(2 * {P.bit_probe('h', j)} - 1) AS v{j}" for j in range(bits)
+        )
+        fp = " + ".join(
+            f"(CASE WHEN v{j} > 0 THEN {2 ** j} ELSE 0 END)" for j in range(bits)
+        )
+        return spark.sql(
+            f"""
 WITH votes AS (
   SELECT doc_id,
          {votes}
@@ -684,7 +733,9 @@ WITH votes AS (
 SELECT doc_id, CAST({fp} AS BIGINT) AS simhash
 FROM votes
 """
-    )
+        )
+
+    return spark.table(P.stage_view(spark, build, "simhash_fp", view, (bits,)))
 
 
 def simhash_pairs_staged(spark: SparkSession, bits: int = 30, view: str = "documents") -> DataFrame:
@@ -1042,8 +1093,14 @@ def chunk_dedup_staged(spark: SparkSession, w: int = 8, view: str = "documents")
         ch_sql = _chunk_explode_sql(w, view)[0]
         P.stage_df(P.fan_out(spark.sql(ch_sql)), name).createOrReplaceTempView(name)
         _CHUNK_CACHE[key] = name
-    return spark.sql(
-        f"""
+
+    # Round 11: the doc-grain span REPORT is staged as well — the
+    # chunk-frequency aggregate + join-back over the (large) chunk
+    # relation re-ran for each consumer (standalone query, strategy
+    # sweep); staged, consumers scan |docs| rows.
+    def build() -> DataFrame:
+        return spark.sql(
+            f"""
 WITH cf AS (SELECT chunk, COUNT(DISTINCT doc_id) AS n_docs FROM {name} GROUP BY chunk),
 doc AS (
   SELECT c.doc_id,
@@ -1058,7 +1115,9 @@ SELECT doc_id,
        CAST(n_shared * 1000000 DIV n_chunks AS BIGINT) AS dup_span_ppm
 FROM doc
 """
-    )
+        )
+
+    return spark.table(P.stage_view(spark, build, "chunk_spans", view, (w,)))
 
 
 def batch_band_keys(

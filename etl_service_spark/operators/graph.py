@@ -189,13 +189,6 @@ def connected_components_twophase(
     )
 
 
-# (session id, tau, fingerprint files) -> staged pairs view. In a real
-# pipeline the near-dup pair list is written to a staging table once
-# and clustering reads it from there; recomputing the PPJoin per
-# clustering call would double the pipeline's dominant cost.
-_PAIRS_CACHE: dict[tuple, str] = {}
-
-
 # (session id, tau, pairs view) -> staged cluster assignment view. The
 # iterative label propagation (checkpoint + convergence probe per
 # round) re-running for every consumer would be like re-deriving a
@@ -205,23 +198,16 @@ _CLUSTERS_CACHE: dict[tuple, str] = {}
 
 
 def staged_pairs_view(spark: SparkSession, tau: float = 0.8) -> str:
-    """Name of the staged near-dup pair view (written once per
-    (session, tau, fingerprint relation) — see _PAIRS_CACHE). Shared by
-    the clustering path and the triangle census below, exactly like a
-    pairs staging table shared by two pipeline readers."""
+    """Name of the staged near-dup pair view, shared by the clustering
+    path, the triangle census and every other pair consumer. Round 11:
+    dedup.ngram_jaccard_staged_view now stages the verified pairs
+    itself (one memoized materialization for ALL consumers, including
+    the standalone query and the recall report), so this is a pure
+    delegation — the old _PAIRS_CACHE checkpointed the already-staged
+    output a second time."""
     from . import dedup
 
-    from ..functions import portable as P
-
-    hs_rel = dedup.materialize_hashsets(spark)
-    key = (P.session_token(spark), tau, hs_rel, P.staging_dir(spark))
-    name = _PAIRS_CACHE.get(key)
-    if name is None:
-        name = P.stage_name("jaccard_pairs", key[1:])
-        pairs = dedup.ngram_jaccard_staged(spark, tau=tau)
-        P.stage_df(pairs, name).createOrReplaceTempView(name)
-        _PAIRS_CACHE[key] = name
-    return name
+    return dedup.ngram_jaccard_staged_view(spark, tau=tau)
 
 
 def dup_clusters(spark: SparkSession, tau: float = 0.8) -> DataFrame:

@@ -1442,10 +1442,22 @@ def semantic_dedup_staged(
         vb = np.maximum(ids_a[ia], ids_b[ib])
         return pd.DataFrame({"cluster": np.full(len(va), j, dtype=np.int64), "vec_a": va, "vec_b": vb})
 
-    pairs = both.groupBy("j", "ba", "bb").applyInPandas(compute, schema=pair_schema)
-    # prune table: larger id is pruned, kept_id = smallest near keeper
-    return pairs.groupBy("cluster", F.col("vec_b").alias("vec_id")).agg(
-        F.min("vec_a").alias("kept_id"), F.count("*").alias("n_neighbors")
+    def build() -> DataFrame:
+        pairs = both.groupBy("j", "ba", "bb").applyInPandas(compute, schema=pair_schema)
+        # prune table: larger id is pruned, kept_id = smallest near keeper
+        return pairs.groupBy("cluster", F.col("vec_b").alias("vec_id")).agg(
+            F.min("vec_a").alias("kept_id"), F.count("*").alias("n_neighbors")
+        )
+
+    # Round 11: the prune table is itself staged — the within-cluster
+    # Arrow pair kernel re-ran for each consumer (the standalone query,
+    # the strategy sweep, the cascade); memoized per (session, params,
+    # corpus) it is the SemDeDup prune table written once per snapshot.
+    return spark.table(
+        P.stage_view(
+            spark, build, "sem_prune", view,
+            (k, iters, str(tau), rows_per_block, n_blocks),
+        )
     )
 
 

@@ -2645,6 +2645,20 @@ FROM scored GROUP BY r_bucket, f_bucket, m_bucket
 """
 
     def _rfm_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # Round 11: the three ranks used to CHAIN (each global_rank fed
+        # the previous pass's output), which (a) serialized three
+        # sample+checkpoint barriers — 24 sequential jobs — and (b) ran
+        # every later range exchange over the full widening relation.
+        # Now the customer-grain base is checkpointed ONCE, each metric
+        # ranks a 2-column projection of it (shuffle carries ~16 bytes/
+        # row instead of the whole relation — guide §2.3), the three
+        # rank passes run CONCURRENTLY from a small thread pool (their
+        # checkpoint materializations are independent jobs; guide §2.6),
+        # and the (custkey, rk) relations join back 1:1 on custkey.
+        # Ranks are a pure function of each metric's total order, so
+        # values are identical to the chained form (oracle-checked).
+        from concurrent.futures import ThreadPoolExecutor
+
         v = views(spark, sf_dir)
         per_cust = v["orders"].groupBy(
             F.col("o_custkey").alias("custkey")
@@ -2652,10 +2666,24 @@ FROM scored GROUP BY r_bucket, f_bucket, m_bucket
             F.max("o_orderdate").alias("last_order"),
             F.count("*").alias("n_orders"),
             F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("spend"),
-        )
-        ranked = per_cust
-        for metric, rk in (("last_order", "_r_rk"), ("n_orders", "_f_rk"), ("spend", "_m_rk")):
-            ranked = scan.global_rank(ranked, [(metric, True), ("custkey", True)], out=rk)
+        ).localCheckpoint()
+
+        def one_rank(metric: str, rk: str) -> DataFrame:
+            spark.sparkContext.setJobDescription(f"rfm: rank {metric}")
+            return scan.global_rank(
+                per_cust.select(metric, "custkey"),
+                [(metric, True), ("custkey", True)],
+                out=rk,
+            ).select("custkey", rk)
+
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            r_rk, f_rk, m_rk = pool.map(
+                lambda a: one_rank(*a),
+                (("last_order", "_r_rk"), ("n_orders", "_f_rk"), ("spend", "_m_rk")),
+            )
+        ranked = per_cust.select("custkey").join(r_rk, "custkey").join(
+            f_rk, "custkey"
+        ).join(m_rk, "custkey")
         tot = per_cust.agg(F.count("*").cast("long").alias("_n"))
         scored = ranked.crossJoin(F.broadcast(tot)).select(
             F.expr(scan.ntile_case_sql("_r_rk", "_n", 5)).alias("r_bucket"),

@@ -62,3 +62,29 @@ def test_parquet_staging_actually_writes(spark, sf_dir, staging_dir):
     rel = dedup.materialize_hashsets(spark)
     assert os.path.isdir(os.path.join(staging_dir, rel))  # parquet dir, not a checkpoint
     assert spark.table(rel).count() > 0
+
+
+def test_pair_outputs_staged_once_and_shared(spark, sf_dir):
+    """Round 11: the VERIFIED pair / fingerprint OUTPUTS are staged
+    (not just their inputs) and every consumer reads the same memoized
+    relation — the sweep/recall-report consumers must not re-derive
+    the candidate join per call, and the clustering path must share
+    the standalone query's pair table instead of checkpointing it a
+    second time."""
+    from etl_service_spark.operators import dedup, graph
+    from etl_service_spark.plans.queries import views
+
+    views(spark, sf_dir)
+    a = dedup.ngram_jaccard_staged_view(spark, tau=0.8)
+    b = dedup.ngram_jaccard_staged_view(spark, tau=0.8)
+    assert a == b  # memo hit: one materialization per (session, params)
+    assert graph.staged_pairs_view(spark, tau=0.8) == a  # shared, not re-staged
+    # consumer plans are scans of the staged relation — no candidate
+    # self-join, no Arrow kernel, no exchange left in the pair query
+    plan = (
+        dedup.minhash_lsh_staged(spark)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in plan and "Exchange" not in plan, plan[:1200]
