@@ -675,9 +675,19 @@ def bfs_layers(spark: SparkSession, k: int = 4) -> DataFrame:
     sym, seeds, n_prev = _bfs_stage(spark)
     dist = seeds
     for i in range(1, k + 1):
+        # SHUFFLE_HASH on the frontier: it is the provably-small side
+        # (nodes first reached at hop i-1 ≤ all nodes << edges), so the
+        # join builds on it and the persisted edge partitioning is
+        # consumed in place — the default left the choice to estimates
+        # over a checkpointed relation (unknown stats) and planned a
+        # broadcast of the EDGE side under the local threshold
+        # (interleaved min-of-4: 1.73 s default / 1.64 s broadcast-
+        # frontier / 1.51 s shuffled-hash at sf0.1; at scale the edge
+        # broadcast is impossible and the hint is the only shape that
+        # never moves edge mass).
+        fr = dist.filter(F.col("d") == i - 1).hint("shuffle_hash")
         frontier = (
-            dist.filter(F.col("d") == i - 1)
-            .join(sym, dist["node"] == sym["b"])
+            fr.join(sym, fr["node"] == sym["b"])
             .select(F.col("a").alias("node"), F.lit(i).alias("d"))
         )
         dist = (
