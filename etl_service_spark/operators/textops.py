@@ -585,11 +585,24 @@ def materialize_tokens(spark, view: str = "documents") -> str:
 def tfidf_top_terms_staged(spark, k: int = 3, view: str = "documents") -> DataFrame:
     """Spark path for tfidf_top_terms_sql over the staged token
     relation — same integer scoring, same top-k window; the only
-    full-volume work left is the (doc, token) hash aggregate."""
+    full-volume work left is the (doc, token) hash aggregate.
+
+    Round 11 (now the registry path for text_tfidf_top_terms — the
+    _pair_case SQL twin re-tokenized the corpus once per tf reference:
+    4 parquet scans in the before plan): the tf relation is
+    additionally materialized ONCE per execution — it feeds dl, df and
+    scored, and CTE inlining re-ran the explode-aggregate per
+    reference. At 100 TB (doc, term, tf) is the term-frequency staging
+    table every index builder writes first."""
     tok = materialize_tokens(spark, view)
+    tf_df = spark.sql(
+        f"SELECT doc_id, tok AS token, COUNT(*) AS tf FROM {tok} GROUP BY doc_id, tok"
+    ).localCheckpoint()
+    tf_name = f"__tfidf_tf_{id(tf_df)}"
+    tf_df.createOrReplaceTempView(tf_name)
     return spark.sql(
         f"""
-WITH tf AS (SELECT doc_id, tok AS token, COUNT(*) AS tf FROM {tok} GROUP BY doc_id, tok),
+WITH tf AS (SELECT * FROM {tf_name}),
 dl AS (SELECT doc_id, SUM(tf) AS doclen FROM tf GROUP BY doc_id),
 df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
 nn AS (SELECT COUNT(*) AS n FROM {view}),
@@ -2030,7 +2043,13 @@ def materialize_token_positions(spark, view: str = "documents") -> str:
     return name
 
 
-def _rake_body(tokpos_rel: str, topk: int, max_phrase: int) -> str:
+def _rake_words_body(tokpos_rel: str) -> str:
+    """The segmentation prefix (flags → seg window → stopword-free
+    words) — split out so the Spark path can materialize the words
+    relation ONCE per execution: the words CTE feeds phr, wstat and
+    scored, and CTE inlining re-ran the doc-partitioned segmentation
+    window once per reference (4 scans of the token-position relation
+    in the before plan)."""
     in_list = ", ".join(f"'{s}'" for s in _STOPWORDS)
     return f"""
 flags AS (
@@ -2045,8 +2064,15 @@ seg AS (
 ),
 words AS (
   SELECT doc_id, seg_id, pos, tok FROM seg WHERE is_stop = 0
-),
-phr AS (
+)"""
+
+
+def _rake_body(tokpos_rel: str, topk: int, max_phrase: int) -> str:
+    return _rake_words_body(tokpos_rel) + ",\n" + _rake_tail_body(topk, max_phrase)
+
+
+def _rake_tail_body(topk: int, max_phrase: int) -> str:
+    return f"""phr AS (
   SELECT doc_id, seg_id, COUNT(*) AS phrase_len FROM words
   GROUP BY doc_id, seg_id
 ),
@@ -2128,8 +2154,30 @@ def rake_keywords_sql(
 def rake_keywords_staged(
     spark, topk: int = 50, max_phrase: int = 4, view: str = "documents"
 ):
+    # the stopword-free words relation is materialized ONCE per
+    # execution (localCheckpoint): it feeds phr, wstat and scored, and
+    # CTE inlining re-ran the doc-partitioned segmentation window once
+    # per reference — 4 scans + 4 windows over the token-position
+    # relation in the before plan, 1 after. Values unchanged (the
+    # oracle keeps the identical single statement; _rake_body is
+    # byte-identical to the pre-split text).
     rel = materialize_token_positions(spark, view)
-    return spark.sql(rake_keywords_sql(topk, max_phrase, view)[0].format(rel=rel))
+    words = spark.sql(
+        "WITH " + _rake_words_body(rel) + "\nSELECT doc_id, seg_id, pos, tok FROM words"
+    ).localCheckpoint()
+    wname = f"__rake_words_{id(words)}"
+    words.createOrReplaceTempView(wname)
+    tail = (
+        "WITH words AS (SELECT * FROM " + wname + "),\n"
+        + _rake_tail_body(topk, max_phrase)
+    ).format(
+        phrase_text=(
+            "array_join(transform(array_sort(collect_list(struct(w.pos, w.tok))), "
+            "s -> s.tok), ' ')"
+        ),
+        idiv="DIV",
+    )
+    return spark.sql(tail)
 
 
 # ------------------------------------------------------- BPE fertility

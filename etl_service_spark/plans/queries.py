@@ -3176,7 +3176,17 @@ FROM ranked WHERE rk = 1
     # partial aggregate under whole-stage codegen; a materialized
     # string relation just adds a scan). Staged twins exist in textops
     # for pipelines that already paid for the token stage.
-    cases["text_tfidf_top_terms"] = _pair_case(textops.tfidf_top_terms_sql())
+    # Spark side: staged execution over the shared token relation with
+    # the tf aggregate materialized once (the SQL twin re-tokenized the
+    # corpus per tf reference — 4 parquet scans); oracle stays the
+    # single-statement form.
+    def _tfidf_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
+        views(spark, sf_dir)
+        return textops.tfidf_top_terms_staged(spark)
+
+    cases["text_tfidf_top_terms"] = Case(
+        _tfidf_staged, textops.tfidf_top_terms_sql()[1]
+    )
     cases["text_top_terms_per_language"] = _pair_case(
         textops.top_terms_per_language_sql()
     )
