@@ -5624,6 +5624,14 @@ z AS (
     # reference — 8 orders scans in the committed plan. Staged, orders
     # is scanned twice total (bounds + quantize) and the ≤65,536-row
     # zcnt once.
+    #
+    # zoff reads zcnt through an IDENTITY re-aggregate (GROUP BY zval
+    # over the one-row-per-zval relation): staging truncated the plan
+    # under zoff's Exchange SinglePartition to a bare ExistingRDD scan,
+    # erasing the boundedness evidence the plan audit's fail-closed
+    # window rule checks (zval is a sanctioned <=65,536-value domain).
+    # The re-agg is ~free at 65k rows and puts the proof back IN the
+    # plan, where the audit (and a reader) can see it.
     def _z_files_ranked(z_rel: str = "z", zcnt_rel: str | None = None) -> str:
         zc = zcnt_rel or "zcnt"
         head = (
@@ -5637,7 +5645,7 @@ z AS (
         return head + f"""zoff AS (
   SELECT zval, COALESCE(SUM(c) OVER (ORDER BY zval
            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
-  FROM {zc}
+  FROM (SELECT zval, SUM(c) AS c FROM {zc} GROUP BY zval) zb
 ),
 dcnt AS (
   SELECT {_Z_QD_FROM_ZVAL} AS qd, SUM(c) AS c FROM {zc}
