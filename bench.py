@@ -543,6 +543,14 @@ def main() -> None:
         "warm": True,
         "run": "2of2",
         "pass1_total": round(sum(pass1.values()), 3),
+        # Per-query pass-1 wall (round-11 verdict #7): staged-relation
+        # consumers record steady-state times in the pass-2 min, which
+        # EXCLUDES first-touch derivation (paid by whichever consumer
+        # runs first, in pass 1). Surfacing pass 1 per query keeps that
+        # cost visible in the same record instead of only in the
+        # opaque pass1_total: a query whose pass-1/pass-2 ratio is
+        # large is riding a staging table someone must build.
+        "pass1_queries": pass1,
         "drift_vs_prev": drift,
     }
     with open(out_path, "w") as fh:

@@ -261,20 +261,24 @@ def embedding_neardup(spark: SparkSession, tau: float = 0.4) -> DataFrame:
     return spark.sql(embedding_neardup_sql(tau)[0])
 
 
-def _neardup_blocks(spark, n: int, rows_per_block: int) -> int:
-    """Block count for the block-pair kernels: size-driven
-    (ceil(n / rows_per_block)) with a PARALLELISM FLOOR of ~2·cores
-    block pairs (B(B+1)/2 pairs ≥ 2P ⇒ B ≈ 2√P) — at sf0.1 the 2,000
-    embeddings split into 3 blocks = 6 pairs, serializing on 6 of 32
-    cores (interleaved min-of-4: 1.25 s at B=3 vs 0.88 s at B=10-16);
-    past ~P·rows_per_block rows the size term dominates and the floor
-    is inert, so the knob is scale-adaptive, not a local constant.
-    Blocking never changes values: every unordered pair lands in
-    exactly one group and the per-pair FP chain is block-independent."""
-    size_blocks = max(1, -(-n // max(1, rows_per_block)))
-    par = spark.sparkContext.defaultParallelism
-    floor = max(1, int((4 * par) ** 0.5))
-    return max(size_blocks, min(floor, n))
+def _neardup_blocks(n: int, rows_per_block: int) -> int:
+    """Block count for the block-pair kernels: purely size-driven,
+    ceil(n / rows_per_block). Round 12 REMOVES the round-11
+    parallelism floor (B ≈ 2√P so B(B+1)/2 block pairs ≥ 2P): it was
+    tuned on a steal-contaminated box and the driver bench refuted it
+    — emb_cosine_neardup 1.07 → 2.57 s at 32 cores while reading
+    1.26 s at 8 (anti-scaling). At n = 2,000 the extra blocks only buy
+    ~(B+1)-way row replication, more Arrow worker round trips and 66
+    tiny applyInPandas groups. A size gate ("floor only when
+    n > 4·P·rows_per_block") was considered and is provably dead code:
+    past that gate size_blocks > 4P ≥ 2√P already exceeds the floor —
+    so the honest form is no floor at all. Whenever more parallelism
+    is genuinely wanted at a given mass, lower rows_per_block (the
+    work-per-block knob), which scales both B and the kernel batch
+    together. Blocking never changes values: every unordered pair
+    lands in exactly one group and the per-pair FP chain is
+    block-independent."""
+    return max(1, -(-n // max(1, rows_per_block)))
 
 
 def embedding_neardup_pandas(
@@ -323,7 +327,7 @@ def embedding_neardup_pandas(
         if ckey not in _STAGE_CACHE:
             _STAGE_CACHE[ckey] = str(emb.count())
         n = int(_STAGE_CACHE[ckey])
-        n_blocks = _neardup_blocks(spark, n, rows_per_block)
+        n_blocks = _neardup_blocks(n, rows_per_block)
     # fan-out relation: block blk participates in pair (ba, bb) as
     # role 0 (first block) or role 1 (second); a diagonal pair
     # (ba == bb) carries its block under BOTH roles and the
@@ -1403,7 +1407,7 @@ def semantic_dedup_staged(
         if ckey not in _STAGE_CACHE:
             _STAGE_CACHE[ckey] = str(emb.count())
         n = int(_STAGE_CACHE[ckey])
-        n_blocks = _neardup_blocks(spark, n, rows_per_block)
+        n_blocks = _neardup_blocks(n, rows_per_block)
     rel = [
         (blk, a, b, 0 if blk == a else 1)
         for a in range(n_blocks)

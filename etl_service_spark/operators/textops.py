@@ -595,11 +595,24 @@ def tfidf_top_terms_staged(spark, k: int = 3, view: str = "documents") -> DataFr
     reference. At 100 TB (doc, term, tf) is the term-frequency staging
     table every index builder writes first."""
     tok = materialize_tokens(spark, view)
-    tf_df = spark.sql(
-        f"SELECT doc_id, tok AS token, COUNT(*) AS tf FROM {tok} GROUP BY doc_id, tok"
-    ).localCheckpoint()
-    tf_name = f"__tfidf_tf_{id(tf_df)}"
-    tf_df.createOrReplaceTempView(tf_name)
+    # memoized staged relation (round-12, ADVICE r11): the previous
+    # per-call localCheckpoint + id()-named temp view accumulated one
+    # pinned checkpoint and one catalog view PER EXECUTION for the
+    # session's lifetime, and ignored the STAGING_DIR_CONF backend.
+    # stage_view is content-addressed and memoized per (session, input
+    # lineage, backend) — the (doc, term, tf) relation is the
+    # term-frequency staging table every index builder writes once per
+    # corpus snapshot; first-touch cost is visible in the bench's
+    # pass1_queries block.
+    tf_name = P.stage_view(
+        spark,
+        lambda: spark.sql(
+            f"SELECT doc_id, tok AS token, COUNT(*) AS tf FROM {tok} "
+            "GROUP BY doc_id, tok"
+        ),
+        "tfidf_tf",
+        view,
+    )
     return spark.sql(
         f"""
 WITH tf AS (SELECT * FROM {tf_name}),
@@ -2162,11 +2175,23 @@ def rake_keywords_staged(
     # oracle keeps the identical single statement; _rake_body is
     # byte-identical to the pre-split text).
     rel = materialize_token_positions(spark, view)
-    words = spark.sql(
-        "WITH " + _rake_words_body(rel) + "\nSELECT doc_id, seg_id, pos, tok FROM words"
-    ).localCheckpoint()
-    wname = f"__rake_words_{id(words)}"
-    words.createOrReplaceTempView(wname)
+    # memoized staged relation (round-12, ADVICE r11): same leak fix as
+    # tfidf_top_terms_staged — the per-call localCheckpoint + id()-named
+    # view pinned one checkpoint + one catalog entry per execution and
+    # bypassed the STAGING_DIR_CONF backend. The stopword-segmented
+    # words relation is a pure function of the corpus snapshot, so the
+    # content-addressed memo serves every execution in the session;
+    # first-touch cost is visible in the bench's pass1_queries block.
+    wname = P.stage_view(
+        spark,
+        lambda: spark.sql(
+            "WITH "
+            + _rake_words_body(rel)
+            + "\nSELECT doc_id, seg_id, pos, tok FROM words"
+        ),
+        "rake_words",
+        view,
+    )
     tail = (
         "WITH words AS (SELECT * FROM " + wname + "),\n"
         + _rake_tail_body(topk, max_phrase)

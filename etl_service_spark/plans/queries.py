@@ -5337,18 +5337,37 @@ SELECT '{det}->{dep}' AS fd, COUNT(*) AS n_keys,
 FROM (SELECT {det} AS k, COUNT(DISTINCT {dep}) AS n_vals
       FROM {tbl} GROUP BY {det}) g
 """
-    _FD_TEMPLATE = "\nUNION ALL\n".join(
-        _fd_branch.format(tbl=t, det=a, dep=b)
-        for t, a, b in (
-            ("orders", "o_orderkey", "o_orderstatus"),
-            ("orders", "o_custkey", "o_orderstatus"),
-            ("orders", "o_custkey", "o_orderpriority"),
-            ("orders", "o_orderdate", "o_orderpriority"),
-            ("customer", "c_nationkey", "c_mktsegment"),
-            ("lineitem", "l_orderkey", "l_linestatus"),
-            ("lineitem", "l_partkey", "l_returnflag"),
-        )
+    _FD_CANDIDATES = (
+        ("orders", "o_orderkey", "o_orderstatus"),
+        ("orders", "o_custkey", "o_orderstatus"),
+        ("orders", "o_custkey", "o_orderpriority"),
+        ("orders", "o_orderdate", "o_orderpriority"),
+        ("customer", "c_nationkey", "c_mktsegment"),
+        ("lineitem", "l_orderkey", "l_linestatus"),
+        ("lineitem", "l_partkey", "l_returnflag"),
     )
+    _FD_TEMPLATE = "\nUNION ALL\n".join(
+        _fd_branch.format(tbl=t, det=a, dep=b) for t, a, b in _FD_CANDIDATES
+    )
+
+    # DELIBERATE NO-CHANGE (round 12, VERDICT r11 #6 tried and
+    # refuted by measurement): the 7-branch UNION ALL plans 7 scans /
+    # 21 exchanges — the registry's worst shuffle count — and a fused
+    # rewrite (stack() each table once → one grouped COUNT(DISTINCT)
+    # at (fd, det) grain → one fd-grain rollup; 3 scans / 3 exchanges;
+    # plans/r12/profile_fd_violations_fused_rejected.txt) was built,
+    # oracle-verified, and MEASURED SLOWER: interleaved min-of-5 at
+    # sf0.1 — branchy 1.68 s, fused 2.96 s, per-table hybrid 2.36 s
+    # (BIGINT shuffle keys; the first string-keyed attempt was worse
+    # still, 2.48 s warm vs 1.09 s branchy in a quieter window). The
+    # branches are 7 INDEPENDENT 2-column pipelines whose stages
+    # overlap under AQE scheduling; fusing them into one chain
+    # serializes three barriers and loses more than the saved
+    # exchanges return. At 100 TB the trade barely moves: each branch
+    # scan is column-pruned to 2 columns, so 7 scans read ~8
+    # column-masses vs the fused form's 5 — while the fused form's
+    # single Expand shuffle carries the same bytes. Shuffle count is
+    # the wrong proxy here; bytes and overlap are what matter.
     cases["profile_fd_violations"] = _bi_case(_FD_TEMPLATE, idiv=("DIV", "//"))
 
     # --- OHLC hourly rollup (the market-data resample shape): open/
@@ -5511,7 +5530,22 @@ FROM r
 
     def _peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         views(spark, sf_dir)
-        ep = spark.sql(P.bi_sql(_SWEEP_ENDPOINTS, ts_us=TS_US)[0])
+        # Round 12 (VERDICT r11 #5): the endpoint relation used to be
+        # the oracle's UNION ALL of two full event scans (+1 starts,
+        # -1 ends); inline() now emits both endpoints from ONE scan —
+        # and because repartitionByRange inside global_ordered_cumsum
+        # SAMPLES its input before shuffling it, the union form paid
+        # those two scans twice (sample pass + shuffle pass). Same
+        # endpoint rows, same (t, delta, event_id) total order; the
+        # oracle keeps the textbook UNION ALL.
+        ep = spark.sql(
+            """
+SELECT inline(array(struct(ts_us AS t, 1 AS delta),
+                    struct(ts_us + 1800000000 AS t, -1 AS delta))),
+       event_id
+FROM events WHERE ts IS NOT NULL AND event_id IS NOT NULL
+"""
+        )
         r = scan.global_ordered_cumsum(
             ep, [("t", True), ("delta", True), ("event_id", True)], "delta"
         )
