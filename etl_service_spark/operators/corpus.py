@@ -721,11 +721,48 @@ dscore AS (
 
 
 def _dsir_spark_sql(tok_view: str, n_buckets: int) -> str:
+    """Spark-side DSIR body (round 12, guide §2.3/§2.4): the shared
+    _dsir_body references tk from tgt, raw AND dscore, and tgt/raw
+    each TWICE more (the mass scalar subqueries + the buck join) —
+    under CTE inlining that re-scans the staged token relation 4x and
+    re-derives both bucket aggregates. This form derives both sides'
+    bucket counts in ONE grouped pass (conditional sums instead of the
+    filter + full-outer-join), and the corpus masses become windows
+    over that ≤ n_buckets-row relation — constant-size single-partition
+    work, the offsets-pass shape. Token passes: 4 → 2 (the model pass
+    and the dscore join). Values are bit-identical: for non-NULL lang
+    the en/non-en conditional sums ARE tgt/raw's counts with the
+    outer-join COALESCEs applied, bucket membership (any token of
+    either side) is the same GROUP BY b, a NULL-lang-only bucket is
+    excluded by the WHERE exactly as it fell out of both one-sided
+    filters, and the ratio arithmetic keeps the same DECIMAL(38,0)
+    casts. The DuckDB oracle keeps the textbook _dsir_body."""
     tk = (
         f"SELECT doc_id, lang, CAST(h % {n_buckets} AS BIGINT) AS b "
         f"FROM {tok_view}"
     )
-    return _dsir_body(tk, "DIV", "DECIMAL(38,0)", n_buckets)
+    return f"""
+tk AS ({tk}),
+cnts AS (
+  SELECT b,
+         SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS t_cnt,
+         SUM(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS r_cnt
+  FROM tk WHERE lang IS NOT NULL GROUP BY b
+),
+buck AS (
+  SELECT b,
+         CAST(CAST(t_cnt + 1 AS DECIMAL(38,0))
+                * (SUM(r_cnt) OVER () + {n_buckets}) * 1000000
+              DIV (CAST(r_cnt + 1 AS DECIMAL(38,0))
+                * (SUM(t_cnt) OVER () + {n_buckets}))
+              AS DECIMAL(38,0)) AS ratio_ppm
+  FROM cnts
+),
+dscore AS (
+  SELECT tk.doc_id, COUNT(*) AS n_tok, SUM(bu.ratio_ppm) AS mass
+  FROM tk JOIN buck bu ON bu.b = tk.b
+  GROUP BY tk.doc_id
+)"""
 
 
 def _dsir_duck_sql(view: str, n_buckets: int) -> str:

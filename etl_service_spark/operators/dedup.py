@@ -507,13 +507,37 @@ def containment_staged(
     hs_rel = materialize_hashsets(spark, view)
     pexp = materialize_prefix_postings(spark, view, tau_frac)
     num, den = tau_frac
+    # Candidate-join build side picked DELIBERATELY (round 12, guide
+    # §3.1): left alone, the planner broadcast the EXPLODED FULL
+    # posting list (ex — the biggest relation in the query, the
+    # estimate is taken before the explode inflates it) and streamed
+    # the small prefix relation; at 100 TB that collects the corpus
+    # posting list to the driver. The build side must be pexp — the
+    # df-ascending PREFIX postings, ~(1-tau)·n+1 rows/doc: broadcast
+    # it while its staged stats fit the threshold (ex is then never
+    # shuffled at all), hint SHUFFLE_HASH past it (both sides shuffle
+    # by h, the per-partition build stays the prefix side). Local A/B
+    # is a wash (interleaved min-of-5: 2.2/2.5/2.1 s current/broadcast/
+    # shj under ambient steal) — this is a scale-shape fix, not a
+    # local-seconds claim. Values are join-strategy-independent.
+    try:
+        pexp_bytes = int(
+            spark.table(pexp)._jdf.queryExecution().optimizedPlan()
+            .stats().sizeInBytes()
+        )
+    except Exception:
+        pexp_bytes = None
+    from .graph import _broadcast_threshold_bytes
+
+    fits = pexp_bytes is not None and 0 < pexp_bytes <= _broadcast_threshold_bytes(spark)
+    hint = "/*+ BROADCAST(a) */" if fits else "/*+ SHUFFLE_HASH(a) */"
     return spark.sql(
         f"""
 WITH ex AS (
   SELECT doc_id, n, explode(hs) AS h FROM {hs_rel}
 ),
 cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  SELECT {hint} DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM {pexp} a JOIN ex b
     ON a.h = b.h AND a.doc_id <> b.doc_id
    AND b.n * {den} >= a.n * {num}
@@ -863,19 +887,35 @@ def dedup_cascade_staged(
     textops.materialize_tokens' hashed token relation (both already
     paid for by the other dedup/text consumers in a real run) — the
     cascade itself adds only hash aggregations and O(sources) tails."""
-    ek = exact_dedup_staged(spark, view).select("keeper_id")
-    ek_view = f"__cascade_ek_{id(ek)}"
-    ek.createOrReplaceTempView(ek_view)
     from . import textops
 
+    # Round 12: the exact-survivor relation is a memoized staged view —
+    # the WITH-surv form was referenced by BOTH the simhash vote join
+    # and the per-source s1 tail, so CTE inlining re-ran the keeper
+    # aggregate and the documents join twice per execution (and the
+    # previous id()-named ek temp view leaked one catalog entry per
+    # execution). The (doc_id, source) survivor table is exactly what a
+    # real cascade writes after its exact stage; it derives purely from
+    # the staged fingerprint relation, so the content-addressed memo is
+    # sound. First-touch cost is visible in the bench's pass1_queries.
+    rel = materialize_texthash(spark, view)
+    surv = P.stage_view(
+        spark,
+        lambda: spark.sql(
+            f"""
+SELECT d.doc_id, d.source
+FROM {view} d
+JOIN (SELECT MIN(doc_id) AS keeper_id FROM {rel} GROUP BY h) k
+  ON k.keeper_id = d.doc_id"""
+        ),
+        "cascade_surv",
+        view,
+    )
     tok_rel = textops.materialize_tokens(spark, view)
     votes, fp = _simhash_exprs(bits)
     return spark.sql(
         f"""
-WITH surv AS (
-  SELECT d.doc_id, d.source
-  FROM {view} d JOIN {ek_view} k ON k.keeper_id = d.doc_id
-),
+WITH surv AS (SELECT doc_id, source FROM {surv}),
 votes AS (
   SELECT t.doc_id,
          {votes}
