@@ -893,9 +893,18 @@ def hll_sliding_sql(window_hours: int = 3, view: str = "events") -> tuple[str, s
     split, same 2^27 harmonic scaling, one final double divide).
     """
     offs = ", ".join(str(k) for k in range(window_hours))
+    # Spark side drops hv's DISTINCT (round 12, guide §2.3): the CTE is
+    # referenced by BOTH the register chain and the exact-count fan-out,
+    # so inlining ran the full (hour, hash, user) distinct exchange —
+    # the query's biggest shuffle — twice per execution. Both consumers
+    # make it redundant: regs takes MAX(rnk), which absorbs duplicate
+    # rows, and ex computes COUNT(DISTINCT user_id), which dedups
+    # itself; so hv can be a pure projection and the register partials
+    # become map-side combinable over raw rows. Values identical. The
+    # DuckDB oracle keeps the textbook DISTINCT form.
     body = f"""
 WITH hv AS (
-  SELECT DISTINCT {{hour}} AS hour, {{hll_hash}} AS hv,
+  SELECT {{dstnct}} {{hour}} AS hour, {{hll_hash}} AS hv,
          user_id
   FROM {{view}}
 ),
@@ -945,5 +954,6 @@ WHERE a.whour <= (SELECT MAX({{hour}}) FROM {{view}})
         view=view,
         hour=("(ts_us DIV 3600000000)", "(epoch_us(ts) // 3600000000)"),
         explode_k=(f"explode(array({offs})) AS k", f"unnest([{offs}]) AS k"),
+        dstnct=("", "DISTINCT"),
         **_hll_frags(),
     )

@@ -5238,16 +5238,29 @@ GROUP BY source
         from pyspark.sql import Window
 
         views(spark, sf_dir)
-        raw = spark.sql(
-            "SELECT doc_id, source, "
-            f"explode(split(text, '{udtf_fns.SENTENCE_PATTERN}')) AS sentence "
-            "FROM documents"
-        ).filter("sentence <> ''")
-        s = P.fan_out(raw, light=True).select(
-            "doc_id",
-            "source",
-            P.pd_poly_hash_udf()(F.col("sentence")).alias("sh"),
-            F.length("sentence").alias("n_chars"),
+
+        # the sentence-hash relation (doc_id, source, sh, n_chars) is a
+        # memoized staged view (round 12, guide §2.4): the explode +
+        # Arrow poly-hash over the full sentence text mass is the
+        # query's dominant cost and is a pure function of the corpus
+        # snapshot — the sentence-fingerprint table a CCNet-style
+        # boilerplate pass writes once. First-touch is visible in the
+        # bench's pass1_queries.
+        def _sent_hashes() -> DataFrame:
+            raw = spark.sql(
+                "SELECT doc_id, source, "
+                f"explode(split(text, '{udtf_fns.SENTENCE_PATTERN}')) AS sentence "
+                "FROM documents"
+            ).filter("sentence <> ''")
+            return P.fan_out(raw, light=True).select(
+                "doc_id",
+                "source",
+                P.pd_poly_hash_udf()(F.col("sentence")).alias("sh"),
+                F.length("sentence").alias("n_chars"),
+            )
+
+        s = spark.table(
+            P.stage_view(spark, _sent_hashes, "sentence_hashes", "documents")
         )
         g = s.groupBy("sh", "doc_id", "source").agg(
             F.count("*").alias("n_sent"), F.sum("n_chars").alias("chars")
