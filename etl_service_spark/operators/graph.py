@@ -513,7 +513,18 @@ def triangle_stats(edges: DataFrame, a: str = "doc_a", b: str = "doc_b") -> Data
     """
     from ..functions import portable as P
 
-    lk = P.lineage_key(edges)  # content-addresses the staging names
+    # Staging key (ADVICE r11 #2): lineage_key alone (input FILES) is
+    # not content-addressing here — the (a, b) column choice and any
+    # upstream filter/transform of `edges` are invisible to it, so two
+    # different edge relations over the same files would map to the
+    # same staged path and overwrite each other cross-session. Include
+    # the column pair and a digest of the analyzed edge plan.
+    import hashlib
+
+    plan_digest = hashlib.sha1(
+        edges._jdf.queryExecution().analyzed().toString().encode()
+    ).hexdigest()[:12]
+    lk = P.lineage_key(edges) + (a, b, plan_digest)
     raw = edges.select(F.col(a).alias("x"), F.col(b).alias("y"))
     canon = P.stage_df(
         raw.filter(F.col("x") != F.col("y"))

@@ -88,3 +88,63 @@ def test_pair_outputs_staged_once_and_shared(spark, sf_dir):
         .toString()
     )
     assert "Join" not in plan and "Exchange" not in plan, plan[:1200]
+
+
+def test_r12_staged_relations_shared_and_memoized(spark, sf_dir):
+    """Round 12: the winnowing fingerprint selection, the ExactSubstr
+    span relation, the tf-idf term-frequency table and the RAKE words
+    relation are memoized staged views — repeated calls return the
+    SAME content-addressed relation (one materialization per session),
+    and the sibling consumers share it instead of re-deriving."""
+    from etl_service_spark.operators import dedup, textops
+    from etl_service_spark.plans.queries import views
+
+    views(spark, sf_dir)
+    w1 = textops._winnow_fp_staged(spark, 4, 5, "documents")
+    w2 = textops._winnow_fp_staged(spark, 4, 5, "documents")
+    assert w1 == w2
+    s1 = dedup._ess_spans_staged(spark, 8, "documents")
+    s2 = dedup._ess_spans_staged(spark, 8, "documents")
+    assert s1 == s2
+    # the pair report's plan reads the staged fingerprints — the
+    # w-window MIN selection must not be re-planned per reference
+    plan = (
+        textops.winnowing_pairs_staged(spark)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan, plan[:1200]
+
+
+def test_neardup_blocks_size_driven():
+    """Round 12 (VERDICT r11 #1): the block count for the block-pair
+    kernels is purely size-driven — the r11 parallelism floor was a
+    driver-refuted 32-core regression and must not come back."""
+    from etl_service_spark.operators.similarity import _neardup_blocks
+
+    assert _neardup_blocks(2000, 700) == 3
+    assert _neardup_blocks(1, 700) == 1
+    assert _neardup_blocks(0, 700) == 1
+    assert _neardup_blocks(70000, 700) == 100
+
+
+def test_broadcast_threshold_parser(spark):
+    """ADVICE r11: unit-suffixed autoBroadcastJoinThreshold values must
+    parse instead of silently falling back to 10 MiB and flipping the
+    size-adaptive join branches."""
+    from etl_service_spark.operators.graph import _broadcast_threshold_bytes
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        for raw, want in (
+            ("64MB", 64 * 1024 * 1024),
+            ("1g", 1024 ** 3),
+            ("10485760b", 10 * 1024 * 1024),
+            ("67108864", 64 * 1024 * 1024),
+            ("-1", 0),
+        ):
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", raw)
+            assert _broadcast_threshold_bytes(spark) == want, raw
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
